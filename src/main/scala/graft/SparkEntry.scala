@@ -1,13 +1,86 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.Relational
+import graft.pipeline.{TextPipeline, Vectors}
+
+/** Driver contract — see SURVEY.md §2 for the operator inventory each
+  * entry covers. Every `queries` key that is ANSI-SQL-expressible has
+  * a DuckDB oracle in [[oracleSql]] with identical column aliases and
+  * deterministic ordering; the rest are rows-only + ScalaTest'd.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.2 relational surface
+    "q1_pricing_summary"   -> (Relational.q1PricingSummary _),
+    "q3_shipping_priority" -> (Relational.q3ShippingPriority _),
+    "q5_local_supplier"    -> (Relational.q5LocalSupplier _),
+    "q6_filter_agg"        -> (Relational.q6FilterAgg _),
+    "q14_promo_share"      -> (Relational.q14PromoShare _),
+    "q17_small_qty"        -> (Relational.q17SmallQty _),
+    "q18_large_volume"     -> (Relational.q18LargeVolume _),
+    "q_anti_customers"     -> (Relational.qAntiCustomers _),
+    "q_cust_order_counts"  -> (Relational.qCustOrderCounts _),
+    "q_distinct_parts"     -> (Relational.qDistinctParts _),
+    "q_setops"             -> (Relational.qSetops _),
+    "q_window_rank"        -> (Relational.qWindowRank _),
+    "q_window_running"     -> (Relational.qWindowRunning _),
+    "q_window_lag"         -> (Relational.qWindowLag _),
+    "q_rollup_sales"       -> (Relational.qRollupSales _),
+    "q_pivot_status"       -> (Relational.qPivotStatus _),
+    "q_scalar_funcs"       -> (Relational.qScalarFuncs _),
+    "q_sessionize"         -> (Relational.qSessionize _),
+    "q_asof_join"          -> (Relational.qAsofJoin _),
+    "q_approx_distinct"    -> (Relational.qApproxDistinct _),
+    "q_hash_sample"        -> (Relational.qHashSample _),
+    "q_salted_topusers"    -> (Relational.qSaltedTopusers _),
+    // §2.3 LLM-training-data pipeline
+    "dedup_exact"          -> (TextPipeline.dedupExact _),
+    "dedup_ngram_jaccard"  -> (TextPipeline.ngramJaccard _),
+    "dedup_minhash_lsh"    -> (TextPipeline.minhashLsh _),
+    "dedup_simhash"        -> (TextPipeline.simhash _),
+    "dedup_embed_cosine"   -> (Vectors.dedupEmbedCosine _),
+    "ann_bruteforce_topk"  -> (Vectors.annBruteforceTopk _),
+    "ann_lsh_topk"         -> (Vectors.annLshTopk _),
+    "text_langid"          -> (TextPipeline.textLangid _),
+    "text_quality"         -> (TextPipeline.textQuality _),
+    "text_tokens"          -> (TextPipeline.textTokens _),
+    "text_fingerprint"     -> (TextPipeline.textFingerprint _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary"   -> Relational.q1Sql,
+    "q3_shipping_priority" -> Relational.q3Sql,
+    "q5_local_supplier"    -> Relational.q5Sql,
+    "q6_filter_agg"        -> Relational.q6Sql,
+    "q14_promo_share"      -> Relational.q14Sql,
+    "q17_small_qty"        -> Relational.q17Sql,
+    "q18_large_volume"     -> Relational.q18Sql,
+    "q_anti_customers"     -> Relational.qAntiSql,
+    "q_cust_order_counts"  -> Relational.qCustOrderCountsSql,
+    "q_distinct_parts"     -> Relational.qDistinctPartsSql,
+    "q_setops"             -> Relational.qSetopsSql,
+    "q_window_rank"        -> Relational.qWindowRankSql,
+    "q_window_running"     -> Relational.qWindowRunningSql,
+    "q_window_lag"         -> Relational.qWindowLagSql,
+    "q_rollup_sales"       -> Relational.qRollupSalesSql,
+    "q_pivot_status"       -> Relational.qPivotStatusSql,
+    "q_scalar_funcs"       -> Relational.qScalarFuncsSql,
+    "q_sessionize"         -> Relational.qSessionizeSql,
+    "q_asof_join"          -> Relational.qAsofJoinSql,
+    "q_hash_sample"        -> Relational.qHashSampleSql,
+    "q_salted_topusers"    -> Relational.qSaltedTopusersSql,
+    "dedup_exact"          -> TextPipeline.dedupExactSql,
+    "dedup_ngram_jaccard"  -> TextPipeline.ngramJaccardSql,
+    "dedup_embed_cosine"   -> Vectors.dedupEmbedCosineSql,
+    "ann_bruteforce_topk"  -> Vectors.annBruteforceTopkSql,
+    "text_langid"          -> TextPipeline.textLangidSql,
+    "text_quality"         -> TextPipeline.textQualitySql,
+    "text_tokens"          -> TextPipeline.textTokensSql,
+  )
 }

@@ -1,0 +1,503 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.Exact._
+
+/** Relational query surface (SURVEY.md §2.2) — the analytics a catalog
+  * client (reference: Bodo-inc/denali, routes/tables.go) runs against
+  * its tables, expressed as declarative DataFrame plans so Catalyst
+  * performs pushdown, pruning, join selection and AQE re-planning.
+  *
+  * Scale notes per query are in the Scaladoc; dims (region, nation,
+  * supplier, part) are explicitly broadcast — they stay tiny at any SF
+  * — while fact-fact joins shuffle on their keys and rely on AQE for
+  * skew handling at the 100 TB target.
+  */
+object Relational {
+
+  /** R1/R2 — TPC-H Q1-style pricing summary: scan + pushed filter +
+    * 8-agg hash aggregate. One shuffle (partial agg map-side). */
+  def q1PricingSummary(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(to_date(col("l_shipdate")) <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        expr(prodSum(discPrice("l_extendedprice", "l_discount"))).as("sum_disc_price"),
+        expr(prodSum(discPriceTaxed("l_extendedprice", "l_discount", "l_tax"))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q1Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       ${sqlSum("l_quantity")} AS sum_qty,
+       ${sqlSum("l_extendedprice")} AS sum_base_price,
+       ${prodSum(discPrice("l_extendedprice", "l_discount"))} AS sum_disc_price,
+       ${prodSum(discPriceTaxed("l_extendedprice", "l_discount", "l_tax"))} AS sum_charge,
+       ${sqlAvg("l_quantity")} AS avg_qty,
+       ${sqlAvg("l_extendedprice")} AS avg_price,
+       ${sqlAvg("l_discount")} AS avg_disc,
+       COUNT(*) AS count_order
+       FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""
+
+  /** R4/R6 — TPC-H Q3-style shipping priority: 3-way join (customer
+    * broadcast, orders⋈lineitem shuffle on orderkey) + top-K.
+    * At scale the order-by-limit is a TakeOrderedAndProject — no full
+    * sort. */
+  def q3ShippingPriority(s: SparkSession, d: String): DataFrame =
+    customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+      .filter(to_date(col("o_orderdate")) < lit("1998-06-01"))
+      .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .filter(to_date(col("l_shipdate")) > lit("1998-06-01"))
+      .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).cast("string").as("order_date"))
+      .agg(expr(prodSum(discPrice("l_extendedprice", "l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+      .select("l_orderkey", "order_date", "revenue")
+
+  val q3Sql: String =
+    s"""SELECT l_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+       ${prodSum(discPrice("l_extendedprice", "l_discount"))} AS revenue
+       FROM customer JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND CAST(o_orderdate AS DATE) < DATE '1998-06-01'
+         AND CAST(l_shipdate AS DATE) > DATE '1998-06-01'
+       GROUP BY l_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+       ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+
+  /** R3/R5 — TPC-H Q5-style local supplier volume: 6-table star join.
+    * region/nation/supplier broadcast; customer⋈orders⋈lineitem
+    * shuffles. Demonstrates multi-way join planning + dim broadcast. */
+  def q5LocalSupplier(s: SparkSession, d: String): DataFrame =
+    region(s, d).filter(col("r_name") === "ASIA")
+      .join(broadcast(nation(s, d)), col("r_regionkey") === col("n_regionkey"))
+      .join(customer(s, d), col("n_nationkey") === col("c_nationkey"))
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+      .filter(to_date(col("o_orderdate")) >= lit("1996-01-01") &&
+              to_date(col("o_orderdate")) < lit("1998-01-01"))
+      .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(expr(prodSum(discPrice("l_extendedprice", "l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
+  val q5Sql: String =
+    s"""SELECT n_name, ${prodSum(discPrice("l_extendedprice", "l_discount"))} AS revenue
+       FROM region JOIN nation ON r_regionkey = n_regionkey
+       JOIN customer ON n_nationkey = c_nationkey
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON o_orderkey = l_orderkey
+       JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+       WHERE r_name = 'ASIA'
+         AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+         AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+       GROUP BY n_name ORDER BY revenue DESC, n_name"""
+
+  /** R1 — TPC-H Q6-style: pure scan-filter-aggregate; the filters all
+    * push to the parquet scan, zero joins, one partial+final agg. */
+  def q6FilterAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(to_date(col("l_shipdate")) >= lit("1997-01-01") &&
+              to_date(col("l_shipdate")) < lit("1998-01-01") &&
+              col("l_discount").between(0.02, 0.04) && col("l_quantity") < 24)
+      .agg(expr(prodSum("CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(3,2))")).as("revenue"),
+           count(lit(1)).as("n_rows"))
+
+  val q6Sql: String =
+    s"""SELECT ${prodSum("CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(3,2))")} AS revenue, COUNT(*) AS n_rows
+       FROM lineitem
+       WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+         AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+         AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24"""
+
+  /** R10 — TPC-H Q14-style promo share: broadcast dim join +
+    * conditional aggregation (CASE inside SUM). */
+  /** Shared numerator/denominator fragment — parses identically in
+    * Spark SQL and DuckDB, so both engines run the same arithmetic. */
+  private val promoFrag: String = {
+    val dp = discPrice("l_extendedprice", "l_discount")
+    s"""100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN $dp ELSE 0 END) AS DOUBLE)
+        / CAST(SUM($dp) AS DOUBLE)"""
+  }
+
+  def q14PromoShare(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(to_date(col("l_shipdate")) >= lit("1997-09-01") &&
+              to_date(col("l_shipdate")) < lit("1997-10-01"))
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .agg(expr(promoFrag).as("promo_revenue_pct"))
+
+  val q14Sql: String =
+    s"""SELECT $promoFrag AS promo_revenue_pct
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE CAST(l_shipdate AS DATE) >= DATE '1997-09-01'
+         AND CAST(l_shipdate AS DATE) < DATE '1997-10-01'"""
+
+  /** R20 — TPC-H Q17-style: per-group average compared back against
+    * rows (correlated scalar subquery, planned as an aggregate +
+    * re-join; avg over integral doubles is exact so cross-engine
+    * safe). */
+  def q17SmallQty(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val pk = broadcast(part(s, d).filter(col("p_brand") === "Brand#11").select("p_partkey"))
+    val avgQty = li.join(pk, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey").as("a_partkey"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    li.join(pk, col("l_partkey") === col("p_partkey"))
+      .join(avgQty, col("l_partkey") === col("a_partkey"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg(dsum(col("l_extendedprice")).as("total_price"), count(lit(1)).as("n_rows"))
+  }
+
+  val q17Sql: String =
+    s"""WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#11'),
+       aq AS (SELECT l_partkey AS a_partkey, AVG(l_quantity) AS avg_qty
+              FROM lineitem JOIN pk ON l_partkey = p_partkey GROUP BY l_partkey)
+       SELECT ${sqlSum("l_extendedprice")} AS total_price, COUNT(*) AS n_rows
+       FROM lineitem JOIN pk ON l_partkey = p_partkey
+       JOIN aq ON l_partkey = a_partkey
+       WHERE l_quantity < 0.5 * avg_qty"""
+
+  /** R7/R11 — TPC-H Q18-style large-volume orders: HAVING filter on an
+    * aggregate, then semi-join back to orders/customer. The qty sums
+    * are integral doubles → exact. */
+  def q18LargeVolume(s: SparkSession, d: String): DataFrame = {
+    val big = lineitem(s, d).groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("sum_qty"))
+      .filter(col("sum_qty") > 130)
+    big.join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"), to_date(col("o_orderdate")).cast("string").as("order_date"),
+              col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q18Sql: String =
+    """WITH big AS (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+                    FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 130)
+       SELECT c_name, o_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+              o_totalprice, sum_qty
+       FROM big JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""
+
+  /** R8 — anti join: customers with no orders in the first half of
+    * 1995 (NOT EXISTS). */
+  def qAntiCustomers(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d).filter(to_date(col("o_orderdate")) < lit("1995-07-01")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  val qAntiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                         AND CAST(o_orderdate AS DATE) < DATE '1995-07-01')
+       ORDER BY c_custkey"""
+
+  /** R9 — left outer join + agg: order count / total per customer,
+    * zero-filled for order-less customers. */
+  def qCustOrderCounts(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey", "c_name")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+           dsum(coalesce(col("o_totalprice"), lit(0.0))).as("total_spent"))
+      .orderBy("c_custkey")
+
+  val qCustOrderCountsSql: String =
+    s"""SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+       ${sqlSum("COALESCE(o_totalprice, 0.0)")} AS total_spent
+       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       GROUP BY c_custkey, c_name ORDER BY c_custkey"""
+
+  /** R12 — distinct aggregates per group (expand-based plan). */
+  def qDistinctParts(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+           countDistinct(col("l_suppkey")).as("n_supps"),
+           count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  val qDistinctPartsSql: String =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** R13 — set operations: UNION / INTERSECT / EXCEPT between
+    * rich customers and frequent buyers. */
+  def qSetops(s: SparkSession, d: String): DataFrame = {
+    val a = customer(s, d).filter(col("c_acctbal") > 7000).select(col("c_custkey").as("k"))
+    val b = orders(s, d).groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 14).select("k")
+    val u = a.union(b).distinct.agg(count(lit(1)).as("cnt")).withColumn("op", lit("union"))
+    val i = a.intersect(b).agg(count(lit(1)).as("cnt")).withColumn("op", lit("intersect"))
+    val e = a.except(b).agg(count(lit(1)).as("cnt")).withColumn("op", lit("except"))
+    u.union(i).union(e).select("op", "cnt").orderBy("op")
+  }
+
+  val qSetopsSql: String =
+    """WITH a AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 7000),
+       b AS (SELECT o_custkey AS k FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 14)
+       SELECT 'union' AS op, COUNT(*) AS cnt FROM (SELECT k FROM a UNION SELECT k FROM b)
+       UNION ALL
+       SELECT 'intersect' AS op, COUNT(*) AS cnt FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+       UNION ALL
+       SELECT 'except' AS op, COUNT(*) AS cnt FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+       ORDER BY op"""
+
+  /** R14 — ranking window: top-3 orders by value per market segment.
+    * Single shuffle on the partition key; rank prunes early under AQE. */
+  def qWindowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    customer(s, d).join(orders(s, d), col("c_custkey") === col("o_custkey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("c_mktsegment"), col("rn").cast("long").as("rn"),
+              col("o_orderkey"), col("o_totalprice"))
+      .orderBy("c_mktsegment", "rn")
+  }
+
+  val qWindowRankSql: String =
+    """SELECT c_mktsegment, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice FROM (
+         SELECT c_mktsegment, o_orderkey, o_totalprice,
+                ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         FROM customer JOIN orders ON c_custkey = o_custkey) t
+       WHERE rn <= 3 ORDER BY c_mktsegment, rn"""
+
+  /** R15 — running cumulative sum per customer over order history.
+    * Decimal-cast inside the window frame keeps the prefix sums exact
+    * and identical cross-engine. */
+  def qWindowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, d).filter(col("o_custkey") < 150)
+      .withColumn("running_total", sum(col("o_totalprice").cast(D)).over(w).cast("double"))
+      .select(col("o_custkey"), to_date(col("o_orderdate")).cast("string").as("order_date"),
+              col("o_orderkey"), col("running_total"))
+      .orderBy("o_custkey", "order_date", "o_orderkey")
+  }
+
+  val qWindowRunningSql: String =
+    """SELECT o_custkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date, o_orderkey,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+       FROM orders WHERE o_custkey < 150
+       ORDER BY o_custkey, order_date, o_orderkey"""
+
+  /** R16 — lag window: order-to-order spend delta per customer
+    * (decimal subtraction → exact doubles both engines). */
+  def qWindowLag(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(s, d).filter(col("o_custkey") < 300)
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .filter(col("prev_price").isNotNull)
+      .select(col("o_custkey"), col("o_orderkey"),
+        (col("o_totalprice").cast(D) - col("prev_price").cast(D)).cast("double").as("price_delta"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val qWindowLagSql: String =
+    """SELECT o_custkey, o_orderkey,
+              CAST(CAST(o_totalprice AS DECIMAL(18,4)) - CAST(prev_price AS DECIMAL(18,4)) AS DOUBLE) AS price_delta
+       FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                    LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey) AS prev_price
+             FROM orders WHERE o_custkey < 300) t
+       WHERE prev_price IS NOT NULL ORDER BY o_custkey, o_orderkey"""
+
+  /** R17 — ROLLUP grouping sets over region → nation revenue;
+    * subtotal rows COALESCE'd to 'ALL' for deterministic compare. */
+  def qRollupSales(s: SparkSession, d: String): DataFrame =
+    region(s, d)
+      .join(broadcast(nation(s, d)), col("r_regionkey") === col("n_regionkey"))
+      .join(customer(s, d), col("n_nationkey") === col("c_nationkey"))
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+      .select(col("r_name").as("rname"), col("n_name").as("nname"), col("o_totalprice"))
+      .rollup("rname", "nname")
+      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      // fresh attribute ids: the rollup Expand makes the grouping cols
+      // ambiguous to resolve by name otherwise
+      .toDF("rname", "nname", "revenue", "n_orders")
+      .select(coalesce(col("rname"), lit("ALL")).as("region_name"),
+              coalesce(col("nname"), lit("ALL")).as("nation_name"),
+              col("revenue"), col("n_orders"))
+      .orderBy("region_name", "nation_name")
+
+  val qRollupSalesSql: String =
+    s"""SELECT COALESCE(r_name, 'ALL') AS region_name, COALESCE(n_name, 'ALL') AS nation_name,
+       ${sqlSum("o_totalprice")} AS revenue, COUNT(*) AS n_orders
+       FROM region JOIN nation ON r_regionkey = n_regionkey
+       JOIN customer ON n_nationkey = c_nationkey
+       JOIN orders ON c_custkey = o_custkey
+       GROUP BY ROLLUP(r_name, n_name)
+       ORDER BY region_name, nation_name"""
+
+  /** R18 — pivot: order status → columns per order year (expressed as
+    * conditional aggs so the oracle is plain ANSI SQL). */
+  def qPivotStatus(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .withColumn("order_year", year(to_date(col("o_orderdate"))).cast("long"))
+      .groupBy("order_year")
+      .agg(sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_open"),
+           sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_filled"),
+           sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_partial"))
+      .orderBy("order_year")
+
+  val qPivotStatusSql: String =
+    """SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+              CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+              CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+              CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_partial
+       FROM orders GROUP BY 1 ORDER BY order_year"""
+
+  /** R19 — scalar string/math/regex function coverage, all
+    * whole-stage-codegen expressions. */
+  def qScalarFuncs(s: SparkSession, d: String): DataFrame =
+    part(s, d).filter(col("p_partkey") < 200)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up_name"),
+        substring(col("p_name"), 1, 4).as("pre4"),
+        length(col("p_name")).cast("long").as("name_len"),
+        (col("p_size") % 7).cast("long").as("size_mod"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+        regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
+        round(col("p_retailprice") * 1.1, 2).as("adj_price"))
+      .orderBy("p_partkey")
+
+  val qScalarFuncsSql: String =
+    """SELECT p_partkey, UPPER(p_name) AS up_name, SUBSTRING(p_name, 1, 4) AS pre4,
+              CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+              CAST(p_size % 7 AS BIGINT) AS size_mod,
+              p_brand || ':' || p_type AS brand_type,
+              regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+              ROUND(p_retailprice * 1.1, 2) AS adj_price
+       FROM part WHERE p_partkey < 200 ORDER BY p_partkey"""
+
+  /** R21 — gap-based sessionization of the event stream (30-min gap),
+    * in epoch seconds so both engines agree exactly. At scale this is
+    * one shuffle on user_id + two window passes. */
+  def qSessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+    events(s, d).filter(col("user_id") < 30)
+      .withColumn("sec", expr("ts div 1000000000"))
+      .withColumn("gap", col("sec") - lag(col("sec"), 1).over(byUser))
+      .withColumn("new_sess", when(col("gap").isNull || col("gap") > 1800, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+           (max(col("sec")) - min(col("sec"))).as("duration_sec"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val qSessionizeSql: String =
+    """WITH e AS (SELECT user_id, event_id,
+                         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+                  FROM events WHERE user_id < 30),
+       g AS (SELECT user_id, event_id, sec,
+                    sec - LAG(sec, 1) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS gap
+             FROM e),
+       t AS (SELECT user_id, sec,
+                    SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY sec, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             FROM g)
+       SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+              COUNT(*) AS n_events,
+              CAST(MAX(sec) - MIN(sec) AS BIGINT) AS duration_sec
+       FROM t GROUP BY user_id, session_id ORDER BY user_id, session_id"""
+
+  /** R22 — as-of join: for each purchase, the most recent earlier
+    * click by the same user. Expressed as a union + carry-forward
+    * window (one shuffle on user_id) instead of a range cross join —
+    * the formulation that survives 100 TB. */
+  def qAsofJoin(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d).filter(col("user_id") < 20 &&
+        (col("event_type") === "purchase" || col("event_type") === "click"))
+      .withColumn("sec", expr("ts div 1000000000"))
+      .withColumn("click_id", when(col("event_type") === "click", col("event_id")))
+      .withColumn("click_sec", when(col("event_type") === "click", col("sec")))
+      .withColumn("prev_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("prev_click_sec", last(col("click_sec"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("prev_click_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("prev_click_id"),
+              (col("sec") - col("prev_click_sec")).as("secs_since_click"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val qAsofJoinSql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+                         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+                  FROM events
+                  WHERE user_id < 20 AND event_type IN ('purchase', 'click')),
+       c AS (SELECT *,
+                    LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+                      OVER (PARTITION BY user_id ORDER BY sec, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_click_id,
+                    LAST_VALUE(CASE WHEN event_type = 'click' THEN sec END IGNORE NULLS)
+                      OVER (PARTITION BY user_id ORDER BY sec, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_click_sec
+             FROM e)
+       SELECT event_id, user_id, prev_click_id, sec - prev_click_sec AS secs_since_click
+       FROM c WHERE event_type = 'purchase' AND prev_click_id IS NOT NULL
+       ORDER BY user_id, event_id"""
+
+  /** R23 — HLL approximate distinct (rows-only check; AnalyticsSpec
+    * asserts <5% error vs exact). */
+  def qApproxDistinct(s: SparkSession, d: String): DataFrame =
+    events(s, d).groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+           count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** R24 — deterministic hash sampling (~5%) shared bit-for-bit with
+    * the oracle: multiplicative hash on the key, no RNG. */
+  def qHashSample(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter((col("l_orderkey") * lit(2654435761L)) % 1000 < 50)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("l_returnflag")
+
+  val qHashSampleSql: String =
+    s"""SELECT l_returnflag, COUNT(*) AS n_rows, ${sqlSum("l_extendedprice")} AS sum_price
+       FROM lineitem WHERE (l_orderkey * 2654435761) % 1000 < 50
+       GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** R25 — skew-resistant two-phase (salted) aggregation: partial agg
+    * on (key, salt) then final on key. Same result as a direct
+    * groupBy; at 100 TB the salt spreads a hot user over 8 reducers. */
+  def qSaltedTopusers(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("salt", col("event_id") % 8)
+      .groupBy("user_id", "salt")
+      .agg(sum(col("value").cast(D)).as("pv"), count(lit(1)).as("pc"))
+      .groupBy("user_id")
+      .agg(sum(col("pv")).cast("double").as("total_value"), sum(col("pc")).as("n_events"))
+      .orderBy(col("total_value").desc, col("user_id"))
+      .limit(20)
+
+  val qSaltedTopusersSql: String =
+    s"""SELECT user_id, ${sqlSum("value")} AS total_value, COUNT(*) AS n_events
+       FROM events GROUP BY user_id ORDER BY total_value DESC, user_id LIMIT 20"""
+}

@@ -1,0 +1,244 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Text-corpus operators for training-data curation (SURVEY.md §2.3):
+  * dedup family + text analysis, all declarative DataFrame plans.
+  *
+  * Scale design: nothing here is O(n²) on the corpus. Near-dup
+  * detection goes shingle→(minhash band | shared-shingle) equi-join,
+  * i.e. a shuffle on short keys, with pair verification only inside
+  * buckets — the standard way to make near-dup work at 100 TB.
+  */
+object TextPipeline {
+
+  /** Words of a single-space-separated document. */
+  private val ws: Column = split(col("text"), " ")
+
+  private def withWords(df: DataFrame): DataFrame = df.withColumn("ws", ws)
+
+  /** Word 3-gram shingles, distinct per doc: (doc_id, s). */
+  def shingles(docs: DataFrame): DataFrame =
+    withWords(docs)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, greatest(size(ws) - 2, 0)), i -> concat_ws(' ', slice(ws, i, 3)))")).as("s"))
+      .distinct()
+
+  /** L1 — exact dedup accounting by content hash (md5). */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    documents(s, d).groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(md5(col("text"))).as("n_distinct"))
+      .orderBy("source")
+
+  val dedupExactSql: String =
+    """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_distinct
+       FROM documents GROUP BY source ORDER BY source"""
+
+  /** L4 — n-gram Jaccard similarity: top-50 most similar doc pairs.
+    * Shared-shingle equi-join (shuffle on shingle) — never a cross
+    * join; at scale, add prefix filtering or go through L2 MinHash. */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(documents(s, d)).cache()
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("x")
+      .join(sh.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sz.select(col("doc_id"), col("n").as("na")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sz.select(col("doc_id"), col("n").as("nb")), col("doc_b") === col("doc_id")).drop("doc_id")
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        (col("shared").cast("double") / (col("na") + col("nb") - col("shared"))).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(50)
+  }
+
+  val ngramJaccardSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+              FROM w, UNNEST(range(1, GREATEST(len(ws) - 1, 1))) AS t(i)),
+       sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS shared
+             FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+             GROUP BY 1, 2)
+       SELECT doc_a, doc_b, shared,
+              CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
+       FROM p JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+       ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50"""
+
+  /** L2 — MinHash + LSH near-dup: 64 hash permutations, 8 bands × 8
+    * rows; candidate pairs from band-bucket equi-join, verified with
+    * exact Jaccard. Rows-only at the driver (Spark hash seeds aren't
+    * reproducible in ANSI SQL); MinHashSpec asserts candidate recall
+    * against [[ngramJaccard]]. */
+  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    val sig = shingles(documents(s, d))
+      .groupBy("doc_id").agg(collect_set(col("s")).as("sh"))
+      .withColumn("sig",
+        expr("transform(sequence(0, 63), j -> array_min(transform(sh, x -> xxhash64(j, x))))"))
+    val bands = sig.select(col("doc_id"),
+        posexplode(expr("transform(sequence(0, 7), b -> xxhash64(slice(sig, b * 8 + 1, 8)))")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sh = shingles(documents(s, d))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = sh.as("x")
+      .join(sh.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    cand.join(shared, Seq("doc_a", "doc_b"))
+      .join(sz.select(col("doc_id"), col("n").as("na")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sz.select(col("doc_id"), col("n").as("nb")), col("doc_b") === col("doc_id")).drop("doc_id")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.2)
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+  }
+
+  /** L3 — SimHash near-dup: 64-bit signature from unigram hashes,
+    * pigeonhole banding on 4×16-bit chunks, pairs within Hamming ≤ 12.
+    * Rows-only (hash not reproducible in SQL); SimHashSpec covers it. */
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val sigs = withWords(documents(s, d))
+      .withColumn("hs", expr("transform(array_distinct(ws), w -> xxhash64(w))"))
+      .withColumn("votes", expr(
+        """aggregate(hs,
+             transform(sequence(0, 63), b -> 0L),
+             (acc, h) -> zip_with(acc, sequence(0, 63),
+               (a, b) -> a + CASE WHEN (h >> b) % 2 != 0 THEN 1L ELSE -1L END))"""))
+      .withColumn("bits", expr("transform(votes, v -> CASE WHEN v > 0 THEN 1L ELSE 0L END)"))
+      .withColumn("chunks", expr(
+        """transform(sequence(0, 3), c ->
+             aggregate(slice(bits, c * 16 + 1, 16), 0L, (a, b) -> a * 2 + b))"""))
+      .select(col("doc_id"), col("bits"), posexplode(col("chunks")))
+      .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
+    val pairs = sigs.as("x")
+      .join(sigs.as("y"),
+        col("x.chunk_idx") === col("y.chunk_idx") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("aggregate(zip_with(x.bits, y.bits, (a, b) -> CASE WHEN a != b THEN 1L ELSE 0L END), 0L, (a, b) -> a + b)").as("hamming"))
+      .distinct()
+    pairs.filter(col("hamming") <= 12)
+      .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+  }
+
+  /** L8 — language ID by stopword-hit voting with a fixed priority
+    * tie-break; oracle-matched since both sides run the identical
+    * heuristic. */
+  private val stops = Map(
+    "en" -> Seq("the", "a", "of", "and", "in", "to", "is"),
+    "es" -> Seq("el", "la", "los", "de", "que", "y"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  private def hitsExpr(lang: String): String = {
+    val list = stops(lang).map(w => s"'$w'").mkString(", ")
+    s"CAST(size(filter(ws, w -> w IN ($list))) AS BIGINT)"
+  }
+
+  private val predCase: String =
+    """CASE WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+            WHEN h_es >= h_de AND h_es >= h_fr AND h_es >= h_zh THEN 'es'
+            WHEN h_de >= h_fr AND h_de >= h_zh THEN 'de'
+            WHEN h_fr >= h_zh THEN 'fr' ELSE 'zh' END"""
+
+  def textLangid(s: SparkSession, d: String): DataFrame =
+    withWords(documents(s, d))
+      .withColumn("h_en", expr(hitsExpr("en"))).withColumn("h_es", expr(hitsExpr("es")))
+      .withColumn("h_de", expr(hitsExpr("de"))).withColumn("h_fr", expr(hitsExpr("fr")))
+      .withColumn("h_zh", expr(hitsExpr("zh")))
+      .withColumn("pred_lang", expr(predCase))
+      .select("doc_id", "pred_lang", "h_en", "h_es", "h_de", "h_fr", "h_zh")
+      .orderBy("doc_id")
+
+  val textLangidSql: String = {
+    def h(lang: String) = {
+      val list = stops(lang).map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(ws, w -> w IN ($list))) AS BIGINT) AS h_${lang}"
+    }
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       h AS (SELECT doc_id, ${h("en")}, ${h("es")}, ${h("de")}, ${h("fr")}, ${h("zh")} FROM w)
+       SELECT doc_id, $predCase AS pred_lang, h_en, h_es, h_de, h_fr, h_zh
+       FROM h ORDER BY doc_id"""
+  }
+
+  /** L9 — quality scoring: word count, avg word length, stopword
+    * ratio, punctuation ratio → composite score. Pure per-row codegen
+    * expressions. */
+  def textQuality(s: SparkSession, d: String): DataFrame =
+    withWords(documents(s, d))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("n_alpha", length(regexp_replace(col("text"), " ", "")).cast("long"))
+      .withColumn("h_stop", expr(hitsExpr("en")))
+      .withColumn("n_punct", expr("CAST(size(regexp_extract_all(text, '[.,!?]', 0)) AS BIGINT)"))
+      .select(col("doc_id"), col("n_words"),
+        (col("n_alpha").cast("double") / col("n_words")).as("avg_word_len"),
+        round(col("h_stop").cast("double") / col("n_words"), 6).as("stop_ratio"),
+        round(lit(0.4) * log(col("n_words").cast("double")) +
+              lit(0.4) * (col("h_stop").cast("double") / col("n_words")) -
+              lit(0.2) * (col("n_punct").cast("double") / col("n_words")), 4).as("quality_score"))
+      .orderBy("doc_id")
+
+  val textQualitySql: String = {
+    val list = stops("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+       f AS (SELECT doc_id,
+                    CAST(len(ws) AS BIGINT) AS n_words,
+                    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_alpha,
+                    CAST(len(list_filter(ws, w -> w IN ($list))) AS BIGINT) AS h_stop,
+                    CAST(len(regexp_extract_all(text, '[.,!?]')) AS BIGINT) AS n_punct
+             FROM w)
+       SELECT doc_id, n_words,
+              CAST(n_alpha AS DOUBLE) / n_words AS avg_word_len,
+              ROUND(CAST(h_stop AS DOUBLE) / n_words, 6) AS stop_ratio,
+              ROUND(0.4 * ln(CAST(n_words AS DOUBLE)) +
+                    0.4 * (CAST(h_stop AS DOUBLE) / n_words) -
+                    0.2 * (CAST(n_punct AS DOUBLE) / n_words), 4) AS quality_score
+       FROM f ORDER BY doc_id"""
+  }
+
+  /** L10 — token counting: whitespace tokens + BPE-ish regex tokens,
+    * aggregated per source. */
+  def textTokens(s: SparkSession, d: String): DataFrame =
+    withWords(documents(s, d))
+      .withColumn("ws_tok", size(col("ws")).cast("long"))
+      .withColumn("bpe_tok",
+        expr("CAST(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT)"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("ws_tok")).as("ws_tokens"),
+           sum(col("bpe_tok")).as("bpe_tokens"))
+      .withColumn("avg_ws_tokens", col("ws_tokens").cast("double") / col("n_docs"))
+      .orderBy("source")
+
+  val textTokensSql: String =
+    """WITH t AS (SELECT source,
+                         CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tok,
+                         CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tok
+                  FROM documents)
+       SELECT source, COUNT(*) AS n_docs,
+              CAST(SUM(ws_tok) AS BIGINT) AS ws_tokens,
+              CAST(SUM(bpe_tok) AS BIGINT) AS bpe_tokens,
+              CAST(SUM(ws_tok) AS DOUBLE) / COUNT(*) AS avg_ws_tokens
+       FROM t GROUP BY source ORDER BY source"""
+
+  /** L11 — document fingerprint: rolling polynomial hash over word
+    * hashes, mod a 30-bit prime (keeps every product within long
+    * range). Rows-only: depends on Spark's xxhash64 seed. */
+  def textFingerprint(s: SparkSession, d: String): DataFrame =
+    withWords(documents(s, d))
+      .withColumn("fp", expr(
+        "aggregate(ws, 7L, (h, w) -> (h * 31 + pmod(xxhash64(w), 65536)) % 1073741789)"))
+      .select("doc_id", "fp")
+      .orderBy("doc_id")
+}

@@ -1,0 +1,115 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Embedding-vector operators (SURVEY.md §2.3 L5-L7): cosine
+  * similarity, near-dup pairs, brute-force and LSH-bucketed ANN.
+  *
+  * All vector math is native higher-order functions (`zip_with` /
+  * `aggregate`) in double precision — codegen-friendly, no UDFs.
+  * Scale path: the brute-force variant broadcasts the (small) query
+  * set and scans candidates once; the LSH variant turns all-pairs
+  * into an equi-join on (table, bucket-code) so candidate generation
+  * is a shuffle, not a cross join.
+  */
+object Vectors {
+
+  /** Cosine similarity of two float-array columns, computed in double
+    * with left-to-right accumulation (matches DuckDB's
+    * list_cosine_similarity element order). */
+  def cosine(a: String, b: String): Column = expr(
+    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)
+       / (sqrt(aggregate($a, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+          * sqrt(aggregate($b, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""")
+
+  /** L5 — embedding-cosine near-dup: top-100 most similar vector
+    * pairs. Oracle-matched via DuckDB list_cosine_similarity. The
+    * pair space is bounded by blocking on label (the coarse cluster
+    * id) — at 100 TB replace the label with an LSH/IVF bucket (L7). */
+  def dedupEmbedCosine(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("label").as("la"))
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("label").as("lb")),
+        col("la") === col("lb") && col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), round(cosine("ea", "eb"), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b"))
+      .limit(100)
+  }
+
+  val dedupEmbedCosineSql: String =
+    """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+       FROM embeddings a JOIN embeddings b
+         ON a.label = b.label AND a.vec_id < b.vec_id
+       ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 100"""
+
+  /** L6 — brute-force cosine top-k: exact top-5 neighbors for each
+    * query vector (vec_id < 10). Query side broadcast; candidate set
+    * scanned once; per-query ranking via window. */
+  def annBruteforceTopk(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val q = broadcast(e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    q.join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine("qv", "nv"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("sim"), 4).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  val annBruteforceTopkSql: String =
+    """SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+              ROUND(sim, 4) AS cos_sim
+       FROM (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) AS sim,
+                    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) DESC, n.vec_id) AS rank
+             FROM embeddings q JOIN embeddings n ON q.vec_id != n.vec_id
+             WHERE q.vec_id < 10) t
+       WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** Deterministic pseudo-random hyperplane weight for (table, plane,
+    * dim) — hash-derived, no RNG, so plans replay identically. */
+  private def planeCode(vecCol: String, table: Int, planes: Int): Column = {
+    // code bit p = sign(dot(v, w_p)) where w_p[i] is a deterministic
+    // pseudo-random weight in [-0.5, 0.5) derived from xxhash64.
+    val bits = (0 until planes).map { p =>
+      s"""(CASE WHEN aggregate(zip_with($vecCol, sequence(0, size($vecCol) - 1),
+            (x, i) -> CAST(x AS DOUBLE) * (pmod(xxhash64(${table}L, ${p}L, i), 1000L) / 1000.0 - 0.5)),
+            0D, (acc, v) -> acc + v) > 0 THEN ${1L << p}L ELSE 0L END)"""
+    }
+    expr(bits.mkString(" + "))
+  }
+
+  /** L7 — LSH-bucketed ANN (scale path): 8 hash tables × 4 random
+    * hyperplanes; candidates = vectors sharing any (table, code)
+    * bucket; exact cosine re-rank inside candidates. Rows-only;
+    * AnnSpec measures recall@5 against [[annBruteforceTopk]]. */
+  def annLshTopk(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val tables = 8
+    val codes = (0 until tables).map { t =>
+      e.select(col("vec_id"), col("embedding"), lit(t).as("tbl"),
+        planeCode("embedding", t, 4).as("code"))
+    }.reduce(_ union _)
+    val q = codes.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("tbl"), col("code"))
+    val cand = q.join(codes.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+        col("tbl"), col("code")), Seq("tbl", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qv", "neighbor_id", "nv")
+      .distinct()
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    cand.withColumn("sim", cosine("qv", "nv"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("sim"), 4).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+}
