@@ -22,6 +22,9 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fails, passes, skips = [], [], []
+for name in sorted(oracle):
+    if not os.path.isdir(os.path.join(out_dir, name)):
+        fails.append((name, "query produced no output (failed in Verify?)"))
 for name in sorted(os.listdir(out_dir)):
     path = os.path.join(out_dir, name)
     if not os.path.isdir(path):

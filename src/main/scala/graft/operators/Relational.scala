@@ -323,22 +323,25 @@ object Relational {
        WHERE prev_price IS NOT NULL ORDER BY o_custkey, o_orderkey"""
 
   /** R17 — ROLLUP grouping sets over region → nation revenue;
-    * subtotal rows COALESCE'd to 'ALL' for deterministic compare. */
-  def qRollupSales(s: SparkSession, d: String): DataFrame =
+    * subtotal rows COALESCE'd to 'ALL' for deterministic compare.
+    * The ROLLUP itself goes through `spark.sql` on a temp view:
+    * Spark's DetectAmbiguousSelfJoin false-positives on the Expand
+    * copies of rollup grouping columns when the frame is built with
+    * the DataFrame API. The plan is identical (Expand → 2-phase
+    * HashAggregate, dims broadcast). */
+  def qRollupSales(s: SparkSession, d: String): DataFrame = {
     region(s, d)
       .join(broadcast(nation(s, d)), col("r_regionkey") === col("n_regionkey"))
       .join(customer(s, d), col("n_nationkey") === col("c_nationkey"))
       .join(orders(s, d), col("c_custkey") === col("o_custkey"))
       .select(col("r_name").as("rname"), col("n_name").as("nname"), col("o_totalprice"))
-      .rollup("rname", "nname")
-      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
-      // fresh attribute ids: the rollup Expand makes the grouping cols
-      // ambiguous to resolve by name otherwise
-      .toDF("rname", "nname", "revenue", "n_orders")
-      .select(coalesce(col("rname"), lit("ALL")).as("region_name"),
-              coalesce(col("nname"), lit("ALL")).as("nation_name"),
-              col("revenue"), col("n_orders"))
-      .orderBy("region_name", "nation_name")
+      .createOrReplaceTempView("graft_rollup_base")
+    s.sql(
+      s"""SELECT COALESCE(rname, 'ALL') AS region_name, COALESCE(nname, 'ALL') AS nation_name,
+         ${sqlSum("o_totalprice")} AS revenue, COUNT(*) AS n_orders
+         FROM graft_rollup_base GROUP BY ROLLUP(rname, nname)
+         ORDER BY region_name, nation_name""")
+  }
 
   val qRollupSalesSql: String =
     s"""SELECT COALESCE(r_name, 'ALL') AS region_name, COALESCE(n_name, 'ALL') AS nation_name,

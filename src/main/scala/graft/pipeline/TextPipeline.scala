@@ -71,15 +71,19 @@ object TextPipeline {
 
   /** L2 — MinHash + LSH near-dup: 64 hash permutations, 8 bands × 8
     * rows; candidate pairs from band-bucket equi-join, verified with
-    * exact Jaccard. Rows-only at the driver (Spark hash seeds aren't
-    * reproducible in ANSI SQL); MinHashSpec asserts candidate recall
-    * against [[ngramJaccard]]. */
+    * exact Jaccard computed from the per-doc shingle sets (set
+    * intersect on the FEW candidate pairs — never a corpus-wide
+    * shared-shingle pair aggregation). Rows-only at the driver (Spark
+    * hash seeds aren't reproducible in ANSI SQL); MinHashSpec asserts
+    * candidate recall against [[ngramJaccard]]. */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sig = shingles(documents(s, d))
+    val docsets = shingles(documents(s, d))
       .groupBy("doc_id").agg(collect_set(col("s")).as("sh"))
+      .cache()
+    val bands = docsets
       .withColumn("sig",
         expr("transform(sequence(0, 63), j -> array_min(transform(sh, x -> xxhash64(j, x))))"))
-    val bands = sig.select(col("doc_id"),
+      .select(col("doc_id"),
         posexplode(expr("transform(sequence(0, 7), b -> xxhash64(slice(sig, b * 8 + 1, 8)))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val cand = bands.as("x")
@@ -88,17 +92,12 @@ object TextPipeline {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sh = shingles(documents(s, d))
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val shared = sh.as("x")
-      .join(sh.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared"))
-    cand.join(shared, Seq("doc_a", "doc_b"))
-      .join(sz.select(col("doc_id"), col("n").as("na")), col("doc_a") === col("doc_id")).drop("doc_id")
-      .join(sz.select(col("doc_id"), col("n").as("nb")), col("doc_b") === col("doc_id")).drop("doc_id")
+    cand
+      .join(docsets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(docsets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .withColumn("shared", size(array_intersect(col("sha"), col("shb"))).cast("long"))
       .select(col("doc_a"), col("doc_b"),
-        round(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 4).as("jaccard"))
+        round(col("shared").cast("double") / (size(col("sha")) + size(col("shb")) - col("shared")), 4).as("jaccard"))
       .filter(col("jaccard") >= 0.2)
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
   }
@@ -107,6 +106,12 @@ object TextPipeline {
     * pigeonhole banding on 4×16-bit chunks, pairs within Hamming ≤ 12.
     * Rows-only (hash not reproducible in SQL); SimHashSpec covers it. */
   def simhash(s: SparkSession, d: String): DataFrame = {
+    // Signature packed into ONE long (bit b of votes → bit b of sig):
+    // the banding join then shuffles 16 bytes per row instead of a
+    // 64-element array, and hamming = bit_count(xor) is a single
+    // codegen'd instruction instead of a 64-wide zip_with aggregate.
+    // Chunk keys are a bijection of the bit-slices, so buckets —
+    // and therefore the emitted pairs — are identical.
     val sigs = withWords(documents(s, d))
       .withColumn("hs", expr("transform(array_distinct(ws), w -> xxhash64(w))"))
       .withColumn("votes", expr(
@@ -114,18 +119,19 @@ object TextPipeline {
              transform(sequence(0, 63), b -> 0L),
              (acc, h) -> zip_with(acc, sequence(0, 63),
                (a, b) -> a + CASE WHEN (h >> b) % 2 != 0 THEN 1L ELSE -1L END))"""))
-      .withColumn("bits", expr("transform(votes, v -> CASE WHEN v > 0 THEN 1L ELSE 0L END)"))
-      .withColumn("chunks", expr(
-        """transform(sequence(0, 3), c ->
-             aggregate(slice(bits, c * 16 + 1, 16), 0L, (a, b) -> a * 2 + b))"""))
-      .select(col("doc_id"), col("bits"), posexplode(col("chunks")))
+      .withColumn("sig", expr(
+        """aggregate(zip_with(votes, sequence(0, 63),
+             (v, b) -> CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END),
+             0L, (a, x) -> a | x)"""))
+      .select(col("doc_id"), col("sig"),
+        posexplode(expr("transform(sequence(0, 3), c -> shiftright(sig, c * 16) & 65535)")))
       .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
     val pairs = sigs.as("x")
       .join(sigs.as("y"),
         col("x.chunk_idx") === col("y.chunk_idx") && col("x.chunk") === col("y.chunk") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        expr("aggregate(zip_with(x.bits, y.bits, (a, b) -> CASE WHEN a != b THEN 1L ELSE 0L END), 0L, (a, b) -> a + b)").as("hamming"))
+        expr("CAST(bit_count(x.sig ^ y.sig) AS BIGINT)").as("hamming"))
       .distinct()
     pairs.filter(col("hamming") <= 12)
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))

@@ -100,11 +100,17 @@ object Vectors {
     }.reduce(_ union _)
     val q = codes.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("tbl"), col("code"))
-    val cand = q.join(codes.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
-        col("tbl"), col("code")), Seq("tbl", "code"))
+    // Dedup candidates on the (query, neighbor) ID pair ONLY, then
+    // re-attach the embeddings — a distinct over the raw arrays would
+    // shuffle every vector once per shared bucket.
+    val cand = q.select("query_id", "tbl", "code")
+      .join(codes.select(col("vec_id").as("neighbor_id"), col("tbl"), col("code")),
+        Seq("tbl", "code"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qv", "neighbor_id", "nv")
+      .select("query_id", "neighbor_id")
       .distinct()
+      .join(e.select(col("vec_id").as("query_id"), col("embedding").as("qv")), "query_id")
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")), "neighbor_id")
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     cand.withColumn("sim", cosine("qv", "nv"))
       .withColumn("rank", row_number().over(w).cast("long"))
