@@ -1,0 +1,128 @@
+package graft.catalog
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DSv2 table over graft metadata (reference surface: a table the
+  * denali catalog serves, with snapshot commit + time travel).
+  *
+  * Read path: the snapshot's data-file list (from its manifest) is
+  * handed to Spark's own parquet `FileTable` implementation, so scans
+  * get the stock pushdown / pruning / vectorized reader — the catalog
+  * adds snapshot resolution, not a bespoke reader. Time travel via
+  * scan options `snapshot-id`, `ref`, or `as-of-timestamp` (ms), or
+  * SQL `VERSION AS OF` / `TIMESTAMP AS OF` (pinned at loadTable).
+  *
+  * Write path: each write lands in a private `data/w-<uuid>/` dir via
+  * the stock parquet writer; on commit the file list becomes a new
+  * snapshot through the CAS metadata commit ([[TableOps.commitFiles]]).
+  * INSERT INTO → append snapshot; INSERT OVERWRITE (truncate) → an
+  * overwrite snapshot that REFERENCES only the new files — old files
+  * stay on disk for older snapshots, so time travel survives.
+  */
+final class GraftTable(
+    tableName: String,
+    dir: Path,
+    meta: TableMetadata,
+    ops: TableOps,
+    pinnedFiles: Option[Seq[String]] = None)
+    extends Table with SupportsRead with SupportsWrite {
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def name(): String = tableName
+
+  override lazy val schema: StructType = SchemaBridge.toSpark(meta.currentSchema)
+
+  override def partitioning(): Array[Transform] =
+    meta.specs.find(_.specId == meta.defaultSpecId).toArray
+      .flatMap(_.fields.map(f => Expressions.identity(f.name)))
+
+  override def properties(): util.Map[String, String] = {
+    val out = new util.HashMap[String, String]()
+    meta.properties.foreach { case (k, v) => out.put(k, v) }
+    out.put("format", "graft/parquet")
+    out.put("table-uuid", meta.tableUuid)
+    meta.currentSnapshotId.foreach(id => out.put("current-snapshot-id", id.toString))
+    out
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      .asJava
+
+  private def parquetDelegate(paths: Seq[String]): ParquetTable =
+    new ParquetTable(
+      tableName,
+      spark,
+      new CaseInsensitiveStringMap(new util.HashMap[String, String]()),
+      paths,
+      Some(schema),
+      classOf[ParquetFileFormat])
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val files = pinnedFiles.getOrElse {
+      ops.resolveFiles(
+        dir, meta,
+        snapshotId = Option(options.get("snapshot-id")).map(_.toLong),
+        ref = Option(options.get("ref")),
+        asOfTimestampMs = Option(options.get("as-of-timestamp")).map(_.toLong))
+    }
+    parquetDelegate(files).newScanBuilder(options)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val writeDir = new Path(ops.dataDir(dir), s"w-${java.util.UUID.randomUUID()}")
+    val delegate = parquetDelegate(Seq(writeDir.toString)).newWriteBuilder(info)
+    new WriteBuilder with SupportsTruncate {
+      private var operation = "append"
+      override def truncate(): WriteBuilder = { operation = "overwrite"; this }
+      override def build(): Write = {
+        val inner = delegate.build()
+        new Write {
+          override def toBatch: BatchWrite =
+            new CommittingBatchWrite(inner.toBatch, writeDir, operation)
+        }
+      }
+    }
+  }
+
+  /** Wraps the parquet BatchWrite: after the files are durably in the
+    * private write dir, lists them and runs the snapshot commit. */
+  private final class CommittingBatchWrite(
+      inner: BatchWrite, writeDir: Path, operation: String) extends BatchWrite {
+    override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+      inner.createBatchWriterFactory(info)
+    override def useCommitCoordinator(): Boolean = inner.useCommitCoordinator()
+    override def onDataWriterCommit(message: WriterCommitMessage): Unit =
+      inner.onDataWriterCommit(message)
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      inner.commit(messages)
+      ops.commitFiles(dir, filesIn(writeDir), operation)
+    }
+    override def abort(messages: Array[WriterCommitMessage]): Unit = inner.abort(messages)
+
+    private def filesIn(p: Path): Seq[String] = {
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) return Seq.empty
+      val it = fs.listFiles(p, true)
+      val buf = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet")) buf += f.toString
+      }
+      buf.result()
+    }
+  }
+}

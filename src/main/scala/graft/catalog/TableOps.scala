@@ -1,0 +1,195 @@
+package graft.catalog
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+
+/** Table-level operations over the [[FsStore]]: create / load / commit
+  * / snapshot append & overwrite / time-travel resolution.
+  *
+  * Layout per table (all under the catalog warehouse):
+  * {{{
+  *   <ns...>/<table>/metadata/v<N>.metadata.json    — versioned states
+  *   <ns...>/<table>/metadata/version-hint.text     — best-effort hint
+  *   <ns...>/<table>/metadata/manifest-<snap>.json  — data-file list
+  *   <ns...>/<table>/data/w-<uuid>/part-*.parquet   — one dir per write
+  * }}}
+  * Every write lands in a fresh `w-<uuid>` directory, so the new-file
+  * set of a commit is exactly that directory's listing — concurrent
+  * writers never observe each other's files, and failed writes leave
+  * orphans that no manifest references (cleanable later, never read).
+  */
+final class TableOps(store: FsStore) {
+
+  def metadataDir(tableDir: Path): Path = new Path(tableDir, "metadata")
+  def dataDir(tableDir: Path): Path = new Path(tableDir, "data")
+
+  def exists(tableDir: Path): Boolean = store.currentVersion(metadataDir(tableDir)).isDefined
+
+  def load(tableDir: Path): Option[(Int, TableMetadata)] =
+    store.currentVersion(metadataDir(tableDir)).map { case (v, json) =>
+      (v, MetadataJson.fromJson(json))
+    }
+
+  def create(tableDir: Path, meta: TableMetadata): TableMetadata = {
+    if (exists(tableDir))
+      throw new CommitFailedException(s"table already exists at $tableDir")
+    if (!store.publish(metadataDir(tableDir), 0, MetadataJson.toJson(meta)))
+      throw new CommitFailedException(s"concurrent create of table at $tableDir")
+    meta
+  }
+
+  /** The commit protocol (reference: denali routes/tables.go updateTable
+    * → logic/tx.go): check every requirement against the CURRENT state,
+    * apply the updates, publish v+1 with a CAS; a lost race surfaces as
+    * CommitFailedException for the caller to retry on fresh state. */
+  def commit(
+      tableDir: Path,
+      requirements: Seq[Requirement],
+      updates: Seq[MetadataUpdate]): TableMetadata = {
+    val current = load(tableDir)
+    requirements.foreach { r =>
+      r.check(current.map(_._2)).foreach(msg => throw new CommitFailedException(msg))
+    }
+    val (v, meta) = current.getOrElse(
+      throw new CommitFailedException(s"table does not exist at $tableDir"))
+    val prevFile = store.versionPath(metadataDir(tableDir), v).toString
+    val updated = updates.foldLeft(meta)((m, u) => u.apply(m))
+      .copy(lastUpdatedMs = System.currentTimeMillis())
+    val withLog = updated.copy(
+      metadataLog = updated.metadataLog :+ MetadataLogEntry(prevFile, meta.lastUpdatedMs))
+    if (!store.publish(metadataDir(tableDir), v + 1, MetadataJson.toJson(withLog)))
+      throw new CommitFailedException(
+        s"concurrent commit on $tableDir: version ${v + 1} already published")
+    withLog
+  }
+
+  // ---------- snapshots ----------
+
+  private def newSnapshotId(): Long = math.abs(UUID.randomUUID().getMostSignificantBits)
+
+  /** Manifests store paths RELATIVE to the table dir, so table rename
+    * (a directory move) never invalidates them; anything outside the
+    * table dir (e.g. register of external files) stays absolute. */
+  private def relativize(tableDir: Path, file: String): String = {
+    val base = tableDir.toUri.getPath
+    val fp = new Path(file).toUri.getPath
+    if (fp.startsWith(base + "/")) fp.substring(base.length + 1) else file
+  }
+
+  private def absolutize(tableDir: Path, entry: String): String =
+    if (entry.startsWith("/") || entry.contains(":/")) entry
+    else new Path(tableDir, entry).toString
+
+  /** Commit `files` as a new snapshot. `operation` is "append" (files
+    * add to the current snapshot's) or "overwrite" (files replace). */
+  def commitFiles(
+      tableDir: Path,
+      newFiles: Seq[String],
+      operation: String,
+      requirements: Seq[Requirement] = Seq.empty): TableMetadata = {
+    val (_, meta) = load(tableDir).getOrElse(
+      throw new CommitFailedException(s"table does not exist at $tableDir"))
+    val parent = meta.currentSnapshot
+    val newRel = newFiles.map(relativize(tableDir, _))
+    val all = operation match {
+      case "append" => parent.map(rawSnapshotFiles(tableDir, _)).getOrElse(Seq.empty) ++ newRel
+      case "overwrite" => newRel
+      case other => throw new IllegalArgumentException(s"unknown snapshot operation: $other")
+    }
+    val snapId = newSnapshotId()
+    val manifestName = s"manifest-$snapId.json"
+    store.writeString(
+      new Path(metadataDir(tableDir), manifestName), MetadataJson.manifestToJson(all))
+    val snap = Snapshot(
+      snapshotId = snapId,
+      parentSnapshotId = parent.map(_.snapshotId),
+      sequenceNumber = meta.lastSequenceNumber + 1,
+      timestampMs = System.currentTimeMillis(),
+      operation = operation,
+      manifest = manifestName,
+      summary = Map(
+        "added-data-files" -> newFiles.size.toString,
+        "total-data-files" -> all.size.toString),
+      schemaId = meta.currentSchemaId)
+    commit(tableDir, requirements, Seq(
+      MetadataUpdate.AddSnapshot(snap),
+      MetadataUpdate.SetSnapshotRef("main", snapId, "branch")))
+  }
+
+  private def rawSnapshotFiles(tableDir: Path, snap: Snapshot): Seq[String] =
+    MetadataJson.manifestFromJson(
+      store.readString(new Path(metadataDir(tableDir), snap.manifest)))
+
+  def snapshotFiles(tableDir: Path, snap: Snapshot): Seq[String] =
+    rawSnapshotFiles(tableDir, snap).map(absolutize(tableDir, _))
+
+  /** Write `df` as parquet into a fresh write directory and commit it
+    * as a snapshot. The DataFrame write is fully distributed; only the
+    * file listing and metadata commit run on the driver. */
+  def write(tableDir: Path, df: DataFrame, operation: String): TableMetadata = {
+    val writeDir = new Path(dataDir(tableDir), s"w-${UUID.randomUUID()}")
+    df.write.parquet(writeDir.toString)
+    val files = store.listFilesRec(writeDir)
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    commitFiles(tableDir, files, operation)
+  }
+
+  /** Resolve the data files to read: by explicit snapshot id, by named
+    * ref (branch/tag), by as-of-timestamp over the snapshot log, or the
+    * current snapshot. Empty table reads as an empty relation. */
+  def resolveFiles(
+      tableDir: Path,
+      meta: TableMetadata,
+      snapshotId: Option[Long] = None,
+      ref: Option[String] = None,
+      asOfTimestampMs: Option[Long] = None): Seq[String] = {
+    val snap: Option[Snapshot] = (snapshotId, ref, asOfTimestampMs) match {
+      case (Some(id), _, _) =>
+        Some(meta.snapshotById(id).getOrElse(
+          throw new IllegalArgumentException(s"snapshot $id not found")))
+      case (_, Some(r), _) =>
+        Some(meta.snapshotByRef(r).getOrElse(
+          throw new IllegalArgumentException(s"ref '$r' not found")))
+      case (_, _, Some(ts)) =>
+        val eligible = meta.snapshotLog.filter(_.timestampMs <= ts)
+        if (eligible.isEmpty)
+          throw new IllegalArgumentException(s"no snapshot at or before timestamp $ts")
+        meta.snapshotById(eligible.last.snapshotId)
+      case _ => meta.currentSnapshot
+    }
+    snap.map(snapshotFiles(tableDir, _)).getOrElse(Seq.empty)
+  }
+
+  /** Read a table state as a DataFrame (time-travel via the options). */
+  def read(
+      spark: SparkSession,
+      tableDir: Path,
+      snapshotId: Option[Long] = None,
+      ref: Option[String] = None,
+      asOfTimestampMs: Option[Long] = None): DataFrame = {
+    val (_, meta) = load(tableDir).getOrElse(
+      throw new IllegalArgumentException(s"table does not exist at $tableDir"))
+    val files = resolveFiles(tableDir, meta, snapshotId, ref, asOfTimestampMs)
+    val schema = SchemaBridge.toSpark(meta.currentSchema)
+    if (files.isEmpty) spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    else spark.read.schema(schema).parquet(files: _*)
+  }
+}
+
+/** Spark StructType ↔ catalog schema. Field ids are assigned
+  * positionally at create time and preserved thereafter (new columns
+  * get ids above lastColumnId, as the reference's HighestFieldID
+  * bookkeeping does). */
+object SchemaBridge {
+  def fromSpark(st: StructType, firstId: Int = 1): TableSchema =
+    TableSchema(0, st.fields.zipWithIndex.toSeq.map { case (f, i) =>
+      NestedField(firstId + i, f.name, f.dataType.sql, required = !f.nullable)
+    })
+
+  def toSpark(s: TableSchema): StructType =
+    StructType(s.fields.map(f =>
+      StructField(f.name, DataType.fromDDL(f.dataType), nullable = !f.required)))
+}

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for specs; catalog `graft` registered
+  * over a per-suite temp warehouse. */
+trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+  protected val warehouse: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft-wh-")
+
+  protected lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName(getClass.getSimpleName)
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.extensions", "graft.catalog.GraftExtensions")
+    .config("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    .config("spark.sql.catalog.graft.warehouse", warehouse.toString)
+    .getOrCreate()
+
+  protected val sfDir = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = {
+    spark.stop()
+    super.afterAll()
+  }
+}
