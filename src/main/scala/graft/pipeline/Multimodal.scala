@@ -1,0 +1,112 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (SURVEY.md §2.3 L12): image/audio/video
+  * as opaque `binary` columns with typed metadata, processed in
+  * distributed batches.
+  *
+  * The Spark-side machinery — schema, partition-parallel batch
+  * processing, output shape — is real and tested. The actual codec
+  * work is STUBBED with a deterministic fake (this container has no
+  * image/audio libraries): `fakeDecode` derives "pixels" from the
+  * byte content, so tests have stable expectations and swapping in a
+  * real decoder is a one-function change.
+  *
+  * In PySpark this is `mapInPandas` over arrow batches; the Scala
+  * equivalent used here is `mapPartitions` over an iterator of rows —
+  * same execution shape (per-partition batch worker, no driver
+  * involvement).
+  */
+object Multimodal {
+
+  /** Typed metadata carried with every blob. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),       // image | audio | video
+    StructField("mime", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = true),      // images/video
+    StructField("height", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true),   // audio/video
+    StructField("content", BinaryType, nullable = false)))
+
+  /** Deterministic synthetic media table derived from the documents
+    * corpus — the binary payload is the document text bytes, so every
+    * row is reproducible with no RNG. */
+  def mediaFromDocuments(s: SparkSession, d: String): DataFrame =
+    graft.Tables.documents(s, d).select(
+      col("doc_id").as("media_id"),
+      (when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video")).as("kind"),
+      (when(col("doc_id") % 3 === 0, "image/png")
+        .when(col("doc_id") % 3 === 1, "audio/wav")
+        .otherwise("video/mp4")).as("mime"),
+      when(col("doc_id") % 3 =!= 1, (col("doc_id") % 640 + 16).cast("int")).as("width"),
+      when(col("doc_id") % 3 =!= 1, (col("doc_id") % 480 + 16).cast("int")).as("height"),
+      when(col("doc_id") % 3 =!= 0, col("n_chars") * 10L).as("duration_ms"),
+      encode(col("text"), "UTF-8").as("content"))
+
+  /** STUB decoder: a real implementation calls the codec here
+    * (e.g. javax.imageio / ffmpeg bindings). The fake is a
+    * deterministic function of the bytes: "gray level" = mean byte
+    * value, "frames" = length/1024-sized chunks. */
+  private[graft] def fakeDecode(content: Array[Byte]): (Double, Int) = {
+    if (content.isEmpty) (0.0, 0)
+    else {
+      var sum = 0L
+      content.foreach(b => sum += (b & 0xff))
+      (sum.toDouble / content.length, (content.length + 1023) / 1024)
+    }
+  }
+
+  private val featSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("mean_level", DoubleType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false)))
+
+  /** Feature extraction over a media frame: per-partition batch loop,
+    * the decode stub in the place a codec would run. The operation is
+    * embarrassingly parallel — no shuffle — and the binary column
+    * never moves to the driver. */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val idIdx = media.schema.fieldIndex("media_id")
+    val kindIdx = media.schema.fieldIndex("kind")
+    val contentIdx = media.schema.fieldIndex("content")
+    val rdd = media.queryExecution.toRdd.mapPartitions { rows =>
+      rows.map { ir =>
+        val content = ir.getBinary(contentIdx)
+        val (level, frames) = fakeDecode(content)
+        Row(ir.getLong(idIdx), ir.getUTF8String(kindIdx).toString,
+          content.length.toLong, level, frames)
+      }
+    }
+    spark.createDataFrame(rdd, featSchema)
+  }
+
+  /** Frame sampling for video/image rows: explode each blob into
+    * every-Nth "frame" (1 KiB chunk in the stub; a real impl yields
+    * decoded frames). Output stays distributed and bounded:
+    * at most `maxFrames` per media row. */
+  def sampleFrames(media: DataFrame, everyNth: Int = 2, maxFrames: Int = 8): DataFrame =
+    media
+      .filter(col("kind") =!= "audio")
+      .select(col("media_id"),
+        posexplode(expr(
+          s"slice(transform(sequence(0, CAST((length(content)-1)/1024 AS INT)), " +
+          s"i -> substring(content, i*1024 + 1, 1024)), 1, ${everyNth * maxFrames})")))
+      .filter(col("pos") % everyNth === 0)
+      .select(col("media_id"), (col("pos") / everyNth).cast("int").as("frame_no"),
+        length(col("col")).cast("long").as("frame_bytes"))
+
+  /** "Resize" metadata update (stub: recompute width/height metadata,
+    * pass content through — a real impl transforms the bytes). */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame =
+    media.withColumn("width", when(col("kind") =!= "audio", lit(w)).cast("int"))
+      .withColumn("height", when(col("kind") =!= "audio", lit(h)).cast("int"))
+}

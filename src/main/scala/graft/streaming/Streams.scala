@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming jobs (SURVEY.md §2 R26-R27): the streaming
+  * face of the engine. Batch and stream share the event schema, so
+  * the same pipeline logic serves both (Spark's unified model).
+  *
+  * Scale notes: windowed counts are a streaming shuffle on
+  * (window, event_type) with watermark-bounded state;
+  * flatMapGroupsWithState keys state by user_id — at 100 TB/day both
+  * partition across the cluster and state size is bounded by the
+  * watermark / idle timeout, not the stream length.
+  */
+object Streams {
+
+  /** Typed event row for streaming inputs (events.parquet shape, with
+    * ts already converted from nanos). */
+  final case class Event(event_id: Long, user_id: Long, event_type: String,
+      value: Double, ts: Timestamp)
+
+  final case class SessionOut(user_id: Long, n_events: Long, start: Timestamp,
+      end: Timestamp, duration_sec: Long)
+
+  /** Open-session state for [[sessionize]]. */
+  final case class SessState(start: Long, end: Long, n: Long)
+
+  /** R26 — tumbling-window event counts with a 10-minute watermark:
+    * late events beyond the watermark are dropped, windows finalize
+    * incrementally. Works on any streaming DataFrame with
+    * (ts, event_type); pair with `readStream` in production and
+    * MemoryStream in tests. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** R27 — stateful gap-based sessionization with
+    * flatMapGroupsWithState: per-user state holds the open session;
+    * emits one row per CLOSED session (30-minute gap). With
+    * `idleTimeoutSec` set, a processing-time timeout also flushes
+    * sessions whose user went silent (bounds state for users that
+    * never return — the production setting at 100 TB/day). */
+  def sessionize(
+      events: Dataset[Event],
+      gapSec: Long = 1800L,
+      idleTimeoutSec: Option[Long] = None): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+
+    def flush(userId: Long, st: SessState): SessionOut =
+      SessionOut(userId, st.n, new Timestamp(st.start), new Timestamp(st.end),
+        (st.end - st.start) / 1000L)
+
+    val timeoutConf =
+      if (idleTimeoutSec.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append(), timeoutConf) {
+        case (userId, rows, state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(flush(userId, _)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = Seq.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(st) if t - st.end <= gapSec * 1000L =>
+                  cur = Some(st.copy(end = math.max(st.end, t), n = st.n + 1))
+                case Some(st) =>
+                  closed :+= flush(userId, st)
+                  cur = Some(SessState(t, t, 1))
+                case None =>
+                  cur = Some(SessState(t, t, 1))
+              }
+            }
+            cur.foreach(state.update)
+            idleTimeoutSec.foreach(t => state.setTimeoutDuration(s"$t seconds"))
+            closed.iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+
+/** R26/R27 — Structured Streaming over MemoryStream: windowed counts
+  * with watermark, and stateful session closure. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$min%02d:$sec%02d")
+
+  test("R26: windowed counts with watermark finalize per 5-min window") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = Streams.windowedCounts(input.toDF())
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, 1, "click", 1.0, ts(0, 10)),
+        Event(2, 1, "click", 2.0, ts(1, 20)),
+        Event(3, 2, "view", 5.0, ts(6, 0)))
+      q.processAllAvailable()
+      // advance the watermark far enough to close the first windows
+      input.addData(Event(4, 3, "click", 1.0, ts(30, 0)))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT window_start, event_type, n_events, total_value FROM win_counts")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.contains((ts(0), "click", 2L, 3.0)))
+      assert(rows.contains((ts(5), "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("R27: flatMapGroupsWithState closes sessions on gap") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = Streams.sessionize(input.toDS(), gapSec = 60)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: two events 10s apart (one session), then a 5-min jump
+      // (closes it and opens another)
+      input.addData(
+        Event(1, 1, "click", 0, ts(0, 0)),
+        Event(2, 1, "click", 0, ts(0, 10)))
+      q.processAllAvailable()
+      input.addData(Event(3, 1, "click", 0, ts(5, 0)))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, n_events, duration_sec FROM sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.contains((1L, 2L, 10L))) // the closed first session
+    } finally q.stop()
+  }
+
+  test("R27: batch and streaming sessionization agree on closed sessions") {
+    import spark.implicits._
+    // run the stateful function in batch mode over real event data —
+    // same code path Spark uses for batch flatMapGroupsWithState
+    val events = Tables.events(spark, sfDir)
+      .filter($"user_id" < 5)
+      .selectExpr("event_id", "user_id", "event_type", "value",
+        "CAST(ts div 1000000000 AS TIMESTAMP) AS ts")
+      .as[Event]
+    val sessions = Streams.sessionize(events).collect()
+    // oracle: the batch window-based sessionizer (R21) over the same slice
+    val expected = graft.operators.Relational.qSessionize(spark, sfDir)
+      .filter($"user_id" < 5).count()
+    // streaming emits only CLOSED sessions; per user the final open
+    // session is still pending, so counts differ by exactly one per user
+    val users = events.select("user_id").distinct().count()
+    assert(sessions.length == expected - users)
+    assert(sessions.forall(s => s.duration_sec >= 0 && s.n_events > 0))
+  }
+}
