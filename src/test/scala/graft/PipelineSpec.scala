@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+import graft.pipeline.{TextPipeline, Vectors}
+
+/** Semantic property checks for the non-SQL-expressible operators
+  * (SURVEY.md §5): LSH recall, SimHash consistency, ANN recall@k,
+  * HLL error bounds, sampling determinism. */
+class PipelineSpec extends SparkSpec {
+
+  test("L2: MinHash-LSH candidates recover the high-Jaccard pairs") {
+    // ground truth: exact n-gram Jaccard top pairs (L4)
+    val exact = TextPipeline.ngramJaccard(spark, sfDir)
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TextPipeline.minhashLsh(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test data should contain near-duplicate docs")
+    val recall = exact.intersect(lsh).size.toDouble / exact.size
+    // 8 bands × 8 rows: P(candidate) at j=0.5 per band = 0.5^8, over 8
+    // bands ≈ 3%... but near-dups in this corpus are j≥0.8 where
+    // P ≈ 1-(1-0.17)^8 ≈ 77%; at j≥0.95 ≈ 99.7%. Demand high recall
+    // on the j≥0.5 set as a whole since most members are j≈1.
+    assert(recall >= 0.8, s"LSH recall $recall too low (${exact.size} true pairs)")
+  }
+
+  test("L3: SimHash pairs are symmetric-free, ordered, within threshold") {
+    val rows = TextPipeline.simhash(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (a, b, h) => a < b && h >= 0 && h <= 12 })
+    assert(rows.map(t => (t._1, t._2)).distinct.length == rows.length, "no duplicate pairs")
+  }
+
+  test("L7: LSH ANN achieves >=60% recall@5 vs brute force") {
+    val exact = Vectors.annBruteforceTopk(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Vectors.annLshTopk(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"ANN recall@5 = $recall")
+  }
+
+  test("R23: HLL approx distinct within 5% of exact") {
+    val approx = Relational.qApproxDistinct(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sfDir)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n).toDouble / n <= 0.05, s"$k: approx $a vs exact $n")
+    }
+  }
+
+  test("R24: hash sampling is deterministic and ~5%") {
+    val s1 = Relational.qHashSample(spark, sfDir).collect().map(_.toString).toSeq
+    val s2 = Relational.qHashSample(spark, sfDir).collect().map(_.toString).toSeq
+    assert(s1 == s2, "same plan must sample identical rows")
+    val sampled = Relational.qHashSample(spark, sfDir)
+      .agg(sum("n_rows")).collect().head.getLong(0).toDouble
+    val total = Tables.lineitem(spark, sfDir).count().toDouble
+    assert(sampled / total > 0.02 && sampled / total < 0.08,
+      s"sample fraction ${sampled / total}")
+  }
+
+  test("L1: exact dedup counts distinct content correctly") {
+    val row = TextPipeline.dedupExact(spark, sfDir)
+      .agg(sum("n_docs").as("docs"), sum("n_distinct").as("distinct")).collect().head
+    val total = Tables.documents(spark, sfDir).count()
+    val distinct = Tables.documents(spark, sfDir).select("text").distinct().count()
+    assert(row.getLong(0) == total)
+    // per-source distinct sums >= global distinct (same text may span sources)
+    assert(row.getLong(1) >= distinct && row.getLong(1) <= total)
+  }
+
+  test("R25: salted two-phase agg equals direct aggregation") {
+    val salted = Relational.qSaltedTopusers(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val direct = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(sum(col("value").cast(graft.Exact.D)).cast("double").as("total_value"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("total_value").desc, col("user_id")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(salted == direct)
+  }
+}

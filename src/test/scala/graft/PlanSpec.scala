@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+
+import graft.operators.Relational
+
+/** Physical-plan assertions (SURVEY.md §6): the plans must be the ones
+  * that survive a 100× scale-up — dims broadcast, filters pushed to
+  * the parquet scan, projections pruned, top-K as TakeOrdered, no
+  * stray cartesian products. */
+class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  private def planOf(df: DataFrame): String = {
+    df.collect() // materialize so AQE finalizes the plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q6: filters and projection reach the parquet scan") {
+    val plan = planOf(Relational.q6FilterAgg(spark, sfDir))
+    // the printer elides long PushedFilters lists; assert the scan got
+    // a non-empty pushdown including the shipdate bound
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"), plan.take(800))
+    // only the 4 needed columns are read, not all 11
+    assert(plan.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp"),
+      plan.take(1200))
+  }
+
+  test("q5: star join broadcasts every dim, shuffles only facts") {
+    val plan = planOf(Relational.q5LocalSupplier(spark, sfDir))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    val shuffles = "ShuffledHashJoin|SortMergeJoin".r.findAllIn(plan).size
+    // region, nation, supplier broadcast (customer may AQE-broadcast
+    // at this SF too); fact-fact joins at most 2 shuffle joins
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts")
+    assert(shuffles <= 2, s"expected <=2 shuffle joins, got $shuffles")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q3: top-K is TakeOrderedAndProject, never a full sort") {
+    val plan = planOf(Relational.q3ShippingPriority(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(600))
+  }
+
+  test("q1: aggregation is two-phase (partial map-side combine)") {
+    val plan = planOf(Relational.q1PricingSummary(spark, sfDir))
+    val aggs = "HashAggregate".r.findAllIn(plan).size
+    assert(aggs >= 2, s"expected partial+final HashAggregate, got $aggs")
+    assert(plan.contains("partial_sum"), "map-side combine expected")
+    assert(plan.contains("*("), "agg should be inside WholeStageCodegen (the *(n) marker)")
+  }
+
+  test("anti/semi joins plan as join types, not subquery loops") {
+    val anti = planOf(Relational.qAntiCustomers(spark, sfDir))
+    assert(anti.contains("LeftAnti"), anti.take(600))
+    val semi = planOf(Relational.q18LargeVolume(spark, sfDir))
+    assert(!semi.contains("CartesianProduct"))
+  }
+
+  test("as-of join is a single user_id shuffle, no range cross join") {
+    val plan = planOf(Relational.qAsofJoin(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "as-of must not fall back to a cross join")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges")
+  }
+
+  test("catalog table scans keep pushdown through GraftTable") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.plans")
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .write.mode("append").saveAsTable("graft.plans.orders")
+    val df = spark.sql(
+      "SELECT o_orderkey FROM graft.plans.orders WHERE o_totalprice > 100000.0")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,100000.0)]"),
+      plan.take(1000))
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"),
+      plan.take(1000))
+  }
+}
