@@ -80,9 +80,17 @@ object TextPipeline {
     val docsets = shingles(documents(s, d))
       .groupBy("doc_id").agg(collect_set(col("s")).as("sh"))
       .cache()
+    // One base hash per shingle, then 64 affine permutations mod the
+    // Mersenne prime 2^31-1 — not 64 string re-hashes, and every
+    // intermediate stays < 2^62 so ANSI arithmetic never overflows.
+    // Deterministic (hash-derived coefficients, no RNG).
     val bands = docsets
-      .withColumn("sig",
-        expr("transform(sequence(0, 63), j -> array_min(transform(sh, x -> xxhash64(j, x))))"))
+      .withColumn("hs", expr("transform(sh, x -> pmod(xxhash64(x), 2147483647L))"))
+      .withColumn("sig", expr(
+        """transform(sequence(0, 63),
+             j -> array_min(transform(hs,
+               h -> (h * (pmod(xxhash64(j), 2147483646L) + 1) + pmod(xxhash64(j, 7), 2147483647L))
+                    % 2147483647L)))"""))
       .select(col("doc_id"),
         posexplode(expr("transform(sequence(0, 7), b -> xxhash64(slice(sig, b * 8 + 1, 8)))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
