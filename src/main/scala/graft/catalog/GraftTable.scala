@@ -72,14 +72,49 @@ final class GraftTable(
       classOf[ParquetFileFormat])
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val files = pinnedFiles.getOrElse {
-      ops.resolveFiles(
-        dir, meta,
-        snapshotId = Option(options.get("snapshot-id")).map(_.toLong),
-        ref = Option(options.get("ref")),
-        asOfTimestampMs = Option(options.get("as-of-timestamp")).map(_.toLong))
+    val entries = pinnedFiles match {
+      case Some(files) => files.map(DataFileEntry(_))
+      case None =>
+        ops.resolveEntries(
+          dir, meta,
+          snapshotId = Option(options.get("snapshot-id")).map(_.toLong),
+          ref = Option(options.get("ref")),
+          asOfTimestampMs = Option(options.get("as-of-timestamp")).map(_.toLong))
     }
-    parquetDelegate(files).newScanBuilder(options)
+    new GraftScanBuilder(entries, options)
+  }
+
+  /** Scan planning with manifest-stat file skipping: Spark pushes the
+    * catalyst predicates here; files whose min/max PROVE no row can
+    * match are dropped before the parquet delegate is built, so they
+    * are never listed, opened or scheduled. The full predicate set is
+    * then forwarded to the parquet builder (row-group pushdown) and
+    * its residual answer is returned to Spark — skipping is a strict
+    * optimization, never a correctness dependency. */
+  private final class GraftScanBuilder(
+      entries: Seq[DataFileEntry], options: CaseInsensitiveStringMap)
+      extends ScanBuilder
+      with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    import org.apache.spark.sql.execution.datasources.GraftBridge
+
+    private var delegate: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder =
+      parquetDelegate(entries.map(_.path)).newScanBuilder(options)
+
+    override def pushFilters(predicates: Seq[Expression]): Seq[Expression] = {
+      val translated = predicates.flatMap(GraftBridge.translateFilter)
+      val kept = entries.filter(e => translated.forall(f => Stats.mayContain(e, schema, f)))
+      delegate = parquetDelegate(kept.map(_.path)).newScanBuilder(options)
+      delegate.pushFilters(predicates)
+    }
+    override def pushedFilters(): Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+      delegate.pushedFilters
+    override def pruneColumns(requiredSchema: StructType): Unit =
+      delegate.pruneColumns(requiredSchema)
+
+    override def build(): org.apache.spark.sql.connector.read.Scan = delegate.build()
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -90,10 +125,37 @@ final class GraftTable(
       override def truncate(): WriteBuilder = { operation = "overwrite"; this }
       override def build(): Write = {
         val inner = delegate.build()
-        new Write {
-          override def toBatch: BatchWrite =
-            new CommittingBatchWrite(inner.toBatch, writeDir, operation)
-        }
+        val clusterCols = meta.specs.find(_.specId == meta.defaultSpecId).toSeq
+          .flatMap(_.fields.filter(_.transform == "identity").map(_.name))
+        if (clusterCols.isEmpty)
+          new Write {
+            override def toBatch: BatchWrite =
+              new CommittingBatchWrite(inner.toBatch, writeDir, operation)
+          }
+        else
+          // Partitioned table: require Spark to cluster + sort incoming
+          // rows on the spec columns, so each written file covers a
+          // tight value range and manifest min/max skipping bites.
+          new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+            import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+            import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder => V2SortOrder}
+            private def sortOrders: Array[V2SortOrder] =
+              clusterCols.map(c => Expressions.sort(
+                Expressions.identity(c), SortDirection.ASCENDING)).toArray
+            // ordered (RANGE) distribution, not hash-clustered: each
+            // output file then covers a contiguous value range, which
+            // is what makes min/max skipping effective.
+            override def requiredDistribution(): Distribution =
+              Distributions.ordered(sortOrders)
+            override def requiredOrdering(): Array[V2SortOrder] = sortOrders
+            // 0 = let AQE size the write (≈ one file per advisory
+            // partition); the table property pins an explicit count.
+            override def requiredNumPartitions(): Int =
+              meta.properties.get("graft.write.target-file-count")
+                .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(0)
+            override def toBatch: BatchWrite =
+              new CommittingBatchWrite(inner.toBatch, writeDir, operation)
+          }
       }
     }
   }

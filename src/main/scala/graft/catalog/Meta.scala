@@ -40,6 +40,17 @@ final case class Snapshot(
     schemaId: Int)
 
 final case class SnapshotRef(snapshotId: Long, refType: String) // branch | tag
+
+/** Per-column min/max/null-count carried in the manifest; values are
+  * strings, interpreted by the table schema at scan-planning time. */
+final case class ColumnStats(min: Option[String], max: Option[String], nulls: Option[Long])
+
+/** One data file in a snapshot manifest, with optional footer stats
+  * used for file skipping. Path is table-dir-relative once stored. */
+final case class DataFileEntry(
+    path: String,
+    rows: Option[Long] = None,
+    stats: Map[String, ColumnStats] = Map.empty)
 final case class SnapshotLogEntry(snapshotId: Long, timestampMs: Long)
 final case class MetadataLogEntry(metadataFile: String, timestampMs: Long)
 final case class StatisticsFile(snapshotId: Long, statistics: String)

@@ -168,17 +168,43 @@ object MetadataJson {
     Option(n).map(_.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
       .getOrElse(Map.empty)
 
-  // ---------- manifests (data-file lists) ----------
+  // ---------- manifests (data-file lists + footer stats) ----------
 
-  def manifestToJson(files: Seq[String]): String = {
+  def manifestToJson(files: Seq[DataFileEntry]): String = {
     val o = mapper.createObjectNode()
     val a = o.putArray("data-files")
-    files.foreach(a.add)
+    files.foreach { f =>
+      val fo = a.addObject()
+      fo.put("path", f.path)
+      f.rows.foreach(fo.put("rows", _))
+      if (f.stats.nonEmpty) {
+        val so = fo.putObject("stats")
+        f.stats.toSeq.sortBy(_._1).foreach { case (col, cs) =>
+          val co = so.putObject(col)
+          cs.min.foreach(co.put("min", _))
+          cs.max.foreach(co.put("max", _))
+          cs.nulls.foreach(co.put("nulls", _))
+        }
+      }
+    }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(o)
   }
 
-  def manifestFromJson(json: String): Seq[String] =
-    arr(mapper.readTree(json), "data-files").map(_.asText())
+  def manifestFromJson(json: String): Seq[DataFileEntry] =
+    arr(mapper.readTree(json), "data-files").map {
+      case s if s.isTextual => DataFileEntry(s.asText()) // legacy plain path
+      case o =>
+        DataFileEntry(
+          o.get("path").asText(),
+          Option(o.get("rows")).map(_.asLong()),
+          Option(o.get("stats")).map(st =>
+            st.properties().asScala.map { e =>
+              e.getKey -> ColumnStats(
+                Option(e.getValue.get("min")).map(_.asText()),
+                Option(e.getValue.get("max")).map(_.asText()),
+                Option(e.getValue.get("nulls")).map(_.asLong()))
+            }.toMap).getOrElse(Map.empty))
+    }
 
   // ---------- views ----------
 

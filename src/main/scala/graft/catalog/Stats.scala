@@ -1,0 +1,198 @@
+package graft.catalog
+
+import scala.jdk.CollectionConverters._
+import scala.util.Try
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+/** Per-file column statistics: collection from parquet footers at
+  * commit time, and conservative file-skipping at scan time —
+  * Iceberg-style scan planning (manifest min/max instead of listing +
+  * opening every file). The reference catalog carries the same idea
+  * via set-statistics (denali logic/updates.go SetStatisticsUpdate);
+  * here the stats live per data file in the snapshot manifest where
+  * the scanner can use them.
+  *
+  * Values are stored as strings in the manifest; the TABLE SCHEMA
+  * decides how they compare at evaluation time (numeric / string /
+  * date-days / timestamp-micros). Unknown shapes are never skipped —
+  * pruning is only applied when a file is PROVABLY excluded.
+  */
+object Stats {
+
+  /** Read footer metadata for one file: row count + per-column
+    * min/max/null-count aggregated across row groups. */
+  def collect(conf: Configuration, file: String): DataFileEntry = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
+    try {
+      val footer = reader.getFooter
+      val blocks = footer.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val mins = scala.collection.mutable.Map[String, String]()
+      val maxs = scala.collection.mutable.Map[String, String]()
+      val nulls = scala.collection.mutable.Map[String, Long]()
+      var unusable = Set.empty[String]
+      blocks.foreach { b =>
+        b.getColumns.asScala.foreach { c =>
+          val name = c.getPath.toDotString
+          val st = c.getStatistics
+          if (st == null || !st.hasNonNullValue || unusable.contains(name)) {
+            unusable += name
+          } else {
+            val logical = c.getPrimitiveType.getLogicalTypeAnnotation
+            (render(st.genericGetMin.asInstanceOf[AnyRef], logical),
+             render(st.genericGetMax.asInstanceOf[AnyRef], logical)) match {
+              case (Some(mn), Some(mx)) =>
+                nulls(name) = nulls.getOrElse(name, 0L) + st.getNumNulls
+                mins(name) = mins.get(name).map(old => minOf(old, mn, logical)).getOrElse(mn)
+                maxs(name) = maxs.get(name).map(old => maxOf(old, mx, logical)).getOrElse(mx)
+              case _ => unusable += name
+            }
+          }
+        }
+      }
+      val cols = (mins.keySet -- unusable).map { name =>
+        name -> ColumnStats(Some(mins(name)), Some(maxs(name)), nulls.get(name))
+      }.toMap
+      DataFileEntry(file, Some(rows), cols)
+    } finally reader.close()
+  }
+
+  private def isString(l: LogicalTypeAnnotation): Boolean =
+    l != null && l.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+
+  private def render(v: AnyRef, logical: LogicalTypeAnnotation): Option[String] = v match {
+    case null => None
+    case b: Binary if isString(logical) => Some(b.toStringUsingUTF8)
+    case _: Binary => None // opaque binary — no usable ordering
+    case n: Number => Some(n.toString)
+    case b: java.lang.Boolean => Some(b.toString)
+    case _ => None
+  }
+
+  private def minOf(a: String, b: String, logical: LogicalTypeAnnotation): String =
+    if (isString(logical)) { if (a <= b) a else b }
+    else if (Try(a.toDouble).isSuccess) { if (a.toDouble <= b.toDouble) a else b }
+    else a
+  private def maxOf(a: String, b: String, logical: LogicalTypeAnnotation): String =
+    if (isString(logical)) { if (a >= b) a else b }
+    else if (Try(a.toDouble).isSuccess) { if (a.toDouble >= b.toDouble) a else b }
+    else a
+
+  // ---------- skipping ----------
+
+  /** May `entry` contain rows matching `filter`? False only when the
+    * file's stats PROVE no row can match. */
+  def mayContain(entry: DataFileEntry, schema: StructType, filter: Filter): Boolean =
+    filter match {
+      case And(l, r) => mayContain(entry, schema, l) && mayContain(entry, schema, r)
+      case Or(l, r) => mayContain(entry, schema, l) || mayContain(entry, schema, r)
+      case Not(_) => true // conservative
+      case EqualTo(c, v) => rangeOverlaps(entry, schema, c, v, v)
+      case EqualNullSafe(c, v) => if (v == null) true else rangeOverlaps(entry, schema, c, v, v)
+      case GreaterThan(c, v) => upperAllows(entry, schema, c, v, strict = true)
+      case GreaterThanOrEqual(c, v) => upperAllows(entry, schema, c, v, strict = false)
+      case LessThan(c, v) => lowerAllows(entry, schema, c, v, strict = true)
+      case LessThanOrEqual(c, v) => lowerAllows(entry, schema, c, v, strict = false)
+      case In(c, vs) => vs.isEmpty || vs.exists(v => rangeOverlaps(entry, schema, c, v, v))
+      case IsNull(c) =>
+        entry.stats.get(c).flatMap(_.nulls) match {
+          case Some(0L) => false
+          case _ => true
+        }
+      case IsNotNull(c) =>
+        (entry.stats.get(c).flatMap(_.nulls), entry.rows) match {
+          case (Some(n), Some(r)) => n < r
+          case _ => true
+        }
+      case _ => true // StringStartsWith etc. — conservative
+    }
+
+  /** Comparable projection of a filter value / stored stat for the
+    * column type; None ⇒ cannot compare ⇒ never skip. */
+  private def key(dt: DataType, v: Any): Option[Either[Double, String]] = (dt, v) match {
+    case (_, null) => None
+    case (_: NumericType, n: Number) => Some(Left(n.doubleValue()))
+    case (StringType, s: String) => Some(Right(s))
+    case (StringType, s: org.apache.spark.unsafe.types.UTF8String) => Some(Right(s.toString))
+    case (DateType, d: java.sql.Date) => Some(Left(d.toLocalDate.toEpochDay.toDouble))
+    case (DateType, d: java.time.LocalDate) => Some(Left(d.toEpochDay.toDouble))
+    case (TimestampType | TimestampNTZType, t: java.sql.Timestamp) =>
+      Some(Left(t.getTime * 1000.0 + (t.getNanos / 1000) % 1000))
+    case (TimestampType | TimestampNTZType, i: java.time.Instant) =>
+      Some(Left(i.getEpochSecond * 1e6 + i.getNano / 1000.0))
+    case (TimestampType | TimestampNTZType, l: java.time.LocalDateTime) =>
+      Some(Left(l.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1e6))
+    case _ => None
+  }
+
+  /** Stored stat string → comparable key (stats for date/timestamp
+    * columns come from footers as primitive ints/longs). */
+  private def statKey(dt: DataType, s: String): Option[Either[Double, String]] = dt match {
+    case _: NumericType => Try(Left(s.toDouble)).toOption
+    case StringType => Some(Right(s))
+    case DateType => Try(Left(s.toDouble)).toOption // days since epoch
+    case TimestampType | TimestampNTZType => Try(Left(s.toDouble)).toOption // micros
+    case _ => None
+  }
+
+  private def colBounds(entry: DataFileEntry, schema: StructType, col: String)
+      : Option[(Either[Double, String], Either[Double, String], DataType)] =
+    for {
+      field <- schema.fields.find(_.name == col)
+      cs <- entry.stats.get(col)
+      mnS <- cs.min; mxS <- cs.max
+      mn <- statKey(field.dataType, mnS)
+      mx <- statKey(field.dataType, mxS)
+    } yield (mn, mx, field.dataType)
+
+  private def cmp(a: Either[Double, String], b: Either[Double, String]): Option[Int] =
+    (a, b) match {
+      case (Left(x), Left(y)) => Some(java.lang.Double.compare(x, y))
+      case (Right(x), Right(y)) => Some(x.compareTo(y))
+      case _ => None
+    }
+
+  private def rangeOverlaps(e: DataFileEntry, schema: StructType, col: String,
+      lo: Any, hi: Any): Boolean =
+    colBounds(e, schema, col) match {
+      case Some((mn, mx, dt)) =>
+        (key(dt, lo), key(dt, hi)) match {
+          case (Some(l), Some(h)) =>
+            cmp(h, mn).forall(_ >= 0) && cmp(l, mx).forall(_ <= 0)
+          case _ => true
+        }
+      case None => true
+    }
+
+  /** Is any row possibly > v (or >= v)? Requires max compared to v. */
+  private def upperAllows(e: DataFileEntry, schema: StructType, col: String,
+      v: Any, strict: Boolean): Boolean =
+    colBounds(e, schema, col) match {
+      case Some((_, mx, dt)) =>
+        key(dt, v) match {
+          case Some(k) => cmp(mx, k).forall(c => if (strict) c > 0 else c >= 0)
+          case None => true
+        }
+      case None => true
+    }
+
+  /** Is any row possibly < v (or <= v)? Requires min compared to v. */
+  private def lowerAllows(e: DataFileEntry, schema: StructType, col: String,
+      v: Any, strict: Boolean): Boolean =
+    colBounds(e, schema, col) match {
+      case Some((mn, _, dt)) =>
+        key(dt, v) match {
+          case Some(k) => cmp(mn, k).forall(c => if (strict) c < 0 else c <= 0)
+          case None => true
+        }
+      case None => true
+    }
+}

@@ -83,8 +83,11 @@ final class TableOps(store: FsStore) {
     if (entry.startsWith("/") || entry.contains(":/")) entry
     else new Path(tableDir, entry).toString
 
-  /** Commit `files` as a new snapshot. `operation` is "append" (files
-    * add to the current snapshot's) or "overwrite" (files replace). */
+  /** Commit data files as a new snapshot. `operation` is "append"
+    * (files add to the current snapshot's) or "overwrite" (files
+    * replace). Footer stats are collected here, on the handful of NEW
+    * files only — O(new files) driver work per commit, never a
+    * re-scan of the table. */
   def commitFiles(
       tableDir: Path,
       newFiles: Seq[String],
@@ -93,7 +96,11 @@ final class TableOps(store: FsStore) {
     val (_, meta) = load(tableDir).getOrElse(
       throw new CommitFailedException(s"table does not exist at $tableDir"))
     val parent = meta.currentSnapshot
-    val newRel = newFiles.map(relativize(tableDir, _))
+    val newRel = newFiles.map { f =>
+      val entry = scala.util.Try(Stats.collect(store.fs(tableDir).getConf, f))
+        .getOrElse(DataFileEntry(f))
+      entry.copy(path = relativize(tableDir, f))
+    }
     val all = operation match {
       case "append" => parent.map(rawSnapshotFiles(tableDir, _)).getOrElse(Seq.empty) ++ newRel
       case "overwrite" => newRel
@@ -119,19 +126,37 @@ final class TableOps(store: FsStore) {
       MetadataUpdate.SetSnapshotRef("main", snapId, "branch")))
   }
 
-  private def rawSnapshotFiles(tableDir: Path, snap: Snapshot): Seq[String] =
+  private def rawSnapshotFiles(tableDir: Path, snap: Snapshot): Seq[DataFileEntry] =
     MetadataJson.manifestFromJson(
       store.readString(new Path(metadataDir(tableDir), snap.manifest)))
 
+  def snapshotEntries(tableDir: Path, snap: Snapshot): Seq[DataFileEntry] =
+    rawSnapshotFiles(tableDir, snap).map(e => e.copy(path = absolutize(tableDir, e.path)))
+
   def snapshotFiles(tableDir: Path, snap: Snapshot): Seq[String] =
-    rawSnapshotFiles(tableDir, snap).map(absolutize(tableDir, _))
+    snapshotEntries(tableDir, snap).map(_.path)
 
   /** Write `df` as parquet into a fresh write directory and commit it
     * as a snapshot. The DataFrame write is fully distributed; only the
-    * file listing and metadata commit run on the driver. */
-  def write(tableDir: Path, df: DataFrame, operation: String): TableMetadata = {
+    * file listing, footer-stat reads and metadata commit run on the
+    * driver. When the table's default spec has identity fields that
+    * exist in `df`, rows are range-clustered on them first so each
+    * file covers a tight value range — that is what makes manifest
+    * min/max skipping effective at scan time. */
+  def write(tableDir: Path, df: DataFrame, operation: String,
+      numFiles: Option[Int] = None): TableMetadata = {
     val writeDir = new Path(dataDir(tableDir), s"w-${UUID.randomUUID()}")
-    df.write.parquet(writeDir.toString)
+    val clusterCols = load(tableDir).toSeq.flatMap { case (_, m) =>
+      m.specs.find(_.specId == m.defaultSpecId).toSeq
+        .flatMap(_.fields.filter(_.transform == "identity").map(_.name))
+    }.filter(df.columns.contains)
+    val shaped = (clusterCols, numFiles) match {
+      case (cols, Some(n)) if cols.nonEmpty => df.repartitionByRange(n, cols.map(df.col): _*)
+      case (cols, None) if cols.nonEmpty => df.repartitionByRange(cols.map(df.col): _*)
+      case (_, Some(n)) => df.repartition(n)
+      case _ => df
+    }
+    shaped.write.parquet(writeDir.toString)
     val files = store.listFilesRec(writeDir)
       .filter(_.getName.endsWith(".parquet")).map(_.toString)
     commitFiles(tableDir, files, operation)
@@ -145,7 +170,16 @@ final class TableOps(store: FsStore) {
       meta: TableMetadata,
       snapshotId: Option[Long] = None,
       ref: Option[String] = None,
-      asOfTimestampMs: Option[Long] = None): Seq[String] = {
+      asOfTimestampMs: Option[Long] = None): Seq[String] =
+    resolveEntries(tableDir, meta, snapshotId, ref, asOfTimestampMs).map(_.path)
+
+  /** Like [[resolveFiles]] but keeps the per-file stats for skipping. */
+  def resolveEntries(
+      tableDir: Path,
+      meta: TableMetadata,
+      snapshotId: Option[Long] = None,
+      ref: Option[String] = None,
+      asOfTimestampMs: Option[Long] = None): Seq[DataFileEntry] = {
     val snap: Option[Snapshot] = (snapshotId, ref, asOfTimestampMs) match {
       case (Some(id), _, _) =>
         Some(meta.snapshotById(id).getOrElse(
@@ -160,7 +194,7 @@ final class TableOps(store: FsStore) {
         meta.snapshotById(eligible.last.snapshotId)
       case _ => meta.currentSnapshot
     }
-    snap.map(snapshotFiles(tableDir, _)).getOrElse(Seq.empty)
+    snap.map(snapshotEntries(tableDir, _)).getOrElse(Seq.empty)
   }
 
   /** Read a table state as a DataFrame (time-travel via the options). */

@@ -1,0 +1,13 @@
+package org.apache.spark.sql.execution.datasources
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.sources.Filter
+
+/** Package-located bridge exposing Spark's catalyst→sources filter
+  * translation (`protected[sql]`) to graft's scan planner. Pinned to
+  * the Spark version on the classpath (4.1.2); no behavior of its
+  * own. */
+object GraftBridge {
+  def translateFilter(predicate: Expression): Option[Filter] =
+    DataSourceStrategy.translateFilter(predicate, supportNestedPredicatePushdown = true)
+}

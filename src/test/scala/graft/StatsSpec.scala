@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.sources._
+
+import graft.catalog._
+
+/** Manifest column stats + file skipping: footer stats land in the
+  * manifest at commit, clustered writes give files tight ranges, and
+  * scans prune provably-excluded files before the parquet delegate
+  * ever sees them. */
+class StatsSpec extends SparkSpec {
+
+  private def cat: GraftCatalog =
+    spark.sessionState.catalogManager.catalog("graft").asInstanceOf[GraftCatalog]
+
+  private def scannedPaths(df: DataFrame): Int = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    "InMemoryFileIndex\\((\\d+) paths\\)".r
+      .findFirstMatchIn(plan).map(_.group(1).toInt)
+      .getOrElse(fail(s"no file index in plan: ${plan.take(500)}"))
+  }
+
+  test("clustered write records per-file min/max; scans skip files") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stats")
+    spark.sql("CREATE TABLE graft.stats.ev (id BIGINT, bucket BIGINT, v DOUBLE) PARTITIONED BY (bucket)")
+    // 4 buckets × clustered write → one tight file range per bucket
+    import spark.implicits._
+    val df = (0L until 4000L).map(i => (i, i / 1000L, i * 0.5)).toDF("id", "bucket", "v")
+    val dir = new Path(s"$warehouse/stats/ev")
+    cat.ops.write(dir, df, "append", numFiles = Some(4))
+
+    val (_, meta) = cat.ops.load(dir).get
+    val entries = cat.ops.snapshotEntries(dir, meta.currentSnapshot.get)
+    assert(entries.size >= 2, "clustered write should produce multiple files")
+    assert(entries.forall(_.rows.exists(_ > 0)))
+    assert(entries.forall(_.stats.contains("bucket")))
+    // each file covers at most ~2 buckets (range clustering)
+    entries.foreach { e =>
+      val cs = e.stats("bucket")
+      assert(cs.max.get.toDouble - cs.min.get.toDouble <= 1.0,
+        s"file spans too many buckets: $cs")
+    }
+
+    // a bucket-selective query must scan fewer files than the full scan
+    val all = scannedPaths(spark.sql("SELECT sum(v) FROM graft.stats.ev"))
+    val one = scannedPaths(spark.sql("SELECT sum(v) FROM graft.stats.ev WHERE bucket = 3"))
+    assert(all == entries.size)
+    assert(one < all, s"expected file skipping: $one vs $all")
+    // correctness: skipped result equals unfiltered recomputation
+    val expect = (3000L until 4000L).map(_ * 0.5).sum
+    assert(spark.sql("SELECT sum(v) FROM graft.stats.ev WHERE bucket = 3")
+      .collect().head.getDouble(0) == expect)
+  }
+
+  test("DSv2 INSERT on a partitioned table clusters and skips too") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stats")
+    spark.sql("CREATE TABLE graft.stats.ins (id BIGINT, grp BIGINT) PARTITIONED BY (grp) " +
+      "TBLPROPERTIES ('graft.write.target-file-count'='4')")
+    spark.range(0, 8000).selectExpr("id", "id % 8 AS grp")
+      .write.mode("append").saveAsTable("graft.stats.ins")
+    val dir = new Path(s"$warehouse/stats/ins")
+    val (_, meta) = cat.ops.load(dir).get
+    val entries = cat.ops.snapshotEntries(dir, meta.currentSnapshot.get)
+    assert(entries.size >= 2)
+    val all = scannedPaths(spark.sql("SELECT count(*) FROM graft.stats.ins"))
+    val one = scannedPaths(spark.sql("SELECT count(*) FROM graft.stats.ins WHERE grp = 5"))
+    assert(one < all, s"expected file skipping through DSv2 write: $one vs $all")
+    assert(spark.sql("SELECT count(*) FROM graft.stats.ins WHERE grp = 5")
+      .collect().head.getLong(0) == 1000L)
+  }
+
+  test("mayContain is conservative and exact on the supported shapes") {
+    val e = DataFileEntry("f", Some(100L), Map(
+      "x" -> ColumnStats(Some("10"), Some("20"), Some(0L)),
+      "s" -> ColumnStats(Some("apple"), Some("mango"), Some(5L))))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("x BIGINT, s STRING, z DOUBLE")
+    def may(f: Filter) = Stats.mayContain(e, schema, f)
+
+    assert(!may(EqualTo("x", 5L)) && may(EqualTo("x", 15L)) && !may(EqualTo("x", 25L)))
+    assert(!may(GreaterThan("x", 20L)) && may(GreaterThanOrEqual("x", 20L)))
+    assert(!may(LessThan("x", 10L)) && may(LessThanOrEqual("x", 10L)))
+    assert(may(In("x", Array(1L, 15L))) && !may(In("x", Array(1L, 2L))))
+    assert(!may(EqualTo("s", "zebra")) && may(EqualTo("s", "banana")))
+    assert(!may(IsNull("x")) && may(IsNull("s")) && may(IsNotNull("x")))
+    assert(may(EqualTo("z", 1.0)), "no stats for z → keep")
+    assert(!may(And(EqualTo("x", 15L), EqualTo("s", "zebra"))))
+    assert(may(Or(EqualTo("x", 25L), EqualTo("s", "banana"))))
+    assert(may(Not(EqualTo("x", 15L))), "Not is conservative")
+    // all-null column: IsNotNull can exclude
+    val en = DataFileEntry("f", Some(10L), Map("x" -> ColumnStats(Some("1"), Some("2"), Some(10L))))
+    assert(!Stats.mayContain(en, schema, IsNotNull("x")))
+  }
+
+  test("time travel still resolves legacy and stats manifests") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stats")
+    spark.sql("CREATE TABLE graft.stats.tt2 (id BIGINT)")
+    spark.sql("INSERT INTO graft.stats.tt2 VALUES (1)")
+    spark.sql("INSERT INTO graft.stats.tt2 VALUES (2)")
+    val dir = new Path(s"$warehouse/stats/tt2")
+    val (_, meta) = cat.ops.load(dir).get
+    val first = meta.snapshots.minBy(_.sequenceNumber)
+    assert(spark.sql(s"SELECT * FROM graft.stats.tt2 VERSION AS OF ${first.snapshotId}")
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+}
