@@ -32,6 +32,9 @@ object SparkEntry {
     "q_window_running"     -> (Relational.qWindowRunning _),
     "q_window_lag"         -> (Relational.qWindowLag _),
     "q_rollup_sales"       -> (Relational.qRollupSales _),
+    "q_cube_sales"         -> (Relational.qCubeSales _),
+    "q_string_agg"         -> (Relational.qStringAgg _),
+    "q_percentiles"        -> (Relational.qPercentiles _),
     "q_pivot_status"       -> (Relational.qPivotStatus _),
     "q_scalar_funcs"       -> (Relational.qScalarFuncs _),
     "q_sessionize"         -> (Relational.qSessionize _),
@@ -69,6 +72,9 @@ object SparkEntry {
     "q_window_running"     -> Relational.qWindowRunningSql,
     "q_window_lag"         -> Relational.qWindowLagSql,
     "q_rollup_sales"       -> Relational.qRollupSalesSql,
+    "q_cube_sales"         -> Relational.qCubeSalesSql,
+    "q_string_agg"         -> Relational.qStringAggSql,
+    "q_percentiles"        -> Relational.qPercentilesSql,
     "q_pivot_status"       -> Relational.qPivotStatusSql,
     "q_scalar_funcs"       -> Relational.qScalarFuncsSql,
     "q_sessionize"         -> Relational.qSessionizeSql,

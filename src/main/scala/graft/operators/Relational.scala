@@ -487,6 +487,67 @@ object Relational {
        FROM lineitem WHERE (l_orderkey * 2654435761) % 1000 < 50
        GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** R28 — CUBE grouping sets (all 4 combinations of region × order
+    * status); same temp-view SQL routing as ROLLUP (R17). */
+  def qCubeSales(s: SparkSession, d: String): DataFrame = {
+    region(s, d)
+      .join(broadcast(nation(s, d)), col("r_regionkey") === col("n_regionkey"))
+      .join(customer(s, d), col("n_nationkey") === col("c_nationkey"))
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+      .select(col("r_name").as("rname"), col("o_orderstatus").as("status"), col("o_totalprice"))
+      .createOrReplaceTempView("graft_cube_base")
+    s.sql(
+      s"""SELECT COALESCE(rname, 'ALL') AS region_name, COALESCE(status, 'ALL') AS order_status,
+         ${sqlSum("o_totalprice")} AS revenue, COUNT(*) AS n_orders
+         FROM graft_cube_base GROUP BY CUBE(rname, status)
+         ORDER BY region_name, order_status""")
+  }
+
+  val qCubeSalesSql: String =
+    s"""SELECT COALESCE(r_name, 'ALL') AS region_name, COALESCE(o_orderstatus, 'ALL') AS order_status,
+       ${sqlSum("o_totalprice")} AS revenue, COUNT(*) AS n_orders
+       FROM region JOIN nation ON r_regionkey = n_regionkey
+       JOIN customer ON n_nationkey = c_nationkey
+       JOIN orders ON c_custkey = o_custkey
+       GROUP BY CUBE(r_name, o_orderstatus)
+       ORDER BY region_name, order_status"""
+
+  /** R29 — ordered list/string aggregation: nation names per region as
+    * a sorted CSV (sort_array makes collect_list order-deterministic —
+    * raw collect order is partition-dependent). */
+  def qStringAgg(s: SparkSession, d: String): DataFrame =
+    region(s, d)
+      .join(broadcast(nation(s, d)), col("r_regionkey") === col("n_regionkey"))
+      .groupBy(col("r_name").as("region_name"))
+      .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"),
+           countDistinct(col("n_name")).as("n_nations"))
+      .orderBy("region_name")
+
+  val qStringAggSql: String =
+    """SELECT r_name AS region_name,
+              string_agg(n_name, ',' ORDER BY n_name) AS nations,
+              COUNT(DISTINCT n_name) AS n_nations
+       FROM region JOIN nation ON r_regionkey = n_regionkey
+       GROUP BY r_name ORDER BY region_name"""
+
+  /** R30 — exact percentiles: median and p90 of order value per order
+    * status (Spark `percentile` and DuckDB `quantile_cont` share the
+    * linear-interpolation definition; round(4) guards last-ulp). */
+  def qPercentiles(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
+           round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_price"),
+           count(lit(1)).as("n_orders"))
+      .orderBy("status")
+
+  val qPercentilesSql: String =
+    """SELECT o_orderstatus AS status,
+              ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+              ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+              COUNT(*) AS n_orders
+       FROM orders GROUP BY o_orderstatus ORDER BY status"""
+
   /** R25 — skew-resistant two-phase (salted) aggregation: partial agg
     * on (key, salt) then final on key. Same result as a direct
     * groupBy; at 100 TB the salt spreads a hot user over 8 reducers. */
