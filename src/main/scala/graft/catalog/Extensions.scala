@@ -25,7 +25,21 @@ import org.apache.spark.sql.connector.catalog.{Identifier, ViewCatalog}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(spark => new ResolveGraftViews(spark))
+    ext.injectFunction(GraftExtensions.cosineFn)
   }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+  /** `graft_cosine(a, b)` — codegen'd cosine similarity (see
+    * [[graft.functions.CosineSimilarity]]). */
+  val cosineFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_cosine"),
+    new ExpressionInfo(classOf[graft.functions.CosineSimilarity].getName, "graft_cosine"),
+    (children: Seq[Expression]) =>
+      graft.functions.CosineSimilarity(children(0), children(1)))
 }
 
 class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan] {

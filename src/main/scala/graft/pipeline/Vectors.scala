@@ -17,13 +17,18 @@ import graft.Tables._
   */
 object Vectors {
 
-  /** Cosine similarity of two float-array columns, computed in double
-    * with left-to-right accumulation (matches DuckDB's
-    * list_cosine_similarity element order). */
-  def cosine(a: String, b: String): Column = expr(
-    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)
-       / (sqrt(aggregate($a, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
-          * sqrt(aggregate($b, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""")
+  /** Cosine similarity of two float-array columns: the native
+    * codegen'd [[graft.functions.CosineSimilarity]] expression —
+    * double precision, left-to-right accumulation, bit-identical to
+    * the `aggregate(zip_with(...))` formulation it replaced (and to
+    * DuckDB's list_cosine_similarity element order). Built directly
+    * as an Expression, so it works with or without GraftExtensions
+    * registered. */
+  def cosine(a: String, b: String): Column = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    org.apache.spark.sql.execution.datasources.GraftBridge.column(
+      graft.functions.CosineSimilarity(UnresolvedAttribute(a), UnresolvedAttribute(b)))
+  }
 
   /** L5 — embedding-cosine near-dup: top-100 most similar vector
     * pairs. Oracle-matched via DuckDB list_cosine_similarity. The

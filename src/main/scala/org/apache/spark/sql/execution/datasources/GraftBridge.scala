@@ -10,4 +10,9 @@ import org.apache.spark.sql.sources.Filter
 object GraftBridge {
   def translateFilter(predicate: Expression): Option[Filter] =
     DataSourceStrategy.translateFilter(predicate, supportNestedPredicatePushdown = true)
+
+  /** Column over a raw catalyst Expression (`ExpressionUtils` is
+    * `private[sql]`). */
+  def column(e: Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
 }
