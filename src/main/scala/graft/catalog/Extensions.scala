@@ -26,6 +26,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(spark => new ResolveGraftViews(spark))
     ext.injectFunction(GraftExtensions.cosineFn)
+    ext.injectFunction(GraftExtensions.simhashFn)
+    ext.injectFunction(GraftExtensions.minhashFn)
   }
 }
 
@@ -40,6 +42,18 @@ object GraftExtensions {
     new ExpressionInfo(classOf[graft.functions.CosineSimilarity].getName, "graft_cosine"),
     (children: Seq[Expression]) =>
       graft.functions.CosineSimilarity(children(0), children(1)))
+
+  /** `graft_simhash(words)` — codegen'd 64-bit SimHash. */
+  val simhashFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_simhash"),
+    new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "graft_simhash"),
+    (children: Seq[Expression]) => graft.functions.SimHash64(children.head))
+
+  /** `graft_minhash(shingles)` — codegen'd 64-perm MinHash signature. */
+  val minhashFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_minhash"),
+    new ExpressionInfo(classOf[graft.functions.MinHashSig].getName, "graft_minhash"),
+    (children: Seq[Expression]) => graft.functions.MinHashSig(children.head))
 }
 
 class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan] {

@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen'd text-hash signatures for the dedup family
+  * (SURVEY.md §2.3 L2/L3). Each replaces an interpreted
+  * higher-order-function chain that ran one lambda per (token × bit)
+  * with a single fused loop, while producing BIT-IDENTICAL output to
+  * the SQL formulation it replaced (same xxhash64 seed 42, same
+  * vote/affine arithmetic), so downstream candidate sets are
+  * unchanged. */
+object TextHashes {
+  /** Spark SQL's xxhash64(string) with its default seed. */
+  @inline def hashString(s: UTF8String, seed: Long = 42L): Long =
+    XXH64.hashUTF8String(s, seed)
+
+  /** Spark SQL's xxhash64(int) — ints hash via their 8-byte widening
+    * on the long path used by sequence() elements cast in graft's SQL
+    * (sequence produces ints; xxhash64 hashes IntegerType as 4-byte).
+    */
+  @inline def hashInt(i: Int, seed: Long = 42L): Long =
+    XXH64.hashInt(i, seed)
+
+  @inline def pmod(x: Long, m: Long): Long = { val r = x % m; if (r < 0) r + m else r }
+}
+
+/** `graft_simhash(words)` → 64-bit SimHash of the distinct word set:
+  * bit b is set when Σ_words (bit b of xxhash64(word) ? +1 : -1) > 0.
+  * Identical to the votes/zip_with SQL pipeline in TextPipeline. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash expects ARRAY<STRING>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    SimHash64.compute(arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SimHash64.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  /** One pass: hash each word, accumulate the 64 bit-votes, pack. */
+  def compute(words: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = words.numElements()
+    var i = 0
+    while (i < n) {
+      if (!words.isNullAt(i)) {
+        val h = TextHashes.hashString(words.getUTF8String(i))
+        var b = 0
+        while (b < 64) {
+          if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+}
+
+/** `graft_minhash(shingles)` → the 64-permutation MinHash signature:
+  * base = pmod(xxhash64(s), p); sig_j = min_s (base·a_j + b_j) mod p
+  * with p = 2^31-1 and hash-derived coefficients — identical to the
+  * affine SQL pipeline in TextPipeline. */
+case class MinHashSig(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash expects ARRAY<STRING>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSig.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHashSig.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  val P = 2147483647L // 2^31 - 1
+
+  // Coefficients are a pure function of the permutation index —
+  // precomputed once per JVM, identical to the SQL derivation:
+  // a_j = pmod(xxhash64(j), p-1) + 1
+  // b_j = pmod(xxhash64(j, 7), p)   [multi-arg xxhash64 chains seeds]
+  private lazy val coefA: Array[Long] =
+    Array.tabulate(64)(j => TextHashes.pmod(TextHashes.hashInt(j), P - 1) + 1)
+  private lazy val coefB: Array[Long] =
+    Array.tabulate(64)(j =>
+      TextHashes.pmod(XXH64.hashInt(7, XXH64.hashInt(j, 42L)), P))
+
+  def compute(shingles: ArrayData): ArrayData = {
+    val n = shingles.numElements()
+    val sig = Array.fill(64)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val base = TextHashes.pmod(TextHashes.hashString(shingles.getUTF8String(i)), P)
+        var j = 0
+        while (j < 64) {
+          val v = (base * coefA(j) + coefB(j)) % P
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+}

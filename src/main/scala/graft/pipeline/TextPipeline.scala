@@ -17,6 +17,11 @@ object TextPipeline {
   /** Words of a single-space-separated document. */
   private val ws: Column = split(col("text"), " ")
 
+  private def graftExpr(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.execution.datasources.GraftBridge.column(e)
+  private def colExpr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.execution.datasources.GraftBridge.expression(c)
+
   private def withWords(df: DataFrame): DataFrame = df.withColumn("ws", ws)
 
   /** Word 3-gram shingles, distinct per doc: (doc_id, s). */
@@ -80,17 +85,12 @@ object TextPipeline {
     val docsets = shingles(documents(s, d))
       .groupBy("doc_id").agg(collect_set(col("s")).as("sh"))
       .cache()
-    // One base hash per shingle, then 64 affine permutations mod the
-    // Mersenne prime 2^31-1 — not 64 string re-hashes, and every
-    // intermediate stays < 2^62 so ANSI arithmetic never overflows.
-    // Deterministic (hash-derived coefficients, no RNG).
+    // Native MinHashSig expression: one base hash per shingle + 64
+    // affine permutations mod 2^31-1 in a single fused codegen loop
+    // (bit-identical to the SQL chain it replaced — see
+    // graft.functions.MinHashSig).
     val bands = docsets
-      .withColumn("hs", expr("transform(sh, x -> pmod(xxhash64(x), 2147483647L))"))
-      .withColumn("sig", expr(
-        """transform(sequence(0, 63),
-             j -> array_min(transform(hs,
-               h -> (h * (pmod(xxhash64(j), 2147483646L) + 1) + pmod(xxhash64(j, 7), 2147483647L))
-                    % 2147483647L)))"""))
+      .withColumn("sig", graftExpr(graft.functions.MinHashSig(colExpr(col("sh")))))
       .select(col("doc_id"),
         posexplode(expr("transform(sequence(0, 7), b -> xxhash64(slice(sig, b * 8 + 1, 8)))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
@@ -121,16 +121,8 @@ object TextPipeline {
     // Chunk keys are a bijection of the bit-slices, so buckets —
     // and therefore the emitted pairs — are identical.
     val sigs = withWords(documents(s, d))
-      .withColumn("hs", expr("transform(array_distinct(ws), w -> xxhash64(w))"))
-      .withColumn("votes", expr(
-        """aggregate(hs,
-             transform(sequence(0, 63), b -> 0L),
-             (acc, h) -> zip_with(acc, sequence(0, 63),
-               (a, b) -> a + CASE WHEN (h >> b) % 2 != 0 THEN 1L ELSE -1L END))"""))
-      .withColumn("sig", expr(
-        """aggregate(zip_with(votes, sequence(0, 63),
-             (v, b) -> CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END),
-             0L, (a, x) -> a | x)"""))
+      .withColumn("sig",
+        graftExpr(graft.functions.SimHash64(colExpr(array_distinct(col("ws"))))))
       .select(col("doc_id"), col("sig"),
         posexplode(expr("transform(sequence(0, 3), c -> shiftright(sig, c * 16) & 65535)")))
       .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")

@@ -15,4 +15,8 @@ object GraftBridge {
     * `private[sql]`). */
   def column(e: Expression): org.apache.spark.sql.Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** The catalyst Expression behind a classic Column. */
+  def expression(c: org.apache.spark.sql.Column): Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }
