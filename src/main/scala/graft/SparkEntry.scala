@@ -50,6 +50,7 @@ object SparkEntry {
     "dedup_embed_cosine"   -> (Vectors.dedupEmbedCosine _),
     "ann_bruteforce_topk"  -> (Vectors.annBruteforceTopk _),
     "ann_lsh_topk"         -> (Vectors.annLshTopk _),
+    "ann_ivf_topk"         -> ((s, d) => Vectors.annIvfTopk(s, d)),
     "text_langid"          -> (TextPipeline.textLangid _),
     "text_quality"         -> (TextPipeline.textQuality _),
     "text_tokens"          -> (TextPipeline.textTokens _),

@@ -37,7 +37,7 @@ final class GraftTable(
     meta: TableMetadata,
     ops: TableOps,
     pinnedFiles: Option[Seq[String]] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -158,6 +158,41 @@ final class GraftTable(
           }
       }
     }
+  }
+
+  /** DELETE FROM — copy-on-write at file granularity: files whose
+    * stats prove they hold no matching row are KEPT untouched (with
+    * their stats); only possibly-affected files are re-read, filtered
+    * to the survivors, and rewritten. The commit is an overwrite
+    * snapshot, so the pre-delete state stays time-travelable. */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(FilterColumns.convertible)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val (_, cur) = ops.load(dir).getOrElse(
+      throw new IllegalStateException(s"table vanished at $dir"))
+    val entries = ops.resolveEntries(dir, cur)
+    val (affected, untouched) =
+      entries.partition(e => filters.forall(f => Stats.mayContain(e, schema, f)))
+    if (affected.isEmpty) return // provably nothing to delete
+    val cond = filters.flatMap(FilterColumns.toColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    val writeDir = new Path(ops.dataDir(dir), s"w-${java.util.UUID.randomUUID()}")
+    val survivors = spark.read.schema(schema).parquet(affected.map(_.path): _*)
+      .filter(!cond)
+    survivors.write.parquet(writeDir.toString)
+    val newFiles = {
+      val fs = writeDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(writeDir, true)
+      val buf = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet")) buf += f.toString
+      }
+      buf.result()
+    }
+    ops.overwriteWith(dir, untouched, newFiles, operation = "delete")
   }
 
   /** Wraps the parquet BatchWrite: after the files are durably in the

@@ -162,6 +162,52 @@ final class TableOps(store: FsStore) {
     commitFiles(tableDir, files, operation)
   }
 
+  /** Overwrite commit that KEEPS already-stat'ed entries as-is and
+    * stat-collects only the newly written files — the commit step of
+    * copy-on-write DELETE and of compaction. `keep` entries carry
+    * absolute paths (as returned by [[resolveEntries]]). */
+  def overwriteWith(
+      tableDir: Path,
+      keep: Seq[DataFileEntry],
+      newFiles: Seq[String],
+      operation: String = "overwrite"): TableMetadata = {
+    val (_, meta) = load(tableDir).getOrElse(
+      throw new CommitFailedException(s"table does not exist at $tableDir"))
+    val parent = meta.currentSnapshot
+    val keptRel = keep.map(e => e.copy(path = relativize(tableDir, e.path)))
+    val newRel = newFiles.map { f =>
+      val entry = scala.util.Try(Stats.collect(store.fs(tableDir).getConf, f))
+        .getOrElse(DataFileEntry(f))
+      entry.copy(path = relativize(tableDir, f))
+    }
+    val all = keptRel ++ newRel
+    val snapId = newSnapshotId()
+    val manifestName = s"manifest-$snapId.json"
+    store.writeString(
+      new Path(metadataDir(tableDir), manifestName), MetadataJson.manifestToJson(all))
+    val snap = Snapshot(
+      snapshotId = snapId,
+      parentSnapshotId = parent.map(_.snapshotId),
+      sequenceNumber = meta.lastSequenceNumber + 1,
+      timestampMs = System.currentTimeMillis(),
+      operation = operation,
+      manifest = manifestName,
+      summary = Map(
+        "added-data-files" -> newRel.size.toString,
+        "kept-data-files" -> keptRel.size.toString,
+        "total-data-files" -> all.size.toString),
+      schemaId = meta.currentSchemaId)
+    commit(tableDir, Seq.empty, Seq(
+      MetadataUpdate.AddSnapshot(snap),
+      MetadataUpdate.SetSnapshotRef("main", snapId, "branch")))
+  }
+
+  /** Rewrite the current snapshot into `numFiles` files (small-file
+    * compaction). History is preserved — the old snapshot and its
+    * files stay readable until expiration + orphan cleanup. */
+  def compact(spark: SparkSession, tableDir: Path, numFiles: Int): TableMetadata =
+    write(tableDir, read(spark, tableDir), "overwrite", Some(numFiles))
+
   // ---------- maintenance ----------
 
   /** Expire snapshots older than `olderThanMs`, always retaining the

@@ -79,6 +79,45 @@ object Vectors {
              WHERE q.vec_id < 10) t
        WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  /** L7b — IVF-bucketed ANN (the second scale path besides LSH):
+    * 16 deterministic centroids (lowest vec_ids — at scale, a k-means
+    * pass), every vector assigned to its nearest centroid via a
+    * broadcast argmax, queries probe their `nProbe` nearest cells,
+    * exact cosine re-rank inside the probed cells only. Candidate
+    * generation is a broadcast join + shuffle on cluster id — never a
+    * corpus cross join. Rows-only; AnnSpec-style recall asserted in
+    * PipelineSpec. */
+  def annIvfTopk(s: SparkSession, d: String, nProbe: Int = 3): DataFrame = {
+    val e = embeddings(s, d)
+    val centroids = broadcast(e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv")))
+
+    // rank cells per vector once; vectors keep rank 1, queries keep nProbe
+    val byVec = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
+    val ranked = e.join(centroids)
+      .withColumn("csim", cosine("embedding", "cv"))
+      .withColumn("crank", row_number().over(byVec))
+
+    val assign = ranked.filter(col("crank") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("cent_id"))
+    val probes = ranked.filter(col("vec_id") < 10 && col("crank") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("cent_id"))
+
+    val cand = probes.join(assign, "cent_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
+      .join(e.select(col("vec_id").as("query_id"), col("embedding").as("qv")), "query_id")
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")), "neighbor_id")
+
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    cand.withColumn("sim", cosine("qv", "nv"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("sim"), 4).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Deterministic pseudo-random hyperplane weight for (table, plane,
     * dim) — hash-derived, no RNG, so plans replay identically. */
   private def planeCode(vecCol: String, table: Int, planes: Int): Column = {

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+
+import graft.catalog._
+import graft.pipeline.Vectors
+
+/** Row-level DELETE (copy-on-write), compaction, and the IVF ANN
+  * scale path. */
+class DmlSpec extends SparkSpec {
+
+  private def cat: GraftCatalog =
+    spark.sessionState.catalogManager.catalog("graft").asInstanceOf[GraftCatalog]
+
+  test("DELETE FROM rewrites only possibly-affected files, keeps history") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
+    spark.sql("CREATE TABLE graft.dml.del (id BIGINT, day BIGINT) PARTITIONED BY (day) " +
+      "TBLPROPERTIES ('graft.write.target-file-count'='4')")
+    spark.range(0, 4000).selectExpr("id", "id % 4 AS day")
+      .write.mode("append").saveAsTable("graft.dml.del")
+    val dir = new Path(s"$warehouse/dml/del")
+    val before = cat.ops.resolveEntries(dir, cat.ops.load(dir).get._2)
+    assert(before.size >= 2)
+
+    spark.sql("DELETE FROM graft.dml.del WHERE day = 2 AND id < 1000")
+    assert(spark.sql("SELECT count(*) FROM graft.dml.del").collect().head.getLong(0) == 3750)
+    assert(spark.sql("SELECT count(*) FROM graft.dml.del WHERE day = 2").collect().head.getLong(0) == 750)
+
+    // untouched files survive verbatim (paths reused, stats kept)
+    val (_, m2) = cat.ops.load(dir).get
+    val after = cat.ops.resolveEntries(dir, m2)
+    val keptPaths = before.map(_.path).toSet.intersect(after.map(_.path).toSet)
+    assert(keptPaths.nonEmpty, "stat-pruned files should be kept, not rewritten")
+    assert(after.filter(e => keptPaths(e.path)).forall(_.stats.nonEmpty))
+
+    // pre-delete snapshot still fully readable
+    val prev = m2.snapshots.sortBy(_.sequenceNumber).dropRight(1).last
+    assert(spark.sql(s"SELECT count(*) FROM graft.dml.del VERSION AS OF ${prev.snapshotId}")
+      .collect().head.getLong(0) == 4000)
+    assert(m2.currentSnapshot.get.operation == "delete")
+  }
+
+  test("DELETE with a provably-empty match is a metadata no-op") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
+    spark.sql("CREATE TABLE graft.dml.noop (id BIGINT, day BIGINT) PARTITIONED BY (day)")
+    spark.range(0, 100).selectExpr("id", "id % 2 AS day")
+      .write.mode("append").saveAsTable("graft.dml.noop")
+    val dir = new Path(s"$warehouse/dml/noop")
+    val snapsBefore = cat.ops.load(dir).get._2.snapshots.size
+    spark.sql("DELETE FROM graft.dml.noop WHERE day = 99")
+    assert(cat.ops.load(dir).get._2.snapshots.size == snapsBefore, "no new snapshot")
+    assert(spark.sql("SELECT count(*) FROM graft.dml.noop").collect().head.getLong(0) == 100)
+  }
+
+  test("compact rewrites the snapshot into fewer files, data unchanged") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
+    spark.sql("CREATE TABLE graft.dml.cmp (id BIGINT)")
+    (1 to 5).foreach(i => spark.sql(s"INSERT INTO graft.dml.cmp VALUES ($i)"))
+    val dir = new Path(s"$warehouse/dml/cmp")
+    val before = cat.ops.resolveEntries(dir, cat.ops.load(dir).get._2)
+    assert(before.size == 5)
+    cat.ops.compact(spark, dir, numFiles = 1)
+    val after = cat.ops.resolveEntries(dir, cat.ops.load(dir).get._2)
+    assert(after.size == 1)
+    assert(spark.sql("SELECT sum(id) FROM graft.dml.cmp").collect().head.getLong(0) == 15)
+    // old files now orphanable after snapshot expiration
+    cat.ops.expireSnapshots(dir, Long.MaxValue, retainLast = 1)
+    val removed = cat.ops.removeOrphanFiles(dir)
+    assert(removed.size == 5, s"expected 5 pre-compaction files orphaned, got ${removed.size}")
+    assert(spark.sql("SELECT sum(id) FROM graft.dml.cmp").collect().head.getLong(0) == 15)
+  }
+
+  test("IVF ANN achieves >=0.5 recall@5 vs brute force") {
+    val exact = Vectors.annBruteforceTopk(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Vectors.annIvfTopk(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall@5 = $recall")
+  }
+}
