@@ -55,6 +55,7 @@ object SparkEntry {
     "text_quality"         -> (TextPipeline.textQuality _),
     "text_tokens"          -> (TextPipeline.textTokens _),
     "text_fingerprint"     -> (TextPipeline.textFingerprint _),
+    "pipeline_curate"      -> (TextPipeline.curate _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -89,5 +90,6 @@ object SparkEntry {
     "text_langid"          -> TextPipeline.textLangidSql,
     "text_quality"         -> TextPipeline.textQualitySql,
     "text_tokens"          -> TextPipeline.textTokensSql,
+    "pipeline_curate"      -> TextPipeline.curateSql,
   )
 }

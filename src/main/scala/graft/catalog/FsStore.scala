@@ -82,19 +82,41 @@ final class FsStore(conf: Configuration) {
   }
 
   /** CAS-publish version `next` (must be current+1). Returns false if a
-    * concurrent committer already claimed it. */
+    * concurrent committer already claimed it.
+    *
+    * The arbiter differs by filesystem because rename semantics do:
+    * HDFS rename fails when the destination exists (a true CAS), but
+    * POSIX rename(2) — what the local FS uses — silently REPLACES it,
+    * so a check-then-rename has a lost-update window. On `file:` we
+    * therefore hard-link the temp file into place: link(2) fails with
+    * EEXIST atomically, giving exactly-one-winner on local disks too.
+    */
   def publish(dir: Path, next: Int, content: String): Boolean = {
     mkdirs(dir)
     val target = versionPath(dir, next)
     if (exists(target)) return false
     val tmp = new Path(dir, s".tmp-${UUID.randomUUID()}.metadata.json")
     writeString(tmp, content)
-    val ok = fs(dir).rename(tmp, target)
-    if (!ok) { delete(tmp); false }
-    else {
+    val scheme = Option(fs(dir).getUri.getScheme).getOrElse("file")
+    val ok =
+      if (scheme == "file") {
+        import java.nio.file.{Files, Paths => JPaths}
+        try {
+          Files.createLink(
+            JPaths.get(target.toUri.getPath), JPaths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: java.io.IOException => false
+        }
+      } else {
+        fs(dir).rename(tmp, target)
+      }
+    delete(tmp)
+    if (ok) {
       // Best-effort hint; correctness never depends on it.
       scala.util.Try(writeString(new Path(dir, "version-hint.text"), next.toString))
-      true
     }
+    ok
   }
 }

@@ -92,7 +92,35 @@ final class TableOps(store: FsStore) {
       tableDir: Path,
       newFiles: Seq[String],
       operation: String,
-      requirements: Seq[Requirement] = Seq.empty): TableMetadata = {
+      requirements: Seq[Requirement] = Seq.empty,
+      maxRetries: Int = 20): TableMetadata = {
+    // Snapshot commits COMMUTE with concurrent snapshot commits (an
+    // append re-applies cleanly on the winner's state; an overwrite is
+    // last-writer-wins by definition), so a lost CAS race is retried
+    // against fresh state — same client-retry behavior the reference's
+    // REST protocol prescribes on 409. Explicit requirements are
+    // re-checked each attempt and still fail the commit if violated.
+    var attempt = 0
+    while (true) {
+      try return commitFilesOnce(tableDir, newFiles, operation, requirements)
+      catch {
+        case e: CommitFailedException if attempt < maxRetries &&
+            (e.getMessage.contains("concurrent commit") ||
+             e.getMessage.contains("assert-ref-snapshot-id")) =>
+          attempt += 1
+          // linear backoff de-synchronizes N-way contenders; losers of
+          // round k wait progressively longer than fresh winners
+          Thread.sleep(15L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def commitFilesOnce(
+      tableDir: Path,
+      newFiles: Seq[String],
+      operation: String,
+      requirements: Seq[Requirement]): TableMetadata = {
     val (_, meta) = load(tableDir).getOrElse(
       throw new CommitFailedException(s"table does not exist at $tableDir"))
     val parent = meta.currentSnapshot
@@ -121,7 +149,14 @@ final class TableOps(store: FsStore) {
         "added-data-files" -> newFiles.size.toString,
         "total-data-files" -> all.size.toString),
       schemaId = meta.currentSchemaId)
-    commit(tableDir, requirements, Seq(
+    // The manifest's cumulative file list was computed from the state
+    // read above; assert that state is STILL current at commit time,
+    // or a concurrent snapshot's files would silently drop out of the
+    // new manifest. A violation aborts this attempt and the retry in
+    // [[commitFiles]] recomputes from fresh state.
+    val parentGuard =
+      Requirement.AssertRefSnapshotId("main", parent.map(_.snapshotId))
+    commit(tableDir, requirements :+ parentGuard, Seq(
       MetadataUpdate.AddSnapshot(snap),
       MetadataUpdate.SetSnapshotRef("main", snapId, "branch")))
   }
@@ -197,9 +232,15 @@ final class TableOps(store: FsStore) {
         "kept-data-files" -> keptRel.size.toString,
         "total-data-files" -> all.size.toString),
       schemaId = meta.currentSchemaId)
-    commit(tableDir, Seq.empty, Seq(
-      MetadataUpdate.AddSnapshot(snap),
-      MetadataUpdate.SetSnapshotRef("main", snapId, "branch")))
+    // `keep` was derived from the state read above — same stale-read
+    // guard as commitFiles, but NOT retried: a conflicting concurrent
+    // commit means the caller's keep-set is invalid and the operation
+    // (delete/compact) must be recomputed by the caller.
+    commit(tableDir,
+      Seq(Requirement.AssertRefSnapshotId("main", parent.map(_.snapshotId))),
+      Seq(
+        MetadataUpdate.AddSnapshot(snap),
+        MetadataUpdate.SetSnapshotRef("main", snapId, "branch")))
   }
 
   /** Rewrite the current snapshot into `numFiles` files (small-file

@@ -238,6 +238,48 @@ object TextPipeline {
               CAST(SUM(ws_tok) AS DOUBLE) / COUNT(*) AS avg_ws_tokens
        FROM t GROUP BY source ORDER BY source"""
 
+  /** Composite curation pipeline — the end-to-end use-case the §2.3
+    * operators exist for: keep English documents above a quality bar,
+    * drop exact duplicates (first doc_id per content hash wins), and
+    * report the per-source survival funnel. One pass over the corpus:
+    * filter is per-row codegen, dedup is one hash-shuffle. */
+  def curate(s: SparkSession, d: String): DataFrame = {
+    val scored = withWords(documents(s, d))
+      .withColumn("h_en", expr(hitsExpr("en"))).withColumn("h_es", expr(hitsExpr("es")))
+      .withColumn("h_de", expr(hitsExpr("de"))).withColumn("h_fr", expr(hitsExpr("fr")))
+      .withColumn("h_zh", expr(hitsExpr("zh")))
+      .withColumn("pred_lang", expr(predCase))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .filter(col("pred_lang") === "en" && col("n_words") >= 5)
+    val deduped = scored
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("rn", expr(
+        "row_number() OVER (PARTITION BY content_hash ORDER BY doc_id)"))
+      .filter(col("rn") === 1)
+    deduped.groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+           sum(col("n_words")).as("kept_words"))
+      .orderBy("source")
+  }
+
+  val curateSql: String = {
+    def h(lang: String) = {
+      val list = stops(lang).map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(ws, w -> w IN ($list))) AS BIGINT) AS h_${lang}"
+    }
+    s"""WITH w AS (SELECT doc_id, text, source, string_split(text, ' ') AS ws FROM documents),
+       f AS (SELECT doc_id, text, source,
+                    CAST(len(ws) AS BIGINT) AS n_words,
+                    ${h("en")}, ${h("es")}, ${h("de")}, ${h("fr")}, ${h("zh")}
+             FROM w),
+       sc AS (SELECT *, $predCase AS pred_lang FROM f),
+       kept AS (SELECT * FROM sc WHERE pred_lang = 'en' AND n_words >= 5),
+       dd AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+              FROM kept)
+       SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_words) AS BIGINT) AS kept_words
+       FROM dd WHERE rn = 1 GROUP BY source ORDER BY source"""
+  }
+
   /** L11 — document fingerprint: rolling polynomial hash over word
     * hashes, mod a 30-bit prime (keeps every product within long
     * range). Rows-only: depends on Spark's xxhash64 seed. */
