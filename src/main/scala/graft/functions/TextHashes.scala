@@ -80,6 +80,63 @@ object SimHash64 {
   }
 }
 
+/** `graft_hyperplane(vec, table, planes)` → LSH hyperplane bucket code
+  * for a float vector: bit p = sign(dot(vec, w_p)) with deterministic
+  * pseudo-random weights w_p[i] = pmod(xxhash64(tableL, pL, i), 1000)
+  * / 1000 - 0.5 — identical to the SQL planeCode it replaces
+  * (Vectors.annLshTopk), one fused loop instead of `planes`
+  * interpreted aggregate/zip_with lambdas per vector. */
+case class HyperplaneCode(child: Expression, tableId: Int, planes: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_hyperplane expects ARRAY<FLOAT>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hyperplane"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HyperplaneCode.compute(input.asInstanceOf[ArrayData], tableId, planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HyperplaneCode.compute($c, $tableId, $planes)")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneCode =
+    copy(child = newChild)
+}
+
+object HyperplaneCode {
+  /** Weight for (table, plane, dim) — xxhash64(tableL, pL, i) chains
+    * seeds long→long→int exactly like the SQL multi-arg xxhash64. */
+  @inline private def weight(table: Int, p: Int, i: Int): Double = {
+    var h = XXH64.hashLong(table.toLong, 42L)
+    h = XXH64.hashLong(p.toLong, h)
+    h = XXH64.hashInt(i, h)
+    TextHashes.pmod(h, 1000L) / 1000.0 - 0.5
+  }
+
+  def compute(vec: ArrayData, table: Int, planes: Int): Long = {
+    val n = vec.numElements()
+    var code = 0L
+    var p = 0
+    while (p < planes) {
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        dot += vec.getFloat(i).toDouble * weight(table, p, i)
+        i += 1
+      }
+      if (dot > 0) code += (1L << p)
+      p += 1
+    }
+    code
+  }
+}
+
 /** `graft_minhash(shingles)` → the 64-permutation MinHash signature:
   * base = pmod(xxhash64(s), p); sig_j = min_s (base·a_j + b_j) mod p
   * with p = 2^31-1 and hash-derived coefficients — identical to the

@@ -118,17 +118,15 @@ object Vectors {
       .orderBy("query_id", "rank")
   }
 
-  /** Deterministic pseudo-random hyperplane weight for (table, plane,
-    * dim) — hash-derived, no RNG, so plans replay identically. */
+  /** Deterministic pseudo-random hyperplane bucket code for (table,
+    * plane, dim) — hash-derived, no RNG, so plans replay identically.
+    * Native codegen'd expression (graft.functions.HyperplaneCode); the
+    * weights match the aggregate/zip_with SQL it replaced bit-for-bit.
+    */
   private def planeCode(vecCol: String, table: Int, planes: Int): Column = {
-    // code bit p = sign(dot(v, w_p)) where w_p[i] is a deterministic
-    // pseudo-random weight in [-0.5, 0.5) derived from xxhash64.
-    val bits = (0 until planes).map { p =>
-      s"""(CASE WHEN aggregate(zip_with($vecCol, sequence(0, size($vecCol) - 1),
-            (x, i) -> CAST(x AS DOUBLE) * (pmod(xxhash64(${table}L, ${p}L, i), 1000L) / 1000.0 - 0.5)),
-            0D, (acc, v) -> acc + v) > 0 THEN ${1L << p}L ELSE 0L END)"""
-    }
-    expr(bits.mkString(" + "))
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    org.apache.spark.sql.execution.datasources.GraftBridge.column(
+      graft.functions.HyperplaneCode(UnresolvedAttribute(vecCol), table, planes))
   }
 
   /** L7 — LSH-bucketed ANN (scale path): 8 hash tables × 4 random
