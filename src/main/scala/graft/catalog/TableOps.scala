@@ -116,14 +116,52 @@ final class TableOps(store: FsStore) {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Write-audit-publish: commit snapshots to a side branch (main
+    * untouched), audit via `read(ref=branch)`, then [[fastForward]]
+    * main onto the branch head. */
+  def commitFilesToBranch(
+      tableDir: Path,
+      newFiles: Seq[String],
+      operation: String,
+      branch: String,
+      maxRetries: Int = 20): TableMetadata = {
+    var attempt = 0
+    while (true) {
+      try return commitFilesOnce(tableDir, newFiles, operation, Seq.empty, branch)
+      catch {
+        case e: CommitFailedException if attempt < maxRetries &&
+            (e.getMessage.contains("concurrent commit") ||
+             e.getMessage.contains("assert-ref-snapshot-id")) =>
+          attempt += 1
+          Thread.sleep(15L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Point `toRef` at `fromRef`'s head (fast-forward publish; moving
+    * "main" also moves the current snapshot + log). */
+  def fastForward(tableDir: Path, toRef: String, fromRef: String): TableMetadata = {
+    val (_, meta) = load(tableDir).getOrElse(
+      throw new CommitFailedException(s"table does not exist at $tableDir"))
+    val head = meta.snapshotByRef(fromRef).getOrElse(
+      throw new CommitFailedException(s"ref '$fromRef' has no snapshot"))
+    commit(tableDir,
+      Seq(Requirement.AssertRefSnapshotId(fromRef, Some(head.snapshotId))),
+      Seq(MetadataUpdate.SetSnapshotRef(toRef, head.snapshotId, "branch")))
+  }
+
   private def commitFilesOnce(
       tableDir: Path,
       newFiles: Seq[String],
       operation: String,
-      requirements: Seq[Requirement]): TableMetadata = {
+      requirements: Seq[Requirement],
+      branch: String = "main"): TableMetadata = {
     val (_, meta) = load(tableDir).getOrElse(
       throw new CommitFailedException(s"table does not exist at $tableDir"))
-    val parent = meta.currentSnapshot
+    val parent =
+      if (branch == "main") meta.currentSnapshot
+      else meta.snapshotByRef(branch).orElse(meta.currentSnapshot)
     val newRel = newFiles.map { f =>
       val entry = scala.util.Try(Stats.collect(store.fs(tableDir).getConf, f))
         .getOrElse(DataFileEntry(f))
@@ -155,10 +193,14 @@ final class TableOps(store: FsStore) {
     // new manifest. A violation aborts this attempt and the retry in
     // [[commitFiles]] recomputes from fresh state.
     val parentGuard =
-      Requirement.AssertRefSnapshotId("main", parent.map(_.snapshotId))
+      if (branch == "main")
+        Requirement.AssertRefSnapshotId("main", parent.map(_.snapshotId))
+      else // side branch: guard on the branch head only (may be absent)
+        Requirement.AssertRefSnapshotId(branch,
+          meta.refs.get(branch).map(_.snapshotId))
     commit(tableDir, requirements :+ parentGuard, Seq(
       MetadataUpdate.AddSnapshot(snap),
-      MetadataUpdate.SetSnapshotRef("main", snapId, "branch")))
+      MetadataUpdate.SetSnapshotRef(branch, snapId, "branch")))
   }
 
   private def rawSnapshotFiles(tableDir: Path, snap: Snapshot): Seq[DataFileEntry] =

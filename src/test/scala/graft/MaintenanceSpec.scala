@@ -64,6 +64,33 @@ class MaintenanceSpec extends SparkSpec {
     assert(entry.path == external)
   }
 
+  test("write-audit-publish: branch write, audit read, fast-forward") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.maint")
+    spark.sql("CREATE TABLE graft.maint.wap (id BIGINT)")
+    spark.sql("INSERT INTO graft.maint.wap VALUES (1)")
+    val dir = new Path(s"$warehouse/maint/wap")
+    import spark.implicits._
+
+    // stage on the audit branch — main must not see it
+    val staged = Seq(2L, 3L).toDF("id")
+    val writeDir = new Path(s"$warehouse/maint/wap/data/w-stage")
+    staged.write.parquet(writeDir.toString)
+    val files = cat.store.listFilesRec(writeDir)
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    cat.ops.commitFilesToBranch(dir, files, "append", "audit")
+
+    assert(spark.sql("SELECT count(*) FROM graft.maint.wap").collect().head.getLong(0) == 1)
+    val audited = spark.read.option("ref", "audit").table("graft.maint.wap")
+      .collect().map(_.getLong(0)).toSet
+    assert(audited == Set(1L, 2L, 3L), "audit branch sees staged + parent data")
+
+    // publish: fast-forward main onto the audited branch head
+    cat.ops.fastForward(dir, "main", "audit")
+    assert(spark.sql("SELECT sum(id) FROM graft.maint.wap").collect().head.getLong(0) == 6)
+    val (_, meta) = cat.ops.load(dir).get
+    assert(meta.refs("main").snapshotId == meta.refs("audit").snapshotId)
+  }
+
   test("streaming sink commits one snapshot per micro-batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sc = spark.sqlContext
