@@ -33,6 +33,7 @@ object SparkEntry {
     "q_window_lag"         -> (Relational.qWindowLag _),
     "q_rollup_sales"       -> (Relational.qRollupSales _),
     "q_cube_sales"         -> (Relational.qCubeSales _),
+    "q_full_outer"         -> (Relational.qFullOuter _),
     "q_string_agg"         -> (Relational.qStringAgg _),
     "q_percentiles"        -> (Relational.qPercentiles _),
     "q_pivot_status"       -> (Relational.qPivotStatus _),
@@ -75,6 +76,7 @@ object SparkEntry {
     "q_window_lag"         -> Relational.qWindowLagSql,
     "q_rollup_sales"       -> Relational.qRollupSalesSql,
     "q_cube_sales"         -> Relational.qCubeSalesSql,
+    "q_full_outer"         -> Relational.qFullOuterSql,
     "q_string_agg"         -> Relational.qStringAggSql,
     "q_percentiles"        -> Relational.qPercentilesSql,
     "q_pivot_status"       -> Relational.qPivotStatusSql,

@@ -291,6 +291,53 @@ final class TableOps(store: FsStore) {
   def compact(spark: SparkSession, tableDir: Path, numFiles: Int): TableMetadata =
     write(tableDir, read(spark, tableDir), "overwrite", Some(numFiles))
 
+  /** MERGE-lite upsert: rows of `source` replace current rows with the
+    * same key tuple; unmatched source rows append. File-granular
+    * copy-on-write like DELETE — files whose key-column stats don't
+    * overlap the source's key range are kept verbatim; only
+    * possibly-affected files are rewritten (anti-join on the keys).
+    * The source is read twice (key bounds + the join) — cache it if
+    * it's expensive. */
+  def upsert(
+      spark: SparkSession,
+      tableDir: Path,
+      source: DataFrame,
+      keys: Seq[String]): TableMetadata = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    val (_, meta) = load(tableDir).getOrElse(
+      throw new CommitFailedException(s"table does not exist at $tableDir"))
+    val schema = SchemaBridge.toSpark(meta.currentSchema)
+    val entries = resolveEntries(tableDir, meta)
+
+    import org.apache.spark.sql.functions.{col, min => fmin, max => fmax}
+    val boundsRow = source.agg(
+      fmin(col(keys.head)).as("mn0"), fmax(col(keys.head)).as("mx0")).collect().head
+    // conservative file pruning on the FIRST key column's range
+    val overlap: DataFileEntry => Boolean = { e =>
+      (boundsRow.get(0), boundsRow.get(1)) match {
+        case (mn: Any, mx: Any) if mn != null && mx != null =>
+          Stats.mayContain(e, schema,
+            org.apache.spark.sql.sources.And(
+              org.apache.spark.sql.sources.GreaterThanOrEqual(keys.head, mn),
+              org.apache.spark.sql.sources.LessThanOrEqual(keys.head, mx)))
+        case _ => true
+      }
+    }
+    val (affected, untouched) = entries.partition(overlap)
+    val writeDir = new Path(dataDir(tableDir), s"w-${UUID.randomUUID()}")
+    val existing =
+      if (affected.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else spark.read.schema(schema).parquet(affected.map(_.path): _*)
+    val survivors = existing.join(source.select(keys.map(col): _*), keys, "left_anti")
+    survivors.select(schema.fieldNames.map(col): _*)
+      .unionByName(source.select(schema.fieldNames.map(col): _*))
+      .write.parquet(writeDir.toString)
+    val newFiles = store.listFilesRec(writeDir)
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    overwriteWith(tableDir, untouched, newFiles, operation = "upsert")
+  }
+
   // ---------- maintenance ----------
 
   /** Expire snapshots older than `olderThanMs`, always retaining the

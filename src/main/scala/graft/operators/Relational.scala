@@ -487,6 +487,35 @@ object Relational {
        FROM lineitem WHERE (l_orderkey * 2654435761) % 1000 < 50
        GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** R31 — FULL OUTER join: reconcile per-customer order totals with
+    * per-customer event spend; either side may be absent. */
+  def qFullOuter(s: SparkSession, d: String): DataFrame = {
+    val ordSide = orders(s, d).groupBy(col("o_custkey").as("k"))
+      .agg(dsum(col("o_totalprice")).as("order_total"))
+      .filter(col("k") < 200)
+    val evSide = events(s, d).groupBy(col("user_id").as("k"))
+      .agg(dsum(col("value")).as("event_total"))
+      .filter(col("k") < 200)
+    ordSide.join(evSide, Seq("k"), "full_outer")
+      .select(col("k").as("cust_key"),
+        coalesce(col("order_total"), lit(0.0)).as("order_total"),
+        coalesce(col("event_total"), lit(0.0)).as("event_total"),
+        (col("order_total").isNotNull && col("event_total").isNotNull).as("in_both"))
+      .orderBy("cust_key")
+  }
+
+  val qFullOuterSql: String =
+    s"""WITH o AS (SELECT o_custkey AS k, ${sqlSum("o_totalprice")} AS order_total
+                  FROM orders GROUP BY o_custkey HAVING o_custkey < 200),
+       e AS (SELECT user_id AS k, ${sqlSum("value")} AS event_total
+             FROM events GROUP BY user_id HAVING user_id < 200)
+       SELECT COALESCE(o.k, e.k) AS cust_key,
+              COALESCE(order_total, 0.0) AS order_total,
+              COALESCE(event_total, 0.0) AS event_total,
+              (order_total IS NOT NULL AND event_total IS NOT NULL) AS in_both
+       FROM o FULL OUTER JOIN e ON o.k = e.k
+       ORDER BY cust_key"""
+
   /** R28 — CUBE grouping sets (all 4 combinations of region × order
     * status); same temp-view SQL routing as ROLLUP (R17). */
   def qCubeSales(s: SparkSession, d: String): DataFrame = {

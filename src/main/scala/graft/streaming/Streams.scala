@@ -61,6 +61,23 @@ object Streams {
       }
       .start()
 
+  /** Incremental reads of catalog-table appends: a parquet file-stream
+    * source over the table's write directories — each new data file is
+    * one unit of discovery, so downstream processing is incremental
+    * without re-reading history. Caveat (documented trade-off of the
+    * file-source path): files become visible when written, marginally
+    * before their snapshot commit; for strictly committed-only reads,
+    * batch-poll snapshots instead. */
+  def readCatalogAppends(
+      spark: SparkSession,
+      ops: graft.catalog.TableOps,
+      tableDir: org.apache.hadoop.fs.Path): DataFrame = {
+    val (_, meta) = ops.load(tableDir).getOrElse(
+      throw new IllegalArgumentException(s"table does not exist at $tableDir"))
+    val schema = graft.catalog.SchemaBridge.toSpark(meta.currentSchema)
+    spark.readStream.schema(schema).parquet(s"${ops.dataDir(tableDir)}/*")
+  }
+
   /** R27 — stateful gap-based sessionization with
     * flatMapGroupsWithState: per-user state holds the open session;
     * emits one row per CLOSED session (30-minute gap). With

@@ -70,6 +70,59 @@ class DmlSpec extends SparkSpec {
     assert(spark.sql("SELECT sum(id) FROM graft.dml.cmp").collect().head.getLong(0) == 15)
   }
 
+  test("upsert replaces matching keys, appends the rest, prunes by stats") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
+    spark.sql("CREATE TABLE graft.dml.ups (id BIGINT, v STRING, grp BIGINT) PARTITIONED BY (grp) " +
+      "TBLPROPERTIES ('graft.write.target-file-count'='4')")
+    spark.range(0, 400).selectExpr("id", "CAST(id AS STRING) AS v", "id % 4 AS grp")
+      .write.mode("append").saveAsTable("graft.dml.ups")
+    val dir = new Path(s"$warehouse/dml/ups")
+    val before = cat.ops.resolveEntries(dir, cat.ops.load(dir).get._2)
+
+    import spark.implicits._
+    // update ids 10..12, insert 1000 (ids cluster low → stat pruning applies)
+    val src = Seq((10L, "X", 2L), (11L, "Y", 3L), (1000L, "NEW", 0L))
+      .toDF("id", "v", "grp")
+    cat.ops.upsert(spark, dir, src, Seq("id"))
+
+    assert(spark.sql("SELECT count(*) FROM graft.dml.ups").collect().head.getLong(0) == 401)
+    val updated = spark.sql("SELECT v FROM graft.dml.ups WHERE id IN (10, 11, 1000) ORDER BY id")
+      .collect().map(_.getString(0)).toSeq
+    assert(updated == Seq("X", "Y", "NEW"))
+    assert(spark.sql("SELECT v FROM graft.dml.ups WHERE id = 12").collect().head.getString(0) == "12")
+
+    val (_, m2) = cat.ops.load(dir).get
+    assert(m2.currentSnapshot.get.operation == "upsert")
+    // pre-upsert state still time-travelable
+    val prev = m2.snapshots.sortBy(_.sequenceNumber).dropRight(1).last
+    assert(spark.sql(s"SELECT v FROM graft.dml.ups VERSION AS OF ${prev.snapshotId} WHERE id = 10")
+      .collect().head.getString(0) == "10")
+  }
+
+  test("readCatalogAppends streams new table files incrementally") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
+    spark.sql("CREATE TABLE graft.dml.cdc (v BIGINT)")
+    val dir = new Path(s"$warehouse/dml/cdc")
+    spark.sql("INSERT INTO graft.dml.cdc VALUES (1)")
+
+    val q = graft.streaming.Streams.readCatalogAppends(spark, cat.ops, dir)
+      .writeStream.format("memory").queryName("cdc_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-cdc-").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM cdc_out").collect().head.getLong(0) == 1)
+      spark.sql("INSERT INTO graft.dml.cdc VALUES (2), (3)")
+      q.processAllAvailable()
+      assert(spark.sql("SELECT sum(v) FROM cdc_out").collect().head.getLong(0) == 6,
+        "new appends must arrive incrementally")
+    } finally q.stop()
+  }
+
   test("IVF ANN achieves >=0.5 recall@5 vs brute force") {
     val exact = Vectors.annBruteforceTopk(spark, sfDir)
       .select("query_id", "neighbor_id").collect()
