@@ -37,7 +37,8 @@ final class GraftTable(
     meta: TableMetadata,
     ops: TableOps,
     pinnedFiles: Option[Seq[String]] = None)
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsRowLevelOperations {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -160,6 +161,66 @@ final class GraftTable(
     }
   }
 
+  /** SQL UPDATE / MERGE INTO — group-based copy-on-write: Spark's
+    * row-level rewrite plans read the WHOLE table through the
+    * operation's scan, compute the post-operation rows (updated +
+    * untouched), and the write commits them as an overwrite snapshot.
+    *
+    * Correctness hinges on the scan builder here NOT accepting filter
+    * pushdown: the write replaces everything that exists, so the scan
+    * must surface every row — a pushed-down UPDATE condition would
+    * silently drop the unmatched rows. Column pruning stays (Spark
+    * asks for all columns it needs to reconstruct rows). Full-table
+    * rewrite is the coarse-but-correct granularity; file-level
+    * refinement needs runtime group filtering (a round-3 candidate).
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    import org.apache.spark.sql.connector.write.{LogicalWriteInfo => LWI, RowLevelOperation => RLO}
+    () => new RLO {
+      override def command(): RLO.Command = info.command()
+      override def description(): String = s"graft cow ${info.command()}"
+
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+        val files = ops.resolveFiles(dir, reload())
+        new ScanBuilder
+            with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+          private var required: StructType = schema
+          override def pruneColumns(requiredSchema: StructType): Unit =
+            required = requiredSchema
+          override def build(): org.apache.spark.sql.connector.read.Scan = {
+            val b = parquetDelegate(files).newScanBuilder(options)
+            b.pruneColumns(required)
+            b.build()
+          }
+        }
+      }
+
+      override def newWriteBuilder(winfo: LWI): WriteBuilder = {
+        val writeDir = new Path(ops.dataDir(dir), s"w-${java.util.UUID.randomUUID()}")
+        val delegate = parquetDelegate(Seq(writeDir.toString)).newWriteBuilder(winfo)
+        new WriteBuilder {
+          override def build(): Write = {
+            val inner = delegate.build()
+            new Write {
+              override def toBatch: BatchWrite = {
+                // The rewrite plan PREPENDS metadata columns (e.g.
+                // __row_operation) that the connector must consume;
+                // project them away before the parquet writer.
+                val base = new CommittingBatchWrite(inner.toBatch, writeDir, "overwrite")
+                new ProjectingBatchWrite(base, winfo.schema())
+              }
+            }
+          }
+        }
+      }
+    }
+  }
+
+  private def reload(): TableMetadata =
+    ops.load(dir).map(_._2).getOrElse(meta)
+
   /** DELETE FROM — copy-on-write at file granularity: files whose
     * stats prove they hold no matching row are KEPT untouched (with
     * their stats); only possibly-affected files are re-read, filtered
@@ -195,6 +256,21 @@ final class GraftTable(
     ops.overwriteWith(dir, untouched, newFiles, operation = "delete")
   }
 
+  /** Wraps a BatchWrite so every incoming row is projected down to the
+    * write schema by dropping LEADING metadata fields (Spark's
+    * row-level rewrite plans prepend them). */
+  private final class ProjectingBatchWrite(inner: BatchWrite, writeSchema: StructType)
+      extends BatchWrite {
+    override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+      new GraftTable.ProjectingWriterFactory(
+        inner.createBatchWriterFactory(info), writeSchema)
+    override def useCommitCoordinator(): Boolean = inner.useCommitCoordinator()
+    override def onDataWriterCommit(message: WriterCommitMessage): Unit =
+      inner.onDataWriterCommit(message)
+    override def commit(messages: Array[WriterCommitMessage]): Unit = inner.commit(messages)
+    override def abort(messages: Array[WriterCommitMessage]): Unit = inner.abort(messages)
+  }
+
   /** Wraps the parquet BatchWrite: after the files are durably in the
     * private write dir, lists them and runs the snapshot commit. */
   private final class CommittingBatchWrite(
@@ -220,6 +296,38 @@ final class GraftTable(
         if (f.getName.endsWith(".parquet")) buf += f.toString
       }
       buf.result()
+    }
+  }
+}
+
+object GraftTable {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+  import org.apache.spark.sql.connector.write.DataWriter
+
+  /** Executor-side: drops `incoming.numFields - schema.size` LEADING
+    * fields via a codegen'd unsafe projection (built lazily once the
+    * first row reveals the incoming arity). */
+  private final class ProjectingWriterFactory(
+      inner: DataWriterFactory, schema: StructType) extends DataWriterFactory {
+    override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+      val delegate = inner.createWriter(partitionId, taskId)
+      new DataWriter[InternalRow] {
+        private var proj: UnsafeProjection = _
+        override def write(row: InternalRow): Unit = {
+          if (proj == null) {
+            val offset = row.numFields - schema.size
+            require(offset >= 0, s"row has fewer fields than write schema")
+            proj = UnsafeProjection.create(schema.fields.toIndexedSeq.zipWithIndex.map {
+              case (f, i) => BoundReference(i + offset, f.dataType, f.nullable)
+            })
+          }
+          delegate.write(proj(row))
+        }
+        override def commit(): WriterCommitMessage = delegate.commit()
+        override def abort(): Unit = delegate.abort()
+        override def close(): Unit = delegate.close()
+      }
     }
   }
 }

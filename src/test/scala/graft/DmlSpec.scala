@@ -123,6 +123,36 @@ class DmlSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("SQL UPDATE and MERGE INTO via row-level operations") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
+    spark.sql("CREATE TABLE graft.dml.rlo (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.dml.rlo VALUES (1,'a'), (2,'b'), (3,'c')")
+
+    spark.sql("UPDATE graft.dml.rlo SET v = 'Z' WHERE id = 2")
+    assert(spark.sql("SELECT v FROM graft.dml.rlo ORDER BY id").collect().map(_.getString(0)).toSeq
+      == Seq("a", "Z", "c"))
+
+    spark.sql("CREATE TABLE graft.dml.rlo_src (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.dml.rlo_src VALUES (3,'merged'), (4,'new')")
+    spark.sql("""MERGE INTO graft.dml.rlo t USING graft.dml.rlo_src s ON t.id = s.id
+                 WHEN MATCHED THEN UPDATE SET v = s.v
+                 WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.sql("SELECT v FROM graft.dml.rlo ORDER BY id").collect().map(_.getString(0)).toSeq
+      == Seq("a", "Z", "merged", "new"))
+
+    // pre-update state remains time-travelable
+    val dir = new Path(s"$warehouse/dml/rlo")
+    val (_, meta) = cat.ops.load(dir).get
+    val first = meta.snapshots.minBy(_.sequenceNumber)
+    assert(spark.sql(s"SELECT v FROM graft.dml.rlo VERSION AS OF ${first.snapshotId} WHERE id = 2")
+      .collect().head.getString(0) == "b")
+    // MERGE with a WHEN NOT MATCHED BY SOURCE clause
+    spark.sql("""MERGE INTO graft.dml.rlo t USING graft.dml.rlo_src s ON t.id = s.id
+                 WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    assert(spark.sql("SELECT id FROM graft.dml.rlo ORDER BY id").collect().map(_.getLong(0)).toSeq
+      == Seq(3L, 4L))
+  }
+
   test("IVF ANN achieves >=0.5 recall@5 vs brute force") {
     val exact = Vectors.annBruteforceTopk(spark, sfDir)
       .select("query_id", "neighbor_id").collect()
