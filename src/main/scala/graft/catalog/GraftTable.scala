@@ -161,6 +161,13 @@ final class GraftTable(
     }
   }
 
+  /** TRUNCATE TABLE — an overwrite snapshot with zero files; all
+    * prior snapshots stay time-travelable. */
+  override def truncateTable(): Boolean = {
+    ops.commitFiles(dir, Seq.empty, "overwrite")
+    true
+  }
+
   /** SQL UPDATE / MERGE INTO — group-based copy-on-write: Spark's
     * row-level rewrite plans read the WHOLE table through the
     * operation's scan, compute the post-operation rows (updated +

@@ -153,6 +153,21 @@ class DmlSpec extends SparkSpec {
       == Seq(3L, 4L))
   }
 
+  test("TRUNCATE TABLE empties the table but keeps history") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
+    spark.sql("CREATE TABLE graft.dml.trunc (id BIGINT)")
+    spark.sql("INSERT INTO graft.dml.trunc VALUES (1), (2)")
+    spark.sql("TRUNCATE TABLE graft.dml.trunc")
+    assert(spark.sql("SELECT count(*) FROM graft.dml.trunc").collect().head.getLong(0) == 0)
+    val dir = new Path(s"$warehouse/dml/trunc")
+    val (_, meta) = cat.ops.load(dir).get
+    val first = meta.snapshots.minBy(_.sequenceNumber)
+    assert(spark.sql(s"SELECT count(*) FROM graft.dml.trunc VERSION AS OF ${first.snapshotId}")
+      .collect().head.getLong(0) == 2)
+    spark.sql("INSERT INTO graft.dml.trunc VALUES (9)")
+    assert(spark.sql("SELECT sum(id) FROM graft.dml.trunc").collect().head.getLong(0) == 9)
+  }
+
   test("IVF ANN achieves >=0.5 recall@5 vs brute force") {
     val exact = Vectors.annBruteforceTopk(spark, sfDir)
       .select("query_id", "neighbor_id").collect()
