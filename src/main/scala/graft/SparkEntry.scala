@@ -31,6 +31,7 @@ object SparkEntry {
     "q_window_rank"        -> (Relational.qWindowRank _),
     "q_window_running"     -> (Relational.qWindowRunning _),
     "q_window_lag"         -> (Relational.qWindowLag _),
+    "q_window_range"       -> (Relational.qWindowRange _),
     "q_rollup_sales"       -> (Relational.qRollupSales _),
     "q_cube_sales"         -> (Relational.qCubeSales _),
     "q_full_outer"         -> (Relational.qFullOuter _),
@@ -74,6 +75,7 @@ object SparkEntry {
     "q_window_rank"        -> Relational.qWindowRankSql,
     "q_window_running"     -> Relational.qWindowRunningSql,
     "q_window_lag"         -> Relational.qWindowLagSql,
+    "q_window_range"       -> Relational.qWindowRangeSql,
     "q_rollup_sales"       -> Relational.qRollupSalesSql,
     "q_cube_sales"         -> Relational.qCubeSalesSql,
     "q_full_outer"         -> Relational.qFullOuterSql,

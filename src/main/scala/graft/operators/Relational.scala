@@ -487,6 +487,33 @@ object Relational {
        FROM lineitem WHERE (l_orderkey * 2654435761) % 1000 < 50
        GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** R32 — RANGE window frame: per-user moving 1-hour spend over the
+    * event stream (value-based frame, not row-count) + first/last
+    * value in frame. One shuffle on user_id. */
+  def qWindowRange(s: SparkSession, d: String): DataFrame = {
+    val hour = Window.partitionBy("user_id").orderBy(col("sec"))
+      .rangeBetween(-3600L, Window.currentRow)
+    events(s, d).filter(col("user_id") < 10)
+      .withColumn("sec", expr("ts div 1000000000"))
+      .withColumn("hour_spend", sum(col("value").cast(D)).over(hour).cast("double"))
+      .withColumn("hour_events", count(lit(1)).over(hour))
+      .withColumn("first_in_hour", min(col("event_id")).over(hour))
+      .select("user_id", "sec", "event_id", "hour_spend", "hour_events", "first_in_hour")
+      .orderBy("user_id", "sec", "event_id")
+  }
+
+  val qWindowRangeSql: String =
+    """SELECT user_id, sec, event_id,
+              CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS hour_spend,
+              COUNT(*) OVER w AS hour_events,
+              MIN(event_id) OVER w AS first_in_hour
+       FROM (SELECT user_id, event_id, value,
+                    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+             FROM events WHERE user_id < 10) t
+       WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+       ORDER BY user_id, sec, event_id"""
+
   /** R31 — FULL OUTER join: reconcile per-customer order totals with
     * per-customer event spend; either side may be absent. */
   def qFullOuter(s: SparkSession, d: String): DataFrame = {
