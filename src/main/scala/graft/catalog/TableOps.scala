@@ -365,16 +365,27 @@ final class TableOps(store: FsStore) {
 
   /** Delete data files under the table's data dir that no live
     * snapshot references (left by aborted writes or expired
-    * snapshots). Returns the deleted paths. */
-  def removeOrphanFiles(tableDir: Path): Seq[String] = {
+    * snapshots). Returns the deleted paths.
+    *
+    * `graceMs` protects IN-FLIGHT writers: a concurrent write's files
+    * exist before its commit and would look orphaned; only files older
+    * than the grace window are eligible (default 1 hour — same reason
+    * Iceberg's remove_orphan_files defaults to a retention interval).
+    */
+  def removeOrphanFiles(tableDir: Path, graceMs: Long = 3600000L): Seq[String] = {
     val (_, meta) = load(tableDir).getOrElse(
       throw new CommitFailedException(s"table does not exist at $tableDir"))
     val referenced = meta.snapshots
       .flatMap(s => scala.util.Try(snapshotFiles(tableDir, s)).getOrElse(Seq.empty))
       .map(p => new Path(p).toUri.getPath).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
     val orphans = store.listFilesRec(dataDir(tableDir))
-      .filter(p => p.getName.endsWith(".parquet") &&
-        !referenced.contains(p.toUri.getPath))
+      .filter { p =>
+        p.getName.endsWith(".parquet") &&
+        !referenced.contains(p.toUri.getPath) &&
+        scala.util.Try(store.fs(p).getFileStatus(p).getModificationTime <= cutoff)
+          .getOrElse(false)
+      }
     orphans.foreach(store.delete)
     orphans.map(_.toString)
   }

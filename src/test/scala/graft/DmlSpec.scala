@@ -65,7 +65,7 @@ class DmlSpec extends SparkSpec {
     assert(spark.sql("SELECT sum(id) FROM graft.dml.cmp").collect().head.getLong(0) == 15)
     // old files now orphanable after snapshot expiration
     cat.ops.expireSnapshots(dir, Long.MaxValue, retainLast = 1)
-    val removed = cat.ops.removeOrphanFiles(dir)
+    val removed = cat.ops.removeOrphanFiles(dir, graceMs = 0L)
     assert(removed.size == 5, s"expected 5 pre-compaction files orphaned, got ${removed.size}")
     assert(spark.sql("SELECT sum(id) FROM graft.dml.cmp").collect().head.getLong(0) == 15)
   }

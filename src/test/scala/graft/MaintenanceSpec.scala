@@ -42,11 +42,14 @@ class MaintenanceSpec extends SparkSpec {
     // simulate an aborted write: a parquet file no manifest references
     val stray = new Path(s"$warehouse/maint/orph/data/w-stray/part-0.parquet")
     spark.range(5).write.parquet(stray.getParent.toString)
-    val deleted = cat.ops.removeOrphanFiles(dir)
+    // default grace period protects just-written files (an in-flight
+    // writer's uncommitted output must never be collected)
+    assert(cat.ops.removeOrphanFiles(dir).isEmpty)
+    val deleted = cat.ops.removeOrphanFiles(dir, graceMs = 0L)
     assert(deleted.nonEmpty && deleted.forall(_.contains("w-stray")))
     assert(spark.sql("SELECT count(*) FROM graft.maint.orph").collect().head.getLong(0) == 2)
     // idempotent
-    assert(cat.ops.removeOrphanFiles(dir).isEmpty)
+    assert(cat.ops.removeOrphanFiles(dir, graceMs = 0L).isEmpty)
   }
 
   test("register adopts external parquet files without copying") {
