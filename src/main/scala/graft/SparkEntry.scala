@@ -28,6 +28,7 @@ object SparkEntry {
     "q_cust_order_counts"  -> (Relational.qCustOrderCounts _),
     "q_distinct_parts"     -> (Relational.qDistinctParts _),
     "q_setops"             -> (Relational.qSetops _),
+    "q_setops_all"         -> (Relational.qSetopsAll _),
     "q_window_rank"        -> (Relational.qWindowRank _),
     "q_window_running"     -> (Relational.qWindowRunning _),
     "q_window_lag"         -> (Relational.qWindowLag _),
@@ -72,6 +73,7 @@ object SparkEntry {
     "q_cust_order_counts"  -> Relational.qCustOrderCountsSql,
     "q_distinct_parts"     -> Relational.qDistinctPartsSql,
     "q_setops"             -> Relational.qSetopsSql,
+    "q_setops_all"         -> Relational.qSetopsAllSql,
     "q_window_rank"        -> Relational.qWindowRankSql,
     "q_window_running"     -> Relational.qWindowRunningSql,
     "q_window_lag"         -> Relational.qWindowLagSql,

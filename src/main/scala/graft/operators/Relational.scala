@@ -259,6 +259,27 @@ object Relational {
        SELECT 'except' AS op, COUNT(*) AS cnt FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
        ORDER BY op"""
 
+  /** R13b — multiset set operations (ALL variants keep duplicates):
+    * order-priority multisets of two customer cohorts. */
+  def qSetopsAll(s: SparkSession, d: String): DataFrame = {
+    val a = orders(s, d).filter(col("o_custkey") % 2 === 0).select(col("o_orderpriority").as("p"))
+    val b = orders(s, d).filter(col("o_custkey") % 3 === 0).select(col("o_orderpriority").as("p"))
+    val u = a.unionAll(b).groupBy().count().withColumn("op", lit("union_all"))
+    val i = a.intersectAll(b).groupBy().count().withColumn("op", lit("intersect_all"))
+    val e = a.exceptAll(b).groupBy().count().withColumn("op", lit("except_all"))
+    u.union(i).union(e).select(col("op"), col("count").as("cnt")).orderBy("op")
+  }
+
+  val qSetopsAllSql: String =
+    """WITH a AS (SELECT o_orderpriority AS p FROM orders WHERE o_custkey % 2 = 0),
+       b AS (SELECT o_orderpriority AS p FROM orders WHERE o_custkey % 3 = 0)
+       SELECT 'union_all' AS op, COUNT(*) AS cnt FROM (SELECT p FROM a UNION ALL SELECT p FROM b)
+       UNION ALL
+       SELECT 'intersect_all' AS op, COUNT(*) AS cnt FROM (SELECT p FROM a INTERSECT ALL SELECT p FROM b)
+       UNION ALL
+       SELECT 'except_all' AS op, COUNT(*) AS cnt FROM (SELECT p FROM a EXCEPT ALL SELECT p FROM b)
+       ORDER BY op"""
+
   /** R14 — ranking window: top-3 orders by value per market segment.
     * Single shuffle on the partition key; rank prunes early under AQE. */
   def qWindowRank(s: SparkSession, d: String): DataFrame = {

@@ -61,6 +61,16 @@ object Streams {
       }
       .start()
 
+  /** Streaming exact deduplication — the streaming face of the dedup
+    * family (§2.3 L1): drop events already seen, with state bounded by
+    * the watermark (an event older than the watermark can no longer
+    * have an unseen duplicate in-flight, so its key is evictable).
+    * At 100 TB/day the state is keyed and partitioned by the id. */
+  def dedupStream(events: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicates("event_id", "ts")
+
   /** Incremental reads of catalog-table appends: a parquet file-stream
     * source over the table's write directories — each new data file is
     * one unit of discovery, so downstream processing is incremental

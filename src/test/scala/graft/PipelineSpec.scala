@@ -80,6 +80,25 @@ class PipelineSpec extends SparkSpec {
     assert(row.getLong(1) >= distinct && row.getLong(1) <= total)
   }
 
+  test("L11: fingerprints are stable and distinguish distinct texts") {
+    val fp1 = TextPipeline.textFingerprint(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fp2 = TextPipeline.textFingerprint(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp1 == fp2, "fingerprints must be deterministic")
+    // identical texts share a fingerprint; the number of distinct
+    // fingerprints matches the number of distinct texts (no accidental
+    // collisions on this corpus)
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byText = docs.groupBy(_._2).values
+    byText.foreach { group =>
+      val fps = group.map { case (id, _) => fp1(id) }.toSet
+      assert(fps.size == 1, "same text must share one fingerprint")
+    }
+    assert(fp1.values.toSet.size == docs.values.toSet.size)
+  }
+
   test("R25: salted two-phase agg equals direct aggregation") {
     val salted = Relational.qSaltedTopusers(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq

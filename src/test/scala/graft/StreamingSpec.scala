@@ -61,6 +61,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicates across micro-batches") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = Streams.dedupStream(input.toDF())
+      .select("event_id", "value")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, 1, "click", 1.0, ts(0)),
+        Event(1, 1, "click", 1.0, ts(0)), // dup within batch
+        Event(2, 1, "click", 2.0, ts(1)))
+      q.processAllAvailable()
+      input.addData(Event(2, 1, "click", 2.0, ts(1))) // dup across batches
+      input.addData(Event(3, 2, "view", 3.0, ts(2)))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT event_id FROM dedup_out").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
   test("R27: batch and streaming sessionization agree on closed sessions") {
     import spark.implicits._
     // run the stateful function in batch mode over real event data —
