@@ -45,6 +45,17 @@ object SparkEntry {
     "q_approx_distinct"    -> (Relational.qApproxDistinct _),
     "q_hash_sample"        -> (Relational.qHashSample _),
     "q_salted_topusers"    -> (Relational.qSaltedTopusers _),
+    "q2_best_supplier"     -> (Relational.q2BestSupplier _),
+    "q4_order_priority"    -> (Relational.q4OrderPriority _),
+    "q7_volume_shipping"   -> (Relational.q7VolumeShipping _),
+    "q8_market_share"      -> (Relational.q8MarketShare _),
+    "q9_product_profit"    -> (Relational.q9ProductProfit _),
+    "q10_returned_items"   -> (Relational.q10ReturnedItems _),
+    "q13_cust_distribution" -> (Relational.q13CustDistribution _),
+    "q15_top_supplier"     -> (Relational.q15TopSupplier _),
+    "q16_parts_supplier"   -> (Relational.q16PartsSupplier _),
+    "q19_disjunctive"      -> (Relational.q19Disjunctive _),
+    "q22_wealthy_inactive" -> (Relational.q22WealthyInactive _),
     // §2.3 LLM-training-data pipeline
     "dedup_exact"          -> (TextPipeline.dedupExact _),
     "dedup_ngram_jaccard"  -> (TextPipeline.ngramJaccard _),
@@ -89,6 +100,17 @@ object SparkEntry {
     "q_asof_join"          -> Relational.qAsofJoinSql,
     "q_hash_sample"        -> Relational.qHashSampleSql,
     "q_salted_topusers"    -> Relational.qSaltedTopusersSql,
+    "q2_best_supplier"     -> Relational.q2Sql,
+    "q4_order_priority"    -> Relational.q4Sql,
+    "q7_volume_shipping"   -> Relational.q7Sql,
+    "q8_market_share"      -> Relational.q8Sql,
+    "q9_product_profit"    -> Relational.q9Sql,
+    "q10_returned_items"   -> Relational.q10Sql,
+    "q13_cust_distribution" -> Relational.q13Sql,
+    "q15_top_supplier"     -> Relational.q15Sql,
+    "q16_parts_supplier"   -> Relational.q16Sql,
+    "q19_disjunctive"      -> Relational.q19Sql,
+    "q22_wealthy_inactive" -> Relational.q22Sql,
     "dedup_exact"          -> TextPipeline.dedupExactSql,
     "dedup_ngram_jaccard"  -> TextPipeline.ngramJaccardSql,
     "dedup_embed_cosine"   -> Vectors.dedupEmbedCosineSql,

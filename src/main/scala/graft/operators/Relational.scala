@@ -641,4 +641,312 @@ object Relational {
   val qSaltedTopusersSql: String =
     s"""SELECT user_id, ${sqlSum("value")} AS total_value, COUNT(*) AS n_events
        FROM events GROUP BY user_id ORDER BY total_value DESC, user_id LIMIT 20"""
+
+  // ——————————————————————————————————————————————————————————————————
+  // Adapted TPC-H remainder (the test schema has no partsupp /
+  // commitdate / shipmode / phone, so q2/q4/q7–q22 are re-expressed on
+  // the available columns while keeping each query's characteristic
+  // operator shape).
+  // ——————————————————————————————————————————————————————————————————
+
+  /** R34 — TPC-H Q2-style "best supplier per part": argmax aggregation
+    * via `max_by` on an orderable struct (acctbal, suppkey) — one
+    * shuffle on p_partkey, dims broadcast. Deterministic tie-break:
+    * highest balance, then highest suppkey. */
+  def q2BestSupplier(s: SparkSession, d: String): DataFrame = {
+    val pk = part(s, d).filter(col("p_size") < 10 && col("p_type") === "SMALL")
+      .select("p_partkey")
+    lineitem(s, d)
+      .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("p_partkey")
+      .agg(max_by(col("s_suppkey"), struct(col("s_acctbal"), col("s_suppkey"))).as("best_supp"),
+           max(col("s_acctbal")).as("best_bal"))
+      .orderBy("p_partkey")
+  }
+
+  val q2Sql: String =
+    """WITH cand AS (SELECT DISTINCT p_partkey, s_suppkey, s_acctbal
+                     FROM lineitem JOIN part ON l_partkey = p_partkey
+                     JOIN supplier ON l_suppkey = s_suppkey
+                     WHERE p_size < 10 AND p_type = 'SMALL')
+       SELECT p_partkey, s_suppkey AS best_supp, s_acctbal AS best_bal
+       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY p_partkey
+                       ORDER BY s_acctbal DESC, s_suppkey DESC) AS rn FROM cand) t
+       WHERE rn = 1 ORDER BY p_partkey"""
+
+  /** R35 — TPC-H Q4-style order-priority check: EXISTS (left-semi join
+    * against qualifying lineitems) then per-priority counts. */
+  def q4OrderPriority(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(to_date(col("o_orderdate")) >= lit("1996-01-01") &&
+              to_date(col("o_orderdate")) < lit("1996-04-01"))
+      .join(lineitem(s, d).filter(col("l_quantity") > 45),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders
+       FROM orders
+       WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+         AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+         AND EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  /** R36 — TPC-H Q7-style volume shipping: role-playing dimension
+    * (nation joined twice — supplier side and customer side) with a
+    * cross-role pair predicate, revenue by ship year. The pair filter
+    * is cross-column so it runs post-join; both nation copies
+    * broadcast. */
+  def q7VolumeShipping(s: SparkSession, d: String): DataFrame = {
+    val supNat = nation(s, d).select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val cusNat = nation(s, d).select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(supNat), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(cusNat), col("c_nationkey") === col("cn_key"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+              (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .withColumn("l_year", year(to_date(col("l_shipdate"))).cast("long"))
+      .filter(col("l_year").isin(1996L, 1997L))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(expr(prodSum(discPrice("l_extendedprice", "l_discount"))).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val q7Sql: String =
+    s"""SELECT supp_nation, cust_nation, l_year,
+       ${prodSum(discPrice("l_extendedprice", "l_discount"))} AS revenue
+       FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                    CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+                    l_extendedprice, l_discount
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) t
+       WHERE l_year IN (1996, 1997)
+       GROUP BY supp_nation, cust_nation, l_year
+       ORDER BY supp_nation, cust_nation, l_year"""
+
+  /** Share-of-total fragment for q8 — identical text in both engines so
+    * the arithmetic agrees bit-for-bit (decimal inputs, double ratio). */
+  private val mktShareFrag: String = {
+    val dp = discPrice("l_extendedprice", "l_discount")
+    s"""CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN $dp ELSE 0 END) AS DOUBLE)
+        / CAST(SUM($dp) AS DOUBLE)"""
+  }
+
+  /** R37 — TPC-H Q8-style market share: one supplier nation's share of
+    * ASIA-customer PROMO-part revenue per order year. Conditional
+    * numerator over a shared denominator in a single aggregate pass. */
+  def q8MarketShare(s: SparkSession, d: String): DataFrame = {
+    val supNat = nation(s, d).select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val asiaCust = region(s, d).filter(col("r_name") === "ASIA")
+      .join(broadcast(nation(s, d)), col("r_regionkey") === col("n_regionkey"))
+      .join(customer(s, d), col("n_nationkey") === col("c_nationkey"))
+      .select("c_custkey")
+    lineitem(s, d)
+      .join(broadcast(part(s, d).filter(col("p_type") === "PROMO").select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(asiaCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(supNat), col("s_nationkey") === col("sn_key"))
+      .withColumn("o_year", year(to_date(col("o_orderdate"))).cast("long"))
+      .groupBy("o_year")
+      .agg(expr(mktShareFrag).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  val q8Sql: String =
+    s"""SELECT o_year, $mktShareFrag AS mkt_share
+       FROM (SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                    n1.n_name AS supp_nation, l_extendedprice, l_discount
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             WHERE p_type = 'PROMO'
+               AND EXISTS (SELECT 1 FROM customer
+                           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                           JOIN region ON n2.n_regionkey = r_regionkey
+                           WHERE c_custkey = o_custkey AND r_name = 'ASIA')) t
+       GROUP BY o_year ORDER BY o_year"""
+
+  /** R38 — TPC-H Q9-style product profit: revenue of pattern-matched
+    * parts ('%bolt%') by supplier nation × order year. LIKE pushes to
+    * the part scan; part/supplier/nation broadcast. */
+  def q9ProductProfit(s: SparkSession, d: String): DataFrame = {
+    val supNat = nation(s, d).select(col("n_nationkey").as("sn_key"), col("n_name").as("nation"))
+    lineitem(s, d)
+      .join(broadcast(part(s, d).filter(col("p_name").like("%bolt%")).select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(supNat), col("s_nationkey") === col("sn_key"))
+      .withColumn("o_year", year(to_date(col("o_orderdate"))).cast("long"))
+      .groupBy("nation", "o_year")
+      .agg(expr(prodSum(discPrice("l_extendedprice", "l_discount"))).as("sum_profit"))
+      .orderBy("nation", "o_year")
+  }
+
+  val q9Sql: String =
+    s"""SELECT n_name AS nation, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       ${prodSum(discPrice("l_extendedprice", "l_discount"))} AS sum_profit
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+       WHERE p_name LIKE '%bolt%'
+       GROUP BY n_name, o_year ORDER BY nation, o_year"""
+
+  /** R39 — TPC-H Q10-style returned-item reporting: top-20 customers by
+    * lost revenue (returnflag = 'R') in a quarter; 4-way join with a
+    * wide multi-column group key, then TakeOrdered. */
+  def q10ReturnedItems(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(orders(s, d)
+          .filter(to_date(col("o_orderdate")) >= lit("1996-07-01") &&
+                  to_date(col("o_orderdate")) < lit("1996-10-01")),
+        col("c_custkey") === col("o_custkey"))
+      .join(lineitem(s, d).filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(expr(prodSum(discPrice("l_extendedprice", "l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+      .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+
+  val q10Sql: String =
+    s"""SELECT c_custkey, c_name,
+       ${prodSum(discPrice("l_extendedprice", "l_discount"))} AS revenue,
+       c_acctbal, n_name
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE CAST(o_orderdate AS DATE) >= DATE '1996-07-01'
+         AND CAST(o_orderdate AS DATE) < DATE '1996-10-01'
+         AND l_returnflag = 'R'
+       GROUP BY c_custkey, c_name, c_acctbal, n_name
+       ORDER BY revenue DESC, c_custkey LIMIT 20"""
+
+  /** R40 — TPC-H Q13-style customer distribution: histogram of
+    * aggregates (two stacked groupBys — orders per customer, then
+    * customers per order count). Left join keeps zero-order
+    * customers. */
+  def q13CustDistribution(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy("n_orders")
+      .agg(count(lit(1)).as("n_custs"))
+      .orderBy(col("n_custs").desc, col("n_orders").desc)
+
+  val q13Sql: String =
+    """SELECT n_orders, COUNT(*) AS n_custs
+       FROM (SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+             FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             GROUP BY c_custkey) t
+       GROUP BY n_orders ORDER BY n_custs DESC, n_orders DESC"""
+
+  /** R41 — TPC-H Q15-style top supplier: quarterly revenue per
+    * supplier, then keep the max via a broadcast scalar-aggregate
+    * join. Revenue equality is safe — decimal-sum both engines. */
+  def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = lineitem(s, d)
+      .filter(to_date(col("l_shipdate")) >= lit("1996-01-01") &&
+              to_date(col("l_shipdate")) < lit("1996-04-01"))
+      .groupBy("l_suppkey")
+      .agg(expr(prodSum(discPrice("l_extendedprice", "l_discount"))).as("total_rev"))
+    val mx = rev.agg(max(col("total_rev")).as("mx"))
+    rev.join(broadcast(mx), col("total_rev") === col("mx"))
+      .select(col("l_suppkey").as("s_suppkey"), col("total_rev"))
+      .orderBy("s_suppkey")
+  }
+
+  val q15Sql: String =
+    s"""WITH rev AS (SELECT l_suppkey,
+         ${prodSum(discPrice("l_extendedprice", "l_discount"))} AS total_rev
+         FROM lineitem
+         WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+           AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+         GROUP BY l_suppkey)
+       SELECT l_suppkey AS s_suppkey, total_rev FROM rev
+       WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+       ORDER BY s_suppkey"""
+
+  /** R42 — TPC-H Q16-style parts/supplier relationship: distinct
+    * supplier counts per (brand, type, size) portfolio with NOT-filters
+    * and an IN-list, lineitem standing in for partsupp. */
+  def q16PartsSupplier(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .filter(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO" &&
+              col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+      .join(lineitem(s, d), col("p_partkey") === col("l_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size").cast("long").as("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+
+  val q16Sql: String =
+    """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+              COUNT(DISTINCT l_suppkey) AS supplier_cnt
+       FROM part JOIN lineitem ON p_partkey = l_partkey
+       WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+         AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+       GROUP BY p_brand, p_type, p_size
+       ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
+  /** R43 — TPC-H Q19-style discounted revenue: disjunction of
+    * conjunctive brand/size/quantity blocks across the join — Catalyst
+    * extracts the common `p_partkey = l_partkey` equi-key and keeps
+    * the OR as a post-join filter; part side broadcast. */
+  def q19Disjunctive(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) && col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#3"  && col("p_size").between(1, 10) && col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#14" && col("p_size").between(1, 15) && col("l_quantity").between(20, 30)))
+      .agg(expr(prodSum(discPrice("l_extendedprice", "l_discount"))).as("revenue"),
+           count(lit(1)).as("n_rows"))
+
+  val q19Sql: String =
+    s"""SELECT ${prodSum(discPrice("l_extendedprice", "l_discount"))} AS revenue,
+       COUNT(*) AS n_rows
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+          OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+          OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)"""
+
+  /** R44 — TPC-H Q22-style wealthy inactives: scalar-subquery
+    * threshold (average positive balance, exact decimal mean) feeding a
+    * filter + anti join against orders, grouped by nation. */
+  def q22WealthyInactive(s: SparkSession, d: String): DataFrame = {
+    val cust = customer(s, d)
+    val thr = cust.filter(col("c_acctbal") > 0).agg(davg(col("c_acctbal")).as("thr"))
+    cust.join(broadcast(thr))
+      .filter(col("c_acctbal") > col("thr"))
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_custs"), dsum(col("c_acctbal")).as("total_bal"))
+      .orderBy("nation")
+  }
+
+  val q22Sql: String =
+    s"""SELECT n_name AS nation, COUNT(*) AS n_custs, ${sqlSum("c_acctbal")} AS total_bal
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+       WHERE c_acctbal > (SELECT ${sqlAvg("c_acctbal")} FROM customer WHERE c_acctbal > 0)
+         AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+       GROUP BY n_name ORDER BY nation"""
 }
