@@ -126,15 +126,19 @@ object TextPipeline {
       .select(col("doc_id"), col("sig"),
         posexplode(expr("transform(sequence(0, 3), c -> shiftright(sig, c * 16) & 65535)")))
       .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
+    // Hamming cut INSIDE the join condition: non-near pairs die at the
+    // probe side of the bucket join instead of being shuffled into the
+    // distinct (hamming is a pure function of the pair, so filtering
+    // before vs after distinct is equivalent).
     val pairs = sigs.as("x")
       .join(sigs.as("y"),
         col("x.chunk_idx") === col("y.chunk_idx") && col("x.chunk") === col("y.chunk") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.doc_id") < col("y.doc_id") &&
+          expr("bit_count(x.sig ^ y.sig) <= 12"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         expr("CAST(bit_count(x.sig ^ y.sig) AS BIGINT)").as("hamming"))
       .distinct()
-    pairs.filter(col("hamming") <= 12)
-      .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+    pairs.orderBy(col("hamming"), col("doc_a"), col("doc_b"))
   }
 
   /** L8 — language ID by stopword-hit voting with a fixed priority
