@@ -168,41 +168,71 @@ final class GraftTable(
     true
   }
 
-  /** SQL UPDATE / MERGE INTO — group-based copy-on-write: Spark's
-    * row-level rewrite plans read the WHOLE table through the
-    * operation's scan, compute the post-operation rows (updated +
-    * untouched), and the write commits them as an overwrite snapshot.
+  /** SQL UPDATE / MERGE INTO — group-based copy-on-write at FILE
+    * granularity. Spark's rewrite plans read the table through the
+    * operation's scan, compute the post-operation rows, and replace
+    * what the scan surfaced.
     *
-    * Correctness hinges on the scan builder here NOT accepting filter
-    * pushdown: the write replaces everything that exists, so the scan
-    * must surface every row — a pushed-down UPDATE condition would
-    * silently drop the unmatched rows. Column pruning stays (Spark
-    * asks for all columns it needs to reconstruct rows). Full-table
-    * rewrite is the coarse-but-correct granularity; file-level
-    * refinement needs runtime group filtering (a round-3 candidate).
-    */
+    * Spark's `GroupBasedRowLevelOperationScanPlanning` pushes the
+    * command condition into this scan builder for GROUP pruning only:
+    * the condition always stays in the rewrite plan (post-scan filters
+    * are merely logged), so the contract is "return every row of each
+    * group you keep", not "filter rows". We therefore use the pushed
+    * predicates solely against manifest min/max stats to split the
+    * snapshot into affected files (scanned + rewritten) and provably
+    * unmatched files (never read — kept verbatim, stats intact, by the
+    * commit). Rows are NEVER filtered here: the parquet delegate gets
+    * no predicates, which is what keeps unmatched rows of affected
+    * files alive through the rewrite.
+    *
+    * The scan's keep-set feeds the write commit through the operation
+    * instance (scan planning always precedes write execution). The
+    * commit re-asserts the snapshot it planned against
+    * ([[TableOps.overwriteWith]]'s parent guard), so a concurrent
+    * commit fails this operation instead of resurrecting stale kept
+    * files. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     import org.apache.spark.sql.connector.write.{LogicalWriteInfo => LWI, RowLevelOperation => RLO}
     () => new RLO {
+      // Snapshot pinned once per operation: scan and commit agree on
+      // the file set even if the table moves underneath (the commit's
+      // parent guard then rejects the race).
+      private lazy val entries: Seq[DataFileEntry] = ops.resolveEntries(dir, reload())
+      @volatile private var untouched: Seq[DataFileEntry] = Seq.empty
+
       override def command(): RLO.Command = info.command()
       override def description(): String = s"graft cow ${info.command()}"
 
-      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-        val files = ops.resolveFiles(dir, reload())
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
         new ScanBuilder
+            with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
             with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+          import org.apache.spark.sql.catalyst.expressions.Expression
+          import org.apache.spark.sql.execution.datasources.GraftBridge
+
           private var required: StructType = schema
+          private var affected: Seq[DataFileEntry] = entries
+
+          override def pushFilters(predicates: Seq[Expression]): Seq[Expression] = {
+            val translated = predicates.flatMap(GraftBridge.translateFilter)
+            val (aff, unt) =
+              entries.partition(e => translated.forall(f => Stats.mayContain(e, schema, f)))
+            affected = aff
+            untouched = unt
+            predicates // everything stays Spark-side; pushdown was advisory
+          }
+          override def pushedFilters(): Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+            Array.empty
           override def pruneColumns(requiredSchema: StructType): Unit =
             required = requiredSchema
           override def build(): org.apache.spark.sql.connector.read.Scan = {
-            val b = parquetDelegate(files).newScanBuilder(options)
+            val b = parquetDelegate(affected.map(_.path)).newScanBuilder(options)
             b.pruneColumns(required)
             b.build()
           }
         }
-      }
 
       override def newWriteBuilder(winfo: LWI): WriteBuilder = {
         val writeDir = new Path(ops.dataDir(dir), s"w-${java.util.UUID.randomUUID()}")
@@ -215,7 +245,7 @@ final class GraftTable(
                 // The rewrite plan PREPENDS metadata columns (e.g.
                 // __row_operation) that the connector must consume;
                 // project them away before the parquet writer.
-                val base = new CommittingBatchWrite(inner.toBatch, writeDir, "overwrite")
+                val base = new RowLevelCommitWrite(inner.toBatch, writeDir, () => untouched)
                 new ProjectingBatchWrite(base, winfo.schema())
               }
             }
@@ -223,6 +253,35 @@ final class GraftTable(
         }
       }
     }
+  }
+
+  /** Commit for row-level rewrites: written files + the scan's
+    * provably-unmatched keep-set become the new snapshot (keep-set
+    * evaluated at commit time, after scan planning fixed it). */
+  private final class RowLevelCommitWrite(
+      inner: BatchWrite, writeDir: Path, keep: () => Seq[DataFileEntry]) extends BatchWrite {
+    override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+      inner.createBatchWriterFactory(info)
+    override def useCommitCoordinator(): Boolean = inner.useCommitCoordinator()
+    override def onDataWriterCommit(message: WriterCommitMessage): Unit =
+      inner.onDataWriterCommit(message)
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      inner.commit(messages)
+      val fs = writeDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val files =
+        if (!fs.exists(writeDir)) Seq.empty[String]
+        else {
+          val it = fs.listFiles(writeDir, true)
+          val buf = Seq.newBuilder[String]
+          while (it.hasNext) {
+            val f = it.next().getPath
+            if (f.getName.endsWith(".parquet")) buf += f.toString
+          }
+          buf.result()
+        }
+      ops.overwriteWith(dir, keep(), files, operation = "overwrite")
+    }
+    override def abort(messages: Array[WriterCommitMessage]): Unit = inner.abort(messages)
   }
 
   private def reload(): TableMetadata =

@@ -153,6 +153,38 @@ class DmlSpec extends SparkSpec {
       == Seq(3L, 4L))
   }
 
+  test("UPDATE rewrites only possibly-affected files (file-granular COW)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
+    spark.sql("CREATE TABLE graft.dml.upd (id BIGINT, day BIGINT, v STRING) PARTITIONED BY (day) " +
+      "TBLPROPERTIES ('graft.write.target-file-count'='4')")
+    spark.range(0, 4000).selectExpr("id", "id % 4 AS day", "CAST(id AS STRING) AS v")
+      .write.mode("append").saveAsTable("graft.dml.upd")
+    val dir = new Path(s"$warehouse/dml/upd")
+    val before = cat.ops.resolveEntries(dir, cat.ops.load(dir).get._2)
+    assert(before.size >= 2)
+
+    spark.sql("UPDATE graft.dml.upd SET v = 'HIT' WHERE day = 2 AND id < 1000")
+
+    // semantics: matched rows updated, unmatched rows of affected files intact
+    assert(spark.sql("SELECT count(*) FROM graft.dml.upd").collect().head.getLong(0) == 4000)
+    assert(spark.sql("SELECT count(*) FROM graft.dml.upd WHERE v = 'HIT'")
+      .collect().head.getLong(0) == 250)
+    assert(spark.sql("SELECT v FROM graft.dml.upd WHERE id = 3").collect().head.getString(0) == "3")
+    assert(spark.sql("SELECT v FROM graft.dml.upd WHERE id = 1002").collect().head.getString(0) == "1002")
+
+    // file granularity: provably-unmatched files kept verbatim with stats
+    val (_, m2) = cat.ops.load(dir).get
+    val after = cat.ops.resolveEntries(dir, m2)
+    val keptPaths = before.map(_.path).toSet.intersect(after.map(_.path).toSet)
+    assert(keptPaths.nonEmpty, "stat-pruned files should be kept, not rewritten")
+    assert(after.filter(e => keptPaths(e.path)).forall(_.stats.nonEmpty))
+
+    // pre-update snapshot still fully readable
+    val prev = m2.snapshots.sortBy(_.sequenceNumber).dropRight(1).last
+    assert(spark.sql(s"SELECT count(*) FROM graft.dml.upd VERSION AS OF ${prev.snapshotId} WHERE v = 'HIT'")
+      .collect().head.getLong(0) == 0)
+  }
+
   test("TRUNCATE TABLE empties the table but keeps history") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
     spark.sql("CREATE TABLE graft.dml.trunc (id BIGINT)")
