@@ -60,7 +60,8 @@ final class GraftTable(
   }
 
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+        TableCapability.MICRO_BATCH_READ)
       .asJava
 
   private def parquetDelegate(paths: Seq[String]): ParquetTable =
@@ -103,8 +104,13 @@ final class GraftTable(
 
     private var delegate: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder =
       parquetDelegate(entries.map(_.path)).newScanBuilder(options)
+    // Stashed for the micro-batch stream, which re-applies the same
+    // pushdown state to each per-snapshot delta scan.
+    private var predicateState: Seq[Expression] = Seq.empty
+    private var requiredState: Option[StructType] = None
 
     override def pushFilters(predicates: Seq[Expression]): Seq[Expression] = {
+      predicateState = predicates
       val translated = predicates.flatMap(GraftBridge.translateFilter)
       val kept = entries.filter(e => translated.forall(f => Stats.mayContain(e, schema, f)))
       delegate = parquetDelegate(kept.map(_.path)).newScanBuilder(options)
@@ -112,10 +118,24 @@ final class GraftTable(
     }
     override def pushedFilters(): Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
       delegate.pushedFilters
-    override def pruneColumns(requiredSchema: StructType): Unit =
+    override def pruneColumns(requiredSchema: StructType): Unit = {
+      requiredState = Some(requiredSchema)
       delegate.pruneColumns(requiredSchema)
+    }
 
-    override def build(): org.apache.spark.sql.connector.read.Scan = delegate.build()
+    override def build(): org.apache.spark.sql.connector.read.Scan = {
+      val batchScan = delegate.build()
+      new org.apache.spark.sql.connector.read.Scan {
+        override def readSchema(): StructType = batchScan.readSchema()
+        override def description(): String = batchScan.description()
+        override def toBatch: org.apache.spark.sql.connector.read.Batch = batchScan.toBatch
+        override def toMicroBatchStream(checkpointLocation: String)
+            : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+          require(pinnedFiles.isEmpty, "cannot stream a time-travel-pinned table")
+          new GraftMicroBatchStream(options, predicateState, requiredState)
+        }
+      }
+    }
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -320,6 +340,95 @@ final class GraftTable(
       buf.result()
     }
     ops.overwriteWith(dir, untouched, newFiles, operation = "delete")
+  }
+
+  /** DSv2 micro-batch source over COMMITTED snapshot deltas — the
+    * strictly-committed incremental read the file-stream helper can't
+    * give (files exist marginally before their snapshot commit).
+    *
+    * Offsets are snapshot sequence numbers (monotonic per table, so a
+    * checkpointed offset survives restarts and snapshot-id reassignment
+    * never matters). Each micro-batch serves the files ADDED by the
+    * append snapshots in `(start, end]` on the main lineage; rewrite
+    * snapshots (overwrite / delete / upsert / compaction) are skipped —
+    * an append-only changelog, same stance as Iceberg's
+    * `streaming-skip-overwrite-snapshots`. Reading delegates to the
+    * stock parquet batch over the delta file list with the stream's
+    * original pushdown state re-applied, plus manifest-stat skipping.
+    */
+  private final class GraftMicroBatchStream(
+      options: CaseInsensitiveStringMap,
+      predicates: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      required: Option[StructType])
+      extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+    import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory}
+    import org.apache.spark.sql.connector.read.streaming.Offset
+    import org.apache.spark.sql.execution.datasources.GraftBridge
+
+    private case class SeqOffset(seq: Long) extends Offset {
+      override def json(): String = seq.toString
+    }
+
+    private def currentMeta: TableMetadata = ops.load(dir).map(_._2).getOrElse(meta)
+
+    /** Main-lineage snapshots ascending by sequence, walked via parent
+      * ids from the current head (stops where history was expired). */
+    private def lineage(m: TableMetadata): Seq[Snapshot] = {
+      val byId = m.snapshots.map(s => s.snapshotId -> s).toMap
+      Iterator.iterate(m.currentSnapshot)(_.flatMap(_.parentSnapshotId).flatMap(byId.get))
+        .takeWhile(_.isDefined).flatten.toSeq.reverse
+    }
+
+    override def initialOffset(): Offset =
+      if (options.getOrDefault("stream-from", "earliest") == "latest")
+        SeqOffset(currentMeta.currentSnapshot.map(_.sequenceNumber).getOrElse(0L))
+      else SeqOffset(0L)
+
+    override def latestOffset(): Offset =
+      SeqOffset(currentMeta.currentSnapshot.map(_.sequenceNumber).getOrElse(0L))
+
+    override def deserializeOffset(json: String): Offset = SeqOffset(json.toLong)
+    override def commit(end: Offset): Unit = ()
+    override def stop(): Unit = ()
+
+    /** Files added by an append snapshot = its manifest minus its
+      * parent's (manifest diff, O(files) driver work on the two lists;
+      * expired-parent fallback surfaces the full list best-effort). */
+    private def addedEntries(m: TableMetadata, snap: Snapshot): Seq[DataFileEntry] = {
+      val cur = ops.snapshotEntries(dir, snap)
+      snap.parentSnapshotId.flatMap(m.snapshotById) match {
+        case Some(parent) =>
+          val prev = scala.util.Try(ops.snapshotEntries(dir, parent).map(_.path).toSet)
+            .getOrElse(Set.empty[String])
+          cur.filterNot(e => prev.contains(e.path))
+        case None => cur
+      }
+    }
+
+    private def deltaBatch(startSeq: Long, endSeq: Long): Batch = {
+      val m = currentMeta
+      val entries = lineage(m)
+        .filter(s => s.sequenceNumber > startSeq && s.sequenceNumber <= endSeq)
+        .filter(_.operation == "append")
+        .flatMap(addedEntries(m, _))
+      val translated = predicates.flatMap(GraftBridge.translateFilter)
+      val kept = entries.filter(e => translated.forall(f => Stats.mayContain(e, schema, f)))
+      val b = parquetDelegate(kept.map(_.path)).newScanBuilder(options)
+      if (predicates.nonEmpty) b.pushFilters(predicates)
+      required.foreach(b.pruneColumns)
+      b.build().toBatch
+    }
+
+    override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+      deltaBatch(start.asInstanceOf[SeqOffset].seq, end.asInstanceOf[SeqOffset].seq)
+        .planInputPartitions()
+
+    /** The parquet reader factory's config depends only on schemas and
+      * pushdown state, never on the planned file list, so one factory
+      * (built over an empty list) serves every micro-batch's
+      * partitions. */
+    override def createReaderFactory(): PartitionReaderFactory =
+      deltaBatch(0L, -1L).createReaderFactory()
   }
 
   /** Wraps a BatchWrite so every incoming row is projected down to the

@@ -76,8 +76,10 @@ object Streams {
     * one unit of discovery, so downstream processing is incremental
     * without re-reading history. Caveat (documented trade-off of the
     * file-source path): files become visible when written, marginally
-    * before their snapshot commit; for strictly committed-only reads,
-    * batch-poll snapshots instead. */
+    * before their snapshot commit. For strictly committed-only deltas
+    * use `spark.readStream.table("graft.ns.t")` — the catalog table is
+    * a DSv2 micro-batch source over snapshot sequence numbers
+    * (GraftTable.GraftMicroBatchStream), which this helper predates. */
   def readCatalogAppends(
       spark: SparkSession,
       ops: graft.catalog.TableOps,

@@ -123,6 +123,38 @@ class DmlSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("readStream.table streams committed snapshot deltas, skips rewrites") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
+    spark.sql("CREATE TABLE graft.dml.snapstream (v BIGINT)")
+    spark.sql("INSERT INTO graft.dml.snapstream VALUES (1), (2)")
+
+    val q = spark.readStream.table("graft.dml.snapstream")
+      .writeStream.format("memory").queryName("snap_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-snapstream-").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT sum(v) FROM snap_out").collect().head.getLong(0) == 3)
+
+      spark.sql("INSERT INTO graft.dml.snapstream VALUES (3)")
+      q.processAllAvailable()
+      assert(spark.sql("SELECT sum(v) FROM snap_out").collect().head.getLong(0) == 6,
+        "appends must arrive incrementally")
+
+      // rewrite snapshots are skipped: the stream is an append-only changelog
+      spark.sql("UPDATE graft.dml.snapstream SET v = 100 WHERE v = 1")
+      q.processAllAvailable()
+      assert(spark.sql("SELECT sum(v) FROM snap_out").collect().head.getLong(0) == 6,
+        "overwrite snapshots must not re-deliver rows")
+
+      spark.sql("INSERT INTO graft.dml.snapstream VALUES (4)")
+      q.processAllAvailable()
+      assert(spark.sql("SELECT sum(v) FROM snap_out").collect().head.getLong(0) == 10,
+        "appends after a rewrite must still arrive")
+    } finally q.stop()
+  }
+
   test("SQL UPDATE and MERGE INTO via row-level operations") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
     spark.sql("CREATE TABLE graft.dml.rlo (id BIGINT, v STRING)")
