@@ -58,11 +58,24 @@ final class TableOps(store: FsStore) {
     val prevFile = store.versionPath(metadataDir(tableDir), v).toString
     val updated = updates.foldLeft(meta)((m, u) => u.apply(m))
       .copy(lastUpdatedMs = System.currentTimeMillis())
-    val withLog = updated.copy(
-      metadataLog = updated.metadataLog :+ MetadataLogEntry(prevFile, meta.lastUpdatedMs))
+    // Metadata-log compaction: at high commit rates (streaming sink,
+    // many writers) an unbounded log makes every subsequent metadata
+    // file larger — O(commits) growth per commit. Keep the newest N
+    // entries (Iceberg: write.metadata.previous-versions-max).
+    val maxLog = meta.properties.get("graft.metadata.log.max-entries")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(100)
+    val fullLog = updated.metadataLog :+ MetadataLogEntry(prevFile, meta.lastUpdatedMs)
+    val withLog = updated.copy(metadataLog = fullLog.takeRight(maxLog))
     if (!store.publish(metadataDir(tableDir), v + 1, MetadataJson.toJson(withLog)))
       throw new CommitFailedException(
         s"concurrent commit on $tableDir: version ${v + 1} already published")
+    // Optionally reclaim the metadata files that just fell off the log
+    // (only after the new version is durably published; readers resolve
+    // the CURRENT version, so dropped historical files are only served
+    // to metadata-log queries, which see the trimmed log).
+    if (meta.properties.get("graft.metadata.delete-after-commit").contains("true"))
+      fullLog.dropRight(maxLog).foreach(e =>
+        scala.util.Try(store.delete(new Path(e.metadataFile))))
     withLog
   }
 
@@ -203,9 +216,29 @@ final class TableOps(store: FsStore) {
       MetadataUpdate.SetSnapshotRef(branch, snapId, "branch")))
   }
 
-  private def rawSnapshotFiles(tableDir: Path, snap: Snapshot): Seq[DataFileEntry] =
-    MetadataJson.manifestFromJson(
-      store.readString(new Path(metadataDir(tableDir), snap.manifest)))
+  /** Manifest cache: a manifest file is named by its snapshot id and
+    * NEVER rewritten after publish, so caching by path is sound for
+    * the table's whole lifetime (rename moves the table dir → new
+    * keys; expiration deletes manifests → stale entries are harmless
+    * immutable content). Bounds repeated snapshot resolution — every
+    * scan, time travel, stream delta and maintenance pass — to one
+    * read per manifest per JVM instead of one per operation. */
+  private val manifestCache =
+    new java.util.LinkedHashMap[String, Seq[DataFileEntry]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[DataFileEntry]]): Boolean = size > 256
+    }
+
+  private def rawSnapshotFiles(tableDir: Path, snap: Snapshot): Seq[DataFileEntry] = {
+    val key = new Path(metadataDir(tableDir), snap.manifest).toString
+    val cached = manifestCache.synchronized(Option(manifestCache.get(key)))
+    cached.getOrElse {
+      val parsed = MetadataJson.manifestFromJson(
+        store.readString(new Path(metadataDir(tableDir), snap.manifest)))
+      manifestCache.synchronized(manifestCache.put(key, parsed))
+      parsed
+    }
+  }
 
   def snapshotEntries(tableDir: Path, snap: Snapshot): Seq[DataFileEntry] =
     rawSnapshotFiles(tableDir, snap).map(e => e.copy(path = absolutize(tableDir, e.path)))

@@ -94,6 +94,25 @@ class MaintenanceSpec extends SparkSpec {
     assert(meta.refs("main").snapshotId == meta.refs("audit").snapshotId)
   }
 
+  test("metadata log stays bounded and trimmed files are reclaimed") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.maint")
+    spark.sql("CREATE TABLE graft.maint.logc (id BIGINT) TBLPROPERTIES (" +
+      "'graft.metadata.log.max-entries'='5', 'graft.metadata.delete-after-commit'='true')")
+    (1 to 12).foreach(i => spark.sql(s"INSERT INTO graft.maint.logc VALUES ($i)"))
+    val dir = new Path(s"$warehouse/maint/logc")
+    val (v, meta) = cat.ops.load(dir).get
+    assert(meta.metadataLog.size <= 5, s"log must be trimmed, got ${meta.metadataLog.size}")
+    assert(spark.sql("SELECT count(*) FROM graft.maint.logc").collect().head.getLong(0) == 12)
+
+    // reclaimed: only the logged versions + the current file remain
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(new org.apache.hadoop.conf.Configuration())
+    val mdFiles = fs.listStatus(new Path(dir, "metadata"))
+      .map(_.getPath.getName).filter(_.endsWith(".metadata.json"))
+    assert(mdFiles.length <= 7, s"old metadata files must be deleted, got ${mdFiles.toSeq.sorted}")
+    // history within the trimmed log is still resolvable
+    assert(meta.metadataLog.forall(e => fs.exists(new Path(e.metadataFile))))
+  }
+
   test("streaming sink commits one snapshot per micro-batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sc = spark.sqlContext
