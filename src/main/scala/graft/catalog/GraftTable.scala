@@ -108,11 +108,13 @@ final class GraftTable(
     // pushdown state to each per-snapshot delta scan.
     private var predicateState: Seq[Expression] = Seq.empty
     private var requiredState: Option[StructType] = None
+    private var keptEntries: Seq[DataFileEntry] = entries
 
     override def pushFilters(predicates: Seq[Expression]): Seq[Expression] = {
       predicateState = predicates
       val translated = predicates.flatMap(GraftBridge.translateFilter)
       val kept = entries.filter(e => translated.forall(f => Stats.mayContain(e, schema, f)))
+      keptEntries = kept
       delegate = parquetDelegate(kept.map(_.path)).newScanBuilder(options)
       delegate.pushFilters(predicates)
     }
@@ -125,16 +127,81 @@ final class GraftTable(
 
     override def build(): org.apache.spark.sql.connector.read.Scan = {
       val batchScan = delegate.build()
-      new org.apache.spark.sql.connector.read.Scan {
-        override def readSchema(): StructType = batchScan.readSchema()
-        override def description(): String = batchScan.description()
-        override def toBatch: org.apache.spark.sql.connector.read.Batch = batchScan.toBatch
-        override def toMicroBatchStream(checkpointLocation: String)
-            : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-          require(pinnedFiles.isEmpty, "cannot stream a time-travel-pinned table")
-          new GraftMicroBatchStream(options, predicateState, requiredState)
-        }
+      KeyGrouping.keysFor(meta, schema, keptEntries) match {
+        case Some((specCols, keyByPath)) =>
+          new KeyGroupedScan(batchScan, specCols, keyByPath, options, predicateState, requiredState)
+        case None =>
+          new org.apache.spark.sql.connector.read.Scan {
+            override def readSchema(): StructType = batchScan.readSchema()
+            override def description(): String = batchScan.description()
+            override def toBatch: org.apache.spark.sql.connector.read.Batch = batchScan.toBatch
+            override def toMicroBatchStream(checkpointLocation: String)
+                : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+              require(pinnedFiles.isEmpty, "cannot stream a time-travel-pinned table")
+              new GraftMicroBatchStream(options, predicateState, requiredState)
+            }
+          }
       }
+    }
+  }
+
+  /** Storage-partitioned-join scan: reports `KeyGroupedPartitioning`
+    * over the identity partition-spec columns and plans ONE input
+    * partition per distinct key, so two co-partitioned catalog tables
+    * join with NO shuffle on either side (Spark's SPJ machinery,
+    * `spark.sql.sources.v2.bucketing.enabled`). Self-activating: only
+    * built when every data file's manifest stats pin each spec column
+    * to a single value (min == max) — the layout per-key writes and
+    * per-value clustered writes produce; any straddling file falls
+    * back to the plain scan and a normal shuffle plan. At 100 TB this
+    * turns the repeated fact-fact join on a co-clustered key into a
+    * local zip of matching partitions. */
+  private final class KeyGroupedScan(
+      batchScan: org.apache.spark.sql.connector.read.Scan,
+      specCols: Seq[String],
+      keyByPath: Map[String, (Seq[Any], org.apache.spark.sql.catalyst.InternalRow)],
+      options: CaseInsensitiveStringMap,
+      predicateState: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      requiredState: Option[StructType])
+      extends org.apache.spark.sql.connector.read.Scan
+      with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory}
+    import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+    import org.apache.spark.sql.execution.datasources.FilePartition
+
+    override def readSchema(): StructType = batchScan.readSchema()
+    override def description(): String = s"${batchScan.description()} keyGrouped=$specCols"
+
+    private lazy val grouped: Array[InputPartition] = {
+      val inner = batchScan.toBatch.planInputPartitions()
+      val files = inner.flatMap {
+        case fp: FilePartition => fp.files
+        case other => throw new IllegalStateException(s"unexpected partition: $other")
+      }
+      files.groupBy(f => keyByPath(new Path(f.urlEncodedPath).toUri.getPath)._1)
+        .toSeq.sortBy(_._1.mkString(" "))
+        .zipWithIndex.map { case ((k, fs), i) =>
+          val row = keyByPath(new Path(fs.head.urlEncodedPath).toUri.getPath)._2
+          KeyGrouping.KeyedFilePartition(FilePartition(i, fs), row): InputPartition
+        }.toArray
+    }
+
+    override def outputPartitioning(): Partitioning =
+      new KeyGroupedPartitioning(
+        specCols.map(c =>
+          Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray,
+        grouped.length)
+
+    override def toBatch: Batch = new Batch {
+      override def planInputPartitions(): Array[InputPartition] = grouped
+      override def createReaderFactory(): PartitionReaderFactory =
+        KeyGrouping.UnwrappingReaderFactory(batchScan.toBatch.createReaderFactory())
+    }
+
+    override def toMicroBatchStream(checkpointLocation: String)
+        : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+      require(pinnedFiles.isEmpty, "cannot stream a time-travel-pinned table")
+      new GraftMicroBatchStream(options, predicateState, requiredState)
     }
   }
 

@@ -1,0 +1,92 @@
+package graft.catalog
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read.{HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Key-grouped (storage-partitioned-join) support: derives a partition
+  * key per data file from the snapshot manifest, with no directory
+  * layout or extra metadata — a file whose stats pin every identity
+  * partition-spec column to one value (min == max) IS that key's file.
+  */
+object KeyGrouping {
+
+  /** Spec columns + per-file key (grouping tuple, reported InternalRow)
+    * when EVERY file is single-valued on EVERY identity spec column of
+    * a supported type; None disables key-grouped reporting. */
+  def keysFor(meta: TableMetadata, schema: StructType, entries: Seq[DataFileEntry])
+      : Option[(Seq[String], Map[String, (Seq[Any], InternalRow)])] = {
+    val spec = meta.specs.find(_.specId == meta.defaultSpecId)
+      .map(_.fields).getOrElse(Seq.empty)
+    if (spec.isEmpty || !spec.forall(_.transform == "identity") || entries.isEmpty)
+      return None
+    val cols = spec.map(_.name)
+    val types = cols.map(c => schema.fields.find(_.name == c).map(_.dataType))
+    if (types.exists(t => t.isEmpty || !supported(t.get))) return None
+    val dts = types.map(_.get)
+
+    val perFile = entries.map { e =>
+      val vals = cols.zip(dts).map { case (c, dt) =>
+        e.stats.get(c) match {
+          case Some(ColumnStats(Some(mn), Some(mx), _)) if mn == mx => parse(dt, mn)
+          case _ => None
+        }
+      }
+      if (vals.exists(_.isEmpty)) return None
+      val key = vals.map(_.get)
+      new Path(e.path).toUri.getPath -> (key, new GenericInternalRow(key.toArray): InternalRow)
+    }.toMap
+    Some((cols, perFile))
+  }
+
+  private def supported(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | BooleanType |
+         StringType | DateType | FloatType | DoubleType => true
+    case _ => false
+  }
+
+  private def parse(dt: DataType, s: String): Option[Any] =
+    scala.util.Try[Any] {
+      dt match {
+        case ByteType => s.toDouble.toByte
+        case ShortType => s.toDouble.toShort
+        case IntegerType => s.toDouble.toInt
+        case LongType => s.toDouble.toLong
+        case BooleanType => s.toBoolean
+        case StringType => UTF8String.fromString(s)
+        case DateType => s.toDouble.toInt // days since epoch
+        case FloatType => s.toFloat
+        case DoubleType => s.toDouble
+        case other => throw new IllegalArgumentException(other.sql)
+      }
+    }.toOption
+
+  /** A parquet FilePartition carrying its partition-key value — what
+    * Spark's SPJ planner groups and aligns across join sides. */
+  final case class KeyedFilePartition(inner: FilePartition, key: InternalRow)
+      extends InputPartition with HasPartitionKey {
+    override def partitionKey(): InternalRow = key
+    override def preferredLocations(): Array[String] = inner.preferredLocations()
+  }
+
+  /** Delegating factory that strips the key wrapper before handing the
+    * partition to the stock parquet reader factory. */
+  final case class UnwrappingReaderFactory(inner: PartitionReaderFactory)
+      extends PartitionReaderFactory {
+    private def unwrap(p: InputPartition): InputPartition = p match {
+      case KeyedFilePartition(fp, _) => fp
+      case other => other
+    }
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+      inner.createReader(unwrap(p))
+    override def createColumnarReader(p: InputPartition)
+        : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+      inner.createColumnarReader(unwrap(p))
+    override def supportColumnarReads(p: InputPartition): Boolean =
+      inner.supportColumnarReads(unwrap(p))
+  }
+}

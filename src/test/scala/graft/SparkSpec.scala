@@ -17,6 +17,7 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.sources.v2.bucketing.enabled", "true")
     .config("spark.sql.extensions", "graft.catalog.GraftExtensions")
     .config("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
     .config("spark.sql.catalog.graft.warehouse", warehouse.toString)

@@ -1,0 +1,61 @@
+package graft
+
+/** Storage-partitioned joins: co-partitioned catalog tables report
+  * KeyGroupedPartitioning (derived from manifest stats) and join with
+  * no shuffle on either side. */
+class SpjSpec extends SparkSpec {
+
+  /** Hash-partitioning exchanges in the FINAL (post-AQE) plan — the
+    * executed plan is rendered after collect(), so query stages show
+    * their materialized exchanges; the ORDER BY's range exchange is
+    * deliberately not counted. */
+  private def hashShuffles(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect()
+    "Exchange (hash|single)".r
+      .findAllIn(df.queryExecution.executedPlan.toString).size
+  }
+
+  test("co-partitioned tables join and aggregate with zero shuffles") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spj")
+    spark.sql("CREATE TABLE graft.spj.a (id BIGINT, day BIGINT, x DOUBLE) PARTITIONED BY (day)")
+    spark.sql("CREATE TABLE graft.spj.b (id BIGINT, day BIGINT, y DOUBLE) PARTITIONED BY (day)")
+    // one insert per day value → every data file is single-valued on
+    // `day`, which is what activates key-grouped reporting
+    (0 to 3).foreach { d =>
+      spark.sql(s"INSERT INTO graft.spj.a SELECT id, $d, id * 1.0 FROM range(0, 50)")
+      spark.sql(s"INSERT INTO graft.spj.b SELECT id, $d, id * 2.0 FROM range(0, 40)")
+    }
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.sql(
+        """SELECT a.day, count(*) AS n
+          FROM graft.spj.a a JOIN graft.spj.b b ON a.day = b.day
+          GROUP BY a.day ORDER BY a.day""")
+      assert(joined.collect().map(_.getLong(1)).toSeq == Seq.fill(4)(2000L))
+      // join AND aggregation ride the reported partitioning
+      assert(hashShuffles(joined) == 0,
+        s"expected no join/agg shuffle:\n${joined.queryExecution.executedPlan}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("straddling files fall back to a plain shuffle plan, same result") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spj")
+    spark.sql("CREATE TABLE graft.spj.c (id BIGINT, day BIGINT) PARTITIONED BY (day)" +
+      " TBLPROPERTIES ('graft.write.target-file-count'='1')")
+    // a single insert covering all days in one file → min != max → no
+    // key-grouped reporting, plan falls back to shuffles
+    spark.sql("INSERT INTO graft.spj.c SELECT id, id % 3 FROM range(0, 90)")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.sql(
+        """SELECT c1.day, count(*) AS n
+          FROM graft.spj.c c1 JOIN graft.spj.c c2 ON c1.day = c2.day
+          GROUP BY c1.day ORDER BY c1.day""")
+      assert(joined.collect().map(_.getLong(1)).toSeq == Seq.fill(3)(900L))
+      assert(hashShuffles(joined) > 0, "straddling files must fall back to shuffling")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
