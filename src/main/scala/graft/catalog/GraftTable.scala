@@ -38,11 +38,24 @@ final class GraftTable(
     ops: TableOps,
     pinnedFiles: Option[Seq[String]] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
-    with SupportsRowLevelOperations {
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
 
   private def spark: SparkSession = SparkSession.active
 
   override def name(): String = tableName
+
+  /** `_file` — the data file a row lives in (auditing, maintenance,
+    * file-level debugging). Spark's own `_metadata` struct does not
+    * resolve through DSv2 catalog tables, so the column is synthesized
+    * here (see [[FileTagging]]). */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType: org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "path of the data file holding the row"
+    })
 
   override lazy val schema: StructType = SchemaBridge.toSpark(meta.currentSchema)
 
@@ -120,13 +133,18 @@ final class GraftTable(
     }
     override def pushedFilters(): Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
       delegate.pushedFilters
+    private var fileColRequested = false
+
     override def pruneColumns(requiredSchema: StructType): Unit = {
-      requiredState = Some(requiredSchema)
-      delegate.pruneColumns(requiredSchema)
+      fileColRequested = requiredSchema.fieldNames.contains("_file")
+      val dataSchema = StructType(requiredSchema.fields.filterNot(_.name == "_file"))
+      requiredState = Some(dataSchema)
+      delegate.pruneColumns(dataSchema)
     }
 
     override def build(): org.apache.spark.sql.connector.read.Scan = {
       val batchScan = delegate.build()
+      if (fileColRequested) return new FileTaggedScan(batchScan)
       KeyGrouping.keysFor(meta, schema, keptEntries) match {
         case Some((specCols, keyByPath)) =>
           new KeyGroupedScan(batchScan, specCols, keyByPath, options, predicateState, requiredState)
@@ -142,6 +160,26 @@ final class GraftTable(
             }
           }
       }
+    }
+  }
+
+  /** Scan serving the `_file` metadata column: delegate rows with the
+    * owning file's path appended; partitions re-planned one-per-file
+    * so the path is a per-partition constant. */
+  private final class FileTaggedScan(inner: org.apache.spark.sql.connector.read.Scan)
+      extends org.apache.spark.sql.connector.read.Scan {
+    import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory}
+
+    override def readSchema(): StructType =
+      inner.readSchema().add(org.apache.spark.sql.types.StructField(
+        "_file", org.apache.spark.sql.types.StringType, nullable = false))
+    override def description(): String = s"${inner.description()} +_file"
+
+    override def toBatch: Batch = new Batch {
+      override def planInputPartitions(): Array[InputPartition] =
+        FileTagging.perFilePartitions(inner.toBatch.planInputPartitions())
+      override def createReaderFactory(): PartitionReaderFactory =
+        FileTagging.TaggingReaderFactory(inner.toBatch.createReaderFactory())
     }
   }
 

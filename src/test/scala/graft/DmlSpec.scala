@@ -123,6 +123,33 @@ class DmlSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("_file metadata column maps rows to their manifest data files") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
+    spark.sql("CREATE TABLE graft.dml.fcol (id BIGINT)")
+    (1 to 3).foreach(i => spark.sql(s"INSERT INTO graft.dml.fcol VALUES ($i), (${i * 10})"))
+
+    val byFile = spark.sql(
+      "SELECT _file, count(*) AS n, sum(id) AS s FROM graft.dml.fcol GROUP BY _file")
+      .collect()
+    assert(byFile.length >= 3, "at least one _file group per insert")
+    assert(byFile.map(_.getLong(1)).sum == 6, "every row tagged exactly once")
+    assert(byFile.map(_.getLong(2)).sum == 3 + 30 + 2 + 20 + 1 + 10)
+
+    // _file values are exactly the manifest's data files
+    val dir = new Path(s"$warehouse/dml/fcol")
+    val manifest = cat.ops.resolveEntries(dir, cat.ops.load(dir).get._2)
+      .map(e => new Path(e.path).toUri.getPath).toSet
+    val reported = byFile.map(r => new Path(r.getString(0)).toUri.getPath).toSet
+    assert(reported == manifest, s"reported=$reported manifest=$manifest")
+
+    // mixing data + metadata columns and filtering on _file both work
+    val first = byFile.head
+    val n = spark.sql(
+      s"SELECT id FROM graft.dml.fcol WHERE _file LIKE '%${new Path(first.getString(0)).getName}'")
+      .collect().length
+    assert(n == first.getLong(1))
+  }
+
   test("readStream.table streams committed snapshot deltas, skips rewrites") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
     spark.sql("CREATE TABLE graft.dml.snapstream (v BIGINT)")
