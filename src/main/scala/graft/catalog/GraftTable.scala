@@ -465,9 +465,10 @@ final class GraftTable(
       options: CaseInsensitiveStringMap,
       predicates: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
       required: Option[StructType])
-      extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+      extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+      with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
     import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory}
-    import org.apache.spark.sql.connector.read.streaming.Offset
+    import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
     import org.apache.spark.sql.execution.datasources.GraftBridge
 
     private case class SeqOffset(seq: Long) extends Offset {
@@ -491,6 +492,44 @@ final class GraftTable(
 
     override def latestOffset(): Offset =
       SeqOffset(currentMeta.currentSnapshot.map(_.sequenceNumber).getOrElse(0L))
+
+    // —— admission control: cap each micro-batch's file budget so a
+    // backlogged stream (or stream-from=earliest over a long history)
+    // catches up in bounded batches instead of one giant one. Snapshot
+    // granularity: the cap is checked between snapshots, so one batch
+    // is always at least one snapshot.
+    override def getDefaultReadLimit: ReadLimit =
+      Option(options.get("max-files-per-trigger"))
+        .map(n => ReadLimit.maxFiles(n.toInt)).getOrElse(ReadLimit.allAvailable())
+
+    override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+      val startSeq = start.asInstanceOf[SeqOffset].seq
+      val m = currentMeta
+      val headSeq = m.currentSnapshot.map(_.sequenceNumber).getOrElse(0L)
+      limit match {
+        case mf: ReadMaxFiles =>
+          var budget = mf.maxFiles()
+          var endSeq = startSeq
+          val pending = lineage(m)
+            .filter(s => s.sequenceNumber > startSeq && s.operation == "append")
+          val it = pending.iterator
+          var full = false
+          while (it.hasNext && !full) {
+            val s = it.next()
+            val n = addedEntries(m, s).size
+            // snapshots are consumed strictly in order; the first one is
+            // always taken so the stream can never stall on a snapshot
+            // larger than the budget
+            if (endSeq == startSeq || n <= budget) { endSeq = s.sequenceNumber; budget -= n }
+            else full = true
+          }
+          // rewrite-only tails still advance the offset past skipped snapshots
+          if (pending.isEmpty) SeqOffset(headSeq) else SeqOffset(endSeq)
+        case _ => SeqOffset(headSeq)
+      }
+    }
+
+    override def reportLatestOffset(): Offset = latestOffset()
 
     override def deserializeOffset(json: String): Offset = SeqOffset(json.toLong)
     override def commit(end: Offset): Unit = ()

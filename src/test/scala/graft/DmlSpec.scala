@@ -182,6 +182,28 @@ class DmlSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("max-files-per-trigger paces a backlogged stream over batches") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
+    spark.sql("CREATE TABLE graft.dml.paced (v BIGINT)")
+    (1 to 4).foreach(i => spark.sql(s"INSERT INTO graft.dml.paced VALUES ($i)"))
+
+    var batches = 0
+    val q = spark.readStream
+      .option("max-files-per-trigger", "1")
+      .table("graft.dml.paced")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) batches += 1; ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-paced-").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(batches >= 4, s"4 one-file snapshots at 1 file/trigger need >=4 batches, got $batches")
+    } finally q.stop()
+  }
+
   test("SQL UPDATE and MERGE INTO via row-level operations") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
     spark.sql("CREATE TABLE graft.dml.rlo (id BIGINT, v STRING)")
