@@ -61,6 +61,7 @@ object SparkEntry {
     "dedup_ngram_jaccard"  -> (TextPipeline.ngramJaccard _),
     "dedup_minhash_lsh"    -> (TextPipeline.minhashLsh _),
     "dedup_simhash"        -> (TextPipeline.simhash _),
+    "dedup_components"     -> (TextPipeline.dedupComponents _),
     "dedup_embed_cosine"   -> (Vectors.dedupEmbedCosine _),
     "ann_bruteforce_topk"  -> (Vectors.annBruteforceTopk _),
     "ann_lsh_topk"         -> (Vectors.annLshTopk _),
@@ -113,6 +114,7 @@ object SparkEntry {
     "q22_wealthy_inactive" -> Relational.q22Sql,
     "dedup_exact"          -> TextPipeline.dedupExactSql,
     "dedup_ngram_jaccard"  -> TextPipeline.ngramJaccardSql,
+    "dedup_components"     -> TextPipeline.dedupComponentsSql,
     "dedup_embed_cosine"   -> Vectors.dedupEmbedCosineSql,
     "ann_bruteforce_topk"  -> Vectors.annBruteforceTopkSql,
     "text_langid"          -> TextPipeline.textLangidSql,

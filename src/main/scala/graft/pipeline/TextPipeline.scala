@@ -141,6 +141,71 @@ object TextPipeline {
     pairs.orderBy(col("hamming"), col("doc_a"), col("doc_b"))
   }
 
+  /** L14 — duplicate-cluster resolution: connected components over the
+    * near-dup pair graph (jaccard ≥ 0.5 edges from [[ngramJaccard]]),
+    * labelling every document with the minimum doc_id of its cluster —
+    * the step that turns pairwise near-dups into dedup groups a keeper
+    * policy can act on (keep min id, drop the rest).
+    *
+    * Iterative min-label propagation: each round is one shuffle join
+    * (neighbour labels) + one aggregate; rounds needed = graph
+    * diameter, and each round's frame is localCheckpoint'ed so lineage
+    * stays flat. Near-dup graphs are overwhelmingly tiny cliques and
+    * chains, so this converges in a handful of rounds; for adversarial
+    * long-chain graphs at 100 TB, swap the propagation body for the
+    * alternating large-star/small-star rounds (same join shape,
+    * O(log n) rounds guaranteed). */
+  def dedupComponents(s: SparkSession, d: String): DataFrame = {
+    val pairs = ngramJaccard(s, d).filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 25) {
+      val prop = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("component"))
+      val next = labels.union(prop)
+        .groupBy("id").agg(min(col("component")).as("component"))
+        .localCheckpoint(true)
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.component") =!= col("o.component"))
+        .count()
+      converged = changed == 0
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("component")).orderBy("doc_id")
+  }
+
+  val dedupComponentsSql: String =
+    """WITH RECURSIVE
+       w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+              FROM w, UNNEST(range(1, GREATEST(len(ws) - 1, 1))) AS t(i)),
+       sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS shared
+             FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+             GROUP BY 1, 2),
+       top AS (SELECT doc_a, doc_b,
+                      CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
+               FROM p JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+               ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50),
+       pairs AS (SELECT doc_a, doc_b FROM top WHERE jaccard >= 0.5),
+       edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                 UNION ALL SELECT doc_b, doc_a FROM pairs),
+       nodes AS (SELECT DISTINCT src AS id FROM edges),
+       reach(id, lbl) AS (
+         SELECT id, id FROM nodes
+         UNION
+         SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.id = e.src
+       )
+       SELECT id AS doc_id, MIN(lbl) AS component FROM reach GROUP BY id ORDER BY doc_id"""
+
   /** L8 — language ID by stopword-hit voting with a fixed priority
     * tie-break; oracle-matched since both sides run the identical
     * heuristic. */

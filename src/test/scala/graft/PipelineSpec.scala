@@ -99,6 +99,23 @@ class PipelineSpec extends SparkSpec {
     assert(fp1.values.toSet.size == docs.values.toSet.size)
   }
 
+  test("L14: components are edge-closed and labelled by cluster minimum") {
+    val comp = TextPipeline.dedupComponents(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = TextPipeline.ngramJaccard(spark, sfDir)
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty && comp.nonEmpty)
+    // every near-dup pair ends up in one cluster
+    pairs.foreach { case (a, b) =>
+      assert(comp(a) == comp(b), s"edge ($a,$b) split across components")
+    }
+    // the label IS the smallest member of its cluster
+    comp.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(members.keys.min == lbl, s"component $lbl not labelled by its min member")
+    }
+  }
+
   test("R25: salted two-phase agg equals direct aggregation") {
     val salted = Relational.qSaltedTopusers(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
