@@ -272,6 +272,31 @@ final class TableOps(store: FsStore) {
     commitFiles(tableDir, files, operation)
   }
 
+  /** Write `df` split into one file set PER PARTITION VALUE of the
+    * table's identity spec columns — every data file is single-valued
+    * on every spec column, which is exactly what activates key-grouped
+    * (storage-partitioned-join) scan reporting. One bulk write instead
+    * of per-key inserts: the physical layout comes from the parquet
+    * writer's dynamic partitioning, with each spec column duplicated
+    * into a `__p_`-prefixed directory column so the data files retain
+    * the real column (directory-encoded values never round-trip
+    * through graft's path-list reads). */
+  def writeValuePartitioned(tableDir: Path, df: DataFrame,
+      operation: String = "append"): TableMetadata = {
+    val specCols = load(tableDir).toSeq.flatMap { case (_, m) =>
+      m.specs.find(_.specId == m.defaultSpecId).toSeq
+        .flatMap(_.fields.filter(_.transform == "identity").map(_.name))
+    }.filter(df.columns.contains)
+    require(specCols.nonEmpty,
+      s"writeValuePartitioned needs identity partition columns present in the frame")
+    val writeDir = new Path(dataDir(tableDir), s"w-${UUID.randomUUID()}")
+    val dup = specCols.foldLeft(df)((f, c) => f.withColumn(s"__p_$c", f.col(c)))
+    dup.write.partitionBy(specCols.map("__p_" + _): _*).parquet(writeDir.toString)
+    val files = store.listFilesRec(writeDir)
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    commitFiles(tableDir, files, operation)
+  }
+
   /** Overwrite commit that KEEPS already-stat'ed entries as-is and
     * stat-collects only the newly written files — the commit step of
     * copy-on-write DELETE and of compaction. `keep` entries carry

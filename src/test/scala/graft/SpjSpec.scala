@@ -40,6 +40,29 @@ class SpjSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("writeValuePartitioned: one bulk write activates zero-shuffle joins") {
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spj")
+    spark.sql("CREATE TABLE graft.spj.va (id BIGINT, day BIGINT) PARTITIONED BY (day)")
+    spark.sql("CREATE TABLE graft.spj.vb (id BIGINT, day BIGINT) PARTITIONED BY (day)")
+    val df = spark.range(0, 200).selectExpr("id", "id % 4 AS day")
+    cat.ops.writeValuePartitioned(new org.apache.hadoop.fs.Path(s"$warehouse/spj/va"), df)
+    cat.ops.writeValuePartitioned(new org.apache.hadoop.fs.Path(s"$warehouse/spj/vb"), df)
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.sql(
+        """SELECT a.day, count(*) AS n
+          FROM graft.spj.va a JOIN graft.spj.vb b ON a.day = b.day
+          GROUP BY a.day ORDER BY a.day""")
+      assert(joined.collect().map(_.getLong(1)).toSeq == Seq.fill(4)(2500L))
+      assert(hashShuffles(joined) == 0,
+        s"bulk value-partitioned write should key-group:\n${joined.queryExecution.executedPlan}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("straddling files fall back to a plain shuffle plan, same result") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spj")
     spark.sql("CREATE TABLE graft.spj.c (id BIGINT, day BIGINT) PARTITIONED BY (day)" +
