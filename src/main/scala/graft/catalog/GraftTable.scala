@@ -325,10 +325,25 @@ final class GraftTable(
       // the file set even if the table moves underneath (the commit's
       // parent guard then rejects the race).
       private lazy val entries: Seq[DataFileEntry] = ops.resolveEntries(dir, reload())
-      @volatile private var untouched: Seq[DataFileEntry] = Seq.empty
+      // The single source of truth threaded scan → commit: paths of the
+      // files being rewritten (normalized). Narrowed twice: statically
+      // by manifest stats (pushFilters), then at runtime by the
+      // matching-rows _file subquery (SupportsRuntimeV2Filtering).
+      @volatile private var affectedPaths: Set[String] = null
+      private def norm(p: String): String = new Path(p).toUri.getPath
+      private def untouched: Seq[DataFileEntry] =
+        if (affectedPaths == null) Seq.empty
+        else entries.filterNot(e => affectedPaths.contains(norm(e.path)))
 
       override def command(): RLO.Command = info.command()
       override def description(): String = s"graft cow ${info.command()}"
+
+      /** Ask Spark to carry `_file` through the rewrite plan — it is
+        * what the runtime group-filtering subquery projects from the
+        * matching rows. */
+      override def requiredMetadataAttributes()
+          : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+        Array(Expressions.column("_file"))
 
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
         new ScanBuilder
@@ -338,26 +353,88 @@ final class GraftTable(
           import org.apache.spark.sql.execution.datasources.GraftBridge
 
           private var required: StructType = schema
+          private var fileCol = false
           private var affected: Seq[DataFileEntry] = entries
 
           override def pushFilters(predicates: Seq[Expression]): Seq[Expression] = {
             val translated = predicates.flatMap(GraftBridge.translateFilter)
-            val (aff, unt) =
-              entries.partition(e => translated.forall(f => Stats.mayContain(e, schema, f)))
-            affected = aff
-            untouched = unt
+            affected =
+              entries.filter(e => translated.forall(f => Stats.mayContain(e, schema, f)))
             predicates // everything stays Spark-side; pushdown was advisory
           }
           override def pushedFilters(): Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
             Array.empty
-          override def pruneColumns(requiredSchema: StructType): Unit =
-            required = requiredSchema
+          override def pruneColumns(requiredSchema: StructType): Unit = {
+            fileCol = requiredSchema.fieldNames.contains("_file")
+            required = StructType(requiredSchema.fields.filterNot(_.name == "_file"))
+          }
           override def build(): org.apache.spark.sql.connector.read.Scan = {
-            val b = parquetDelegate(affected.map(_.path)).newScanBuilder(options)
-            b.pruneColumns(required)
-            b.build()
+            affectedPaths = affected.map(e => norm(e.path)).toSet
+            new RloScan(required, fileCol, options)
           }
         }
+
+      /** The rewrite scan: re-plans its parquet delegate from the
+        * CURRENT affected set on every batch planning, so the runtime
+        * group filter (applied via [[filter]]) shrinks both the read
+        * and — through [[untouched]] — the commit's rewrite set. */
+      final class RloScan(required: StructType, fileCol: Boolean,
+          options: CaseInsensitiveStringMap)
+          extends org.apache.spark.sql.connector.read.Scan
+          with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+        import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
+        import org.apache.spark.sql.connector.expressions.filter.Predicate
+        import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory}
+
+        override def readSchema(): StructType =
+          if (fileCol)
+            required.add(org.apache.spark.sql.types.StructField(
+              "_file", org.apache.spark.sql.types.StringType, nullable = false))
+          else required
+        override def description(): String =
+          s"graft rlo scan ${info.command()} fileCol=$fileCol"
+
+        override def filterAttributes(): Array[NamedReference] =
+          Array(Expressions.column("_file"))
+
+        /** Runtime group filter: `_file IN (<matching rows' files>)`.
+          * Files outside the IN-set provably hold no matching row, so
+          * they drop out of the rewrite AND into the kept set. Unknown
+          * predicate shapes are ignored (conservative: no pruning). */
+        override def filter(predicates: Array[Predicate]): Unit = {
+          val inSets = predicates.toSeq.collect {
+            case p: Predicate if p.name() == "IN" =>
+              p.children().toSeq match {
+                case Seq(ref: NamedReference, rest @ _*)
+                    if ref.fieldNames().toSeq == Seq("_file") &&
+                       rest.forall(_.isInstanceOf[Literal[_]]) =>
+                  Some(rest.map(l => norm(
+                    l.asInstanceOf[Literal[_]].value().toString)).toSet)
+                case _ => None
+              }
+          }.flatten
+          inSets.foreach { keep => affectedPaths = affectedPaths.intersect(keep) }
+        }
+
+        private def affectedEntries: Seq[DataFileEntry] =
+          entries.filter(e => affectedPaths.contains(norm(e.path)))
+
+        override def toBatch: Batch = new Batch {
+          private def delegateBatch: Batch = {
+            val b = parquetDelegate(affectedEntries.map(_.path)).newScanBuilder(options)
+            b.pruneColumns(required)
+            b.build().toBatch
+          }
+          override def planInputPartitions(): Array[InputPartition] = {
+            val parts = delegateBatch.planInputPartitions()
+            if (fileCol) FileTagging.perFilePartitions(parts) else parts
+          }
+          override def createReaderFactory(): PartitionReaderFactory = {
+            val inner = delegateBatch.createReaderFactory()
+            if (fileCol) FileTagging.TaggingReaderFactory(inner) else inner
+          }
+        }
+      }
 
       override def newWriteBuilder(winfo: LWI): WriteBuilder = {
         val writeDir = new Path(ops.dataDir(dir), s"w-${java.util.UUID.randomUUID()}")

@@ -258,12 +258,46 @@ class DmlSpec extends SparkSpec {
     val after = cat.ops.resolveEntries(dir, m2)
     val keptPaths = before.map(_.path).toSet.intersect(after.map(_.path).toSet)
     assert(keptPaths.nonEmpty, "stat-pruned files should be kept, not rewritten")
-    assert(after.filter(e => keptPaths(e.path)).forall(_.stats.nonEmpty))
+    // non-empty kept files keep their stats; empty files (no stats to
+    // begin with) may be kept by the runtime group filter
+    val statless = after.filter(e => keptPaths(e.path))
+      .filter(e => e.stats.isEmpty && e.rows.exists(_ > 0))
+    assert(statless.isEmpty, s"kept entries lost stats: ${statless.map(_.path)}")
 
     // pre-update snapshot still fully readable
     val prev = m2.snapshots.sortBy(_.sequenceNumber).dropRight(1).last
     assert(spark.sql(s"SELECT count(*) FROM graft.dml.upd VERSION AS OF ${prev.snapshotId} WHERE v = 'HIT'")
       .collect().head.getLong(0) == 0)
+  }
+
+  test("MERGE keeps unmatched files via runtime group filtering") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
+    spark.sql("CREATE TABLE graft.dml.rtm (id BIGINT, day BIGINT, v STRING) PARTITIONED BY (day) " +
+      "TBLPROPERTIES ('graft.write.target-file-count'='4')")
+    spark.range(0, 4000).selectExpr("id", "id % 4 AS day", "CAST(id AS STRING) AS v")
+      .write.mode("append").saveAsTable("graft.dml.rtm")
+    val dir = new Path(s"$warehouse/dml/rtm")
+    val before = cat.ops.resolveEntries(dir, cat.ops.load(dir).get._2)
+    assert(before.size >= 2)
+
+    // the MERGE condition (t.id = s.id) has no literals, so static
+    // stats pruning cannot narrow anything — only the runtime _file
+    // subquery can. Source touches a single day partition.
+    spark.sql("CREATE TABLE graft.dml.rtm_src (id BIGINT, day BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.dml.rtm_src VALUES (2, 2, 'M'), (6, 2, 'M'), (99990, 2, 'NEW')")
+    spark.sql("""MERGE INTO graft.dml.rtm t USING graft.dml.rtm_src s ON t.id = s.id
+                 WHEN MATCHED THEN UPDATE SET v = s.v
+                 WHEN NOT MATCHED THEN INSERT *""")
+
+    assert(spark.sql("SELECT count(*) FROM graft.dml.rtm").collect().head.getLong(0) == 4001)
+    assert(spark.sql("SELECT v FROM graft.dml.rtm WHERE id IN (2, 6, 99990) ORDER BY id")
+      .collect().map(_.getString(0)).toSeq == Seq("M", "M", "NEW"))
+    assert(spark.sql("SELECT v FROM graft.dml.rtm WHERE id = 10").collect().head.getString(0) == "10")
+
+    val after = cat.ops.resolveEntries(dir, cat.ops.load(dir).get._2)
+    val keptPaths = before.map(_.path).toSet.intersect(after.map(_.path).toSet)
+    assert(keptPaths.nonEmpty,
+      "runtime group filtering must keep files the matching-rows subquery excludes")
   }
 
   test("TRUNCATE TABLE empties the table but keeps history") {
