@@ -928,6 +928,104 @@ object Relational {
           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
           OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)"""
 
+  /** R45 — NTILE quantile bucketing: orders per status split into
+    * value quartiles (equal-count buckets, remainder to the first —
+    * same definition both engines; orderkey tiebreak keeps the
+    * assignment total-ordered and deterministic). */
+  def qNtile(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders(s, d)
+      .withColumn("q", ntile(4).over(w).cast("long"))
+      .groupBy(col("o_orderstatus").as("status"), col("q"))
+      .agg(count(lit(1)).as("n_orders"), max(col("o_totalprice")).as("bucket_max"))
+      .orderBy("status", "q")
+  }
+
+  val qNtileSql: String =
+    """SELECT o_orderstatus AS status, CAST(q AS BIGINT) AS q,
+              COUNT(*) AS n_orders, MAX(o_totalprice) AS bucket_max
+       FROM (SELECT o_orderstatus, o_totalprice,
+                    NTILE(4) OVER (PARTITION BY o_orderstatus
+                                   ORDER BY o_totalprice, o_orderkey) AS q
+             FROM orders) t
+       GROUP BY o_orderstatus, q ORDER BY status, q"""
+
+  /** R46 — time-bucketed aggregation: monthly order volume + revenue
+    * (date_trunc month; month rendered as its first day). */
+  def qTimeBuckets(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .withColumn("month", date_trunc("month", col("o_orderdate")).cast("date").cast("string"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("month")
+
+  val qTimeBucketsSql: String =
+    s"""SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month,
+       COUNT(*) AS n_orders, ${sqlSum("o_totalprice")} AS revenue
+       FROM orders GROUP BY 1 ORDER BY month"""
+
+  /** R47 — explicit GROUPING SETS (beyond ROLLUP/CUBE): per-segment
+    * totals, per-priority totals, and the grand total in one pass
+    * (same temp-view SQL routing as R17). */
+  def qGroupingSets(s: SparkSession, d: String): DataFrame = {
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+      .select(col("c_mktsegment").as("seg"), col("o_orderpriority").as("prio"),
+        col("o_totalprice"))
+      .createOrReplaceTempView("graft_gsets_base")
+    s.sql(
+      s"""SELECT COALESCE(seg, 'ALL') AS segment, COALESCE(prio, 'ALL') AS priority,
+         COUNT(*) AS n_orders, ${sqlSum("o_totalprice")} AS revenue
+         FROM graft_gsets_base
+         GROUP BY GROUPING SETS ((seg), (prio), ())
+         ORDER BY segment, priority""")
+  }
+
+  val qGroupingSetsSql: String =
+    s"""SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders, ${sqlSum("o_totalprice")} AS revenue
+       FROM customer JOIN orders ON c_custkey = o_custkey
+       GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+       ORDER BY segment, priority"""
+
+  /** R48 — explode / unnest: corpus-wide word frequencies (generator
+    * + re-aggregation; the lateral-view shape every tokenization
+    * pipeline starts with). */
+  def qExplodeWords(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(20)
+
+  val qExplodeWordsSql: String =
+    """SELECT w AS word, COUNT(*) AS cnt
+       FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+       GROUP BY w ORDER BY cnt DESC, word LIMIT 20"""
+
+  /** R49 — higher-order array functions (codegen'd lambda pipeline:
+    * transform → filter → aggregate) over tokenized part names. */
+  def qHigherOrder(s: SparkSession, d: String): DataFrame =
+    part(s, d).filter(col("p_partkey") < 300)
+      .withColumn("ws", split(col("p_name"), " "))
+      .select(
+        col("p_partkey"),
+        expr("CAST(size(filter(ws, w -> length(w) > 4)) AS BIGINT)").as("n_long"),
+        expr("CAST(aggregate(transform(ws, w -> length(w)), 0, (a, b) -> a + b) AS BIGINT)").as("total_len"),
+        array_join(expr("transform(ws, w -> upper(w))"), "_").as("shouty"))
+      .orderBy("p_partkey")
+
+  val qHigherOrderSql: String =
+    """SELECT p_partkey,
+              CAST(len(list_filter(ws, w -> length(w) > 4)) AS BIGINT) AS n_long,
+              CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS total_len,
+              array_to_string(list_transform(ws, w -> upper(w)), '_') AS shouty
+       FROM (SELECT p_partkey, string_split(p_name, ' ') AS ws
+             FROM part WHERE p_partkey < 300) t
+       ORDER BY p_partkey"""
+
   /** R44 — TPC-H Q22-style wealthy inactives: scalar-subquery
     * threshold (average positive balance, exact decimal mean) feeding a
     * filter + anti join against orders, grouped by nation. */
