@@ -288,6 +288,25 @@ class CatalogSpec extends SparkSpec {
     assert(sql("SELECT score FROM graft.db.pt").collect().head.getDouble(0) == 0.5)
   }
 
+  test("C2b: files written before ADD COLUMN read as nulls after evolution") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    sql("CREATE TABLE graft.db.evo (id BIGINT, v STRING)")
+    sql("INSERT INTO graft.db.evo VALUES (1, 'a'), (2, 'b')")
+    sql("ALTER TABLE graft.db.evo ADD COLUMN score DOUBLE")
+    sql("INSERT INTO graft.db.evo VALUES (3, 'c', 1.5)")
+
+    val rows = sql("SELECT id, v, score FROM graft.db.evo ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(rows.take(2).forall(_.isNullAt(2)), "pre-evolution rows read the new column as null")
+    assert(rows(2).getDouble(2) == 1.5)
+    // predicates on the evolved column work across mixed-schema files
+    assert(sql("SELECT count(*) FROM graft.db.evo WHERE score IS NULL")
+      .collect().head.getLong(0) == 2)
+    assert(sql("SELECT count(*) FROM graft.db.evo WHERE score > 1")
+      .collect().head.getLong(0) == 1)
+  }
+
   // ---------- metadata JSON round-trip ----------
 
   test("metadata JSON round-trips losslessly") {
