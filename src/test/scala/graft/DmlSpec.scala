@@ -315,6 +315,34 @@ class DmlSpec extends SparkSpec {
     assert(spark.sql("SELECT sum(id) FROM graft.dml.trunc").collect().head.getLong(0) == 9)
   }
 
+  test("changes() derives a row-level changelog from snapshot diffs") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
+    spark.sql("CREATE TABLE graft.dml.cdcfeed (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.dml.cdcfeed VALUES (1, 'a'), (2, 'b')")   // seq 1
+    spark.sql("UPDATE graft.dml.cdcfeed SET v = 'B' WHERE id = 2")         // seq 2 (rewrite)
+    val dir = new Path(s"$warehouse/dml/cdcfeed")
+    cat.ops.compact(spark, dir, numFiles = 1)                              // seq 3 (no-op churn)
+    spark.sql("INSERT INTO graft.dml.cdcfeed VALUES (3, 'c')")             // seq 4
+
+    val feed = cat.ops.changes(spark, dir, 0L, Long.MaxValue)
+      .collect()
+      .map(r => (r.getLong(3), r.getString(2), r.getLong(0), r.getString(1)))
+      .sortBy(t => (t._1, t._2, t._3))
+      .toSeq
+    assert(feed == Seq(
+      (1L, "insert", 1L, "a"),
+      (1L, "insert", 2L, "b"),
+      (2L, "delete", 2L, "b"),   // update = delete(old) + insert(new)
+      (2L, "insert", 2L, "B"),
+      // seq 3 compaction nets to zero changes
+      (4L, "insert", 3L, "c")
+    ).sortBy(t => (t._1, t._2, t._3)))
+
+    // windowed read: only the last commit
+    val tail = cat.ops.changes(spark, dir, 3L, Long.MaxValue).collect()
+    assert(tail.map(r => (r.getString(2), r.getLong(0))).toSeq == Seq(("insert", 3L)))
+  }
+
   test("IVF ANN achieves >=0.5 recall@5 vs brute force") {
     val exact = Vectors.annBruteforceTopk(spark, sfDir)
       .select("query_id", "neighbor_id").collect()
