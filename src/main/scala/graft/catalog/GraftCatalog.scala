@@ -161,16 +161,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tablePath(ident)
     val (_, meta) = ops.load(dir).getOrElse(throw new NoSuchTableException(ident))
-    val files = ops.resolveFiles(dir, meta, snapshotId = Some(version.toLong))
-    new GraftTable(fullName(ident), dir, meta, ops, Some(files))
+    val entries = ops.resolveEntries(dir, meta, snapshotId = Some(version.toLong))
+    new GraftTable(fullName(ident), dir, meta, ops, Some(entries))
   }
 
   /** SQL `TIMESTAMP AS OF` — Spark hands micros since epoch. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val dir = tablePath(ident)
     val (_, meta) = ops.load(dir).getOrElse(throw new NoSuchTableException(ident))
-    val files = ops.resolveFiles(dir, meta, asOfTimestampMs = Some(timestampMicros / 1000))
-    new GraftTable(fullName(ident), dir, meta, ops, Some(files))
+    val entries = ops.resolveEntries(dir, meta, asOfTimestampMs = Some(timestampMicros / 1000))
+    new GraftTable(fullName(ident), dir, meta, ops, Some(entries))
   }
 
   override def createTable(

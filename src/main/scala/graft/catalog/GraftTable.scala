@@ -36,7 +36,7 @@ final class GraftTable(
     dir: Path,
     meta: TableMetadata,
     ops: TableOps,
-    pinnedFiles: Option[Seq[String]] = None)
+    pinnedFiles: Option[Seq[DataFileEntry]] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations with SupportsMetadataColumns {
 
@@ -88,7 +88,7 @@ final class GraftTable(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val entries = pinnedFiles match {
-      case Some(files) => files.map(DataFileEntry(_))
+      case Some(pinned) => pinned
       case None =>
         ops.resolveEntries(
           dir, meta,
@@ -115,18 +115,21 @@ final class GraftTable(
     import org.apache.spark.sql.catalyst.expressions.Expression
     import org.apache.spark.sql.execution.datasources.GraftBridge
 
+    private val dataEntries = entries.filter(_.isData)
+    private val eqDeletes = entries.filter(_.isEqDelete)
+
     private var delegate: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder =
-      parquetDelegate(entries.map(_.path)).newScanBuilder(options)
+      parquetDelegate(dataEntries.map(_.path)).newScanBuilder(options)
     // Stashed for the micro-batch stream, which re-applies the same
     // pushdown state to each per-snapshot delta scan.
     private var predicateState: Seq[Expression] = Seq.empty
     private var requiredState: Option[StructType] = None
-    private var keptEntries: Seq[DataFileEntry] = entries
+    private var keptEntries: Seq[DataFileEntry] = dataEntries
 
     override def pushFilters(predicates: Seq[Expression]): Seq[Expression] = {
       predicateState = predicates
       val translated = predicates.flatMap(GraftBridge.translateFilter)
-      val kept = entries.filter(e => translated.forall(f => Stats.mayContain(e, schema, f)))
+      val kept = dataEntries.filter(e => translated.forall(f => Stats.mayContain(e, schema, f)))
       keptEntries = kept
       delegate = parquetDelegate(kept.map(_.path)).newScanBuilder(options)
       delegate.pushFilters(predicates)
@@ -142,7 +145,54 @@ final class GraftTable(
       delegate.pruneColumns(dataSchema)
     }
 
+    /** Merge-on-read scan: the parquet delegate reads the requested
+      * columns PLUS any missing delete-key columns; a reader-level
+      * filter drops dead rows and projects the extras back off. Key
+      * sets are collected driver-side at build (delete files are
+      * O(deleted keys) by design). */
+    private def buildMor(): org.apache.spark.sql.connector.read.Scan = {
+      val required = requiredState.getOrElse(schema)
+      val allKeyCols = eqDeletes.flatMap(_.equalityColumns).distinct
+      val missing = allKeyCols.filterNot(required.fieldNames.contains)
+      val extended = StructType(
+        required.fields ++ missing.map(c => schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalStateException(s"delete key column $c missing from table schema"))))
+      val b = parquetDelegate(keptEntries.map(_.path)).newScanBuilder(options)
+      if (predicateState.nonEmpty) b.pushFilters(predicateState)
+      b.pruneColumns(extended)
+      val inner = b.build()
+      val keySets = eqDeletes.groupBy(_.equalityColumns).toSeq.map { case (cols, es) =>
+        val ks = StructType(cols.map(c => schema.fields.find(_.name == c).get))
+        val dead = spark.read.schema(ks).parquet(es.map(_.path): _*)
+          .distinct().collect()
+          .map(r => cols.indices.map(i => MorFilter.normalize(r.get(i))).toVector)
+          .filterNot(_.contains(null)).toSet
+        MorFilter.KeySet(
+          cols.map(extended.fieldIndex).toArray,
+          cols.map(c => extended(extended.fieldIndex(c)).dataType).toArray,
+          dead)
+      }
+      val req = required
+      new org.apache.spark.sql.connector.read.Scan {
+        override def readSchema(): StructType = req
+        override def description(): String =
+          s"${inner.description()} morDeletes=${eqDeletes.size}"
+        override def toBatch: org.apache.spark.sql.connector.read.Batch =
+          new org.apache.spark.sql.connector.read.Batch {
+            override def planInputPartitions() = inner.toBatch.planInputPartitions()
+            override def createReaderFactory() =
+              MorFilter.Factory(inner.toBatch.createReaderFactory(),
+                keySets, req.size, extended)
+          }
+      }
+    }
+
     override def build(): org.apache.spark.sql.connector.read.Scan = {
+      if (eqDeletes.nonEmpty) {
+        require(!fileColRequested,
+          "_file is not supported while equality deletes are pending — run applyDeletes first")
+        return buildMor()
+      }
       val batchScan = delegate.build()
       if (fileColRequested) return new FileTaggedScan(batchScan)
       KeyGrouping.keysFor(meta, schema, keptEntries) match {
@@ -324,7 +374,11 @@ final class GraftTable(
       // Snapshot pinned once per operation: scan and commit agree on
       // the file set even if the table moves underneath (the commit's
       // parent guard then rejects the race).
-      private lazy val entries: Seq[DataFileEntry] = ops.resolveEntries(dir, reload())
+      private lazy val entries: Seq[DataFileEntry] = {
+        val m = reload()
+        ops.requireNoEqDeletes(dir, m, s"${info.command()} (copy-on-write rewrite)")
+        ops.resolveEntries(dir, m)
+      }
       // The single source of truth threaded scan → commit: paths of the
       // files being rewritten (normalized). Narrowed twice: statically
       // by manifest stats (pushFilters), then at runtime by the
@@ -500,6 +554,7 @@ final class GraftTable(
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     val (_, cur) = ops.load(dir).getOrElse(
       throw new IllegalStateException(s"table vanished at $dir"))
+    ops.requireNoEqDeletes(dir, cur, "DELETE FROM (copy-on-write)")
     val entries = ops.resolveEntries(dir, cur)
     val (affected, untouched) =
       entries.partition(e => filters.forall(f => Stats.mayContain(e, schema, f)))
@@ -616,7 +671,7 @@ final class GraftTable(
       * parent's (manifest diff, O(files) driver work on the two lists;
       * expired-parent fallback surfaces the full list best-effort). */
     private def addedEntries(m: TableMetadata, snap: Snapshot): Seq[DataFileEntry] = {
-      val cur = ops.snapshotEntries(dir, snap)
+      val cur = ops.snapshotEntries(dir, snap).filter(_.isData)
       snap.parentSnapshotId.flatMap(m.snapshotById) match {
         case Some(parent) =>
           val prev = scala.util.Try(ops.snapshotEntries(dir, parent).map(_.path).toSet)

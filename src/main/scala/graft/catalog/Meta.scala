@@ -45,12 +45,22 @@ final case class SnapshotRef(snapshotId: Long, refType: String) // branch | tag
   * strings, interpreted by the table schema at scan-planning time. */
 final case class ColumnStats(min: Option[String], max: Option[String], nulls: Option[Long])
 
-/** One data file in a snapshot manifest, with optional footer stats
-  * used for file skipping. Path is table-dir-relative once stored. */
+/** One file in a snapshot manifest, with optional footer stats used
+  * for file skipping. Path is table-dir-relative once stored.
+  * `content` distinguishes data files from equality-delete files
+  * (merge-on-read): a delete file holds key tuples over
+  * `equalityColumns`; any data row matching a tuple is dead until a
+  * rewrite purges it. Absent fields deserialize to data-file defaults,
+  * so pre-MOR manifests stay readable. */
 final case class DataFileEntry(
     path: String,
     rows: Option[Long] = None,
-    stats: Map[String, ColumnStats] = Map.empty)
+    stats: Map[String, ColumnStats] = Map.empty,
+    content: String = "data",
+    equalityColumns: Seq[String] = Seq.empty) {
+  def isData: Boolean = content == "data"
+  def isEqDelete: Boolean = content == "eq-deletes"
+}
 final case class SnapshotLogEntry(snapshotId: Long, timestampMs: Long)
 final case class MetadataLogEntry(metadataFile: String, timestampMs: Long)
 final case class StatisticsFile(snapshotId: Long, statistics: String)

@@ -177,6 +177,11 @@ object MetadataJson {
       val fo = a.addObject()
       fo.put("path", f.path)
       f.rows.foreach(fo.put("rows", _))
+      if (!f.isData) fo.put("content", f.content)
+      if (f.equalityColumns.nonEmpty) {
+        val ec = fo.putArray("equality-columns")
+        f.equalityColumns.foreach(ec.add)
+      }
       if (f.stats.nonEmpty) {
         val so = fo.putObject("stats")
         f.stats.toSeq.sortBy(_._1).foreach { case (col, cs) =>
@@ -203,7 +208,10 @@ object MetadataJson {
                 Option(e.getValue.get("min")).map(_.asText()),
                 Option(e.getValue.get("max")).map(_.asText()),
                 Option(e.getValue.get("nulls")).map(_.asLong()))
-            }.toMap).getOrElse(Map.empty))
+            }.toMap).getOrElse(Map.empty),
+          Option(o.get("content")).map(_.asText()).getOrElse("data"),
+          Option(o.get("equality-columns")).map(ec =>
+            ec.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty))
     }
 
   // ---------- views ----------

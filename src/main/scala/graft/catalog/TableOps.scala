@@ -364,6 +364,7 @@ final class TableOps(store: FsStore) {
     require(keys.nonEmpty, "upsert needs at least one key column")
     val (_, meta) = load(tableDir).getOrElse(
       throw new CommitFailedException(s"table does not exist at $tableDir"))
+    requireNoEqDeletes(tableDir, meta, "upsert")
     val schema = SchemaBridge.toSpark(meta.currentSchema)
     val entries = resolveEntries(tableDir, meta)
 
@@ -394,6 +395,100 @@ final class TableOps(store: FsStore) {
     val newFiles = store.listFilesRec(writeDir)
       .filter(_.getName.endsWith(".parquet")).map(_.toString)
     overwriteWith(tableDir, untouched, newFiles, operation = "upsert")
+  }
+
+  // ---------- merge-on-read equality deletes ----------
+
+  /** Equality-delete (merge-on-read) DELETE: commits the key tuples as
+    * a delete file alongside the current data files — O(keys) write,
+    * ZERO data-file rewriting. Readers anti-join the keys at scan time
+    * ([[read]] and the DSv2 scan path); [[applyDeletes]] (or any
+    * overwrite) later purges them. The copy-on-write path
+    * (DELETE FROM / UPDATE / MERGE) stays the default — merge-on-read
+    * is for high-churn workloads where rewrite amplification
+    * dominates; key columns are limited to integral / string /
+    * boolean types.
+    *
+    * Semantics note: a pending delete masks its keys in LATER appends
+    * too (no per-file sequence ordering) — re-inserting a deleted key
+    * requires [[applyDeletes]] first. */
+  def mergeOnReadDelete(
+      spark: SparkSession,
+      tableDir: Path,
+      keys: DataFrame): TableMetadata = {
+    require(keys.columns.nonEmpty, "merge-on-read delete needs key columns")
+    val (_, meta) = load(tableDir).getOrElse(
+      throw new CommitFailedException(s"table does not exist at $tableDir"))
+    val schema = SchemaBridge.toSpark(meta.currentSchema)
+    keys.columns.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"key column $c not in table schema"))
+      import org.apache.spark.sql.types._
+      f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | StringType | BooleanType => ()
+        case other => throw new IllegalArgumentException(
+          s"unsupported equality-delete key type ${other.sql} for $c")
+      }
+    }
+    val writeDir = new Path(dataDir(tableDir), s"w-${UUID.randomUUID()}")
+    keys.distinct().coalesce(1).write.parquet(writeDir.toString)
+    val files = store.listFilesRec(writeDir)
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    val parent = meta.currentSnapshot
+    val parentEntries = parent.map(rawSnapshotFiles(tableDir, _)).getOrElse(Seq.empty)
+    val delRel = files.map(f => DataFileEntry(
+      relativize(tableDir, f), content = "eq-deletes",
+      equalityColumns = keys.columns.toSeq))
+    commitManifest(tableDir, parentEntries ++ delRel, parent, "eq-delete",
+      added = delRel.size)
+  }
+
+  /** Rewrite the table with all equality deletes applied (and drop the
+    * delete files from the manifest): an overwrite snapshot of the
+    * MOR-resolved read. */
+  def applyDeletes(spark: SparkSession, tableDir: Path, numFiles: Int = 0): TableMetadata =
+    write(tableDir, read(spark, tableDir), "overwrite",
+      if (numFiles > 0) Some(numFiles) else None)
+
+  /** Fails fast when live equality deletes make a raw-file operation
+    * unsound (copy-on-write rewrites read files directly and would
+    * resurrect MOR-deleted rows). */
+  def requireNoEqDeletes(tableDir: Path, meta: TableMetadata, op: String): Unit =
+    if (resolveEntries(tableDir, meta).exists(_.isEqDelete))
+      throw new IllegalStateException(
+        s"$op requires applying pending equality deletes first " +
+        s"(TableOps.applyDeletes) — copy-on-write over merge-on-read state " +
+        s"would resurrect deleted rows")
+
+  /** Shared manifest-writing commit used by entry-level commits. */
+  private def commitManifest(
+      tableDir: Path,
+      all: Seq[DataFileEntry],
+      parent: Option[Snapshot],
+      operation: String,
+      added: Int): TableMetadata = {
+    val (_, meta) = load(tableDir).getOrElse(
+      throw new CommitFailedException(s"table does not exist at $tableDir"))
+    val snapId = newSnapshotId()
+    val manifestName = s"manifest-$snapId.json"
+    store.writeString(
+      new Path(metadataDir(tableDir), manifestName), MetadataJson.manifestToJson(all))
+    val snap = Snapshot(
+      snapshotId = snapId,
+      parentSnapshotId = parent.map(_.snapshotId),
+      sequenceNumber = meta.lastSequenceNumber + 1,
+      timestampMs = System.currentTimeMillis(),
+      operation = operation,
+      manifest = manifestName,
+      summary = Map(
+        "added-files" -> added.toString,
+        "total-files" -> all.size.toString),
+      schemaId = meta.currentSchemaId)
+    commit(tableDir,
+      Seq(Requirement.AssertRefSnapshotId("main", parent.map(_.snapshotId))),
+      Seq(
+        MetadataUpdate.AddSnapshot(snap),
+        MetadataUpdate.SetSnapshotRef("main", snapId, "branch")))
   }
 
   /** Row-level change feed (CDC) for the snapshots in
@@ -549,7 +644,9 @@ final class TableOps(store: FsStore) {
     snap.map(snapshotEntries(tableDir, _)).getOrElse(Seq.empty)
   }
 
-  /** Read a table state as a DataFrame (time-travel via the options). */
+  /** Read a table state as a DataFrame (time-travel via the options).
+    * Merge-on-read aware: pending equality deletes are applied with
+    * one left-anti join per distinct key-column set. */
   def read(
       spark: SparkSession,
       tableDir: Path,
@@ -558,10 +655,19 @@ final class TableOps(store: FsStore) {
       asOfTimestampMs: Option[Long] = None): DataFrame = {
     val (_, meta) = load(tableDir).getOrElse(
       throw new IllegalArgumentException(s"table does not exist at $tableDir"))
-    val files = resolveFiles(tableDir, meta, snapshotId, ref, asOfTimestampMs)
+    val entries = resolveEntries(tableDir, meta, snapshotId, ref, asOfTimestampMs)
     val schema = SchemaBridge.toSpark(meta.currentSchema)
-    if (files.isEmpty) spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    else spark.read.schema(schema).parquet(files: _*)
+    val dataFiles = entries.filter(_.isData).map(_.path)
+    val base =
+      if (dataFiles.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else spark.read.schema(schema).parquet(dataFiles: _*)
+    entries.filter(_.isEqDelete).groupBy(_.equalityColumns).foldLeft(base) {
+      case (df, (keyCols, delEntries)) =>
+        val keySchema = StructType(schema.fields.filter(f => keyCols.contains(f.name)))
+        val keys = spark.read.schema(keySchema).parquet(delEntries.map(_.path): _*)
+        df.join(keys, keyCols, "left_anti")
+    }
   }
 }
 
