@@ -65,6 +65,41 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges")
   }
 
+  test("q7/q9: role-playing dims and pattern-filtered parts broadcast") {
+    val q7 = planOf(Relational.q7VolumeShipping(spark, sfDir))
+    assert("BroadcastHashJoin".r.findAllIn(q7).size >= 3,
+      "supplier + both nation roles must broadcast")
+    assert(!q7.contains("CartesianProduct"))
+    val q9 = planOf(Relational.q9ProductProfit(spark, sfDir))
+    assert("BroadcastHashJoin".r.findAllIn(q9).size >= 3,
+      "part/supplier/nation must broadcast")
+    // the LIKE filter prunes the part scan before the join
+    assert(q9.contains("bolt"), "part name pattern should appear as a scan-side filter")
+  }
+
+  test("q19: disjunctive predicate keeps the equi-join + broadcast part") {
+    val plan = planOf(Relational.q19Disjunctive(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "the OR blocks must not defeat equi-join extraction")
+  }
+
+  test("q13/q15: stacked aggregations stay hash-based, max filter broadcasts") {
+    val q13 = planOf(Relational.q13CustDistribution(spark, sfDir))
+    assert("HashAggregate".r.findAllIn(q13).size >= 3,
+      "two groupBys should be partial+final hash aggregates")
+    val q15 = planOf(Relational.q15TopSupplier(spark, sfDir))
+    assert(q15.contains("BroadcastHashJoin") || q15.contains("BroadcastNestedLoopJoin"),
+      "the scalar max should join via broadcast, never a shuffle")
+  }
+
+  test("q_explode_words: generator then re-aggregation with partial combine") {
+    val plan = planOf(Relational.qExplodeWords(spark, sfDir))
+    assert(plan.contains("Generate explode"), plan.take(600))
+    assert(plan.contains("partial_count"), "word counts must map-side combine")
+    assert(plan.contains("TakeOrderedAndProject"), "top-20 must not full-sort")
+  }
+
   test("catalog table scans keep pushdown through GraftTable") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.plans")
     spark.read.parquet(s"$sfDir/orders.parquet")
