@@ -349,6 +349,30 @@ object TextPipeline {
        FROM dd WHERE rn = 1 GROUP BY source ORDER BY source"""
   }
 
+  /** L15 — stratified sampling: per-stratum rates with the same
+    * deterministic multiplicative hash as R24, so a re-run (or the
+    * oracle) draws the identical sample — no RNG, no seed plumbing.
+    * At 100 TB this is a pure map-side filter. */
+  def sampleStratified(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("rate", expr(
+        """CASE WHEN source IN ('src0', 'src1', 'src2') THEN 100
+                WHEN source IN ('src3', 'src4') THEN 500
+                ELSE 50 END"""))
+      .filter((col("doc_id") * lit(2654435761L)) % 1000 < col("rate"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy("source")
+
+  val sampleStratifiedSql: String =
+    """SELECT source, COUNT(*) AS n_sampled
+       FROM documents
+       WHERE (doc_id * 2654435761) % 1000 <
+             (CASE WHEN source IN ('src0', 'src1', 'src2') THEN 100
+                   WHEN source IN ('src3', 'src4') THEN 500
+                   ELSE 50 END)
+       GROUP BY source ORDER BY source"""
+
   /** L11 — document fingerprint: rolling polynomial hash over word
     * hashes, mod a 30-bit prime (keeps every product within long
     * range). Rows-only: depends on Spark's xxhash64 seed. */

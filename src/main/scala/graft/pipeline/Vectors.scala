@@ -34,6 +34,26 @@ object Vectors {
     * pairs. Oracle-matched via DuckDB list_cosine_similarity. The
     * pair space is bounded by blocking on label (the coarse cluster
     * id) — at 100 TB replace the label with an LSH/IVF bucket (L7). */
+  /** L16 — per-label embedding centroids (the IVF coarse-quantizer
+    * building block, exposed as a first-class operator): element-wise
+    * mean via posexplode → one shuffle on (label, dim). Decimal-cast
+    * sums keep the result bit-identical cross-engine; the double cast
+    * before decimal matches the oracle's float→double→decimal path. */
+  def embedCentroids(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos").cast("long").as("dim_idx"))
+      .agg((sum(col("col").cast("double").cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+        .cast("double") / count(lit(1))).as("centroid"))
+      .orderBy("label", "dim_idx")
+
+  val embedCentroidsSql: String =
+    """SELECT label, i - 1 AS dim_idx,
+              CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+                / COUNT(*) AS centroid
+       FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+       GROUP BY label, i ORDER BY label, dim_idx"""
+
   def dedupEmbedCosine(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
     e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("label").as("la"))
