@@ -1026,6 +1026,109 @@ object Relational {
              FROM part WHERE p_partkey < 300) t
        ORDER BY p_partkey"""
 
+  /** R50 — datetime function breadth: extract family, date arithmetic,
+    * month boundaries, day-of-week (DuckDB numbers Sunday 0, Spark 1 —
+    * oracle shifts by one). */
+  def qDatetimeFuncs(s: SparkSession, d: String): DataFrame =
+    orders(s, d).filter(col("o_orderkey") < 300)
+      .withColumn("d", to_date(col("o_orderdate")))
+      .select(col("o_orderkey"),
+        col("d").cast("string").as("order_date"),
+        year(col("d")).cast("long").as("y"),
+        quarter(col("d")).cast("long").as("qtr"),
+        month(col("d")).cast("long").as("m"),
+        dayofmonth(col("d")).cast("long").as("dom"),
+        dayofweek(col("d")).cast("long").as("dow"),
+        date_add(col("d"), 30).cast("string").as("plus30"),
+        last_day(col("d")).cast("string").as("eom"),
+        datediff(lit("1998-01-01").cast("date"), col("d")).cast("long").as("days_to_98"))
+      .orderBy("o_orderkey")
+
+  val qDatetimeFuncsSql: String =
+    """SELECT o_orderkey, CAST(d AS VARCHAR) AS order_date,
+              CAST(EXTRACT(year FROM d) AS BIGINT) AS y,
+              CAST(EXTRACT(quarter FROM d) AS BIGINT) AS qtr,
+              CAST(EXTRACT(month FROM d) AS BIGINT) AS m,
+              CAST(EXTRACT(day FROM d) AS BIGINT) AS dom,
+              CAST(dayofweek(d) + 1 AS BIGINT) AS dow,
+              CAST(CAST(d + INTERVAL 30 DAY AS DATE) AS VARCHAR) AS plus30,
+              CAST(last_day(d) AS VARCHAR) AS eom,
+              CAST(date_diff('day', d, DATE '1998-01-01') AS BIGINT) AS days_to_98
+       FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+             FROM orders WHERE o_orderkey < 300) t
+       ORDER BY o_orderkey"""
+
+  /** R51 — string function breadth: padding, search, slicing, repeat,
+    * edit distance, token extraction. */
+  def qStringFuncs2(s: SparkSession, d: String): DataFrame =
+    customer(s, d).filter(col("c_custkey") < 500)
+      .select(col("c_custkey"),
+        lpad(col("c_name"), 22, "*").as("lpadded"),
+        instr(col("c_name"), "1").cast("long").as("pos1"),
+        expr("left(c_name, 8)").as("head8"),
+        expr("repeat('ab', 3)").as("abab"),
+        levenshtein(col("c_name"), col("c_mktsegment")).cast("long").as("lev"),
+        expr("split_part(c_name, '#', 2)").as("cust_num"))
+      .orderBy("c_custkey")
+
+  val qStringFuncs2Sql: String =
+    """SELECT c_custkey, lpad(c_name, 22, '*') AS lpadded,
+              CAST(strpos(c_name, '1') AS BIGINT) AS pos1,
+              left(c_name, 8) AS head8,
+              repeat('ab', 3) AS abab,
+              CAST(levenshtein(c_name, c_mktsegment) AS BIGINT) AS lev,
+              split_part(c_name, '#', 2) AS cust_num
+       FROM customer WHERE c_custkey < 500 ORDER BY c_custkey"""
+
+  /** R52 — JSON functions: serialize a struct per row, then extract
+    * scalars back out (compared post-extraction so the engines'
+    * whitespace/format differences never matter). */
+  def qJsonFuncs(s: SparkSession, d: String): DataFrame =
+    orders(s, d).filter(col("o_orderkey") < 300)
+      .withColumn("js", to_json(struct(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("st"), col("o_totalprice").as("tp"))))
+      .select(col("o_orderkey"),
+        get_json_object(col("js"), "$.st").as("st"),
+        get_json_object(col("js"), "$.k").cast("long").as("k2"),
+        get_json_object(col("js"), "$.tp").cast("double").as("tp2"))
+      .orderBy("o_orderkey")
+
+  val qJsonFuncsSql: String =
+    """SELECT o_orderkey,
+              json_extract_string(js, '$.st') AS st,
+              CAST(json_extract_string(js, '$.k') AS BIGINT) AS k2,
+              CAST(json_extract_string(js, '$.tp') AS DOUBLE) AS tp2
+       FROM (SELECT o_orderkey,
+                    to_json(struct_pack(k := o_orderkey, st := o_orderstatus,
+                                        tp := o_totalprice)) AS js
+             FROM orders WHERE o_orderkey < 300) t
+       ORDER BY o_orderkey"""
+
+  /** R53 — conditional expressions: NULLIF / COALESCE chains,
+    * GREATEST / LEAST, multi-arm CASE banding. */
+  def qConditionalFuncs(s: SparkSession, d: String): DataFrame =
+    customer(s, d).filter(col("c_custkey") < 500)
+      .select(col("c_custkey"),
+        expr("NULLIF(c_mktsegment, 'BUILDING')").as("seg_or_null"),
+        expr("COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'SUPPRESSED')").as("seg_coalesced"),
+        expr("GREATEST(c_acctbal, 0.0)").as("bal_floor"),
+        expr("CAST(LEAST(c_custkey, 100) AS BIGINT)").as("capped"),
+        expr("""CASE WHEN c_acctbal < 0 THEN 'neg'
+                     WHEN c_acctbal < 5000 THEN 'mid'
+                     ELSE 'high' END""").as("bal_band"))
+      .orderBy("c_custkey")
+
+  val qConditionalFuncsSql: String =
+    """SELECT c_custkey,
+              NULLIF(c_mktsegment, 'BUILDING') AS seg_or_null,
+              COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'SUPPRESSED') AS seg_coalesced,
+              GREATEST(c_acctbal, 0.0) AS bal_floor,
+              CAST(LEAST(c_custkey, 100) AS BIGINT) AS capped,
+              CASE WHEN c_acctbal < 0 THEN 'neg'
+                   WHEN c_acctbal < 5000 THEN 'mid'
+                   ELSE 'high' END AS bal_band
+       FROM customer WHERE c_custkey < 500 ORDER BY c_custkey"""
+
   /** R44 — TPC-H Q22-style wealthy inactives: scalar-subquery
     * threshold (average positive balance, exact decimal mean) feeding a
     * filter + anti join against orders, grouped by nation. */
