@@ -104,6 +104,25 @@ object Multimodal {
       .select(col("media_id"), (col("pos") / everyNth).cast("int").as("frame_no"),
         length(col("col")).cast("long").as("frame_bytes"))
 
+  /** Driver-facing query (rows-only; the decode stub is not
+    * SQL-expressible): full media pipeline — synthesize the media
+    * frame, extract features per blob, attach sampled-frame counts.
+    * MultimodalSpec asserts the semantics. */
+  def multimodalFeatures(s: SparkSession, d: String): DataFrame = {
+    val media = mediaFromDocuments(s, d)
+    val frames = sampleFrames(media)
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_sampled_frames"),
+           sum(col("frame_bytes")).as("sampled_bytes"))
+    extractFeatures(media)
+      .join(frames, Seq("media_id"), "left")
+      .select(col("media_id"), col("kind"), col("n_bytes"), col("mean_level"),
+        col("n_frames").cast("long").as("n_frames"),
+        coalesce(col("n_sampled_frames"), lit(0L)).as("n_sampled_frames"),
+        coalesce(col("sampled_bytes"), lit(0L)).as("sampled_bytes"))
+      .orderBy("media_id")
+  }
+
   /** "Resize" metadata update (stub: recompute width/height metadata,
     * pass content through — a real impl transforms the bytes). */
   def resize(media: DataFrame, w: Int, h: Int): DataFrame =
