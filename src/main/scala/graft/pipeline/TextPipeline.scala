@@ -162,6 +162,13 @@ object TextPipeline {
       .toDF("src", "dst").cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")).localCheckpoint(true)
+    // Labels are monotonically non-increasing under min-propagation,
+    // so an unchanged label SUM proves the fixpoint — one cheap
+    // aggregate per round instead of a change-detection join.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .collect().head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < 25) {
@@ -170,11 +177,9 @@ object TextPipeline {
       val next = labels.union(prop)
         .groupBy("id").agg(min(col("component")).as("component"))
         .localCheckpoint(true)
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.component") =!= col("o.component"))
-        .count()
-      converged = changed == 0
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       iter += 1
     }
