@@ -434,13 +434,30 @@ final class TableOps(store: FsStore) {
     keys.distinct().coalesce(1).write.parquet(writeDir.toString)
     val files = store.listFilesRec(writeDir)
       .filter(_.getName.endsWith(".parquet")).map(_.toString)
-    val parent = meta.currentSnapshot
-    val parentEntries = parent.map(rawSnapshotFiles(tableDir, _)).getOrElse(Seq.empty)
     val delRel = files.map(f => DataFileEntry(
       relativize(tableDir, f), content = "eq-deletes",
       equalityColumns = keys.columns.toSeq))
-    commitManifest(tableDir, parentEntries ++ delRel, parent, "eq-delete",
-      added = delRel.size)
+    // A delete commit COMMUTES with concurrent snapshot commits (the
+    // keys mask whatever data files the winner's state has, including
+    // later appends), so a lost CAS race retries on fresh state.
+    var attempt = 0
+    while (true) {
+      val (_, cur) = load(tableDir).getOrElse(
+        throw new CommitFailedException(s"table does not exist at $tableDir"))
+      val parent = cur.currentSnapshot
+      val parentEntries = parent.map(rawSnapshotFiles(tableDir, _)).getOrElse(Seq.empty)
+      try
+        return commitManifest(tableDir, parentEntries ++ delRel, parent, "eq-delete",
+          added = delRel.size)
+      catch {
+        case e: CommitFailedException if attempt < 20 &&
+            (e.getMessage.contains("concurrent commit") ||
+             e.getMessage.contains("assert-ref-snapshot-id")) =>
+          attempt += 1
+          Thread.sleep(15L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Rewrite the table with all equality deletes applied (and drop the

@@ -74,6 +74,34 @@ class MorSpec extends SparkSpec {
     assert(spark.sql("SELECT v FROM graft.mor.g WHERE id = 1").collect().head.getString(0) == "X")
   }
 
+  test("delete commits retry through concurrent appends, nothing lost") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mor")
+    spark.sql("CREATE TABLE graft.mor.race (id BIGINT)")
+    spark.sql("INSERT INTO graft.mor.race SELECT id FROM range(0, 100)")
+    val dir = new Path(s"$warehouse/mor/race")
+    import spark.implicits._
+
+    // 4 concurrent appenders + 4 concurrent key-deleters on one table
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val appends = (1 to 4).map(i => Future {
+      cat.ops.write(dir, spark.range(1000L * i, 1000L * i + 10).toDF("id"), "append")
+    })
+    val deletes = (0 until 4).map(i => Future {
+      cat.ops.mergeOnReadDelete(spark, dir, Seq(i.toLong, (i + 10).toLong).toDF("id"))
+    })
+    Await.result(Future.sequence(appends ++ deletes), 120.seconds)
+    pool.shutdown()
+
+    // all 8 commits landed: 100 base - 8 deleted + 40 appended
+    assert(spark.sql("SELECT count(*) FROM graft.mor.race").collect().head.getLong(0) == 132)
+    val (_, m) = cat.ops.load(dir).get
+    assert(m.snapshots.size == 9, s"expected 9 snapshots, got ${m.snapshots.size}")
+  }
+
   test("string keys and multi-column keys") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mor")
     spark.sql("CREATE TABLE graft.mor.mk (id BIGINT, lang STRING, v DOUBLE)")
