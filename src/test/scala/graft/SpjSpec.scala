@@ -63,6 +63,29 @@ class SpjSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("string partition keys key-group too") {
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spj")
+    spark.sql("CREATE TABLE graft.spj.sa (id BIGINT, lang STRING) PARTITIONED BY (lang)")
+    spark.sql("CREATE TABLE graft.spj.sb (id BIGINT, lang STRING) PARTITIONED BY (lang)")
+    val df = spark.range(0, 120).selectExpr("id", "CASE id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de' ELSE 'fr' END AS lang")
+    cat.ops.writeValuePartitioned(new org.apache.hadoop.fs.Path(s"$warehouse/spj/sa"), df)
+    cat.ops.writeValuePartitioned(new org.apache.hadoop.fs.Path(s"$warehouse/spj/sb"), df)
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.sql(
+        """SELECT a.lang, count(*) AS n
+          FROM graft.spj.sa a JOIN graft.spj.sb b ON a.lang = b.lang
+          GROUP BY a.lang ORDER BY a.lang""")
+      assert(joined.collect().map(_.getLong(1)).toSeq == Seq.fill(3)(1600L))
+      assert(hashShuffles(joined) == 0,
+        s"string keys should key-group:\n${joined.queryExecution.executedPlan}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("straddling files fall back to a plain shuffle plan, same result") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spj")
     spark.sql("CREATE TABLE graft.spj.c (id BIGINT, day BIGINT) PARTITIONED BY (day)" +
