@@ -1150,4 +1150,89 @@ object Relational {
        WHERE c_acctbal > (SELECT ${sqlAvg("c_acctbal")} FROM customer WHERE c_acctbal > 0)
          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
        GROUP BY n_name ORDER BY nation"""
+
+  /** R54 — TPC-H Q11-style value concentration (adapted: the test
+    * schema has no partsupp, so the held value is supplier account
+    * balance per nation): group-agg filtered by a HAVING against a
+    * global scalar aggregate. The global total is one broadcast row;
+    * the per-nation agg is one shuffle with map-side partials. */
+  def q11ValueConcentration(s: SparkSession, d: String): DataFrame = {
+    val sup = supplier(s, d)
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+    val total = sup.agg(dsum(col("s_acctbal")).as("tot"))
+    sup.groupBy(col("n_name").as("nation"))
+      .agg(dsum(col("s_acctbal")).as("value"))
+      .join(broadcast(total))
+      .filter(col("value") > col("tot") * 0.04)
+      .select(col("nation"), col("value"))
+      .orderBy(col("value").desc, col("nation"))
+  }
+
+  val q11Sql: String =
+    s"""SELECT n_name AS nation, ${sqlSum("s_acctbal")} AS value
+       FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       GROUP BY n_name
+       HAVING ${sqlSum("s_acctbal")} >
+         (SELECT ${sqlSum("s_acctbal")} * 0.04 FROM supplier)
+       ORDER BY value DESC, nation"""
+
+  /** R55 — TPC-H Q12-style shipping-delay priority split (adapted:
+    * no shipmode/receiptdate columns, so "late" = shipped more than
+    * 60 days after the order date): join + dual conditional counts
+    * per group. One shuffle join on orderkey, then a tiny agg. */
+  def q12LatePriority(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .filter(datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))) > 60)
+      .groupBy("l_returnflag")
+      .agg(
+        count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)).as("high_late"),
+        count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)).as("low_late"))
+      .orderBy("l_returnflag")
+
+  val q12Sql: String =
+    """SELECT l_returnflag,
+       COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT','2-HIGH')) AS high_late,
+       COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT','2-HIGH')) AS low_late
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 60
+       GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** R56 — TPC-H Q21-style sole-blame supplier (adapted lateness as in
+    * R55): late lines in multi-supplier orders where NO other supplier
+    * of the same order was late — a correlated EXISTS plus NOT EXISTS
+    * over the same self-joined table. Both the semi and the anti join
+    * shuffle lineitem on orderkey; Catalyst reuses the exchange, so
+    * the fact table partitions once. Supplier side is broadcast. */
+  def q21BlameSupplier(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+      .join(orders(s, d).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))) > 60)
+      .select("l_orderkey", "l_suppkey", "late")
+    val others = li.select(
+      col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"), col("late").as("late2"))
+    li.filter(col("late"))
+      .join(others,
+        col("ok2") === col("l_orderkey") && col("sk2") =!= col("l_suppkey"), "left_semi")
+      .join(others.filter(col("late2")),
+        col("ok2") === col("l_orderkey") && col("sk2") =!= col("l_suppkey"), "left_anti")
+      .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
+  val q21Sql: String =
+    """SELECT s_name, COUNT(*) AS numwait
+       FROM supplier, lineitem l1, orders
+       WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+         AND datediff('day', CAST(o_orderdate AS DATE), CAST(l1.l_shipdate AS DATE)) > 60
+         AND EXISTS (SELECT 1 FROM lineitem l2
+                     WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                     WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                       AND datediff('day', CAST(o_orderdate AS DATE), CAST(l3.l_shipdate AS DATE)) > 60)
+       GROUP BY s_name ORDER BY numwait DESC, s_name"""
 }

@@ -387,4 +387,75 @@ object TextPipeline {
         "aggregate(ws, 7L, (h, w) -> (h * 31 + pmod(xxhash64(w), 65536)) % 1073741789)"))
       .select("doc_id", "fp")
       .orderBy("doc_id")
+
+  /** L17 — repetition scoring (Gopher-style repetition filters,
+    * word-level): `rep_frac` = fraction of words that are repeats of
+    * an earlier word (1 − distinct/total), `top_frac` = most frequent
+    * word's share. High values flag boilerplate / degenerate docs.
+    *
+    * Scale: explode + two-level hash agg keyed (doc_id, word) then
+    * doc_id — partial aggregation makes the shuffle carry one row per
+    * distinct (doc, word), not one per token. Fractions are IEEE
+    * double divisions of exact integer counts, so Spark and the
+    * oracle agree bitwise. */
+  def textRepetition(s: SparkSession, d: String): DataFrame =
+    withWords(documents(s, d))
+      .select(col("doc_id"), explode(col("ws")).as("word"))
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(
+        sum("cnt").as("n_words"),
+        (lit(1.0) - count(lit(1)).cast("double") / sum("cnt").cast("double")).as("rep_frac"),
+        (max("cnt").cast("double") / sum("cnt").cast("double")).as("top_frac"))
+      .orderBy(col("rep_frac").desc, col("doc_id"))
+      .limit(100)
+
+  val textRepetitionSql: String =
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       c AS (SELECT doc_id, word, COUNT(*) AS cnt FROM w GROUP BY doc_id, word)
+       SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,
+              1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS rep_frac,
+              CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS top_frac
+       FROM c GROUP BY doc_id ORDER BY rep_frac DESC, doc_id LIMIT 100"""
+
+  /** L18 — benchmark decontamination: corpus docs sharing a word
+    * n-gram with the eval split (here the deterministic holdout
+    * `doc_id % 97 = 0`) are flagged with their shared-gram count —
+    * the standard exact-substring contamination check run before
+    * training. n=3 at test scale (tiny synthetic vocabulary); at real
+    * scale the same plan runs with 8–13-grams, where false sharing
+    * vanishes and the gram join gets MORE selective, not less.
+    *
+    * Scale: grams explode into an equi-join on the gram string — a
+    * shuffle keyed on short strings. The eval side is distinct-reduced
+    * first and is tiny relative to the corpus (it's a benchmark
+    * suite), so AQE broadcasts it; the corpus side never
+    * self-joins. */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val grams = withWords(documents(s, d))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', slice(ws, i + 1, 3)))"))
+        .as("gram"))
+    val evalGrams = grams.filter(col("doc_id") % 97 === 0).select("gram").distinct()
+    grams.filter(col("doc_id") % 97 =!= 0).distinct()
+      .join(evalGrams, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("n_shared").desc, col("doc_id"))
+      .limit(200)
+  }
+
+  val decontaminateSql: String =
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       grams AS (
+         SELECT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+         FROM words, (SELECT unnest(generate_series(1, len(w) - 2)) AS i)
+       ),
+       eval_grams AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+       corpus AS (SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 97 <> 0)
+       SELECT c.doc_id, COUNT(*) AS n_shared
+       FROM corpus c JOIN eval_grams e USING (gram)
+       GROUP BY c.doc_id ORDER BY n_shared DESC, c.doc_id LIMIT 200"""
 }
