@@ -15,15 +15,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * column is for auditing / maintenance queries, not the hot path. */
 object FileTagging {
 
-  /** One partition per data file (its split chunks stay together), so
-    * the factory can tag rows with a per-partition constant. */
+  /** One partition per data file (its split chunks stay together,
+    * ordered by byte offset so concatenating them preserves the
+    * file's row order — required for `_pos` ordinals), so the factory
+    * can tag rows with a per-partition constant. */
   def perFilePartitions(inner: Array[InputPartition]): Array[InputPartition] = {
     val files = inner.flatMap {
       case fp: FilePartition => fp.files
       case other => throw new IllegalStateException(s"unexpected partition: $other")
     }
     files.groupBy(_.urlEncodedPath).toSeq.sortBy(_._1).zipWithIndex
-      .map { case ((_, chunks), i) => FilePartition(i, chunks): InputPartition }
+      .map { case ((_, chunks), i) =>
+        FilePartition(i, chunks.sortBy(_.start)): InputPartition }
       .toArray
   }
 

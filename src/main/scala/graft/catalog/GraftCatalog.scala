@@ -149,6 +149,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
   override def tableExists(ident: Identifier): Boolean = ops.exists(tablePath(ident))
 
   override def loadTable(ident: Identifier): Table = {
+    // `<table>$changes` — the file-granular CDC view (ChangelogTable).
+    if (ident.name.endsWith("$changes")) {
+      val base = Identifier.of(ident.namespace, ident.name.stripSuffix("$changes"))
+      val dir = tablePath(base)
+      val (_, meta) = ops.load(dir).getOrElse(throw new NoSuchTableException(ident))
+      return new ChangelogTable(fullName(base), dir, meta, ops)
+    }
     val dir = tablePath(ident)
     val (_, meta) = ops.load(dir).getOrElse(throw new NoSuchTableException(ident))
     new GraftTable(fullName(ident), dir, meta, ops)

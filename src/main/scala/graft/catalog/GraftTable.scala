@@ -44,10 +44,11 @@ final class GraftTable(
 
   override def name(): String = tableName
 
-  /** `_file` — the data file a row lives in (auditing, maintenance,
-    * file-level debugging). Spark's own `_metadata` struct does not
-    * resolve through DSv2 catalog tables, so the column is synthesized
-    * here (see [[FileTagging]]). */
+  /** `_file` / `_pos` — the data file a row lives in and its absolute
+    * row ordinal within that file (auditing, maintenance, positional
+    * deletes). Spark's own `_metadata` struct does not resolve through
+    * DSv2 catalog tables, so the columns are synthesized here (see
+    * [[FileTagging]] / [[MorFilter.PerFileFactory]]). */
   override def metadataColumns(): Array[MetadataColumn] = Array(
     new MetadataColumn {
       override def name(): String = "_file"
@@ -55,6 +56,13 @@ final class GraftTable(
         org.apache.spark.sql.types.StringType
       override def isNullable: Boolean = false
       override def comment(): String = "path of the data file holding the row"
+    },
+    new MetadataColumn {
+      override def name(): String = "_pos"
+      override def dataType: org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = false
+      override def comment(): String = "row ordinal within the data file"
     })
 
   override lazy val schema: StructType = SchemaBridge.toSpark(meta.currentSchema)
@@ -117,6 +125,7 @@ final class GraftTable(
 
     private val dataEntries = entries.filter(_.isData)
     private val eqDeletes = entries.filter(_.isEqDelete)
+    private val posDeletes = entries.filter(_.isPosDelete)
 
     private var delegate: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder =
       parquetDelegate(dataEntries.map(_.path)).newScanBuilder(options)
@@ -136,65 +145,100 @@ final class GraftTable(
     }
     override def pushedFilters(): Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
       delegate.pushedFilters
-    private var fileColRequested = false
+    /** Requested metadata columns, in requiredSchema order. */
+    private var metaCols: Seq[String] = Seq.empty
 
     override def pruneColumns(requiredSchema: StructType): Unit = {
-      fileColRequested = requiredSchema.fieldNames.contains("_file")
-      val dataSchema = StructType(requiredSchema.fields.filterNot(_.name == "_file"))
+      metaCols = requiredSchema.fieldNames.toSeq.filter(n => n == "_file" || n == "_pos")
+      val dataSchema =
+        StructType(requiredSchema.fields.filterNot(f => metaCols.contains(f.name)))
       requiredState = Some(dataSchema)
       delegate.pruneColumns(dataSchema)
     }
 
-    /** Merge-on-read scan: the parquet delegate reads the requested
-      * columns PLUS any missing delete-key columns; a reader-level
-      * filter drops dead rows and projects the extras back off. Key
-      * sets are collected driver-side at build (delete files are
-      * O(deleted keys) by design). */
-    private def buildMor(): org.apache.spark.sql.connector.read.Scan = {
+    /** Merge-on-read / metadata-column scan: partitions are re-planned
+      * one-per-file, the parquet delegate reads the requested columns
+      * PLUS any missing delete-key columns, and a per-file reader
+      * assigns row ordinals, drops dead rows (positional + seq-aware
+      * equality deletes) and appends the requested metadata columns.
+      * Delete sets are collected driver-side at build (delete files
+      * are O(deleted keys/rows) by design).
+      *
+      * When ordinals matter (pos-deletes present or `_pos` requested)
+      * the delegate gets NO pushdown — parquet row-group skipping
+      * would shift ordinals; Spark re-applies every data filter above
+      * the scan, so this costs I/O, never correctness. Manifest-stat
+      * file skipping stays on either way (whole-file skips don't
+      * disturb other files' ordinals). */
+    private def buildMorOrMeta(): org.apache.spark.sql.connector.read.Scan = {
+      def norm(p: String): String = new Path(p).toUri.getPath
       val required = requiredState.getOrElse(schema)
+      val needOrdinals = posDeletes.nonEmpty || metaCols.contains("_pos")
       val allKeyCols = eqDeletes.flatMap(_.equalityColumns).distinct
       val missing = allKeyCols.filterNot(required.fieldNames.contains)
       val extended = StructType(
         required.fields ++ missing.map(c => schema.fields.find(_.name == c).getOrElse(
           throw new IllegalStateException(s"delete key column $c missing from table schema"))))
       val b = parquetDelegate(keptEntries.map(_.path)).newScanBuilder(options)
-      if (predicateState.nonEmpty) b.pushFilters(predicateState)
+      if (!needOrdinals && predicateState.nonEmpty) b.pushFilters(predicateState)
       b.pruneColumns(extended)
       val inner = b.build()
-      val keySets = eqDeletes.groupBy(_.equalityColumns).toSeq.map { case (cols, es) =>
-        val ks = StructType(cols.map(c => schema.fields.find(_.name == c).get))
-        val dead = spark.read.schema(ks).parquet(es.map(_.path): _*)
-          .distinct().collect()
-          .map(r => cols.indices.map(i => MorFilter.normalize(r.get(i))).toVector)
-          .filterNot(_.contains(null)).toSet
-        MorFilter.KeySet(
-          cols.map(extended.fieldIndex).toArray,
-          cols.map(c => extended(extended.fieldIndex(c)).dataType).toArray,
-          dead)
+      val keySets = eqDeletes.groupBy(e => (e.equalityColumns, e.deleteSeq)).toSeq
+        .map { case ((cols, dseq), es) =>
+          val ks = StructType(cols.map(c => schema.fields.find(_.name == c).get))
+          val dead = spark.read.schema(ks).parquet(es.map(_.path): _*)
+            .distinct().collect()
+            .map(r => cols.indices.map(i => MorFilter.normalize(r.get(i))).toVector)
+            .filterNot(_.contains(null)).toSet
+          MorFilter.KeySet(
+            cols.map(extended.fieldIndex).toArray,
+            cols.map(c => extended(extended.fieldIndex(c)).dataType).toArray,
+            dead, dseq)
+        }
+      val posByFile: Map[String, Set[Long]] =
+        if (posDeletes.isEmpty) Map.empty
+        else {
+          val posSchema = StructType(Seq(
+            org.apache.spark.sql.types.StructField("_file", org.apache.spark.sql.types.StringType, nullable = false),
+            org.apache.spark.sql.types.StructField(
+              "_pos", org.apache.spark.sql.types.LongType, nullable = false)))
+          spark.read.schema(posSchema).parquet(posDeletes.map(_.path): _*)
+            .collect()
+            .groupBy(r => norm(r.getString(0)))
+            .map { case (p, rows) => p -> rows.map(_.getLong(1)).toSet }
+        }
+      val confByPath = keptEntries.map { e =>
+        val p = norm(e.path)
+        p -> MorFilter.FileConf(
+          keySets.filter(_.deleteSeq > e.dataSeq),
+          posByFile.getOrElse(p, Set.empty))
+      }.toMap
+      val metaFields = metaCols.map {
+        case "_file" => org.apache.spark.sql.types.StructField(
+          "_file", org.apache.spark.sql.types.StringType, nullable = false)
+        case "_pos" => org.apache.spark.sql.types.StructField(
+          "_pos", org.apache.spark.sql.types.LongType, nullable = false)
       }
-      val req = required
+      val (req, mc) = (required, metaCols)
       new org.apache.spark.sql.connector.read.Scan {
-        override def readSchema(): StructType = req
+        override def readSchema(): StructType = StructType(req.fields ++ metaFields)
         override def description(): String =
-          s"${inner.description()} morDeletes=${eqDeletes.size}"
+          s"${inner.description()} morEq=${eqDeletes.size} morPos=${posDeletes.size} meta=$mc"
         override def toBatch: org.apache.spark.sql.connector.read.Batch =
           new org.apache.spark.sql.connector.read.Batch {
-            override def planInputPartitions() = inner.toBatch.planInputPartitions()
+            override def planInputPartitions() =
+              FileTagging.perFilePartitions(inner.toBatch.planInputPartitions())
             override def createReaderFactory() =
-              MorFilter.Factory(inner.toBatch.createReaderFactory(),
-                keySets, req.size, extended)
+              MorFilter.PerFileFactory(inner.toBatch.createReaderFactory(),
+                confByPath, req.size, extended, mc)
           }
       }
     }
 
     override def build(): org.apache.spark.sql.connector.read.Scan = {
-      if (eqDeletes.nonEmpty) {
-        require(!fileColRequested,
-          "_file is not supported while equality deletes are pending — run applyDeletes first")
-        return buildMor()
-      }
+      if (eqDeletes.nonEmpty || posDeletes.nonEmpty || metaCols.nonEmpty)
+        return buildMorOrMeta()
       val batchScan = delegate.build()
-      if (fileColRequested) return new FileTaggedScan(batchScan)
       KeyGrouping.keysFor(meta, schema, keptEntries) match {
         case Some((specCols, keyByPath)) =>
           new KeyGroupedScan(batchScan, specCols, keyByPath, options, predicateState, requiredState)
@@ -210,26 +254,6 @@ final class GraftTable(
             }
           }
       }
-    }
-  }
-
-  /** Scan serving the `_file` metadata column: delegate rows with the
-    * owning file's path appended; partitions re-planned one-per-file
-    * so the path is a per-partition constant. */
-  private final class FileTaggedScan(inner: org.apache.spark.sql.connector.read.Scan)
-      extends org.apache.spark.sql.connector.read.Scan {
-    import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory}
-
-    override def readSchema(): StructType =
-      inner.readSchema().add(org.apache.spark.sql.types.StructField(
-        "_file", org.apache.spark.sql.types.StringType, nullable = false))
-    override def description(): String = s"${inner.description()} +_file"
-
-    override def toBatch: Batch = new Batch {
-      override def planInputPartitions(): Array[InputPartition] =
-        FileTagging.perFilePartitions(inner.toBatch.planInputPartitions())
-      override def createReaderFactory(): PartitionReaderFactory =
-        FileTagging.TaggingReaderFactory(inner.toBatch.createReaderFactory())
     }
   }
 
@@ -376,7 +400,7 @@ final class GraftTable(
       // parent guard then rejects the race).
       private lazy val entries: Seq[DataFileEntry] = {
         val m = reload()
-        ops.requireNoEqDeletes(dir, m, s"${info.command()} (copy-on-write rewrite)")
+        ops.requireNoPendingDeletes(dir, m, s"${info.command()} (copy-on-write rewrite)")
         ops.resolveEntries(dir, m)
       }
       // The single source of truth threaded scan → commit: paths of the
@@ -554,7 +578,7 @@ final class GraftTable(
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     val (_, cur) = ops.load(dir).getOrElse(
       throw new IllegalStateException(s"table vanished at $dir"))
-    ops.requireNoEqDeletes(dir, cur, "DELETE FROM (copy-on-write)")
+    ops.requireNoPendingDeletes(dir, cur, "DELETE FROM (copy-on-write)")
     val entries = ops.resolveEntries(dir, cur)
     val (affected, untouched) =
       entries.partition(e => filters.forall(f => Stats.mayContain(e, schema, f)))

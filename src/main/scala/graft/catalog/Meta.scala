@@ -47,19 +47,34 @@ final case class ColumnStats(min: Option[String], max: Option[String], nulls: Op
 
 /** One file in a snapshot manifest, with optional footer stats used
   * for file skipping. Path is table-dir-relative once stored.
-  * `content` distinguishes data files from equality-delete files
-  * (merge-on-read): a delete file holds key tuples over
-  * `equalityColumns`; any data row matching a tuple is dead until a
-  * rewrite purges it. Absent fields deserialize to data-file defaults,
-  * so pre-MOR manifests stay readable. */
+  * `content` distinguishes data files from delete files
+  * (merge-on-read): an equality-delete file holds key tuples over
+  * `equalityColumns`; a positional-delete file holds (`_file`,
+  * `_pos`) row coordinates. Affected data rows are dead until a
+  * rewrite purges them. Absent fields deserialize to data-file
+  * defaults, so pre-MOR manifests stay readable.
+  *
+  * `seq` is the sequence number of the snapshot that ADDED the file
+  * (Iceberg's data sequence number): an equality delete masks only
+  * data files with a strictly LOWER sequence, so rows appended after
+  * the delete are never masked by it. Legacy manifests (no seq)
+  * deserialize to None = "oldest possible" for data files and
+  * "newest possible" for delete files — exactly the pre-seq masking
+  * behavior. */
 final case class DataFileEntry(
     path: String,
     rows: Option[Long] = None,
     stats: Map[String, ColumnStats] = Map.empty,
     content: String = "data",
-    equalityColumns: Seq[String] = Seq.empty) {
+    equalityColumns: Seq[String] = Seq.empty,
+    seq: Option[Long] = None) {
   def isData: Boolean = content == "data"
   def isEqDelete: Boolean = content == "eq-deletes"
+  def isPosDelete: Boolean = content == "pos-deletes"
+  def isDelete: Boolean = isEqDelete || isPosDelete
+  /** Sequence for masking decisions, with legacy-manifest defaults. */
+  def dataSeq: Long = seq.getOrElse(0L)
+  def deleteSeq: Long = seq.getOrElse(Long.MaxValue)
 }
 final case class SnapshotLogEntry(snapshotId: Long, timestampMs: Long)
 final case class MetadataLogEntry(metadataFile: String, timestampMs: Long)

@@ -177,6 +177,7 @@ object MetadataJson {
       val fo = a.addObject()
       fo.put("path", f.path)
       f.rows.foreach(fo.put("rows", _))
+      f.seq.foreach(fo.put("seq", _))
       if (!f.isData) fo.put("content", f.content)
       if (f.equalityColumns.nonEmpty) {
         val ec = fo.putArray("equality-columns")
@@ -211,7 +212,8 @@ object MetadataJson {
             }.toMap).getOrElse(Map.empty),
           Option(o.get("content")).map(_.asText()).getOrElse("data"),
           Option(o.get("equality-columns")).map(ec =>
-            ec.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty))
+            ec.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty),
+          Option(o.get("seq")).map(_.asLong()))
     }
 
   // ---------- views ----------

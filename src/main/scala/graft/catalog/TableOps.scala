@@ -55,17 +55,8 @@ final class TableOps(store: FsStore) {
     }
     val (v, meta) = current.getOrElse(
       throw new CommitFailedException(s"table does not exist at $tableDir"))
-    val prevFile = store.versionPath(metadataDir(tableDir), v).toString
     val updated = updates.foldLeft(meta)((m, u) => u.apply(m))
-      .copy(lastUpdatedMs = System.currentTimeMillis())
-    // Metadata-log compaction: at high commit rates (streaming sink,
-    // many writers) an unbounded log makes every subsequent metadata
-    // file larger — O(commits) growth per commit. Keep the newest N
-    // entries (Iceberg: write.metadata.previous-versions-max).
-    val maxLog = meta.properties.get("graft.metadata.log.max-entries")
-      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(100)
-    val fullLog = updated.metadataLog :+ MetadataLogEntry(prevFile, meta.lastUpdatedMs)
-    val withLog = updated.copy(metadataLog = fullLog.takeRight(maxLog))
+    val (withLog, fullLog) = appendMetadataLog(tableDir, v, meta, updated)
     if (!store.publish(metadataDir(tableDir), v + 1, MetadataJson.toJson(withLog)))
       throw new CommitFailedException(
         s"concurrent commit on $tableDir: version ${v + 1} already published")
@@ -74,9 +65,78 @@ final class TableOps(store: FsStore) {
     // the CURRENT version, so dropped historical files are only served
     // to metadata-log queries, which see the trimmed log).
     if (meta.properties.get("graft.metadata.delete-after-commit").contains("true"))
-      fullLog.dropRight(maxLog).foreach(e =>
+      fullLog.dropRight(maxLogEntries(meta)).foreach(e =>
         scala.util.Try(store.delete(new Path(e.metadataFile))))
     withLog
+  }
+
+  private def maxLogEntries(meta: TableMetadata): Int =
+    meta.properties.get("graft.metadata.log.max-entries")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(100)
+
+  /** Stamp `updated` with now + the metadata-log entry for the version
+    * being superseded, trimmed per table property (metadata-log
+    * compaction: at high commit rates an unbounded log makes every
+    * subsequent metadata file larger — O(commits) growth per commit;
+    * Iceberg: write.metadata.previous-versions-max). Returns the
+    * stamped metadata and the untrimmed log (for delete-after-commit).
+    */
+  private[catalog] def appendMetadataLog(
+      tableDir: Path,
+      fromVersion: Int,
+      prev: TableMetadata,
+      updated: TableMetadata): (TableMetadata, Seq[MetadataLogEntry]) = {
+    val prevFile = store.versionPath(metadataDir(tableDir), fromVersion).toString
+    val stamped = updated.copy(lastUpdatedMs = System.currentTimeMillis())
+    val fullLog = stamped.metadataLog :+ MetadataLogEntry(prevFile, prev.lastUpdatedMs)
+    (stamped.copy(metadataLog = fullLog.takeRight(maxLogEntries(prev))), fullLog)
+  }
+
+  /** Raw CAS publish of `meta` as version `fromVersion + 1` — the
+    * transaction coordinator's primitive ([[Transactions]]); regular
+    * single-table commits go through [[commit]]. */
+  private[catalog] def publishVersion(
+      tableDir: Path, fromVersion: Int, meta: TableMetadata): Boolean =
+    store.publish(metadataDir(tableDir), fromVersion + 1, MetadataJson.toJson(meta))
+
+  /** Build the updates of a snapshot commit (manifest written as a
+    * side effect) against an already-read state — the per-attempt
+    * body [[Transactions.appendAll]] runs inside its commit loop. */
+  private[catalog] def buildSnapshotUpdates(
+      tableDir: Path,
+      meta: TableMetadata,
+      newFiles: Seq[String],
+      operation: String): Seq[MetadataUpdate] = {
+    val parent = meta.currentSnapshot
+    val newSeq = meta.lastSequenceNumber + 1
+    val newRel = newFiles.map { f =>
+      val entry = scala.util.Try(Stats.collect(store.fs(tableDir).getConf, f))
+        .getOrElse(DataFileEntry(f))
+      entry.copy(path = relativize(tableDir, f), seq = Some(newSeq))
+    }
+    val all = operation match {
+      case "append" => parent.map(rawSnapshotFiles(tableDir, _)).getOrElse(Seq.empty) ++ newRel
+      case "overwrite" => newRel
+      case other => throw new IllegalArgumentException(s"unknown snapshot operation: $other")
+    }
+    val snapId = newSnapshotId()
+    val manifestName = s"manifest-$snapId.json"
+    store.writeString(
+      new Path(metadataDir(tableDir), manifestName), MetadataJson.manifestToJson(all))
+    val snap = Snapshot(
+      snapshotId = snapId,
+      parentSnapshotId = parent.map(_.snapshotId),
+      sequenceNumber = newSeq,
+      timestampMs = System.currentTimeMillis(),
+      operation = operation,
+      manifest = manifestName,
+      summary = Map(
+        "added-data-files" -> newFiles.size.toString,
+        "total-data-files" -> all.size.toString),
+      schemaId = meta.currentSchemaId)
+    Seq(
+      MetadataUpdate.AddSnapshot(snap),
+      MetadataUpdate.SetSnapshotRef("main", snapId, "branch"))
   }
 
   // ---------- snapshots ----------
@@ -175,10 +235,11 @@ final class TableOps(store: FsStore) {
     val parent =
       if (branch == "main") meta.currentSnapshot
       else meta.snapshotByRef(branch).orElse(meta.currentSnapshot)
+    val newSeq = meta.lastSequenceNumber + 1
     val newRel = newFiles.map { f =>
       val entry = scala.util.Try(Stats.collect(store.fs(tableDir).getConf, f))
         .getOrElse(DataFileEntry(f))
-      entry.copy(path = relativize(tableDir, f))
+      entry.copy(path = relativize(tableDir, f), seq = Some(newSeq))
     }
     val all = operation match {
       case "append" => parent.map(rawSnapshotFiles(tableDir, _)).getOrElse(Seq.empty) ++ newRel
@@ -309,11 +370,12 @@ final class TableOps(store: FsStore) {
     val (_, meta) = load(tableDir).getOrElse(
       throw new CommitFailedException(s"table does not exist at $tableDir"))
     val parent = meta.currentSnapshot
+    val newSeq = meta.lastSequenceNumber + 1
     val keptRel = keep.map(e => e.copy(path = relativize(tableDir, e.path)))
     val newRel = newFiles.map { f =>
       val entry = scala.util.Try(Stats.collect(store.fs(tableDir).getConf, f))
         .getOrElse(DataFileEntry(f))
-      entry.copy(path = relativize(tableDir, f))
+      entry.copy(path = relativize(tableDir, f), seq = Some(newSeq))
     }
     val all = keptRel ++ newRel
     val snapId = newSnapshotId()
@@ -364,7 +426,7 @@ final class TableOps(store: FsStore) {
     require(keys.nonEmpty, "upsert needs at least one key column")
     val (_, meta) = load(tableDir).getOrElse(
       throw new CommitFailedException(s"table does not exist at $tableDir"))
-    requireNoEqDeletes(tableDir, meta, "upsert")
+    requireNoPendingDeletes(tableDir, meta, "upsert")
     val schema = SchemaBridge.toSpark(meta.currentSchema)
     val entries = resolveEntries(tableDir, meta)
 
@@ -409,9 +471,11 @@ final class TableOps(store: FsStore) {
     * dominates; key columns are limited to integral / string /
     * boolean types.
     *
-    * Semantics note: a pending delete masks its keys in LATER appends
-    * too (no per-file sequence ordering) — re-inserting a deleted key
-    * requires [[applyDeletes]] first. */
+    * Sequence ordering: the delete file carries the commit's sequence
+    * number and masks only data files with a strictly LOWER sequence
+    * — rows appended AFTER the delete are visible even when their
+    * keys match, so delete-then-reinsert works without
+    * [[applyDeletes]]. */
   def mergeOnReadDelete(
       spark: SparkSession,
       tableDir: Path,
@@ -434,24 +498,80 @@ final class TableOps(store: FsStore) {
     keys.distinct().coalesce(1).write.parquet(writeDir.toString)
     val files = store.listFilesRec(writeDir)
       .filter(_.getName.endsWith(".parquet")).map(_.toString)
-    val delRel = files.map(f => DataFileEntry(
-      relativize(tableDir, f), content = "eq-deletes",
-      equalityColumns = keys.columns.toSeq))
     // A delete commit COMMUTES with concurrent snapshot commits (the
-    // keys mask whatever data files the winner's state has, including
-    // later appends), so a lost CAS race retries on fresh state.
+    // keys mask whatever OLDER data files the winner's state has;
+    // newer appends are protected by the sequence rule either way),
+    // so a lost CAS race retries on fresh state.
+    commitDeleteEntries(tableDir, seq => files.map(f => DataFileEntry(
+      relativize(tableDir, f), content = "eq-deletes",
+      equalityColumns = keys.columns.toSeq, seq = Some(seq))), "eq-delete")
+  }
+
+  /** Positional (merge-on-read) DELETE: computes the (file, ordinal)
+    * coordinates of rows matching `cond` against the CURRENT snapshot
+    * and commits them as a positional-delete file — O(matched rows)
+    * write, zero data-file rewriting, no key-type restriction.
+    * Coordinates are absolute row ordinals assigned by the per-file
+    * scan ([[MorFilter.PerFileFactory]]), the same coordinate system
+    * the read path filters by.
+    *
+    * Unlike equality deletes the coordinates are only meaningful
+    * against the exact files they name, so a concurrent REWRITE
+    * (overwrite/compact) between the scan and the commit aborts the
+    * commit instead of retrying — the caller recomputes. Concurrent
+    * APPENDS commute and are retried through. */
+  def positionalDelete(
+      spark: SparkSession,
+      tableDir: Path,
+      cond: org.apache.spark.sql.Column): TableMetadata = {
+    import org.apache.spark.sql.execution.datasources.GraftBridge
+    val (_, meta) = load(tableDir).getOrElse(
+      throw new CommitFailedException(s"table does not exist at $tableDir"))
+    val namedFiles = resolveEntries(tableDir, meta).filter(_.isData).map(_.path).toSet
+    val df = GraftBridge.ofRows(spark,
+      new GraftTable(tableDir.toString, tableDir, meta, this))
+    val matches = df.filter(cond)
+      .select(org.apache.spark.sql.functions.col("_file"),
+              org.apache.spark.sql.functions.col("_pos"))
+    val writeDir = new Path(dataDir(tableDir), s"w-${UUID.randomUUID()}")
+    matches.coalesce(1).write.parquet(writeDir.toString)
+    val files = store.listFilesRec(writeDir)
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    commitDeleteEntries(tableDir, seq => files.map(f => DataFileEntry(
+      relativize(tableDir, f), content = "pos-deletes", seq = Some(seq))),
+      "pos-delete",
+      validate = cur => {
+        val present = resolveEntries(tableDir, cur).filter(_.isData).map(_.path).toSet
+        if (!namedFiles.subsetOf(present))
+          throw new CommitFailedException(
+            "positional delete aborted: a concurrent rewrite replaced files the " +
+            "delete coordinates reference — recompute against fresh state")
+      })
+  }
+
+  /** Shared delete-file commit loop: stamps entries with the attempt's
+    * sequence number, appends them to the current manifest and
+    * commits; CAS losses retry on fresh state after `validate`. */
+  private def commitDeleteEntries(
+      tableDir: Path,
+      mkEntries: Long => Seq[DataFileEntry],
+      operation: String,
+      validate: TableMetadata => Unit = _ => ()): TableMetadata = {
     var attempt = 0
     while (true) {
       val (_, cur) = load(tableDir).getOrElse(
         throw new CommitFailedException(s"table does not exist at $tableDir"))
+      validate(cur)
       val parent = cur.currentSnapshot
       val parentEntries = parent.map(rawSnapshotFiles(tableDir, _)).getOrElse(Seq.empty)
+      val delRel = mkEntries(cur.lastSequenceNumber + 1)
       try
-        return commitManifest(tableDir, parentEntries ++ delRel, parent, "eq-delete",
-          added = delRel.size)
+        return commitManifest(tableDir, parentEntries ++ delRel, parent, operation,
+          added = delRel.size, expectedSeq = Some(cur.lastSequenceNumber + 1))
       catch {
         case e: CommitFailedException if attempt < 20 &&
             (e.getMessage.contains("concurrent commit") ||
+             e.getMessage.contains("sequence moved") ||
              e.getMessage.contains("assert-ref-snapshot-id")) =>
           attempt += 1
           Thread.sleep(15L * attempt)
@@ -460,32 +580,43 @@ final class TableOps(store: FsStore) {
     throw new IllegalStateException("unreachable")
   }
 
-  /** Rewrite the table with all equality deletes applied (and drop the
+  /** Rewrite the table with all pending deletes applied (and drop the
     * delete files from the manifest): an overwrite snapshot of the
     * MOR-resolved read. */
   def applyDeletes(spark: SparkSession, tableDir: Path, numFiles: Int = 0): TableMetadata =
     write(tableDir, read(spark, tableDir), "overwrite",
       if (numFiles > 0) Some(numFiles) else None)
 
-  /** Fails fast when live equality deletes make a raw-file operation
-    * unsound (copy-on-write rewrites read files directly and would
-    * resurrect MOR-deleted rows). */
-  def requireNoEqDeletes(tableDir: Path, meta: TableMetadata, op: String): Unit =
-    if (resolveEntries(tableDir, meta).exists(_.isEqDelete))
+  /** Fails fast when live merge-on-read deletes make a raw-file
+    * operation unsound (copy-on-write rewrites read files directly and
+    * would resurrect MOR-deleted rows; a rewrite also invalidates
+    * positional-delete coordinates). */
+  def requireNoPendingDeletes(tableDir: Path, meta: TableMetadata, op: String): Unit =
+    if (resolveEntries(tableDir, meta).exists(_.isDelete))
       throw new IllegalStateException(
-        s"$op requires applying pending equality deletes first " +
+        s"$op requires applying pending merge-on-read deletes first " +
         s"(TableOps.applyDeletes) — copy-on-write over merge-on-read state " +
         s"would resurrect deleted rows")
 
-  /** Shared manifest-writing commit used by entry-level commits. */
+  /** Shared manifest-writing commit used by entry-level commits.
+    * `expectedSeq` guards entries pre-stamped with a sequence number:
+    * if another commit bumped the table's sequence since the caller
+    * read it, the attempt aborts (and the caller's retry loop
+    * restamps on fresh state). */
   private def commitManifest(
       tableDir: Path,
       all: Seq[DataFileEntry],
       parent: Option[Snapshot],
       operation: String,
-      added: Int): TableMetadata = {
+      added: Int,
+      expectedSeq: Option[Long] = None): TableMetadata = {
     val (_, meta) = load(tableDir).getOrElse(
       throw new CommitFailedException(s"table does not exist at $tableDir"))
+    expectedSeq.filter(_ != meta.lastSequenceNumber + 1).foreach { want =>
+      throw new CommitFailedException(
+        s"concurrent commit on $tableDir: sequence moved (expected $want, " +
+        s"next is ${meta.lastSequenceNumber + 1})")
+    }
     val snapId = newSnapshotId()
     val manifestName = s"manifest-$snapId.json"
     store.writeString(
@@ -528,7 +659,7 @@ final class TableOps(store: FsStore) {
       tableDir: Path,
       fromSeqExclusive: Long,
       toSeqInclusive: Long): DataFrame = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{col, lit}
     val (_, meta) = load(tableDir).getOrElse(
       throw new IllegalArgumentException(s"table does not exist at $tableDir"))
     val schema = SchemaBridge.toSpark(meta.currentSchema)
@@ -536,26 +667,72 @@ final class TableOps(store: FsStore) {
     val lineage = Iterator.iterate(meta.currentSnapshot)(
         _.flatMap(_.parentSnapshotId).flatMap(byId.get))
       .takeWhile(_.isDefined).flatten.toSeq.reverse
-    def readFiles(paths: Seq[String]): DataFrame =
-      if (paths.isEmpty)
-        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-      else spark.read.schema(schema).parquet(paths: _*)
-    val empty = readFiles(Seq.empty)
+    def stateEntries(s: Option[Snapshot]): Seq[DataFileEntry] =
+      s.map(sn => scala.util.Try(snapshotEntries(tableDir, sn)).getOrElse(Seq.empty))
+        .getOrElse(Seq.empty)
+    /** MOR-resolved read of `state`, restricted to a data-file subset
+      * (the state's delete files always ride along, so masked rows
+      * never surface as changes). */
+    def resolved(state: Seq[DataFileEntry], restrictTo: Set[String]): DataFrame =
+      readEntries(spark, tableDir, meta,
+        state.filter(e => !e.isData || restrictTo.contains(e.path)))
+    val empty = readEntries(spark, tableDir, meta, Seq.empty)
       .withColumn("_change_type", lit("")).withColumn("_commit_seq", lit(0L))
     lineage
       .filter(s => s.sequenceNumber > fromSeqExclusive && s.sequenceNumber <= toSeqInclusive)
       .map { snap =>
-        val cur = snapshotFiles(tableDir, snap).toSet
-        val prev = snap.parentSnapshotId.flatMap(byId.get)
-          .map(p => scala.util.Try(snapshotFiles(tableDir, p).toSet).getOrElse(Set.empty[String]))
-          .getOrElse(Set.empty[String])
-        val added = readFiles((cur -- prev).toSeq.sorted)
-        val removed = readFiles((prev -- cur).toSeq.sorted)
-        val inserts = added.exceptAll(removed)
-          .withColumn("_change_type", lit("insert"))
-        val deletes = removed.exceptAll(added)
-          .withColumn("_change_type", lit("delete"))
-        inserts.unionAll(deletes).withColumn("_commit_seq", lit(snap.sequenceNumber))
+        val parent = snap.parentSnapshotId.flatMap(byId.get)
+        val cur = stateEntries(Some(snap))
+        val prev = stateEntries(parent)
+        snap.operation match {
+          case "eq-delete" =>
+            // No data-file diff; the row-level change is "parent-state
+            // rows matching the newly committed delete keys" (rows
+            // already dead under the parent's own deletes excluded by
+            // the resolved read).
+            val prevDel = prev.filter(_.isDelete).map(_.path).toSet
+            val newDels = cur.filter(_.isEqDelete).filterNot(e => prevDel.contains(e.path))
+            val parentState = readEntries(spark, tableDir, meta, prev)
+            newDels.groupBy(_.equalityColumns).toSeq.map { case (keyCols, es) =>
+              val keySchema = StructType(schema.fields.filter(f => keyCols.contains(f.name)))
+              val keys = spark.read.schema(keySchema).parquet(es.map(_.path): _*)
+              parentState.join(keys, keyCols, "left_semi")
+            }.reduceOption(_ unionAll _)
+              .getOrElse(readEntries(spark, tableDir, meta, Seq.empty))
+              .withColumn("_change_type", lit("delete"))
+              .withColumn("_commit_seq", lit(snap.sequenceNumber))
+          case "pos-delete" =>
+            // Row-level change = parent-state rows at the newly
+            // deleted (file, ordinal) coordinates. Both sides of the
+            // join carry scan-produced path strings, so raw equality
+            // matches.
+            val prevDel = prev.filter(_.isDelete).map(_.path).toSet
+            val newDels = cur.filter(_.isPosDelete).filterNot(e => prevDel.contains(e.path))
+            val posSchema = StructType(Seq(
+              org.apache.spark.sql.types.StructField("_file",
+                org.apache.spark.sql.types.StringType, nullable = false),
+              org.apache.spark.sql.types.StructField("_pos",
+                org.apache.spark.sql.types.LongType, nullable = false)))
+            val pairs = spark.read.schema(posSchema).parquet(newDels.map(_.path): _*)
+            val parentWithPos = org.apache.spark.sql.execution.datasources.GraftBridge
+              .ofRows(spark,
+                new GraftTable(tableDir.toString, tableDir, meta, this, Some(prev)))
+              .select((schema.fieldNames.map(col) :+ col("_file") :+ col("_pos")).toSeq: _*)
+            parentWithPos.join(pairs, Seq("_file", "_pos"), "left_semi")
+              .select(schema.fieldNames.map(col).toSeq: _*)
+              .withColumn("_change_type", lit("delete"))
+              .withColumn("_commit_seq", lit(snap.sequenceNumber))
+          case _ =>
+            val curData = cur.filter(_.isData).map(_.path).toSet
+            val prevData = prev.filter(_.isData).map(_.path).toSet
+            val added = resolved(cur, curData -- prevData)
+            val removed = resolved(prev, prevData -- curData)
+            val inserts = added.exceptAll(removed)
+              .withColumn("_change_type", lit("insert"))
+            val deletes = removed.exceptAll(added)
+              .withColumn("_change_type", lit("delete"))
+            inserts.unionAll(deletes).withColumn("_commit_seq", lit(snap.sequenceNumber))
+        }
       }
       .foldLeft(empty)(_ unionAll _)
   }
@@ -663,7 +840,13 @@ final class TableOps(store: FsStore) {
 
   /** Read a table state as a DataFrame (time-travel via the options).
     * Merge-on-read aware: pending equality deletes are applied with
-    * one left-anti join per distinct key-column set. */
+    * one left-anti join per applicable (key-column set, sequence)
+    * delete group — the sequence rule means a delete masks only data
+    * files committed BEFORE it, so data files are bucketed by their
+    * applicable-delete set (one bucket per delete boundary, a handful
+    * at most) and the buckets union. Positional deletes need row
+    * ordinals, which only the per-file DSv2 scan assigns — such reads
+    * route through [[GraftTable]]'s scan. */
   def read(
       spark: SparkSession,
       tableDir: Path,
@@ -673,18 +856,38 @@ final class TableOps(store: FsStore) {
     val (_, meta) = load(tableDir).getOrElse(
       throw new IllegalArgumentException(s"table does not exist at $tableDir"))
     val entries = resolveEntries(tableDir, meta, snapshotId, ref, asOfTimestampMs)
+    readEntries(spark, tableDir, meta, entries)
+  }
+
+  /** [[read]] over an explicit (already resolved) entry list. */
+  def readEntries(
+      spark: SparkSession,
+      tableDir: Path,
+      meta: TableMetadata,
+      entries: Seq[DataFileEntry]): DataFrame = {
     val schema = SchemaBridge.toSpark(meta.currentSchema)
-    val dataFiles = entries.filter(_.isData).map(_.path)
-    val base =
-      if (dataFiles.isEmpty)
-        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-      else spark.read.schema(schema).parquet(dataFiles: _*)
-    entries.filter(_.isEqDelete).groupBy(_.equalityColumns).foldLeft(base) {
-      case (df, (keyCols, delEntries)) =>
-        val keySchema = StructType(schema.fields.filter(f => keyCols.contains(f.name)))
-        val keys = spark.read.schema(keySchema).parquet(delEntries.map(_.path): _*)
-        df.join(keys, keyCols, "left_anti")
-    }
+    val dataEntries = entries.filter(_.isData)
+    val eqDels = entries.filter(_.isEqDelete)
+    def emptyDf =
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    if (entries.exists(_.isPosDelete))
+      return org.apache.spark.sql.execution.datasources.GraftBridge.ofRows(spark,
+        new GraftTable(tableDir.toString, tableDir, meta, this, Some(entries)))
+    if (dataEntries.isEmpty) return emptyDf
+    if (eqDels.isEmpty)
+      return spark.read.schema(schema).parquet(dataEntries.map(_.path): _*)
+    dataEntries.groupBy(df => eqDels.filter(_.deleteSeq > df.dataSeq).map(_.path).toSet)
+      .toSeq.sortBy(_._1.size)
+      .map { case (delPaths, files) =>
+        val base = spark.read.schema(schema).parquet(files.map(_.path): _*)
+        eqDels.filter(e => delPaths.contains(e.path)).groupBy(_.equalityColumns)
+          .foldLeft(base) { case (df, (keyCols, delEntries)) =>
+            val keySchema = StructType(schema.fields.filter(f => keyCols.contains(f.name)))
+            val keys = spark.read.schema(keySchema).parquet(delEntries.map(_.path): _*)
+            df.join(keys, keyCols, "left_anti")
+          }
+      }
+      .reduce(_ unionAll _)
   }
 }
 

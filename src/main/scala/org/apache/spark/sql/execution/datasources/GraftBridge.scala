@@ -19,4 +19,19 @@ object GraftBridge {
   /** The catalyst Expression behind a classic Column. */
   def expression(c: org.apache.spark.sql.Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** DataFrame over a DSv2 Table without catalog registration
+    * (`Dataset.ofRows` + `DataSourceV2Relation` are `private[sql]`).
+    * Metadata columns the table declares resolve by name. */
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      table: org.apache.spark.sql.connector.catalog.Table,
+      options: Map[String, String] = Map.empty): org.apache.spark.sql.DataFrame = {
+    val rel = v2.DataSourceV2Relation.create(
+      table, None, None,
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        scala.jdk.CollectionConverters.MapHasAsJava(options).asJava))
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], rel)
+  }
 }

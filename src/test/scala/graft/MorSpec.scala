@@ -102,6 +102,120 @@ class MorSpec extends SparkSpec {
     assert(m.snapshots.size == 9, s"expected 9 snapshots, got ${m.snapshots.size}")
   }
 
+  test("sequence ordering: re-inserted keys survive an earlier equality delete") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mor")
+    spark.sql("CREATE TABLE graft.mor.seq (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.mor.seq VALUES (1,'a'), (2,'b')")
+    val dir = new Path(s"$warehouse/mor/seq")
+    import spark.implicits._
+    cat.ops.mergeOnReadDelete(spark, dir, Seq(2L).toDF("id"))
+    // re-insert the deleted key AFTER the delete: the delete's sequence
+    // number is below the new file's, so the new row must be visible
+    spark.sql("INSERT INTO graft.mor.seq VALUES (2,'b2'), (3,'c')")
+
+    assert(spark.sql("SELECT id, v FROM graft.mor.seq ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+    assert(cat.ops.read(spark, dir).count() == 3)
+    // the delete still masks the ORIGINAL row: purge and check content
+    cat.ops.applyDeletes(spark, dir)
+    assert(spark.sql("SELECT id, v FROM graft.mor.seq ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+  }
+
+  test("positional delete removes rows by (file, ordinal), O(matched) commit") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mor")
+    spark.sql("CREATE TABLE graft.mor.pos (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.mor.pos VALUES (1,'x'), (1,'x'), (2,'y')")
+    spark.sql("INSERT INTO graft.mor.pos VALUES (3,'z'), (4,'y')")
+    val dir = new Path(s"$warehouse/mor/pos")
+    val before = cat.ops.resolveEntries(dir, cat.ops.load(dir).get._2)
+
+    import org.apache.spark.sql.functions.col
+    cat.ops.positionalDelete(spark, dir, col("v") === "y")
+
+    // both 'y' rows dead, duplicates of (1,'x') both alive
+    assert(spark.sql("SELECT id FROM graft.mor.pos ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 1L, 3L))
+    // filter + pruning paths agree (pos path reads without pushdown)
+    assert(spark.sql("SELECT count(*) FROM graft.mor.pos WHERE id >= 1")
+      .collect().head.getLong(0) == 3)
+    assert(spark.sql("SELECT v FROM graft.mor.pos ORDER BY v")
+      .collect().map(_.getString(0)).toSeq == Seq("x", "x", "z"))
+    // helper read agrees; zero data files rewritten
+    assert(cat.ops.read(spark, dir).count() == 3)
+    val after = cat.ops.resolveEntries(dir, cat.ops.load(dir).get._2)
+    assert(before.filter(_.isData).map(_.path).toSet
+      .subsetOf(after.filter(_.isData).map(_.path).toSet))
+    assert(after.count(_.isPosDelete) == 1)
+
+    // appends after the positional delete are untouched by it
+    spark.sql("INSERT INTO graft.mor.pos VALUES (5,'y')")
+    assert(spark.sql("SELECT count(*) FROM graft.mor.pos").collect().head.getLong(0) == 4)
+
+    // copy-on-write guarded while pending; purge restores it
+    intercept[Exception] { spark.sql("DELETE FROM graft.mor.pos WHERE id = 3") }
+    cat.ops.applyDeletes(spark, dir)
+    assert(cat.ops.resolveEntries(dir, cat.ops.load(dir).get._2).forall(_.isData))
+    assert(spark.sql("SELECT count(*) FROM graft.mor.pos").collect().head.getLong(0) == 4)
+    spark.sql("DELETE FROM graft.mor.pos WHERE id = 3")
+    assert(spark.sql("SELECT count(*) FROM graft.mor.pos").collect().head.getLong(0) == 3)
+  }
+
+  test("equality and positional deletes compose on one table") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mor")
+    spark.sql("CREATE TABLE graft.mor.both (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.mor.both VALUES (1,'a'), (2,'b'), (3,'c'), (4,'d')")
+    val dir = new Path(s"$warehouse/mor/both")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    cat.ops.mergeOnReadDelete(spark, dir, Seq(2L).toDF("id"))
+    cat.ops.positionalDelete(spark, dir, col("v") === "d")
+    assert(spark.sql("SELECT id FROM graft.mor.both ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
+
+  test("_pos metadata column exposes absolute file ordinals") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mor")
+    spark.sql("CREATE TABLE graft.mor.ord (id BIGINT)")
+    spark.sql("INSERT INTO graft.mor.ord VALUES (10), (20), (30)")
+    // ordinals start at 0 per file and are dense
+    val rows = spark.sql("SELECT _file, _pos FROM graft.mor.ord")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.length == 3)
+    rows.groupBy(_._1).foreach { case (_, ps) =>
+      assert(ps.map(_._2).sorted.toSeq == (0L until ps.length).toSeq)
+    }
+  }
+
+  test("changes() emits row-level deletes for merge-on-read commits") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mor")
+    spark.sql("CREATE TABLE graft.mor.cdc (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.mor.cdc VALUES (1,'a'), (2,'b')")  // seq 1
+    val dir = new Path(s"$warehouse/mor/cdc")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    cat.ops.mergeOnReadDelete(spark, dir, Seq(2L).toDF("id"))       // seq 2
+    spark.sql("INSERT INTO graft.mor.cdc VALUES (2,'b2')")          // seq 3
+    cat.ops.positionalDelete(spark, dir, col("id") === 1)           // seq 4
+
+    val feed = cat.ops.changes(spark, dir, 0L, Long.MaxValue)
+      .collect()
+      .map(r => (r.getLong(3), r.getString(2), r.getLong(0), r.getString(1)))
+      .sortBy(t => (t._1, t._2, t._3)).toSeq
+    assert(feed == Seq(
+      (1L, "insert", 1L, "a"),
+      (1L, "insert", 2L, "b"),
+      (2L, "delete", 2L, "b"),   // equality delete → row-level delete event
+      (3L, "insert", 2L, "b2"),  // re-insert after the delete
+      (4L, "delete", 1L, "a")    // positional delete → row-level delete event
+    ).sortBy(t => (t._1, t._2, t._3)), s"feed was $feed")
+    // replaying the feed reproduces the final state
+    assert(spark.sql("SELECT id, v FROM graft.mor.cdc").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == Set((2L, "b2")))
+  }
+
   test("string keys and multi-column keys") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mor")
     spark.sql("CREATE TABLE graft.mor.mk (id BIGINT, lang STRING, v DOUBLE)")
