@@ -325,8 +325,16 @@ final class GraftTable(
       override def truncate(): WriteBuilder = { operation = "overwrite"; this }
       override def build(): Write = {
         val inner = delegate.build()
-        val clusterCols = meta.specs.find(_.specId == meta.defaultSpecId).toSeq
+        val specCols = meta.specs.find(_.specId == meta.defaultSpecId).toSeq
           .flatMap(_.fields.filter(_.transform == "identity").map(_.name))
+        // default sort order appended after the spec columns (same
+        // policy as TableOps.write): clusters files AND orders rows
+        val orderCols = meta.sortOrders.find(_.orderId == meta.defaultSortOrderId)
+          .toSeq.flatMap(_.fields)
+          .flatMap(f => meta.currentSchema.fields.find(_.id == f.sourceId)
+            .map(nf => (nf.name, f.direction == "desc")))
+          .filterNot { case (n, _) => specCols.contains(n) }
+        val clusterCols = specCols.map(n => (n, false)) ++ orderCols
         if (clusterCols.isEmpty)
           new Write {
             override def toBatch: BatchWrite =
@@ -340,8 +348,9 @@ final class GraftTable(
             import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
             import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder => V2SortOrder}
             private def sortOrders: Array[V2SortOrder] =
-              clusterCols.map(c => Expressions.sort(
-                Expressions.identity(c), SortDirection.ASCENDING)).toArray
+              clusterCols.map { case (c, desc) => Expressions.sort(
+                Expressions.identity(c),
+                if (desc) SortDirection.DESCENDING else SortDirection.ASCENDING) }.toArray
             // ordered (RANGE) distribution, not hash-clustered: each
             // output file then covers a contiguous value range, which
             // is what makes min/max skipping effective.

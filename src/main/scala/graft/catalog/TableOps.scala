@@ -317,17 +317,35 @@ final class TableOps(store: FsStore) {
   def write(tableDir: Path, df: DataFrame, operation: String,
       numFiles: Option[Int] = None): TableMetadata = {
     val writeDir = new Path(dataDir(tableDir), s"w-${UUID.randomUUID()}")
-    val clusterCols = load(tableDir).toSeq.flatMap { case (_, m) =>
+    val metaOpt = load(tableDir).map(_._2)
+    val specCols = metaOpt.toSeq.flatMap { m =>
       m.specs.find(_.specId == m.defaultSpecId).toSeq
         .flatMap(_.fields.filter(_.transform == "identity").map(_.name))
     }.filter(df.columns.contains)
+    // Default sort order (reference: add-sort-order / set-default-
+    // sort-order): drives range clustering when the table is
+    // unpartitioned — each file then covers a tight sort-key range, so
+    // manifest min/max skipping works on the sort column exactly as it
+    // does on partition columns — and always drives within-file row
+    // order (row-group/page skipping + better compression).
+    val sortCols = metaOpt.toSeq.flatMap { m =>
+      m.sortOrders.find(_.orderId == m.defaultSortOrderId).toSeq.flatMap(_.fields)
+        .flatMap(f => m.currentSchema.fields.find(_.id == f.sourceId)
+          .map(nf => (nf.name, f.direction == "desc")))
+    }.filter { case (n, _) => df.columns.contains(n) }
+    val clusterCols = if (specCols.nonEmpty) specCols else sortCols.map(_._1)
     val shaped = (clusterCols, numFiles) match {
       case (cols, Some(n)) if cols.nonEmpty => df.repartitionByRange(n, cols.map(df.col): _*)
       case (cols, None) if cols.nonEmpty => df.repartitionByRange(cols.map(df.col): _*)
       case (_, Some(n)) => df.repartition(n)
       case _ => df
     }
-    shaped.write.parquet(writeDir.toString)
+    val ordered =
+      if (sortCols.isEmpty) shaped
+      else shaped.sortWithinPartitions(
+        sortCols.map { case (n, desc) =>
+          if (desc) shaped.col(n).desc else shaped.col(n).asc }: _*)
+    ordered.write.parquet(writeDir.toString)
     val files = store.listFilesRec(writeDir)
       .filter(_.getName.endsWith(".parquet")).map(_.toString)
     commitFiles(tableDir, files, operation)

@@ -54,6 +54,36 @@ object Vectors {
        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
        GROUP BY label, i ORDER BY label, dim_idx"""
 
+  /** L19 — per-vector int8 (scalar min/max) quantization, the memory
+    * lever that makes billion-vector ANN fit a cluster: 4 bytes/dim →
+    * 1. Emitted as per-vector range + code checksum (the full code
+    * array is an internal column; scalars keep the oracle compare
+    * exact). All arithmetic is IEEE double in element order, so Spark
+    * and DuckDB agree bitwise; codes are exact integers after
+    * half-away rounding in both engines. Narrow transform, no
+    * shuffle. */
+  def embedQuantize(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .withColumn("q_min", array_min(col("embedding")).cast("double"))
+      .withColumn("q_max", array_max(col("embedding")).cast("double"))
+      .withColumn("code_sum", expr(
+        """CAST(aggregate(embedding, 0L, (acc, x) ->
+           acc + coalesce(CAST(round((CAST(x AS DOUBLE) - q_min)
+                 / nullif(q_max - q_min, 0.0D) * 255D) AS BIGINT), 0L)) AS BIGINT)"""))
+      .select("vec_id", "q_min", "q_max", "code_sum")
+      .orderBy("vec_id")
+
+  val embedQuantizeSql: String =
+    """SELECT vec_id,
+       CAST(list_min(embedding) AS DOUBLE) AS q_min,
+       CAST(list_max(embedding) AS DOUBLE) AS q_max,
+       CAST(list_sum(list_transform(embedding,
+         x -> COALESCE(CAST(round((CAST(x AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE))
+              / NULLIF(CAST(list_max(embedding) AS DOUBLE)
+                       - CAST(list_min(embedding) AS DOUBLE), 0) * 255)
+              AS BIGINT), 0))) AS BIGINT) AS code_sum
+       FROM embeddings ORDER BY vec_id"""
+
   def dedupEmbedCosine(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
     e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("label").as("la"))

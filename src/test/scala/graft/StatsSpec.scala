@@ -94,6 +94,51 @@ class StatsSpec extends SparkSpec {
     assert(!Stats.mayContain(en, schema, IsNotNull("x")))
   }
 
+  test("default sort order range-clusters unpartitioned writes; scans skip") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stats")
+    spark.sql("CREATE TABLE graft.stats.sorted (id BIGINT, v DOUBLE)")
+    val dir = new Path(s"$warehouse/stats/sorted")
+    // declare a default sort order on id via the commit protocol
+    // (reference: add-sort-order + set-default-sort-order)
+    val (_, m0) = cat.ops.load(dir).get
+    val idField = m0.currentSchema.fields.find(_.name == "id").get.id
+    cat.ops.commit(dir, Seq.empty, Seq(
+      MetadataUpdate.AddSortOrder(SortOrder(1,
+        Seq(SortField(idField, "identity", "asc", "nulls-first")))),
+      MetadataUpdate.SetDefaultSortOrder(1)))
+
+    import spark.implicits._
+    cat.ops.write(dir,
+      spark.range(0, 1000).toDF("id").withColumn("v", org.apache.spark.sql.functions.rand(7)),
+      "append", numFiles = Some(4))
+
+    val entries = cat.ops.resolveEntries(dir, cat.ops.load(dir).get._2)
+    assert(entries.size == 4)
+    // range clustering on the sort column → pairwise-disjoint id ranges
+    val ranges = entries.map { e =>
+      val cs = e.stats("id")
+      (cs.min.get.toLong, cs.max.get.toLong)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) => assert(aMax < bMin, s"overlap: $ranges")
+      case _ => ()
+    }
+    // point lookup provably needs exactly one file
+    val f = org.apache.spark.sql.sources.EqualTo("id", 500L)
+    val schema = SchemaBridge.toSpark(cat.ops.load(dir).get._2.currentSchema)
+    assert(entries.count(e => Stats.mayContain(e, schema, f)) == 1)
+    // rows are sorted within each file (first file read back in order)
+    val firstFile = entries.sortBy(_.stats("id").min.get.toLong).head
+    val ids = spark.read.parquet(firstFile.path).select("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids == ids.sorted, "rows must be sorted by the sort order within a file")
+    // SQL INSERT honors the sort order too (RequiresDistributionAndOrdering)
+    spark.sql("INSERT INTO graft.stats.sorted VALUES (2000, 0.5), (1500, 0.5)")
+    val after = cat.ops.resolveEntries(dir, cat.ops.load(dir).get._2)
+    val newest = after.filterNot(e => entries.map(_.path).contains(e.path))
+    assert(newest.forall(e => e.stats.get("id").exists(_.min.isDefined)))
+  }
+
   test("time travel still resolves legacy and stats manifests") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stats")
     spark.sql("CREATE TABLE graft.stats.tt2 (id BIGINT)")
