@@ -605,6 +605,58 @@ final class TableOps(store: FsStore) {
     write(tableDir, read(spark, tableDir), "overwrite",
       if (numFiles > 0) Some(numFiles) else None)
 
+  /** Compact equality-delete files: a high-churn table accumulates one
+    * tiny delete file per delete commit, and every scan collects each
+    * of them. Merges delete files that share a key-column set into
+    * one, WITHOUT changing masking semantics: a merged file carries
+    * the group's MAX sequence number, which is only sound when no
+    * data file's sequence falls inside the group's (minSeq, maxSeq]
+    * window — otherwise the older delete's keys would start masking a
+    * file appended after it. Groups are split at every such data-file
+    * boundary, so the merge is always semantics-preserving; a
+    * fully-quiet table (no interleaved appends) compacts to one file
+    * per key set. Data files are untouched — O(delete keys) work. */
+  def compactDeletes(spark: SparkSession, tableDir: Path): TableMetadata = {
+    val (_, meta) = load(tableDir).getOrElse(
+      throw new CommitFailedException(s"table does not exist at $tableDir"))
+    val entries = resolveEntries(tableDir, meta)
+    val eqDels = entries.filter(_.isEqDelete)
+    if (eqDels.size < 2) return meta
+    val dataSeqs = entries.filter(_.isData).map(_.dataSeq).distinct.sorted
+    // partition each key-set's delete files into runs with no data-file
+    // sequence strictly inside the run's sequence span
+    def runs(dels: Seq[DataFileEntry]): Seq[Seq[DataFileEntry]] = {
+      val sorted = dels.sortBy(_.deleteSeq)
+      sorted.tail.foldLeft(Vector(Vector(sorted.head))) { (acc, e) =>
+        val run = acc.last
+        val lo = run.head.deleteSeq
+        // a data file with lo <= seq < e.deleteSeq must not be re-masked
+        if (dataSeqs.exists(s => s >= lo && s < e.deleteSeq)) acc :+ Vector(e)
+        else acc.init :+ (run :+ e)
+      }
+    }
+    val schema = SchemaBridge.toSpark(meta.currentSchema)
+    val keep = entries.filterNot(_.isEqDelete)
+    val merged = eqDels.groupBy(_.equalityColumns).toSeq.flatMap { case (cols, dels) =>
+      runs(dels).flatMap { run =>
+        if (run.size == 1) run
+        else {
+          val keySchema = StructType(schema.fields.filter(f => cols.contains(f.name)))
+          val writeDir = new Path(dataDir(tableDir), s"w-${UUID.randomUUID()}")
+          spark.read.schema(keySchema).parquet(run.map(_.path): _*)
+            .distinct().coalesce(1).write.parquet(writeDir.toString)
+          store.listFilesRec(writeDir)
+            .filter(_.getName.endsWith(".parquet")).map(_.toString)
+            .map(f => DataFileEntry(relativize(tableDir, f), content = "eq-deletes",
+              equalityColumns = cols, seq = Some(run.map(_.deleteSeq).max)))
+        }
+      }
+    }
+    val all = (keep ++ merged).map(e => e.copy(path = relativize(tableDir, e.path)))
+    commitManifest(tableDir, all, meta.currentSnapshot, "compact-deletes",
+      added = merged.size)
+  }
+
   /** Fails fast when live merge-on-read deletes make a raw-file
     * operation unsound (copy-on-write rewrites read files directly and
     * would resurrect MOR-deleted rows; a rewrite also invalidates

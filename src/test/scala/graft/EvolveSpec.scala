@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+
+import graft.catalog._
+
+/** Partition-spec evolution: add-spec + set-default-spec re-shape only
+  * FUTURE writes; old files keep their layout, reads span both, and
+  * stats-based skipping works per-file regardless of which spec wrote
+  * it (scan planning is stats-driven, not spec-driven). */
+class EvolveSpec extends SparkSpec {
+
+  private def cat: GraftCatalog =
+    spark.sessionState.catalogManager.catalog("graft").asInstanceOf[GraftCatalog]
+
+  test("add-spec + set-default-spec evolves clustering for new writes only") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ev")
+    spark.sql("CREATE TABLE graft.ev.t (day BIGINT, user BIGINT, v DOUBLE) PARTITIONED BY (day)")
+    val dir = new Path(s"$warehouse/ev/t")
+    import spark.implicits._
+
+    // old layout: clustered by day
+    cat.ops.write(dir,
+      (0L until 100L).map(i => (i % 4, i, i.toDouble)).toDF("day", "user", "v"),
+      "append", numFiles = Some(4))
+
+    // evolve: partition by user instead (reference: add-spec update)
+    val (_, m0) = cat.ops.load(dir).get
+    val userField = m0.currentSchema.fields.find(_.name == "user").get.id
+    cat.ops.commit(dir, Seq.empty, Seq(
+      MetadataUpdate.AddSpec(PartitionSpec(1,
+        Seq(PartitionField(userField, 1001, "user", "identity")))),
+      MetadataUpdate.SetDefaultSpec(1)))
+    assert(cat.ops.load(dir).get._2.defaultSpecId == 1)
+
+    // new writes cluster by user
+    cat.ops.write(dir,
+      (100L until 200L).map(i => (i % 4, i, i.toDouble)).toDF("day", "user", "v"),
+      "append", numFiles = Some(4))
+
+    // reads span both layouts
+    assert(spark.sql("SELECT count(*) FROM graft.ev.t").collect().head.getLong(0) == 200)
+    assert(spark.sql("SELECT sum(user) FROM graft.ev.t WHERE day = 1")
+      .collect().head.getLong(0) ==
+      (0L until 200L).filter(_ % 4 == 1).sum)
+
+    // new files are range-clustered on user → a point lookup on user
+    // provably needs at most one NEW file (old files can't be pruned
+    // on user and stay conservatively included)
+    val entries = cat.ops.resolveEntries(dir, cat.ops.load(dir).get._2)
+    val schema = SchemaBridge.toSpark(cat.ops.load(dir).get._2.currentSchema)
+    val newEntries = entries.filter(_.stats.get("user").exists(cs =>
+      cs.min.get.toLong >= 100L))
+    assert(newEntries.size == 4)
+    val probe = org.apache.spark.sql.sources.EqualTo("user", 150L)
+    assert(newEntries.count(e => Stats.mayContain(e, schema, probe)) == 1)
+
+    // DSv2 INSERT under the evolved spec clusters on user too
+    spark.sql("INSERT INTO graft.ev.t VALUES (9, 900, 1.0)")
+    val latest = cat.ops.resolveEntries(dir, cat.ops.load(dir).get._2)
+      .filter(e => e.stats.get("user").exists(_.min.contains("900")))
+    assert(latest.nonEmpty)
+  }
+}

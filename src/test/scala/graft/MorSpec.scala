@@ -216,6 +216,36 @@ class MorSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSet == Set((2L, "b2")))
   }
 
+  test("compactDeletes merges delete files only across append-free spans") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mor")
+    spark.sql("CREATE TABLE graft.mor.cd (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.mor.cd VALUES (1,'a'), (2,'b'), (3,'c'), (4,'d')") // seq 1
+    val dir = new Path(s"$warehouse/mor/cd")
+    import spark.implicits._
+    cat.ops.mergeOnReadDelete(spark, dir, Seq(1L).toDF("id"))   // seq 2
+    cat.ops.mergeOnReadDelete(spark, dir, Seq(2L).toDF("id"))   // seq 3
+    spark.sql("INSERT INTO graft.mor.cd VALUES (1,'back')")     // seq 4 (re-insert)
+    cat.ops.mergeOnReadDelete(spark, dir, Seq(3L).toDF("id"))   // seq 5
+
+    def content() = spark.sql("SELECT id, v FROM graft.mor.cd").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val before = content()
+    assert(before == Set((4L, "d"), (1L, "back")))
+    assert(cat.ops.resolveEntries(dir, cat.ops.load(dir).get._2).count(_.isEqDelete) == 3)
+
+    cat.ops.compactDeletes(spark, dir)
+
+    // deletes at seq 2+3 merge (no appends between); seq 5 must stay
+    // separate — merging it would mask the seq-4 re-insert
+    val after = cat.ops.resolveEntries(dir, cat.ops.load(dir).get._2)
+    assert(after.count(_.isEqDelete) == 2,
+      s"expected 2 delete files, got ${after.filter(_.isEqDelete)}")
+    assert(content() == before, "compaction must not change visible rows")
+    // and the table still behaves (another reinsert + read)
+    spark.sql("INSERT INTO graft.mor.cd VALUES (3,'returns')")
+    assert(content() == before + ((3L, "returns")))
+  }
+
   test("string keys and multi-column keys") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mor")
     spark.sql("CREATE TABLE graft.mor.mk (id BIGINT, lang STRING, v DOUBLE)")
