@@ -241,12 +241,16 @@ final class GraftTable(
       val batchScan = delegate.build()
       KeyGrouping.keysFor(meta, schema, keptEntries) match {
         case Some((specCols, keyByPath)) =>
-          new KeyGroupedScan(batchScan, specCols, keyByPath, options, predicateState, requiredState)
+          new KeyGroupedScan(batchScan, specCols, keyByPath, options, predicateState,
+            requiredState, keptEntries)
         case None =>
-          new org.apache.spark.sql.connector.read.Scan {
+          new org.apache.spark.sql.connector.read.Scan
+              with org.apache.spark.sql.connector.read.SupportsReportStatistics {
             override def readSchema(): StructType = batchScan.readSchema()
             override def description(): String = batchScan.description()
             override def toBatch: org.apache.spark.sql.connector.read.Batch = batchScan.toBatch
+            override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+              GraftTable.manifestStatistics(keptEntries)
             override def toMicroBatchStream(checkpointLocation: String)
                 : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
               require(pinnedFiles.isEmpty, "cannot stream a time-travel-pinned table")
@@ -274,15 +278,19 @@ final class GraftTable(
       keyByPath: Map[String, (Seq[Any], org.apache.spark.sql.catalyst.InternalRow)],
       options: CaseInsensitiveStringMap,
       predicateState: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
-      requiredState: Option[StructType])
+      requiredState: Option[StructType],
+      statEntries: Seq[DataFileEntry] = Seq.empty)
       extends org.apache.spark.sql.connector.read.Scan
-      with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+      with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+      with org.apache.spark.sql.connector.read.SupportsReportStatistics {
     import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory}
     import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
     import org.apache.spark.sql.execution.datasources.FilePartition
 
     override def readSchema(): StructType = batchScan.readSchema()
     override def description(): String = s"${batchScan.description()} keyGrouped=$specCols"
+    override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+      GraftTable.manifestStatistics(statEntries)
 
     private lazy val grouped: Array[InputPartition] = {
       val inner = batchScan.toBatch.planInputPartitions()
@@ -788,6 +796,27 @@ object GraftTable {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
   import org.apache.spark.sql.connector.write.DataWriter
+
+  /** Planner statistics from manifest footers (rows + on-disk bytes of
+    * the files a scan will actually read, AFTER stat-based pruning) —
+    * `SupportsReportStatistics`. Precise post-pushdown sizes are what
+    * let Spark pick broadcast joins it would otherwise miss from
+    * whole-table heuristics; at 100 TB a mis-sized dimension scan is
+    * the difference between a broadcast and a full shuffle. Partial
+    * manifests (any file missing a count) report unknown rather than
+    * an underestimate. */
+  private[catalog] def manifestStatistics(entries: Seq[DataFileEntry])
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        if (entries.forall(_.bytes.isDefined))
+          java.util.OptionalLong.of(entries.flatMap(_.bytes).sum)
+        else java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong =
+        if (entries.forall(_.rows.isDefined))
+          java.util.OptionalLong.of(entries.flatMap(_.rows).sum)
+        else java.util.OptionalLong.empty()
+    }
 
   /** Executor-side: drops `incoming.numFields - schema.size` LEADING
     * fields via a codegen'd unsafe projection (built lazily once the

@@ -67,7 +67,8 @@ final case class DataFileEntry(
     stats: Map[String, ColumnStats] = Map.empty,
     content: String = "data",
     equalityColumns: Seq[String] = Seq.empty,
-    seq: Option[Long] = None) {
+    seq: Option[Long] = None,
+    bytes: Option[Long] = None) {
   def isData: Boolean = content == "data"
   def isEqDelete: Boolean = content == "eq-deletes"
   def isPosDelete: Boolean = content == "pos-deletes"

@@ -178,6 +178,7 @@ object MetadataJson {
       fo.put("path", f.path)
       f.rows.foreach(fo.put("rows", _))
       f.seq.foreach(fo.put("seq", _))
+      f.bytes.foreach(fo.put("bytes", _))
       if (!f.isData) fo.put("content", f.content)
       if (f.equalityColumns.nonEmpty) {
         val ec = fo.putArray("equality-columns")
@@ -213,7 +214,8 @@ object MetadataJson {
           Option(o.get("content")).map(_.asText()).getOrElse("data"),
           Option(o.get("equality-columns")).map(ec =>
             ec.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty),
-          Option(o.get("seq")).map(_.asLong()))
+          Option(o.get("seq")).map(_.asLong()),
+          Option(o.get("bytes")).map(_.asLong()))
     }
 
   // ---------- views ----------

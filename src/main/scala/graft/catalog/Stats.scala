@@ -61,7 +61,9 @@ object Stats {
       val cols = (mins.keySet -- unusable).map { name =>
         name -> ColumnStats(Some(mins(name)), Some(maxs(name)), nulls.get(name))
       }.toMap
-      DataFileEntry(file, Some(rows), cols)
+      val bytes = Try(new Path(file).getFileSystem(conf)
+        .getFileStatus(new Path(file)).getLen).toOption
+      DataFileEntry(file, Some(rows), cols, bytes = bytes)
     } finally reader.close()
   }
 

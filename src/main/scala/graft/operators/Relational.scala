@@ -1235,4 +1235,29 @@ object Relational {
                      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
                        AND datediff('day', CAST(o_orderdate AS DATE), CAST(l3.l_shipdate AS DATE)) > 60)
        GROUP BY s_name ORDER BY numwait DESC, s_name"""
+
+  /** R57 — recursive CTE (Spark 4's WITH RECURSIVE): a generated
+    * calendar spine LEFT-joined to facts, the standard way to report
+    * over periods with zero activity. The recursion runs on the
+    * driver-side loop of Spark's UnionLoop (12 tiny iterations); the
+    * join + agg stay fully distributed. */
+  def qRecursiveSpine(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("graft_rec_orders")
+    s.sql(
+      """WITH RECURSIVE m(mon) AS (
+           SELECT 1 UNION ALL SELECT mon + 1 FROM m WHERE mon < 12
+         )
+         SELECT mon, COUNT(o_orderkey) AS n_orders
+         FROM m LEFT JOIN graft_rec_orders
+           ON month(CAST(o_orderdate AS DATE)) = mon
+         GROUP BY mon ORDER BY mon""")
+  }
+
+  val qRecursiveSpineSql: String =
+    """WITH RECURSIVE m(mon) AS (
+         SELECT 1 UNION ALL SELECT mon + 1 FROM m WHERE mon < 12
+       )
+       SELECT mon, COUNT(o_orderkey) AS n_orders
+       FROM m LEFT JOIN orders ON month(CAST(o_orderdate AS DATE)) = mon
+       GROUP BY mon ORDER BY mon"""
 }

@@ -139,6 +139,29 @@ class StatsSpec extends SparkSpec {
     assert(newest.forall(e => e.stats.get("id").exists(_.min.isDefined)))
   }
 
+  test("manifest statistics reach the planner and drive broadcast selection") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stats")
+    spark.sql("CREATE TABLE graft.stats.dim (k BIGINT, name STRING)")
+    spark.sql("CREATE TABLE graft.stats.fact (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.stats.dim VALUES (1,'a'), (2,'b'), (3,'c')")
+    spark.sql("INSERT INTO graft.stats.fact SELECT id % 3 + 1, CAST(id AS DOUBLE) FROM range(0, 10000)")
+
+    // without SupportsReportStatistics a DSv2 relation falls back to
+    // defaultSizeInBytes (effectively infinite) and can never broadcast
+    val df = spark.sql(
+      "SELECT name, sum(v) FROM graft.stats.fact f JOIN graft.stats.dim d ON f.k = d.k GROUP BY name")
+    assert(df.collect().length == 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dim must broadcast from manifest stats, plan was:\n$plan")
+
+    // reported rows are post-pruning: a pruned scan reports fewer rows
+    val dir = new Path(s"$warehouse/stats/dim")
+    val entries = cat.ops.resolveEntries(dir, cat.ops.load(dir).get._2)
+    assert(entries.forall(e => e.rows.isDefined && e.bytes.isDefined),
+      "commit must record rows and bytes per file")
+  }
+
   test("time travel still resolves legacy and stats manifests") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stats")
     spark.sql("CREATE TABLE graft.stats.tt2 (id BIGINT)")
