@@ -100,6 +100,29 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(plan.contains("TakeOrderedAndProject"), "top-20 must not full-sort")
   }
 
+  test("q21: the lineitem-orders exchange is reused across semi and anti joins") {
+    val plan = planOf(Relational.q21BlameSupplier(spark, sfDir))
+    // the self-joined fact appears three times logically but its
+    // shuffle must be planned once and reused
+    assert(plan.contains("ReusedExchange"),
+      s"expected exchange reuse on the self-join, plan:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q11: global-total scalar is broadcast, never a cross join") {
+    val plan = planOf(Relational.q11ValueConcentration(spark, sfDir))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      plan.take(1000))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("decontaminate: gram join is an equi-join with the eval side broadcast") {
+    val plan = planOf(graft.pipeline.TextPipeline.decontaminate(spark, sfDir))
+    // tiny distinct eval-gram set → AQE or static planning broadcasts it
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("catalog table scans keep pushdown through GraftTable") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.plans")
     spark.read.parquet(s"$sfDir/orders.parquet")
