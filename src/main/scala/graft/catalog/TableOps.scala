@@ -605,6 +605,50 @@ final class TableOps(store: FsStore) {
     write(tableDir, read(spark, tableDir), "overwrite",
       if (numFiles > 0) Some(numFiles) else None)
 
+  /** Exactly-once streaming sink commit: lands `batch` as one append
+    * snapshot AND records the micro-batch id under `sinkKey` in the
+    * SAME metadata commit, so a replayed batch (failure between
+    * Spark's checkpoint and our commit, or after) is recognized and
+    * skipped — the DSv2 streaming-sink idempotence pattern, applied to
+    * the CAS protocol. Concurrent non-stream commits retry through;
+    * the parquet write itself runs once (replay attempts leave only
+    * unreferenced orphans). */
+  def commitStreamBatch(
+      tableDir: Path,
+      batch: DataFrame,
+      sinkKey: String,
+      batchId: Long,
+      maxRetries: Int = 20): Unit = {
+    val (_, meta0) = load(tableDir).getOrElse(
+      throw new CommitFailedException(s"table does not exist at $tableDir"))
+    if (meta0.properties.get(sinkKey).exists(_.toLong >= batchId)) return // replay
+    if (batch.isEmpty) return
+    val writeDir = new Path(dataDir(tableDir), s"w-${UUID.randomUUID()}")
+    batch.write.parquet(writeDir.toString)
+    val files = store.listFilesRec(writeDir)
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    var attempt = 0
+    while (true) {
+      val (_, cur) = load(tableDir).getOrElse(
+        throw new CommitFailedException(s"table does not exist at $tableDir"))
+      if (cur.properties.get(sinkKey).exists(_.toLong >= batchId)) return
+      try {
+        commit(tableDir,
+          Seq(Requirement.AssertRefSnapshotId("main",
+            cur.currentSnapshot.map(_.snapshotId))),
+          buildSnapshotUpdates(tableDir, cur, files, "append") :+
+            MetadataUpdate.SetProperties(Map(sinkKey -> batchId.toString)))
+        return
+      } catch {
+        case e: CommitFailedException if attempt < maxRetries &&
+            (e.getMessage.contains("concurrent commit") ||
+             e.getMessage.contains("assert-ref-snapshot-id")) =>
+          attempt += 1
+          Thread.sleep(15L * attempt)
+      }
+    }
+  }
+
   /** Compact equality-delete files: a high-churn table accumulates one
     * tiny delete file per delete commit, and every scan collects each
     * of them. Merges delete files that share a key-column set into
@@ -830,6 +874,21 @@ final class TableOps(store: FsStore) {
       Seq(MetadataUpdate.RemoveSnapshots(expire.map(_.snapshotId))))
     expire.foreach(s => store.delete(new Path(metadataDir(tableDir), s.manifest)))
     updated
+  }
+
+  /** Tag retention: drop tag refs whose target snapshot is older than
+    * `olderThanMs` (branches are never touched). Freed snapshots then
+    * become eligible for [[expireSnapshots]] — the two-step policy
+    * Iceberg documents for tag-based retention. */
+  def expireTags(tableDir: Path, olderThanMs: Long): TableMetadata = {
+    val (_, meta) = load(tableDir).getOrElse(
+      throw new CommitFailedException(s"table does not exist at $tableDir"))
+    val old = meta.refs.collect {
+      case (name, r) if r.refType == "tag" &&
+          meta.snapshotById(r.snapshotId).exists(_.timestampMs < olderThanMs) => name
+    }.toSeq
+    if (old.isEmpty) meta
+    else commit(tableDir, Seq.empty, old.map(MetadataUpdate.RemoveSnapshotRef(_)))
   }
 
   /** Delete data files under the table's data dir that no live

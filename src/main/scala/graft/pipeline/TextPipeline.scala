@@ -447,6 +447,46 @@ object TextPipeline {
       .limit(200)
   }
 
+  /** L20 — TF-IDF term importance per source (log-free variant:
+    * `tf * N / df` — same ranking as the log form for fixed N, and
+    * bitwise cross-engine since it's one multiply + divide of exact
+    * integers; libm `ln` implementations are NOT bit-stable across
+    * engines). Top-5 terms per source via a window rank.
+    *
+    * Scale: two hash aggs (term frequency by (source, word), doc
+    * frequency by word) + a broadcast of the tiny df/N sides + a
+    * per-source window over a handful of rows. The explode dominates
+    * and is map-side only. */
+  def textTfidf(s: SparkSession, d: String): DataFrame = {
+    val w = documents(s, d)
+      .select(col("doc_id"), col("source"), explode(ws).as("word"))
+    val tf = w.groupBy("source", "word").agg(count(lit(1)).as("tf"))
+    val df = w.select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("score").desc, col("word"))
+    tf.join(broadcast(df), "word").join(broadcast(nDocs))
+      .withColumn("score", col("tf").cast("double") * col("n_docs") / col("df"))
+      .withColumn("rn", row_number().over(win))
+      .filter(col("rn") <= 5)
+      .select(col("source"), col("word"), col("tf"), col("score"))
+      .orderBy(col("source"), col("score").desc, col("word"))
+  }
+
+  val textTfidfSql: String =
+    """WITH w AS (SELECT doc_id, source, unnest(string_split(text,' ')) AS word FROM documents),
+       d AS (SELECT DISTINCT doc_id, word FROM w),
+       tf AS (SELECT source, word, COUNT(*) AS tf FROM w GROUP BY source, word),
+       df AS (SELECT word, COUNT(*) AS df FROM d GROUP BY word),
+       n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       scored AS (SELECT source, word, tf, CAST(tf AS DOUBLE) * n_docs / df AS score
+                  FROM tf JOIN df USING (word), n)
+       SELECT source, word, tf, score FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, word) AS rn
+         FROM scored) t
+       WHERE rn <= 5 ORDER BY source, score DESC, word"""
+
   val decontaminateSql: String =
     """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        grams AS (

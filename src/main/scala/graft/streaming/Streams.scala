@@ -45,21 +45,26 @@ object Streams {
   /** Streaming sink into a graft catalog table: each micro-batch
     * commits as one append snapshot through the CAS metadata protocol,
     * so a stream lands in the same table that batch queries, time
-    * travel and file skipping see. Batch id is recorded in the
-    * snapshot summary via the table property path; re-delivery of a
-    * failed batch produces a new snapshot (at-least-once — dedupe
-    * downstream on event keys if exactly-once matters). */
+    * travel and file skipping see. EXACTLY-ONCE: the micro-batch id is
+    * recorded (keyed by the checkpoint, so independent streams don't
+    * collide) in the same metadata commit as the snapshot
+    * ([[graft.catalog.TableOps.commitStreamBatch]]); a replayed batch
+    * after a failure is recognized and skipped, never double-applied.
+    */
   def writeToCatalogTable(
       df: DataFrame,
       ops: graft.catalog.TableOps,
       tableDir: org.apache.hadoop.fs.Path,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val sinkKey =
+      s"graft.stream.${Integer.toHexString(checkpoint.hashCode)}.last-batch"
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) { ops.write(tableDir, batch, "append"); () }
+        ops.commitStreamBatch(tableDir, batch, sinkKey, batchId)
       }
       .start()
+  }
 
   /** Streaming exact deduplication — the streaming face of the dedup
     * family (§2.3 L1): drop events already seen, with state bounded by

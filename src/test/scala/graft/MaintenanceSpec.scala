@@ -139,4 +139,44 @@ class MaintenanceSpec extends SparkSpec {
     assert(spark.sql(s"SELECT sum(v) FROM graft.maint.stream VERSION AS OF ${first.snapshotId}")
       .collect().head.getLong(0) == 6)
   }
+
+  test("streaming sink is exactly-once: replayed batches are skipped") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.maint")
+    spark.sql("CREATE TABLE graft.maint.once (v BIGINT)")
+    val dir = new Path(s"$warehouse/maint/once")
+    import spark.implicits._
+    val key = "graft.stream.test.last-batch"
+
+    cat.ops.commitStreamBatch(dir, Seq(1L, 2L).toDF("v"), key, batchId = 0L)
+    // a failure after our commit but before Spark's checkpoint replays
+    // the SAME batch id — it must be recognized and skipped
+    cat.ops.commitStreamBatch(dir, Seq(1L, 2L).toDF("v"), key, batchId = 0L)
+    assert(spark.sql("SELECT count(*) FROM graft.maint.once").collect().head.getLong(0) == 2)
+    assert(cat.ops.load(dir).get._2.snapshots.size == 1)
+
+    cat.ops.commitStreamBatch(dir, Seq(3L).toDF("v"), key, batchId = 1L)
+    assert(spark.sql("SELECT sum(v) FROM graft.maint.once").collect().head.getLong(0) == 6)
+    // a second independent stream (different sink key) interleaves fine
+    cat.ops.commitStreamBatch(dir, Seq(10L).toDF("v"), "graft.stream.other.last-batch", 0L)
+    assert(spark.sql("SELECT sum(v) FROM graft.maint.once").collect().head.getLong(0) == 16)
+  }
+
+  test("expireTags drops only aged tag refs; branches survive") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.maint")
+    spark.sql("CREATE TABLE graft.maint.tags (v BIGINT)")
+    val dir = new Path(s"$warehouse/maint/tags")
+    spark.sql("INSERT INTO graft.maint.tags VALUES (1)")
+    val (_, m1) = cat.ops.load(dir).get
+    val snap = m1.currentSnapshot.get.snapshotId
+    cat.ops.commit(dir, Seq.empty, Seq(
+      MetadataUpdate.SetSnapshotRef("audit-old", snap, "tag"),
+      MetadataUpdate.SetSnapshotRef("side", snap, "branch")))
+
+    // cutoff in the future ⇒ the tag's snapshot is "old"
+    cat.ops.expireTags(dir, System.currentTimeMillis() + 60000)
+    val refs = cat.ops.load(dir).get._2.refs
+    assert(!refs.contains("audit-old"), "aged tag must be dropped")
+    assert(refs.contains("side"), "branches are never expired by tag policy")
+    assert(refs.contains("main"))
+  }
 }
