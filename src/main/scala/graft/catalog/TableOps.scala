@@ -429,6 +429,67 @@ final class TableOps(store: FsStore) {
   def compact(spark: SparkSession, tableDir: Path, numFiles: Int): TableMetadata =
     write(tableDir, read(spark, tableDir), "overwrite", Some(numFiles))
 
+  /** Z-ordered write: cluster `df` on the Morton interleave of two
+    * columns so every file covers a compact rectangle of the
+    * (colA, colB) space — manifest min/max skipping then prunes files
+    * for predicates on EITHER column, which a single-column sort
+    * cannot do ([[ZOrder]]). The multi-dimensional layout lever for
+    * point-lookup-heavy tables at 100 TB. */
+  def writeZOrdered(
+      tableDir: Path,
+      df: DataFrame,
+      cols: Seq[String],
+      numFiles: Int,
+      operation: String = "append"): TableMetadata = {
+    val writeDir = new Path(dataDir(tableDir), s"w-${UUID.randomUUID()}")
+    import org.apache.spark.sql.functions.{col, shiftright}
+    // exact tiling on the z-value's top bits (numFiles rounded to a
+    // power of two): every output file is one compact z-tile, so the
+    // per-dimension file ranges are deterministic — range-partition
+    // sampling would smear tile boundaries
+    val bits = math.max(1, (math.log(numFiles.toDouble) / math.log(2.0)).round.toInt)
+    val tiles = 1 << bits
+    df.withColumn("__z", ZOrder.zValue(df, cols))
+      .withColumn("__zp", shiftright(col("__z"), 32 - bits))
+      .repartition(tiles, col("__zp"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.partitionBy("__zp").parquet(writeDir.toString)
+    val files = store.listFilesRec(writeDir)
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    commitFiles(tableDir, files, operation)
+  }
+
+  /** Bin-pack compaction: rewrite ONLY files smaller than
+    * `smallBytes`, packed toward `targetBytes` outputs; right-sized
+    * files are kept verbatim with their stats. This is the form of
+    * compaction that scales — a 100 TB table with a long small-file
+    * tail rewrites the tail, not the table ([[compact]] rewrites
+    * everything). Requires no pending MOR deletes (it re-reads raw
+    * files). */
+  def compactSmallFiles(
+      spark: SparkSession,
+      tableDir: Path,
+      smallBytes: Long,
+      targetBytes: Long): TableMetadata = {
+    val (_, meta) = load(tableDir).getOrElse(
+      throw new CommitFailedException(s"table does not exist at $tableDir"))
+    requireNoPendingDeletes(tableDir, meta, "compactSmallFiles")
+    val entries = resolveEntries(tableDir, meta)
+    val (small, big) = entries.partition(_.bytes.exists(_ < smallBytes))
+    if (small.size < 2) return meta
+    val schema = SchemaBridge.toSpark(meta.currentSchema)
+    val totalBytes = small.flatMap(_.bytes).sum
+    val outFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val writeDir = new Path(dataDir(tableDir), s"w-${UUID.randomUUID()}")
+    spark.read.schema(schema).parquet(small.map(_.path): _*)
+      .repartition(outFiles)
+      .write.parquet(writeDir.toString)
+    val newFiles = store.listFilesRec(writeDir)
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    overwriteWith(tableDir, big, newFiles, operation = "compact-files")
+  }
+
   /** MERGE-lite upsert: rows of `source` replace current rows with the
     * same key tuple; unmatched source rows append. File-granular
     * copy-on-write like DELETE — files whose key-column stats don't

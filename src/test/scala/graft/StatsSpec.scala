@@ -162,6 +162,58 @@ class StatsSpec extends SparkSpec {
       "commit must record rows and bytes per file")
   }
 
+  test("z-ordered writes prune files on BOTH clustered dimensions") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stats")
+    spark.sql("CREATE TABLE graft.stats.z (x BIGINT, y BIGINT)")
+    val dir = new Path(s"$warehouse/stats/z")
+    import spark.implicits._
+    // 100x100 grid → 16 files; z-order gives each file a compact tile
+    val grid = (for (x <- 0L until 100L; y <- 0L until 100L) yield (x, y)).toDF("x", "y")
+    cat.ops.writeZOrdered(dir, grid, Seq("x", "y"), numFiles = 16)
+
+    assert(spark.sql("SELECT count(*) FROM graft.stats.z").collect().head.getLong(0) == 10000)
+    val entries = cat.ops.resolveEntries(dir, cat.ops.load(dir).get._2)
+    assert(entries.size == 16)
+    val schema = SchemaBridge.toSpark(cat.ops.load(dir).get._2.currentSchema)
+    import org.apache.spark.sql.sources.{And, GreaterThanOrEqual, LessThanOrEqual}
+    def filesFor(c: String, lo: Long, hi: Long): Int =
+      entries.count(e => Stats.mayContain(e, schema,
+        And(GreaterThanOrEqual(c, lo), LessThanOrEqual(c, hi))))
+    // a 10%-wide slice on EITHER dimension must prune most files —
+    // single-column sort would only prune on the leading column
+    assert(filesFor("x", 40, 50) <= 8, s"x-slice hit ${filesFor("x", 40, 50)}/16")
+    assert(filesFor("y", 40, 50) <= 8, s"y-slice hit ${filesFor("y", 40, 50)}/16")
+    // and the slices are correct, not just pruned
+    assert(spark.sql("SELECT count(*) FROM graft.stats.z WHERE x BETWEEN 40 AND 50")
+      .collect().head.getLong(0) == 11 * 100)
+    assert(spark.sql("SELECT count(*) FROM graft.stats.z WHERE y BETWEEN 40 AND 50")
+      .collect().head.getLong(0) == 11 * 100)
+  }
+
+  test("compactSmallFiles rewrites only the small-file tail") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stats")
+    spark.sql("CREATE TABLE graft.stats.bp (id BIGINT, pad STRING)")
+    val dir = new Path(s"$warehouse/stats/bp")
+    import spark.implicits._
+    // one big file + a tail of small ones
+    cat.ops.write(dir,
+      spark.range(0, 20000).toDF("id")
+        .withColumn("pad", org.apache.spark.sql.functions.lpad(
+          org.apache.spark.sql.functions.col("id").cast("string"), 64, "x")),
+      "append", numFiles = Some(1))
+    (0 until 5).foreach(i =>
+      spark.sql(s"INSERT INTO graft.stats.bp VALUES ($i, 'tiny')"))
+    val before = cat.ops.resolveEntries(dir, cat.ops.load(dir).get._2)
+    val bigBefore = before.maxBy(_.bytes.getOrElse(0L))
+
+    cat.ops.compactSmallFiles(spark, dir, smallBytes = 100000L, targetBytes = 1000000L)
+
+    val after = cat.ops.resolveEntries(dir, cat.ops.load(dir).get._2)
+    assert(after.map(_.path).contains(bigBefore.path), "big file kept verbatim")
+    assert(after.size < before.size, s"tail must shrink: ${before.size} -> ${after.size}")
+    assert(spark.sql("SELECT count(*) FROM graft.stats.bp").collect().head.getLong(0) == 20005)
+  }
+
   test("time travel still resolves legacy and stats manifests") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stats")
     spark.sql("CREATE TABLE graft.stats.tt2 (id BIGINT)")
