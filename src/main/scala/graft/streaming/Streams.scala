@@ -95,6 +95,29 @@ object Streams {
     spark.readStream.schema(schema).parquet(s"${ops.dataDir(tableDir)}/*")
   }
 
+  /** R58 — stream-stream interval join (the attribution shape): each
+    * right-stream event joins left-stream events of the same user
+    * that happened in the preceding `windowSec`. Watermarks on BOTH
+    * sides bound the join state — Spark evicts left rows once no
+    * future right row can reach back to them, so state size tracks
+    * the interval, not the stream length. At 100 TB/day the join
+    * shuffles both streams on user_id and state stays
+    * watermark-bounded per partition. */
+  def intervalJoin(
+      left: DataFrame,   // (user_id, ts, ...) — the earlier event (impression)
+      right: DataFrame,  // (user_id, ts, ...) — the later event (click)
+      windowSec: Long = 3600L,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermarkDelay).alias("l")
+    val r = right.withWatermark("ts", watermarkDelay).alias("r")
+    l.join(r,
+      expr(s"""l.user_id = r.user_id AND
+               r.ts BETWEEN l.ts AND l.ts + INTERVAL $windowSec SECONDS"""))
+      .select(col("l.user_id").as("user_id"),
+        col("l.ts").as("left_ts"), col("r.ts").as("right_ts"),
+        (unix_timestamp(col("r.ts")) - unix_timestamp(col("l.ts"))).as("lag_sec"))
+  }
+
   /** R27 — stateful gap-based sessionization with
     * flatMapGroupsWithState: per-user state holds the open session;
     * emits one row per CLOSED session (30-minute gap). With

@@ -102,4 +102,28 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.length == expected - users)
     assert(sessions.forall(s => s.duration_sec >= 0 && s.n_events > 0))
   }
+
+  test("R58: stream-stream interval join matches only in-window pairs") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val impressions = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val q = Streams.intervalJoin(
+        impressions.toDF().toDF("user_id", "ts"),
+        clicks.toDF().toDF("user_id", "ts"),
+        windowSec = 600L)
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      impressions.addData((1L, ts(0)), (2L, ts(0)))
+      clicks.addData(
+        (1L, ts(5)),   // in window (300s after user 1's impression)
+        (2L, ts(20)),  // out of window (1200s > 600s)
+        (3L, ts(5)))   // no impression for user 3
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, lag_sec FROM attrib").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSeq == Seq((1L, 300L)), s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
 }
