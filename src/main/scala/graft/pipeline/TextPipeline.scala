@@ -160,8 +160,12 @@ object TextPipeline {
       .select(col("doc_a"), col("doc_b"))
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id")).localCheckpoint(true)
+    // Seed with round 1's result directly — component0 = min(self,
+    // neighbors) — one aggregate instead of the first join round;
+    // cliques (the dominant near-dup shape) converge immediately.
+    var labels = edges.groupBy(col("src").as("id")).agg(min(col("dst")).as("nbr"))
+      .select(col("id"), least(col("id"), col("nbr")).as("component"))
+      .localCheckpoint(true)
     // Labels are monotonically non-increasing under min-propagation,
     // so an unchanged label SUM proves the fixpoint — one cheap
     // aggregate per round instead of a change-detection join.
