@@ -251,6 +251,16 @@ final class GraftTable(
             override def toBatch: org.apache.spark.sql.connector.read.Batch = batchScan.toBatch
             override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
               GraftTable.manifestStatistics(keptEntries)
+            // Scan observability (the REST surface's metrics-report
+            // endpoint, Spark-native): manifest-pruning counters land
+            // in the SQL UI as driver metrics for every query.
+            override def supportedCustomMetrics()
+                : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+              GraftTable.scanMetrics
+            override def reportDriverMetrics()
+                : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+              GraftTable.driverMetrics(
+                kept = keptEntries.size, skipped = dataEntries.size - keptEntries.size)
             override def toMicroBatchStream(checkpointLocation: String)
                 : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
               require(pinnedFiles.isEmpty, "cannot stream a time-travel-pinned table")
@@ -796,6 +806,29 @@ object GraftTable {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
   import org.apache.spark.sql.connector.write.DataWriter
+
+  /** Manifest-pruning scan metrics — the Spark-native face of the
+    * reference's metrics-report endpoint (denali routes/tables.go
+    * reportMetrics, a server-side no-op sink): here the numbers are
+    * real and surface in the Spark SQL UI per query. */
+  private final class FilesMetric(val name: String, val description: String)
+      extends org.apache.spark.sql.connector.metric.CustomSumMetric
+
+  private[catalog] val scanMetrics
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] = Array(
+    new FilesMetric("graftFilesKept", "data files read after manifest pruning"),
+    new FilesMetric("graftFilesSkipped", "data files skipped by manifest stats"))
+
+  private[catalog] def driverMetrics(kept: Int, skipped: Int)
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = Array(
+    new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+      override def name(): String = "graftFilesKept"
+      override def value(): Long = kept.toLong
+    },
+    new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+      override def name(): String = "graftFilesSkipped"
+      override def value(): Long = skipped.toLong
+    })
 
   /** Planner statistics from manifest footers (rows + on-disk bytes of
     * the files a scan will actually read, AFTER stat-based pruning) —

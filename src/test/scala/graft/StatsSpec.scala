@@ -214,6 +214,32 @@ class StatsSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graft.stats.bp").collect().head.getLong(0) == 20005)
   }
 
+  test("scan exposes manifest-pruning metrics (kept/skipped files)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stats")
+    spark.sql("CREATE TABLE graft.stats.met (id BIGINT) PARTITIONED BY (id)")
+    val dir = new Path(s"$warehouse/stats/met")
+    import spark.implicits._
+    cat.ops.write(dir, spark.range(0, 100).toDF("id"), "append", numFiles = Some(4))
+
+    // drive the scan through the DSv2 builder the way Spark does
+    val table = cat.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("stats"), "met"))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+    val builder = table.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(new java.util.HashMap()))
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, LessThan, Literal}
+    val idAttr = AttributeReference("id", org.apache.spark.sql.types.LongType)()
+    builder.asInstanceOf[org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters]
+      .pushFilters(Seq(LessThan(idAttr, Literal(25L))))
+    val scan = builder.build()
+    assert(scan.supportedCustomMetrics().map(_.name()).toSet ==
+      Set("graftFilesKept", "graftFilesSkipped"))
+    val vals = scan.reportDriverMetrics().map(m => m.name() -> m.value()).toMap
+    assert(vals("graftFilesKept") + vals("graftFilesSkipped") == 4)
+    assert(vals("graftFilesSkipped") >= 2,
+      s"a quarter-range filter must skip most of 4 range-clustered files: $vals")
+  }
+
   test("time travel still resolves legacy and stats manifests") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stats")
     spark.sql("CREATE TABLE graft.stats.tt2 (id BIGINT)")
