@@ -88,6 +88,29 @@ object Materialized {
         MetadataUpdate.SetProperties(Map("graft.mv.last-seq" -> headSeq.toString)))
   }
 
+  /** Continuous maintenance: the source's `$changes` stream is the
+    * TRIGGER (its rows are not consumed — [[refreshSumCount]] computes
+    * exact deltas from its own committed watermark, so a restart or a
+    * duplicate trigger can never double-apply). Each source commit —
+    * append, rewrite, or MOR delete — wakes one refresh. */
+  def refreshContinuously(
+      spark: SparkSession,
+      ops: TableOps,
+      srcChangesTable: String, // e.g. "graft.ns.`t$changes`"
+      srcDir: Path,
+      dstDir: Path,
+      keyCols: Seq[String],
+      valueCol: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.table(srcChangesTable)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        refreshSumCount(spark, ops, srcDir, dstDir, keyCols, valueCol)
+        ()
+      }
+      .start()
+
   private def listParquet(ops: TableOps, dir: Path): Seq[String] = {
     val fs = dir.getFileSystem(
       org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)

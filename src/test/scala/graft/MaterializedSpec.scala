@@ -66,6 +66,32 @@ class MaterializedSpec extends SparkSpec {
       .collect().nonEmpty)
   }
 
+  test("continuous refresh follows the changelog stream") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mv")
+    spark.sql("CREATE TABLE graft.mv.csrc (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.mv.csrc VALUES (1, 2.0), (2, 3.0)")
+    val srcDir = new Path(s"$warehouse/mv/csrc")
+    val dstDir = new Path(s"$warehouse/mv/cagg")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-mv-").toString
+
+    val q = Materialized.refreshContinuously(spark, cat.ops,
+      "graft.mv.`csrc$changes`", srcDir, dstDir, Seq("k"), "v", ckpt)
+    try {
+      q.processAllAvailable()
+      def mv() = cat.ops.read(spark, dstDir).collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+      assert(mv() == Map(1L -> (2.0, 1L), 2L -> (3.0, 1L)), s"got ${mv()}")
+
+      spark.sql("INSERT INTO graft.mv.csrc VALUES (1, 5.0)")
+      q.processAllAvailable()
+      assert(mv() == Map(1L -> (7.0, 2L), 2L -> (3.0, 1L)), s"got ${mv()}")
+
+      spark.sql("DELETE FROM graft.mv.csrc WHERE k = 2")
+      q.processAllAvailable()
+      assert(mv() == Map(1L -> (7.0, 2L)), s"got ${mv()}")
+    } finally q.stop()
+  }
+
   test("merge-on-read deletes flow through the refresh") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mv")
     spark.sql("CREATE TABLE graft.mv.src2 (k BIGINT, v DOUBLE)")
