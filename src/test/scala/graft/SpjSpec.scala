@@ -86,6 +86,37 @@ class SpjSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("pending equality deletes keep the zero-shuffle plan (delete-aware SPJ)") {
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spj")
+    spark.sql("CREATE TABLE graft.spj.da (id BIGINT, day BIGINT) PARTITIONED BY (day)")
+    spark.sql("CREATE TABLE graft.spj.db (id BIGINT, day BIGINT) PARTITIONED BY (day)")
+    val df = spark.range(0, 200).selectExpr("id", "id % 4 AS day")
+    val aDir = new org.apache.hadoop.fs.Path(s"$warehouse/spj/da")
+    cat.ops.writeValuePartitioned(aDir, df)
+    cat.ops.writeValuePartitioned(new org.apache.hadoop.fs.Path(s"$warehouse/spj/db"), df)
+    // MOR-delete 10 ids from table a — the scan must apply the delete
+    // AND still report key-grouped partitioning
+    import spark.implicits._
+    cat.ops.mergeOnReadDelete(spark, aDir, (0L until 10L).toDF("id"))
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.sql(
+        """SELECT a.day, count(*) AS n
+          FROM graft.spj.da a JOIN graft.spj.db b ON a.day = b.day
+          GROUP BY a.day ORDER BY a.day""")
+      // days 0..3 each lose 2-3 of their 50 a-side rows (ids 0..9)
+      val expected = (0L until 4L).map(d =>
+        (50 - (0L until 10L).count(_ % 4 == d)) * 50L)
+      assert(joined.collect().map(_.getLong(1)).toSeq == expected)
+      assert(hashShuffles(joined) == 0,
+        s"pending deletes must not cost the SPJ plan:\n${joined.queryExecution.executedPlan}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("straddling files fall back to a plain shuffle plan, same result") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spj")
     spark.sql("CREATE TABLE graft.spj.c (id BIGINT, day BIGINT) PARTITIONED BY (day)" +
