@@ -204,7 +204,13 @@ final class GraftTable(
               "_pos", org.apache.spark.sql.types.LongType, nullable = false)))
           spark.read.schema(posSchema).parquet(posDeletes.map(_.path): _*)
             .collect()
-            .groupBy(r => norm(r.getString(0)))
+            .groupBy { r =>
+              val s = r.getString(0)
+              // table-relative coordinates (rename-safe) resolve
+              // against the CURRENT table dir; legacy absolutes as-is
+              if (s.startsWith("/") || s.contains(":/")) norm(s)
+              else norm(new Path(dir, s).toString)
+            }
             .map { case (p, rows) => p -> rows.map(_.getLong(1)).toSet }
         }
       val confByPath = keptEntries.map { e =>

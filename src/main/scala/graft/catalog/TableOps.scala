@@ -609,9 +609,14 @@ final class TableOps(store: FsStore) {
     val namedFiles = resolveEntries(tableDir, meta).filter(_.isData).map(_.path).toSet
     val df = GraftBridge.ofRows(spark,
       new GraftTable(tableDir.toString, tableDir, meta, this))
+    // Store _file TABLE-RELATIVE (same policy as manifest entries), so
+    // table rename — a directory move — keeps the coordinates valid;
+    // files outside the table dir (registered externals) stay as-is.
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    val baseNorm = java.util.regex.Pattern.quote(tableDir.toUri.getPath + "/")
     val matches = df.filter(cond)
-      .select(org.apache.spark.sql.functions.col("_file"),
-              org.apache.spark.sql.functions.col("_pos"))
+      .select(regexp_replace(col("_file"), s"^.*$baseNorm", "").as("_file"),
+              col("_pos"))
     val writeDir = new Path(dataDir(tableDir), s"w-${UUID.randomUUID()}")
     matches.coalesce(1).write.parquet(writeDir.toString)
     val files = store.listFilesRec(writeDir)
@@ -888,11 +893,20 @@ final class TableOps(store: FsStore) {
                 org.apache.spark.sql.types.StringType, nullable = false),
               org.apache.spark.sql.types.StructField("_pos",
                 org.apache.spark.sql.types.LongType, nullable = false)))
+            import org.apache.spark.sql.functions.{concat, lit, regexp_replace, when}
+            // both sides normalized to bare absolute paths: stored
+            // coordinates may be table-relative (rename-safe form),
+            // scan-produced _file strings may carry a URI scheme
             val pairs = spark.read.schema(posSchema).parquet(newDels.map(_.path): _*)
+              .withColumn("_file",
+                when(col("_file").startsWith("/") || col("_file").contains(":/"),
+                  regexp_replace(col("_file"), "^file:/+", "/"))
+                .otherwise(concat(lit(tableDir.toUri.getPath + "/"), col("_file"))))
             val parentWithPos = org.apache.spark.sql.execution.datasources.GraftBridge
               .ofRows(spark,
                 new GraftTable(tableDir.toString, tableDir, meta, this, Some(prev)))
               .select((schema.fieldNames.map(col) :+ col("_file") :+ col("_pos")).toSeq: _*)
+              .withColumn("_file", regexp_replace(col("_file"), "^file:/+", "/"))
             parentWithPos.join(pairs, Seq("_file", "_pos"), "left_semi")
               .select(schema.fieldNames.map(col).toSeq: _*)
               .withColumn("_change_type", lit("delete"))

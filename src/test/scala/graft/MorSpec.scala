@@ -216,6 +216,25 @@ class MorSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSet == Set((2L, "b2")))
   }
 
+  test("positional deletes survive table rename (relative coordinates)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mor")
+    spark.sql("CREATE TABLE graft.mor.rn (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.mor.rn VALUES (1,'a'), (2,'b'), (3,'c')")
+    import org.apache.spark.sql.functions.col
+    cat.ops.positionalDelete(spark, new Path(s"$warehouse/mor/rn"), col("v") === "b")
+    assert(spark.sql("SELECT count(*) FROM graft.mor.rn").collect().head.getLong(0) == 2)
+
+    spark.sql("ALTER TABLE graft.mor.rn RENAME TO mor.rn2")
+    // the delete must still mask row (2,'b') at the NEW location
+    assert(spark.sql("SELECT id FROM graft.mor.rn2 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // and the CDC feed resolves the delete row-level post-rename
+    val dir2 = new Path(s"$warehouse/mor/rn2")
+    val feed = cat.ops.changes(spark, dir2, 0L, Long.MaxValue).collect()
+      .map(r => (r.getString(2), r.getLong(0)))
+    assert(feed.contains(("delete", 2L)), s"feed was ${feed.toSeq}")
+  }
+
   test("compactDeletes merges delete files only across append-free spans") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mor")
     spark.sql("CREATE TABLE graft.mor.cd (id BIGINT, v STRING)")
