@@ -1260,4 +1260,57 @@ object Relational {
        SELECT mon, COUNT(o_orderkey) AS n_orders
        FROM m LEFT JOIN orders ON month(CAST(o_orderdate AS DATE)) = mon
        GROUP BY mon ORDER BY mon"""
+
+  /** R59 — statistical aggregates (covariance / Pearson correlation)
+    * from EXACT decimal moments: built-in `corr`/`covar_pop` accumulate
+    * running doubles in partition order and diverge across engines in
+    * the last ulps, so the moments (n, Σx, Σy, Σxy, Σx², Σy²) are
+    * summed as decimals — order-independent and exact — and the
+    * closed-form combination runs in IEEE doubles, identical on both
+    * sides (sqrt is correctly rounded). One shuffle, map-side partial
+    * moment sums — the textbook distributed-statistics shape. */
+  def qStatsCorr(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val D20 = DecimalType(20, 4)
+    val D12 = DecimalType(12, 4)
+    val m = lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sx"),
+        dsum(col("l_extendedprice")).as("sy"),
+        sum(col("l_quantity").cast(D20) * col("l_extendedprice").cast(D12))
+          .cast("double").as("sxy"),
+        sum(col("l_quantity").cast(D20) * col("l_quantity").cast(D12))
+          .cast("double").as("sxx"),
+        sum(col("l_extendedprice").cast(D20) * col("l_extendedprice").cast(D12))
+          .cast("double").as("syy"))
+    val cov = col("sxy") / col("n") - (col("sx") / col("n")) * (col("sy") / col("n"))
+    val sdx = sqrt(col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n")))
+    val sdy = sqrt(col("syy") / col("n") - (col("sy") / col("n")) * (col("sy") / col("n")))
+    // round(4/8): DuckDB's int128-decimal → double cast double-rounds
+    // beyond 2^53, so the engines can differ in the final ulp — the
+    // repo-standard rounding kills that noise (values are exact to
+    // ~15 significant digits before it)
+    m.select(col("l_returnflag"), col("n"),
+        round(cov, 4).as("cov_qty_price"),
+        round(cov / (sdx * sdy), 8).as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
+  val qStatsCorrSql: String =
+    """WITH m AS (
+         SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(20,4)) * CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(20,4)) * CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) * CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS syy
+         FROM lineitem GROUP BY l_returnflag)
+       SELECT l_returnflag, n,
+         round(sxy / n - (sx / n) * (sy / n), 4) AS cov_qty_price,
+         round((sxy / n - (sx / n) * (sy / n)) /
+           (sqrt(sxx / n - (sx / n) * (sx / n)) * sqrt(syy / n - (sy / n) * (sy / n))), 8) AS corr_qty_price
+       FROM m ORDER BY l_returnflag"""
 }
