@@ -27,10 +27,22 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Compact fixed-point formatting keeps the whole line short enough
+    // to survive log-tail truncation in the harness capture.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Repeat a short headline line last: the full per-query line can
+    // exceed the harness's captured log tail, this one never does.
+    val headline = Seq("q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+      "q9_product_profit", "q18_large_volume", "dedup_minhash_lsh", "dedup_components",
+      "ann_lsh_topk", "text_quality", "pipeline_curate")
+    val hq = headline.flatMap(k => results.get(k).map(v => s"\"" + k + "\":" + fmt(v)))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$hq,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1313,4 +1313,235 @@ object Relational {
          round((sxy / n - (sx / n) * (sy / n)) /
            (sqrt(sxx / n - (sx / n) * (sx / n)) * sqrt(syy / n - (sy / n) * (sy / n))), 8) AS corr_qty_price
        FROM m ORDER BY l_returnflag"""
+
+  /** R60 — distribution window functions: percent_rank / cume_dist
+    * over a peerless ordering (unique tiebreak ⇒ both are exact rank
+    * arithmetic, engine-independent), plus first/nth/last value over
+    * the full-partition frame. Single window sort per nation
+    * partition — one shuffle on the partition key at any scale. */
+  def qWindowDist(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("s_nationkey").orderBy(col("s_acctbal"), col("s_suppkey"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey"),
+        round(percent_rank().over(w), 8).as("pr"),
+        round(cume_dist().over(w), 8).as("cd"),
+        first(col("s_name")).over(wf).as("poorest"),
+        nth_value(col("s_name"), 2).over(wf).as("second_poorest"),
+        last(col("s_name")).over(wf).as("richest"))
+      .orderBy("s_nationkey", "s_suppkey")
+  }
+
+  val qWindowDistSql: String =
+    """SELECT s_suppkey, s_nationkey,
+              round(percent_rank() OVER w, 8) AS pr,
+              round(cume_dist() OVER w, 8) AS cd,
+              first_value(s_name) OVER wf AS poorest,
+              nth_value(s_name, 2) OVER wf AS second_poorest,
+              last_value(s_name) OVER wf AS richest
+       FROM supplier
+       WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey),
+              wf AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       ORDER BY s_nationkey, s_suppkey"""
+
+  /** R61 — least-squares regression (slope / intercept / R²) from the
+    * same exact decimal moments as R59: order-independent partial sums
+    * (map-side combined), closed-form combination in doubles. The
+    * distributed-regression shape: one narrow shuffle of 6 numbers per
+    * group regardless of fact size. */
+  def qRegression(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val D20 = DecimalType(20, 4)
+    val D12 = DecimalType(12, 4)
+    val m = lineitem(s, d)
+      .groupBy("l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sx"),
+        dsum(col("l_extendedprice")).as("sy"),
+        sum(col("l_quantity").cast(D20) * col("l_extendedprice").cast(D12))
+          .cast("double").as("sxy"),
+        sum(col("l_quantity").cast(D20) * col("l_quantity").cast(D12))
+          .cast("double").as("sxx"),
+        sum(col("l_extendedprice").cast(D20) * col("l_extendedprice").cast(D12))
+          .cast("double").as("syy"))
+    val cov = col("sxy") / col("n") - (col("sx") / col("n")) * (col("sy") / col("n"))
+    val varx = col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n"))
+    val vary = col("syy") / col("n") - (col("sy") / col("n")) * (col("sy") / col("n"))
+    val slope = cov / varx
+    m.select(col("l_linestatus"), col("n"),
+        round(slope, 8).as("slope"),
+        round(col("sy") / col("n") - slope * (col("sx") / col("n")), 6).as("intercept"),
+        round(cov * cov / (varx * vary), 8).as("r2"))
+      .orderBy("l_linestatus")
+  }
+
+  val qRegressionSql: String =
+    """WITH m AS (
+         SELECT l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(20,4)) * CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(20,4)) * CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) * CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS syy
+         FROM lineitem GROUP BY l_linestatus),
+       k AS (SELECT l_linestatus, n,
+               sxy / n - (sx / n) * (sy / n) AS cov,
+               sxx / n - (sx / n) * (sx / n) AS varx,
+               syy / n - (sy / n) * (sy / n) AS vary,
+               sx / n AS mx, sy / n AS my
+             FROM m)
+       SELECT l_linestatus, n,
+         round(cov / varx, 8) AS slope,
+         round(my - (cov / varx) * mx, 6) AS intercept,
+         round(cov * cov / (varx * vary), 8) AS r2
+       FROM k ORDER BY l_linestatus"""
+
+  /** R62 — bitwise and boolean aggregates: bit_and/or/xor fold the
+    * key space per group (commutative+associative ⇒ map-side partials
+    * and order independence for free), bool_and/bool_or + filtered
+    * count over a predicate. */
+  def qBitBoolAggs(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("bit_and(o_orderkey)").as("key_and"),
+        expr("bit_or(o_orderkey)").as("key_or"),
+        expr("bit_xor(o_orderkey)").as("key_xor"),
+        expr("bool_and(o_totalprice > 1000.0)").as("all_over_1k"),
+        expr("bool_or(o_totalprice > 400000.0)").as("any_over_400k"),
+        expr("count_if(o_totalprice > 200000.0)").as("n_big"))
+      .orderBy("o_orderstatus")
+
+  val qBitBoolAggsSql: String =
+    """SELECT o_orderstatus,
+              bit_and(o_orderkey) AS key_and,
+              bit_or(o_orderkey) AS key_or,
+              bit_xor(o_orderkey) AS key_xor,
+              bool_and(o_totalprice > 1000.0) AS all_over_1k,
+              bool_or(o_totalprice > 400000.0) AS any_over_400k,
+              COUNT(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+  /** R63 — point-in-range temporal join (attribution shape): each
+    * purchase joined to the same user's clicks in the preceding hour.
+    * The equi key (user) carries the shuffle; the range predicate is a
+    * cheap residual on the hash-join probe — NOT a cartesian band
+    * join, so it scales as a plain shuffle join at 100 TB (the
+    * streaming twin is the watermarked interval join, R58). */
+  def qRangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).filter(col("user_id") < 50)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000000000").as("sec"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u"), col("event_id").as("buy_id"), col("sec").as("bsec"))
+    val clicks = ev.filter(col("event_type") === "click")
+    buys.join(clicks,
+        col("u") === col("user_id") &&
+          col("sec") >= col("bsec") - lit(3600L) && col("sec") < col("bsec"))
+      .groupBy(col("u").as("user_id"))
+      .agg(count(lit(1)).as("n_attr"),
+           countDistinct(col("buy_id")).as("n_buys"),
+           countDistinct(col("event_id")).as("n_clicks"),
+           max(col("bsec") - col("sec")).as("max_gap_sec"))
+      .orderBy("user_id")
+  }
+
+  val qRangeJoinSql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+                         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+                  FROM events WHERE user_id < 50)
+       SELECT b.user_id, COUNT(*) AS n_attr,
+              COUNT(DISTINCT b.event_id) AS n_buys,
+              COUNT(DISTINCT c.event_id) AS n_clicks,
+              MAX(b.sec - c.sec) AS max_gap_sec
+       FROM e b JOIN e c
+         ON b.user_id = c.user_id AND b.event_type = 'purchase' AND c.event_type = 'click'
+        AND c.sec >= b.sec - 3600 AND c.sec < b.sec
+       GROUP BY b.user_id ORDER BY b.user_id"""
+
+  /** R64 — positional explode: per-word ordinals via posexplode
+    * (UNNEST WITH ORDINALITY), the building block for order-aware
+    * token pipelines. Narrow (no shuffle until the final sort). */
+  def qPosexplode(s: SparkSession, d: String): DataFrame =
+    documents(s, d).filter(col("doc_id") < 10)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("ord"), col("col").as("word"))
+      .filter(col("ord") <= 5)
+      .orderBy("doc_id", "ord")
+
+  val qPosexplodeSql: String =
+    """SELECT doc_id, CAST(i AS BIGINT) AS ord, ws[i] AS word
+       FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id < 10) w,
+            UNNEST(range(1, len(ws) + 1)) AS t(i)
+       WHERE i <= 5
+       ORDER BY doc_id, ord"""
+
+  /** R65 — array function breadth: sort/slice/contains/position/
+    * distinct over the per-document word array. All per-row codegen'd
+    * array kernels — no shuffle besides the output sort. */
+  def qArrayFuncs(s: SparkSession, d: String): DataFrame =
+    documents(s, d).filter(col("doc_id") < 300)
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        size(array_distinct(col("ws"))).cast("long").as("n_uniq"),
+        concat_ws(" ", slice(array_sort(col("ws")), 1, 3)).as("first3_sorted"),
+        array_contains(col("ws"), "spark").as("has_spark"),
+        array_position(col("ws"), "table").cast("long").as("pos_table"))
+      .orderBy("doc_id")
+
+  val qArrayFuncsSql: String =
+    """SELECT doc_id,
+              CAST(len(ws) AS BIGINT) AS n_words,
+              CAST(len(list_distinct(ws)) AS BIGINT) AS n_uniq,
+              array_to_string(list_sort(ws)[1:3], ' ') AS first3_sorted,
+              list_contains(ws, 'spark') AS has_spark,
+              CAST(COALESCE(list_position(ws, 'table'), 0) AS BIGINT) AS pos_table
+       FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id < 300) w
+       ORDER BY doc_id"""
+
+  /** R66 — regular-expression functions: extract / global replace /
+    * match count / anchored match, patterns kept in the RE2 ∩ Java
+    * common subset so both engines agree. */
+  def qRegexpFuncs(s: SparkSession, d: String): DataFrame =
+    customer(s, d).filter(col("c_custkey") < 300)
+      .select(col("c_custkey"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("cnum"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+        expr("regexp_count(c_name, '0')").cast("long").as("n_zeros"),
+        col("c_name").rlike("^Customer#[0-9]+$").as("well_formed"))
+      .orderBy("c_custkey")
+
+  val qRegexpFuncsSql: String =
+    """SELECT c_custkey,
+              regexp_extract(c_name, '([0-9]+)', 1) AS cnum,
+              regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+              CAST(len(regexp_extract_all(c_name, '0')) AS BIGINT) AS n_zeros,
+              regexp_matches(c_name, '^Customer#[0-9]+$') AS well_formed
+       FROM customer WHERE c_custkey < 300 ORDER BY c_custkey"""
+
+  /** R67 — hashing / encoding scalar functions: md5, sha2-256,
+    * base64, ascii, bit_length — content-addressing primitives the
+    * dedup pipeline builds on, exposed as a query of their own. */
+  def qHashFuncs(s: SparkSession, d: String): DataFrame =
+    supplier(s, d).filter(col("s_suppkey") < 200)
+      .select(col("s_suppkey"),
+        md5(col("s_name")).as("h_md5"),
+        sha2(col("s_name"), 256).as("h_sha256"),
+        base64(col("s_name").cast("binary")).as("b64"),
+        ascii(col("s_name")).cast("long").as("first_ascii"),
+        bit_length(col("s_name")).cast("long").as("bits"))
+      .orderBy("s_suppkey")
+
+  val qHashFuncsSql: String =
+    """SELECT s_suppkey,
+              md5(s_name) AS h_md5,
+              sha256(s_name) AS h_sha256,
+              to_base64(encode(s_name)) AS b64,
+              CAST(ascii(s_name) AS BIGINT) AS first_ascii,
+              CAST(bit_length(s_name) AS BIGINT) AS bits
+       FROM supplier WHERE s_suppkey < 200 ORDER BY s_suppkey"""
 }

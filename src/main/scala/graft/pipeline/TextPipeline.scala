@@ -491,6 +491,136 @@ object TextPipeline {
          FROM scored) t
        WHERE rn <= 5 ORDER BY source, score DESC, word"""
 
+  /** L21 — PII scrubbing: regex redaction of emails and phone-shaped
+    * tokens before training. The test corpus is synthetic and clean,
+    * so deterministic PII is injected per doc first (same expression
+    * on the oracle side), then scrubbed; the query reports per-source
+    * redaction counts plus a masked sample. Pure per-row codegen —
+    * at 100 TB this is a map-only pass with zero shuffle beyond the
+    * final tiny agg. */
+  def piiScrub(s: SparkSession, d: String): DataFrame = {
+    val withPii = documents(s, d).withColumn("text2",
+      concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com or 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "[0-9]{3}-[0-9]{4}"
+    withPii
+      .withColumn("n_emails", expr(s"CAST(size(regexp_extract_all(text2, '$emailRe', 0)) AS BIGINT)"))
+      .withColumn("n_phones", expr(s"CAST(size(regexp_extract_all(text2, '$phoneRe', 0)) AS BIGINT)"))
+      .withColumn("clean", regexp_replace(regexp_replace(col("text2"), emailRe, "<EMAIL>"), phoneRe, "<PHONE>"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_emails")).as("emails_redacted"),
+           sum(col("n_phones")).as("phones_redacted"),
+           max(substring(col("clean"), -33, 33)).as("sample_tail"))
+      .orderBy("source")
+  }
+
+  val piiScrubSql: String =
+    """WITH p AS (SELECT source,
+                         text || ' contact user' || doc_id || '@example.com or 555-' ||
+                           lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text2
+                  FROM documents),
+       r AS (SELECT source,
+                    CAST(len(regexp_extract_all(text2, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+                    CAST(len(regexp_extract_all(text2, '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+                    regexp_replace(regexp_replace(text2, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                                   '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean
+             FROM p)
+       SELECT source, COUNT(*) AS n_docs,
+              CAST(SUM(n_emails) AS BIGINT) AS emails_redacted,
+              CAST(SUM(n_phones) AS BIGINT) AS phones_redacted,
+              MAX(CASE WHEN length(clean) >= 33 THEN substring(clean, length(clean) - 32, 33)
+                       ELSE clean END) AS sample_tail
+       FROM r GROUP BY source ORDER BY source"""
+
+  /** L22 — boilerplate detection: word 5-grams appearing in many
+    * distinct documents are template/boilerplate text (cookie banners,
+    * license headers); they feed a removal pass. Explode → two-level
+    * agg, same scale shape as L17: the shuffle carries one row per
+    * distinct (gram, doc) and then per gram. */
+  def boilerplate(s: SparkSession, d: String): DataFrame =
+    withWords(documents(s, d))
+      .filter(size(col("ws")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 5), i -> concat_ws(' ', slice(ws, i + 1, 5)))"))
+        .as("gram"))
+      .distinct()
+      .groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 3)
+      .orderBy(col("n_docs").desc, col("gram"))
+      .limit(50)
+
+  val boilerplateSql: String =
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                      WHERE len(string_split(text, ' ')) >= 5),
+       grams AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS gram
+                 FROM words, UNNEST(generate_series(1, len(w) - 4)) AS t(i))
+       SELECT gram, COUNT(DISTINCT doc_id) AS n_docs
+       FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 3
+       ORDER BY n_docs DESC, gram LIMIT 50"""
+
+  /** L27 — token-budget shard packing: assign documents to training
+    * shards of ≤5000 whitespace tokens each, per source, in doc_id
+    * order — the deterministic greedy packing a dataloader shards on.
+    * The cumulative sum is a per-source window (one shuffle on
+    * source); at 100 TB the partition key becomes (source, day) or a
+    * hash bucket so no single window partition grows unbounded. */
+  def shardPack(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    withWords(documents(s, d))
+      .withColumn("tok", size(col("ws")).cast("long"))
+      .withColumn("cum_before", coalesce(sum(col("tok")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("shard", (col("cum_before") / 5000).cast("long"))
+      .groupBy("source", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("shard_tokens"))
+      .orderBy("source", "shard")
+  }
+
+  val shardPackSql: String =
+    """WITH t AS (SELECT source, doc_id,
+                         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+                  FROM documents),
+       c AS (SELECT source, doc_id, tok,
+                    COALESCE(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+             FROM t)
+       SELECT source, CAST(cum_before / 5000 AS BIGINT) AS shard,
+              COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS shard_tokens
+       FROM c GROUP BY source, shard ORDER BY source, shard"""
+
+  /** L28 — incremental dedup: a new batch (source src0) admitted
+    * against the already-ingested corpus by content-hash anti join —
+    * the shape every continuously-crawled corpus runs on ingest.
+    * Hash anti join shuffles 16-byte digests, never text; with the
+    * corpus hashes in a catalog table this is one MOR-style lookup. */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val hashed = documents(s, d).withColumn("h", md5(col("text")))
+    val corpus = hashed.filter(col("source") =!= "src0").select("h").distinct()
+    val batch = hashed.filter(col("source") === "src0")
+    val fresh = batch.join(corpus, Seq("h"), "left_anti")
+      .groupBy("lang").agg(count(lit(1)).as("n_new"))
+    batch.groupBy("lang").agg(count(lit(1)).as("n_batch"))
+      .join(fresh, Seq("lang"), "left")
+      .select(col("lang"), col("n_batch"), coalesce(col("n_new"), lit(0L)).as("n_new"),
+        (col("n_batch") - coalesce(col("n_new"), lit(0L))).as("n_dup"))
+      .orderBy("lang")
+  }
+
+  val dedupIncrementalSql: String =
+    """WITH h AS (SELECT lang, source, md5(text) AS h FROM documents),
+       corpus AS (SELECT DISTINCT h FROM h WHERE source <> 'src0'),
+       batch AS (SELECT lang, h FROM h WHERE source = 'src0'),
+       fresh AS (SELECT lang, COUNT(*) AS n_new FROM batch
+                 WHERE h NOT IN (SELECT h FROM corpus) GROUP BY lang),
+       tot AS (SELECT lang, COUNT(*) AS n_batch FROM batch GROUP BY lang)
+       SELECT t.lang, t.n_batch, COALESCE(f.n_new, 0) AS n_new,
+              t.n_batch - COALESCE(f.n_new, 0) AS n_dup
+       FROM tot t LEFT JOIN fresh f ON t.lang = f.lang ORDER BY t.lang"""
+
   val decontaminateSql: String =
     """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        grams AS (
