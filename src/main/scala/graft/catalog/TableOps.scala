@@ -460,6 +460,33 @@ final class TableOps(store: FsStore) {
     commitFiles(tableDir, files, operation)
   }
 
+  /** C47 — Hilbert-curve clustered write: z-order's locality upgrade
+    * (no Morton diagonal jumps — consecutive curve positions are
+    * always adjacent grid cells), so each file tile spans an even
+    * tighter hyper-rectangle and min/max pruning on EITHER clustered
+    * column drops more files. Same exact-tiling commit shape as
+    * [[writeZOrdered]]: tiles = top curve bits, one file per tile. */
+  def writeHilbertClustered(
+      tableDir: Path,
+      df: DataFrame,
+      cols: Seq[String],
+      numFiles: Int,
+      operation: String = "append"): TableMetadata = {
+    val writeDir = new Path(dataDir(tableDir), s"w-${UUID.randomUUID()}")
+    import org.apache.spark.sql.functions.{col, shiftright}
+    val bits = math.max(1, (math.log(numFiles.toDouble) / math.log(2.0)).round.toInt)
+    val tiles = 1 << bits
+    ZOrder.withHilbert(df, cols, "__h")
+      .withColumn("__hp", shiftright(col("__h"), 16 - bits))
+      .repartition(tiles, col("__hp"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+      .write.partitionBy("__hp").parquet(writeDir.toString)
+    val files = store.listFilesRec(writeDir)
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    commitFiles(tableDir, files, operation)
+  }
+
   /** Bin-pack compaction: rewrite ONLY files smaller than
     * `smallBytes`, packed toward `targetBytes` outputs; right-sized
     * files are kept verbatim with their stats. This is the form of
@@ -949,6 +976,48 @@ final class TableOps(store: FsStore) {
       Seq(MetadataUpdate.RemoveSnapshots(expire.map(_.snapshotId))))
     expire.foreach(s => store.delete(new Path(metadataDir(tableDir), s.manifest)))
     updated
+  }
+
+  /** C49 — snapshot rollback: point `main` back at an earlier
+    * snapshot of its own lineage (Iceberg's rollback_to_snapshot).
+    * Pure metadata — no data movement; the rolled-back-past snapshots
+    * stay in the table (still tag-able / inspectable) until
+    * [[expireSnapshots]] reclaims them, and the rollback itself is a
+    * guarded CAS commit so a concurrent writer loses cleanly rather
+    * than interleaving. The CDC/streaming feeds follow the NEW main
+    * lineage (they walk parent pointers), so consumers never see the
+    * rolled-back commits replayed. */
+  def rollbackTo(tableDir: Path, snapshotId: Long): TableMetadata = {
+    val (_, meta) = load(tableDir).getOrElse(
+      throw new CommitFailedException(s"table does not exist at $tableDir"))
+    val target = meta.snapshotById(snapshotId).getOrElse(
+      throw new CommitFailedException(s"snapshot $snapshotId does not exist"))
+    val mainLineage = Iterator.iterate(meta.currentSnapshot)(
+        _.flatMap(_.parentSnapshotId).flatMap(meta.snapshotById))
+      .takeWhile(_.isDefined).flatten.map(_.snapshotId).toSet
+    if (!mainLineage.contains(target.snapshotId))
+      throw new CommitFailedException(
+        s"snapshot $snapshotId is not an ancestor of main — use a branch ref instead")
+    commit(tableDir,
+      Seq(Requirement.AssertRefSnapshotId("main", meta.currentSnapshotId)),
+      Seq(MetadataUpdate.SetSnapshotRef("main", snapshotId, "branch")))
+  }
+
+  /** Main-lineage state as of sequence number `seq` (inclusive): the
+    * newest main-lineage snapshot with sequenceNumber <= `seq`,
+    * MOR-resolved; `seq` before the first commit reads empty. The
+    * sequence-number twin of `read(snapshotId=...)`, used by
+    * incremental consumers whose watermarks are sequence numbers
+    * ([[Materialized]], the streaming source). */
+  def readAtSeq(spark: SparkSession, tableDir: Path, seq: Long): DataFrame = {
+    val (_, meta) = load(tableDir).getOrElse(
+      throw new IllegalArgumentException(s"table does not exist at $tableDir"))
+    val lineage = Iterator.iterate(meta.currentSnapshot)(
+        _.flatMap(_.parentSnapshotId).flatMap(meta.snapshotById))
+      .takeWhile(_.isDefined).flatten
+    val snap = lineage.find(_.sequenceNumber <= seq)
+    readEntries(spark, tableDir, meta,
+      snap.map(sn => snapshotEntries(tableDir, sn)).getOrElse(Seq.empty))
   }
 
   /** Tag retention: drop tag refs whose target snapshot is older than

@@ -53,4 +53,81 @@ object ZOrder {
     normalized.zipWithIndex.map { case (s, k) => shiftleft(s, k): Column }
       .reduce(_ bitwiseOR _)
   }
+
+  /** Hilbert-curve index — z-order's locality upgrade: the Hilbert
+    * curve never makes the long diagonal jumps Morton order does, so
+    * file tiles have strictly better worst-case locality (adjacent
+    * curve positions are ALWAYS adjacent cells). 8 bits per dimension
+    * = 65k grid cells, plenty for FILE-granularity clustering (files
+    * per table « 65k tiles).
+    *
+    * The classic xy→d loop is unrolled into one `withColumn` level per
+    * bit. Each level's state (x, y, d) is a NAMED column, which keeps
+    * the plan linear — Catalyst's CollapseProject declines to inline
+    * expressions it would duplicate, so codegen evaluates level by
+    * level instead of exponentially expanding the when-trees.
+    * Appends `outCol`; temp state columns are dropped. */
+  def withHilbert(df: DataFrame, cols: Seq[String], outCol: String): DataFrame = {
+    require(cols.size == 2, "hilbert over exactly 2 columns")
+    val bits = 8
+    val side = (1L << bits) - 1 // 255
+    val aggCols = cols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"mn_$c"),
+      max(col(c)).cast("double").as(s"mx_$c")))
+    val bounds = df.agg(aggCols.head, aggCols.tail: _*).collect().head
+    def norm(c: String, i: Int): Column = {
+      val mn = bounds.getDouble(2 * i)
+      val mx = bounds.getDouble(2 * i + 1)
+      val scaled =
+        if (mx > mn) ((col(c).cast("double") - lit(mn)) / lit(mx - mn) * lit(side.toDouble)).cast("long")
+        else lit(0L)
+      coalesce(scaled, lit(0L))
+    }
+    var out = df
+      .withColumn("__hx", norm(cols.head, 0))
+      .withColumn("__hy", norm(cols(1), 1))
+      .withColumn(outCol, lit(0L))
+    for (i <- (bits - 1) to 0 by -1) {
+      val s = 1L << i
+      val rx = when(col("__hx").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L)
+      val ry = when(col("__hy").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L)
+      out = out
+        .withColumn("__rx", rx)
+        .withColumn("__ry", ry)
+        .withColumn(outCol,
+          col(outCol) + lit(s * s) * (lit(3L) * col("__rx")).bitwiseXOR(col("__ry")))
+        // rotate the quadrant: flip (within the FULL n-1 side, per the
+        // canonical xy→d loop) when rx==1, then swap — only on ry==0
+        .withColumn("__nx",
+          when(col("__ry") === 0,
+            when(col("__rx") === 1, lit(side) - col("__hy")).otherwise(col("__hy")))
+          .otherwise(col("__hx")))
+        .withColumn("__ny",
+          when(col("__ry") === 0,
+            when(col("__rx") === 1, lit(side) - col("__hx")).otherwise(col("__hx")))
+          .otherwise(col("__hy")))
+        .withColumn("__hx", col("__nx")).withColumn("__hy", col("__ny"))
+        .drop("__nx", "__ny", "__rx", "__ry")
+    }
+    out.drop("__hx", "__hy")
+  }
+
+  /** Reference Hilbert xy→d (same unrolled algorithm, driver-side) —
+    * used by the spec to pin the Column version bit-for-bit. */
+  def hilbertIndex(xIn: Long, yIn: Long): Long = {
+    val bits = 8
+    var x = xIn; var y = yIn; var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = 255 - x; y = 255 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
 }

@@ -34,6 +34,37 @@ class MaintenanceSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graft.maint.exp").collect().head.getLong(0) == 4)
   }
 
+  test("rollbackTo rewinds main, keeps history, and CDC follows the new lineage") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.maint")
+    spark.sql("CREATE TABLE graft.maint.rb (id BIGINT)")
+    val dir = new Path(s"$warehouse/maint/rb")
+    (1 to 3).foreach(i => spark.sql(s"INSERT INTO graft.maint.rb VALUES ($i)"))
+    val (_, m0) = cat.ops.load(dir).get
+    val bySeq = m0.snapshots.sortBy(_.sequenceNumber)
+    val target = bySeq(1) // after the second insert
+
+    cat.ops.rollbackTo(dir, target.snapshotId)
+    assert(spark.sql("SELECT sum(id) FROM graft.maint.rb").collect().head.getLong(0) == 3,
+      "rows of commit 3 must be gone")
+    val (_, m1) = cat.ops.load(dir).get
+    assert(m1.currentSnapshotId.contains(target.snapshotId))
+    assert(m1.snapshots.size == m0.snapshots.size, "rollback is metadata-only; history kept")
+
+    // CDC walks the NEW lineage: the rolled-back commit never replays
+    val feed = cat.ops.changes(spark, dir, 0L, Long.MaxValue)
+    assert(feed.filter("id = 3").count() == 0)
+    assert(feed.filter("_change_type = 'insert'").count() == 2)
+
+    // a write after rollback forks cleanly from the rewound state
+    spark.sql("INSERT INTO graft.maint.rb VALUES (10)")
+    assert(spark.sql("SELECT sum(id) FROM graft.maint.rb").collect().head.getLong(0) == 13)
+
+    // only main-lineage ancestors are valid targets
+    val dropped = bySeq(2)
+    intercept[CommitFailedException] { cat.ops.rollbackTo(dir, dropped.snapshotId) }
+    intercept[CommitFailedException] { cat.ops.rollbackTo(dir, 424242L) }
+  }
+
   test("removeOrphanFiles deletes only unreferenced parquet") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.maint")
     spark.sql("CREATE TABLE graft.maint.orph (id BIGINT)")

@@ -92,6 +92,52 @@ class MaterializedSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("refreshJoinCount maintains a two-source join aggregate incrementally") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mv")
+    spark.sql("CREATE TABLE graft.mv.ja (ka BIGINT, av DOUBLE)")
+    spark.sql("CREATE TABLE graft.mv.jb (kb BIGINT, bv DOUBLE)")
+    val aDir = new Path(s"$warehouse/mv/ja")
+    val bDir = new Path(s"$warehouse/mv/jb")
+    val dstDir = new Path(s"$warehouse/mv/jagg")
+    def fullJoin(): Map[Long, Long] =
+      spark.sql("""SELECT ka, COUNT(*) AS n FROM graft.mv.ja JOIN graft.mv.jb
+                   ON ka = kb GROUP BY ka""")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def mv(): Map[Long, Long] =
+      cat.ops.read(spark, dstDir).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def refresh() =
+      Materialized.refreshJoinCount(spark, cat.ops, aDir, bDir, dstDir, "ka", "kb")
+
+    spark.sql("INSERT INTO graft.mv.ja VALUES (1, 1.0), (1, 2.0), (2, 5.0)")
+    spark.sql("INSERT INTO graft.mv.jb VALUES (1, 10.0), (2, 20.0), (2, 21.0), (3, 30.0)")
+    refresh()
+    assert(mv() == fullJoin(), s"after initial load: ${mv()} vs ${fullJoin()}")
+
+    // idempotent with no source movement
+    val w1 = cat.ops.load(dstDir).get._2.properties("graft.mv.last-seq-a")
+    refresh()
+    assert(cat.ops.load(dstDir).get._2.properties("graft.mv.last-seq-a") == w1)
+
+    // churn on BOTH sides between refreshes: ΔA⋈B_new + A_old⋈ΔB must
+    // count each new pair exactly once (incl. ΔA×ΔB cross pairs)
+    spark.sql("INSERT INTO graft.mv.ja VALUES (3, 7.0), (4, 9.0)")
+    spark.sql("INSERT INTO graft.mv.jb VALUES (1, 11.0), (4, 40.0)")
+    refresh()
+    assert(mv() == fullJoin(), s"after dual append: ${mv()} vs ${fullJoin()}")
+
+    // deletes retract pairs; a key with no pairs left disappears
+    spark.sql("DELETE FROM graft.mv.jb WHERE kb = 2")
+    spark.sql("DELETE FROM graft.mv.ja WHERE ka = 1 AND av = 1.0")
+    refresh()
+    assert(mv() == fullJoin(), s"after deletes: ${mv()} vs ${fullJoin()}")
+    assert(!mv().contains(2L), "key 2 lost all partners and must vanish")
+
+    // one-sided churn only
+    spark.sql("UPDATE graft.mv.ja SET av = 99.0 WHERE ka = 3")
+    refresh()
+    assert(mv() == fullJoin(), s"after one-sided update: ${mv()} vs ${fullJoin()}")
+  }
+
   test("merge-on-read deletes flow through the refresh") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mv")
     spark.sql("CREATE TABLE graft.mv.src2 (k BIGINT, v DOUBLE)")

@@ -190,6 +190,44 @@ class StatsSpec extends SparkSpec {
       .collect().head.getLong(0) == 11 * 100)
   }
 
+  test("hilbert-clustered writes prune files on BOTH dimensions; curve is exact") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stats")
+    spark.sql("CREATE TABLE graft.stats.h (x BIGINT, y BIGINT)")
+    val dir = new Path(s"$warehouse/stats/h")
+    import spark.implicits._
+    val grid = (for (x <- 0L until 100L; y <- 0L until 100L) yield (x, y)).toDF("x", "y")
+
+    // the Column-unrolled curve must match the scalar reference
+    // bit-for-bit; the expected value replays the SAME IEEE
+    // normalization the Column does, so rounding can't diverge
+    val cells = (for (x <- 0L until 256L by 17L; y <- 0L until 256L by 13L) yield (x, y))
+      .toDF("x", "y")
+    val (mxX, mxY) = (255.0, 247.0)
+    def norm(v: Long, mx: Double): Long = (v.toDouble / mx * 255.0).toLong
+    val computed = ZOrder.withHilbert(cells, Seq("x", "y"), "h")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    computed.foreach { case ((x, y), h) =>
+      val expected = ZOrder.hilbertIndex(norm(x, mxX), norm(y, mxY))
+      assert(h == expected, s"hilbert($x,$y): got $h want $expected")
+    }
+
+    cat.ops.writeHilbertClustered(dir, grid, Seq("x", "y"), numFiles = 16)
+    assert(spark.sql("SELECT count(*) FROM graft.stats.h").collect().head.getLong(0) == 10000)
+    val entries = cat.ops.resolveEntries(dir, cat.ops.load(dir).get._2)
+    assert(entries.size == 16)
+    val schema = SchemaBridge.toSpark(cat.ops.load(dir).get._2.currentSchema)
+    import org.apache.spark.sql.sources.{And, GreaterThanOrEqual, LessThanOrEqual}
+    def filesFor(c: String, lo: Long, hi: Long): Int =
+      entries.count(e => Stats.mayContain(e, schema,
+        And(GreaterThanOrEqual(c, lo), LessThanOrEqual(c, hi))))
+    assert(filesFor("x", 40, 50) <= 8, s"x-slice hit ${filesFor("x", 40, 50)}/16")
+    assert(filesFor("y", 40, 50) <= 8, s"y-slice hit ${filesFor("y", 40, 50)}/16")
+    assert(spark.sql("SELECT count(*) FROM graft.stats.h WHERE x BETWEEN 40 AND 50")
+      .collect().head.getLong(0) == 11 * 100)
+    assert(spark.sql("SELECT count(*) FROM graft.stats.h WHERE y BETWEEN 40 AND 50")
+      .collect().head.getLong(0) == 11 * 100)
+  }
+
   test("compactSmallFiles rewrites only the small-file tail") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stats")
     spark.sql("CREATE TABLE graft.stats.bp (id BIGINT, pad STRING)")
