@@ -227,21 +227,20 @@ final class GraftTable(
       }
       val (req, mc) = (required, metaCols)
 
-      // Delete-aware SPJ: with equality deletes only (no ordinals, no
-      // metadata columns), the scan can STILL report key-grouped
-      // partitioning — each key's files merge into one partition whose
-      // reader applies the delete sets, provided every file of a key
-      // shares the same applicable-delete signature (the seq rule
-      // could otherwise demand different keysets inside one
-      // partition). Pending deletes then no longer cost a
-      // co-partitioned join its shuffle-free plan.
-      if (!needOrdinals && mc.isEmpty)
+      // Delete-aware SPJ: with deletes pending (equality AND/OR
+      // positional) but no metadata columns requested, the scan can
+      // STILL report key-grouped partitioning — each key's files merge
+      // into one partition whose reader CHAINS one per-file MOR reader
+      // per member file, so every file keeps its own applicable-delete
+      // keysets (the sequence rule) and its own absolute ordinal
+      // counter (the positional coordinate system). Pending deletes
+      // then no longer cost a co-partitioned join its shuffle-free
+      // plan. (Positional ordinals stay exact because `needOrdinals`
+      // already disabled parquet pushdown above — whole-file manifest
+      // skips don't disturb other files' ordinals.)
+      if (mc.isEmpty)
         KeyGrouping.keysFor(meta, schema, keptEntries) match {
           case Some((specCols, keyByPath)) =>
-            val sigByPath = keptEntries.map { e =>
-              norm(e.path) -> keySets.zipWithIndex
-                .filter(_._1.deleteSeq > e.dataSeq).map(_._2)
-            }.toMap
             val parts = inner.toBatch.planInputPartitions()
             val files = parts.flatMap {
               case fp: org.apache.spark.sql.execution.datasources.FilePartition => fp.files
@@ -249,38 +248,33 @@ final class GraftTable(
             }
             val groups = files.groupBy(f =>
               keyByPath(new Path(f.urlEncodedPath).toUri.getPath)._1)
-            val uniform = groups.values.forall { fs =>
-              fs.map(f => sigByPath(new Path(f.urlEncodedPath).toUri.getPath))
-                .distinct.size == 1
-            }
-            if (uniform) {
-              val grouped = groups.toSeq.sortBy(_._1.mkString(" ")).zipWithIndex
-                .map { case ((_, fs), i) =>
-                  val row = keyByPath(new Path(fs.head.urlEncodedPath).toUri.getPath)._2
-                  KeyGrouping.KeyedFilePartition(
-                    org.apache.spark.sql.execution.datasources.FilePartition(i, fs), row)
-                    : org.apache.spark.sql.connector.read.InputPartition
-                }.toArray
-              return new org.apache.spark.sql.connector.read.Scan
-                  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
-                import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
-                override def readSchema(): StructType = req
-                override def description(): String =
-                  s"${inner.description()} morEq=${eqDeletes.size} keyGrouped=$specCols"
-                override def outputPartitioning(): Partitioning =
-                  new KeyGroupedPartitioning(
-                    specCols.map(c => Expressions.identity(c)
-                      : org.apache.spark.sql.connector.expressions.Expression).toArray,
-                    grouped.length)
-                override def toBatch: org.apache.spark.sql.connector.read.Batch =
-                  new org.apache.spark.sql.connector.read.Batch {
-                    override def planInputPartitions() = grouped
-                    override def createReaderFactory() =
-                      KeyGrouping.UnwrappingReaderFactory(
+            val grouped = groups.toSeq.sortBy(_._1.mkString(" ")).zipWithIndex
+              .map { case ((_, fs), i) =>
+                val row = keyByPath(new Path(fs.head.urlEncodedPath).toUri.getPath)._2
+                KeyGrouping.KeyedFilePartition(
+                  org.apache.spark.sql.execution.datasources.FilePartition(i, fs), row)
+                  : org.apache.spark.sql.connector.read.InputPartition
+              }.toArray
+            return new org.apache.spark.sql.connector.read.Scan
+                with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+              import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+              override def readSchema(): StructType = req
+              override def description(): String =
+                s"${inner.description()} morEq=${eqDeletes.size} morPos=${posDeletes.size} keyGrouped=$specCols"
+              override def outputPartitioning(): Partitioning =
+                new KeyGroupedPartitioning(
+                  specCols.map(c => Expressions.identity(c)
+                    : org.apache.spark.sql.connector.expressions.Expression).toArray,
+                  grouped.length)
+              override def toBatch: org.apache.spark.sql.connector.read.Batch =
+                new org.apache.spark.sql.connector.read.Batch {
+                  override def planInputPartitions() = grouped
+                  override def createReaderFactory() =
+                    KeyGrouping.UnwrappingReaderFactory(
+                      MorFilter.ChainedPerFileFactory(
                         MorFilter.PerFileFactory(inner.toBatch.createReaderFactory(),
-                          confByPath, req.size, extended, Seq.empty))
-                  }
-              }
+                          confByPath, req.size, extended, Seq.empty)))
+                }
             }
           case None => ()
         }

@@ -67,6 +67,43 @@ object MorFilter {
     out.result()
   }
 
+  /** Key-grouped MOR reading: a storage-partitioned-join partition
+    * merges EVERY file of one partition key, but MOR state (equality
+    * keyset applicability by sequence, positional dead ordinals) is
+    * per-file. This factory re-splits the merged partition by file and
+    * chains one [[PerFileFactory]] reader per file (chunks re-ordered
+    * by byte offset), so each file gets its own delete conf and its
+    * own ordinal counter — which is what lets BOTH delete flavors ride
+    * under a shuffle-free join. */
+  final case class ChainedPerFileFactory(perFile: PerFileFactory)
+      extends PartitionReaderFactory {
+    override def supportColumnarReads(p: InputPartition): Boolean = false
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+      val fp = p match {
+        case f: FilePartition => f
+        case other => throw new IllegalStateException(s"unexpected partition: $other")
+      }
+      val perFileParts = fp.files.groupBy(_.urlEncodedPath).toSeq.sortBy(_._1)
+        .map { case (_, chunks) => FilePartition(fp.index, chunks.sortBy(_.start)) }
+      new PartitionReader[InternalRow] {
+        private var i = 0
+        private var cur: PartitionReader[InternalRow] = _
+        @annotation.tailrec
+        override def next(): Boolean = {
+          if (cur == null) {
+            if (i >= perFileParts.length) return false
+            cur = perFile.createReader(perFileParts(i))
+            i += 1
+          }
+          if (cur.next()) true
+          else { cur.close(); cur = null; next() }
+        }
+        override def get(): InternalRow = cur.get()
+        override def close(): Unit = if (cur != null) cur.close()
+      }
+    }
+  }
+
   /** Per-file MOR reader factory. Partitions must be one-per-file
     * ([[FileTagging.perFilePartitions]]) so (a) the file identity and
     * its [[FileConf]] are per-partition constants and (b) the row

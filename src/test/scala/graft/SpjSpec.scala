@@ -117,6 +117,40 @@ class SpjSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("pending positional deletes keep the zero-shuffle plan too") {
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spj")
+    spark.sql("CREATE TABLE graft.spj.pa (id BIGINT, day BIGINT) PARTITIONED BY (day)")
+    spark.sql("CREATE TABLE graft.spj.pb (id BIGINT, day BIGINT) PARTITIONED BY (day)")
+    val df = spark.range(0, 200).selectExpr("id", "id % 4 AS day")
+    val aDir = new org.apache.hadoop.fs.Path(s"$warehouse/spj/pa")
+    cat.ops.writeValuePartitioned(aDir, df)
+    cat.ops.writeValuePartitioned(new org.apache.hadoop.fs.Path(s"$warehouse/spj/pb"), df)
+    // positional delete of 10 ids — coordinates are per-(file, ordinal),
+    // so the key-grouped reader must keep exact per-file ordinals while
+    // merging each day's files into one partition
+    cat.ops.positionalDelete(spark, aDir, org.apache.spark.sql.functions.col("id") < 10)
+
+    // and ALSO an equality delete on top: both flavors together
+    import spark.implicits._
+    cat.ops.mergeOnReadDelete(spark, aDir, Seq(20L, 21L).toDF("id"))
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.sql(
+        """SELECT a.day, count(*) AS n
+          FROM graft.spj.pa a JOIN graft.spj.pb b ON a.day = b.day
+          GROUP BY a.day ORDER BY a.day""")
+      val dead = (0L until 10L) ++ Seq(20L, 21L)
+      val expected = (0L until 4L).map(d => (50 - dead.count(_ % 4 == d)) * 50L)
+      assert(joined.collect().map(_.getLong(1)).toSeq == expected)
+      assert(hashShuffles(joined) == 0,
+        s"pending pos-deletes must not cost the SPJ plan:\n${joined.queryExecution.executedPlan}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("straddling files fall back to a plain shuffle plan, same result") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spj")
     spark.sql("CREATE TABLE graft.spj.c (id BIGINT, day BIGINT) PARTITIONED BY (day)" +
