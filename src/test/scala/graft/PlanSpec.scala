@@ -123,6 +123,42 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q_range_join: equi key carries the join, range is a residual, no cross join") {
+    val plan = planOf(Relational.qRangeJoin(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "range predicate must ride the user equi-join as a residual")
+  }
+
+  test("q_window_dist / q_regression: one shuffle each, windows sort once") {
+    val wd = planOf(Relational.qWindowDist(spark, sfDir))
+    assert("Window".r.findAllIn(wd).size >= 1, wd.take(600))
+    // both window frames share one partition ordering → a single
+    // exchange on the partition key (plus the output range sort);
+    // count the FINAL plan only — the AQE dump repeats the initial one
+    val finalPlan = wd.split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+    assert(exchanges <= 1, s"expected <=1 hash exchange, got $exchanges\n$wd")
+    assert("Window".r.findAllIn(finalPlan).size == 1,
+      "all five window functions must fold into ONE Window operator")
+    val rg = planOf(Relational.qRegression(spark, sfDir))
+    assert(rg.contains("partial_"), "moment sums must map-side combine")
+  }
+
+  test("pipeline batch: pii/boilerplate/shard/incremental plans scale") {
+    import graft.pipeline.TextPipeline
+    // pii: map-only scan + tiny agg, no join at all
+    val pii = planOf(TextPipeline.piiScrub(spark, sfDir))
+    assert(!pii.contains("Join"), "pii scrub must be a pure map pass")
+    // incremental dedup: hash anti join on digests, never nested loop
+    val inc = planOf(TextPipeline.dedupIncremental(spark, sfDir))
+    assert(inc.contains("LeftAnti"), inc.take(800))
+    assert(!inc.contains("BroadcastNestedLoopJoin") && !inc.contains("CartesianProduct"))
+    // boilerplate: explode then two-level agg with partial combine
+    val bp = planOf(TextPipeline.boilerplate(spark, sfDir))
+    assert(bp.contains("Generate explode"), bp.take(800))
+    assert(bp.contains("partial_"), "gram counting must map-side combine")
+  }
+
   test("catalog table scans keep pushdown through GraftTable") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.plans")
     spark.read.parquet(s"$sfDir/orders.parquet")
