@@ -158,8 +158,14 @@ object TextPipeline {
   def dedupComponents(s: SparkSession, d: String): DataFrame = {
     val pairs = ngramJaccard(s, d).filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"))
+    // The edge set is bounded by the upstream top-50 selection (a
+    // property of THIS query, not of the operator), so the whole
+    // propagation loop fits one partition — no reason to drag 32-task
+    // rounds through the scheduler. An unbounded edge set would keep
+    // its natural partitioning (and the large-star/small-star swap
+    // documented above).
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").cache()
+      .toDF("src", "dst").repartition(1).cache()
     // Seed with round 1's result directly — component0 = min(self,
     // neighbors) — one aggregate instead of the first join round;
     // cliques (the dominant near-dup shape) converge immediately.
@@ -545,8 +551,9 @@ object TextPipeline {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(ws) - 5), i -> concat_ws(' ', slice(ws, i + 1, 5)))"))
         .as("gram"))
-      .distinct()
       .groupBy("gram")
+      // countDistinct dedups (gram, doc) internally via its two-phase
+      // agg — a pre-distinct() would be a second full shuffle for free
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") >= 3)
       .orderBy(col("n_docs").desc, col("gram"))
