@@ -1399,6 +1399,56 @@ object Relational {
          round(cov * cov / (varx * vary), 8) AS r2
        FROM k ORDER BY l_linestatus"""
 
+  /** R68 — higher-moment statistics (population skewness / excess
+    * kurtosis) from exact decimal raw moments Σq..Σq⁴: quantity is an
+    * exact 2dp decimal bounded by 50, so its 4th-power sums stay
+    * inside DECIMAL(38) at any row count that fits a cluster — the
+    * same order-independent one-shuffle shape as R59/R61 (built-in
+    * `skewness`/`kurtosis` accumulate running doubles and drift
+    * between engines). */
+  def qSkewKurt(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val q = col("l_quantity").cast(DecimalType(8, 2))
+    val m = lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(q).cast("double").as("s1"),
+        sum(q * q).cast("double").as("s2"),
+        sum(q * q * q).cast("double").as("s3"),
+        sum(q * q * q * q).cast("double").as("s4"))
+    val mu = col("s1") / col("n")
+    val m2 = col("s2") / col("n") - mu * mu
+    val m3 = col("s3") / col("n") - lit(3.0) * mu * (col("s2") / col("n")) + lit(2.0) * mu * mu * mu
+    val m4 = col("s4") / col("n") - lit(4.0) * mu * (col("s3") / col("n")) +
+      lit(6.0) * mu * mu * (col("s2") / col("n")) - lit(3.0) * mu * mu * mu * mu
+    m.select(col("l_returnflag"), col("n"),
+        round(m3 / pow(m2, 1.5), 8).as("skew_pop"),
+        round(m4 / (m2 * m2) - 3.0, 8).as("kurt_excess"))
+      .orderBy("l_returnflag")
+  }
+
+  val qSkewKurtSql: String =
+    """WITH m AS (
+         SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(q) AS DOUBLE) AS s1,
+           CAST(SUM(q * q) AS DOUBLE) AS s2,
+           CAST(SUM(q * q * q) AS DOUBLE) AS s3,
+           CAST(SUM(q * q * q * q) AS DOUBLE) AS s4
+         FROM (SELECT l_returnflag, CAST(l_quantity AS DECIMAL(8,2)) AS q FROM lineitem) t
+         GROUP BY l_returnflag),
+       k AS (SELECT l_returnflag, n, s1 / n AS mu,
+               s2 / n - (s1 / n) * (s1 / n) AS m2,
+               s3 / n - 3.0 * (s1 / n) * (s2 / n) + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+               s4 / n - 4.0 * (s1 / n) * (s3 / n)
+                 + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+                 - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+             FROM m)
+       SELECT l_returnflag, n,
+         round(m3 / pow(m2, 1.5), 8) AS skew_pop,
+         round(m4 / (m2 * m2) - 3.0, 8) AS kurt_excess
+       FROM k ORDER BY l_returnflag"""
+
   /** R62 — bitwise and boolean aggregates: bit_and/or/xor fold the
     * key space per group (commutative+associative ⇒ map-side partials
     * and order independence for free), bool_and/bool_or + filtered
