@@ -156,6 +156,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       val (_, meta) = ops.load(dir).getOrElse(throw new NoSuchTableException(ident))
       return new ChangelogTable(fullName(base), dir, meta, ops)
     }
+    // `<table>$snapshots|$history|$refs|$files|$partitions` — the
+    // metadata inspection views (manifest-backed, no data-file reads).
+    MetaTables.suffixes.find(ident.name.endsWith) match {
+      case Some(suffix) =>
+        val base = Identifier.of(ident.namespace, ident.name.stripSuffix(suffix))
+        val dir = tablePath(base)
+        val (_, meta) = ops.load(dir).getOrElse(throw new NoSuchTableException(ident))
+        return MetaTables.forSuffix(suffix, s"${fullName(base)}$suffix", dir, meta, ops)
+      case None => ()
+    }
     val dir = tablePath(ident)
     val (_, meta) = ops.load(dir).getOrElse(throw new NoSuchTableException(ident))
     new GraftTable(fullName(ident), dir, meta, ops)

@@ -1,0 +1,169 @@
+package graft.catalog
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Iceberg-parity metadata inspection tables, served straight from the
+  * table's own metadata — no data files are opened:
+  *
+  *   - `t$snapshots`  — every snapshot with parent / sequence / op
+  *   - `t$history`    — the snapshot log with main-ancestor flags
+  *   - `t$refs`       — branches and tags
+  *   - `t$files`      — current data+delete files with rows/bytes/seq
+  *                      and per-column min/max from the manifest
+  *   - `t$partitions` — per-partition-value file/row/byte rollup
+  *                      (files single-valued on the identity spec;
+  *                      straddling files roll up under NULL)
+  *
+  * All are tiny driver-materialized relations (metadata is O(files),
+  * not O(rows)), so they plan as a LocalScan — the same way Iceberg's
+  * metadata tables are backed by manifest reads, not table scans.
+  * Reference surface: the catalog's table-metadata responses
+  * (routes/tables.go) expose snapshots/refs/schemas to clients; these
+  * views make the same inventory queryable in SQL.
+  */
+object MetaTables {
+
+  val suffixes: Seq[String] =
+    Seq("$snapshots", "$history", "$refs", "$files", "$partitions")
+
+  def forSuffix(
+      suffix: String, name: String, dir: Path, meta: TableMetadata, ops: TableOps): Table =
+    suffix match {
+      case "$snapshots" => snapshots(name, meta)
+      case "$history" => history(name, meta)
+      case "$refs" => refs(name, meta)
+      case "$files" => files(name, dir, meta, ops)
+      case "$partitions" => partitions(name, dir, meta, ops)
+      case other => throw new IllegalArgumentException(s"unknown metadata table $other")
+    }
+
+  private def utf(s: String): UTF8String = UTF8String.fromString(s)
+
+  private def snapshots(name: String, meta: TableMetadata): Table = {
+    val schema = StructType(Seq(
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("parent_id", LongType),
+      StructField("sequence_number", LongType, nullable = false),
+      StructField("committed_at_ms", LongType, nullable = false),
+      StructField("operation", StringType, nullable = false),
+      StructField("manifest", StringType, nullable = false),
+      StructField("is_current", BooleanType, nullable = false)))
+    val rows = meta.snapshots.sortBy(_.sequenceNumber).map { s =>
+      new GenericInternalRow(Array[Any](
+        s.snapshotId, s.parentSnapshotId.map(Long.box).orNull, s.sequenceNumber,
+        s.timestampMs, utf(s.operation), utf(s.manifest),
+        meta.currentSnapshotId.contains(s.snapshotId))): InternalRow
+    }
+    new StaticTable(name, schema, rows.toArray)
+  }
+
+  private def history(name: String, meta: TableMetadata): Table = {
+    val schema = StructType(Seq(
+      StructField("made_current_at_ms", LongType, nullable = false),
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("is_current_ancestor", BooleanType, nullable = false)))
+    val ancestors = Iterator.iterate(meta.currentSnapshot)(
+        _.flatMap(_.parentSnapshotId).flatMap(meta.snapshotById))
+      .takeWhile(_.isDefined).flatten.map(_.snapshotId).toSet
+    val rows = meta.snapshotLog.map { e =>
+      new GenericInternalRow(Array[Any](
+        e.timestampMs, e.snapshotId, ancestors.contains(e.snapshotId))): InternalRow
+    }
+    new StaticTable(name, schema, rows.toArray)
+  }
+
+  private def refs(name: String, meta: TableMetadata): Table = {
+    val schema = StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("type", StringType, nullable = false),
+      StructField("snapshot_id", LongType, nullable = false)))
+    val rows = meta.refs.toSeq.sortBy(_._1).map { case (n, r) =>
+      new GenericInternalRow(Array[Any](utf(n), utf(r.refType), r.snapshotId)): InternalRow
+    }
+    new StaticTable(name, schema, rows.toArray)
+  }
+
+  private def entryRows(dir: Path, meta: TableMetadata, ops: TableOps): Seq[DataFileEntry] =
+    meta.currentSnapshot.map(_ => ops.resolveEntries(dir, meta)).getOrElse(Seq.empty)
+
+  private def files(name: String, dir: Path, meta: TableMetadata, ops: TableOps): Table = {
+    val schema = StructType(Seq(
+      StructField("file_path", StringType, nullable = false),
+      StructField("content", StringType, nullable = false),
+      StructField("record_count", LongType),
+      StructField("file_size_in_bytes", LongType),
+      StructField("sequence_number", LongType),
+      StructField("lower_bounds", MapType(StringType, StringType)),
+      StructField("upper_bounds", MapType(StringType, StringType))))
+    def bounds(e: DataFileEntry, f: ColumnStats => Option[String]) = {
+      val kv = e.stats.toSeq.sortBy(_._1).flatMap { case (c, st) => f(st).map(c -> _) }
+      ArrayBasedMapData(kv.map(p => utf(p._1)).toArray, kv.map(p => utf(p._2)).toArray)
+    }
+    val rows = entryRows(dir, meta, ops).sortBy(_.path).map { e =>
+      new GenericInternalRow(Array[Any](
+        utf(e.path), utf(e.content),
+        e.rows.map(Long.box).orNull, e.bytes.map(Long.box).orNull,
+        e.seq.map(Long.box).orNull,
+        bounds(e, _.min), bounds(e, _.max))): InternalRow
+    }
+    new StaticTable(name, schema, rows.toArray)
+  }
+
+  private def partitions(name: String, dir: Path, meta: TableMetadata, ops: TableOps): Table = {
+    val schema = StructType(Seq(
+      StructField("partition", StringType),
+      StructField("file_count", LongType, nullable = false),
+      StructField("record_count", LongType, nullable = false),
+      StructField("total_bytes", LongType, nullable = false)))
+    val specCols = meta.specs.find(_.specId == meta.defaultSpecId)
+      .map(_.fields.filter(_.transform == "identity").map(_.name)).getOrElse(Seq.empty)
+    def keyOf(e: DataFileEntry): Option[String] =
+      if (specCols.isEmpty) None
+      else {
+        val vals = specCols.map { c =>
+          e.stats.get(c) match {
+            case Some(ColumnStats(Some(mn), Some(mx), _)) if mn == mx => Some(s"$c=$mn")
+            case _ => None
+          }
+        }
+        if (vals.exists(_.isEmpty)) None else Some(vals.flatten.mkString("/"))
+      }
+    val rows = entryRows(dir, meta, ops).filter(_.isData)
+      .groupBy(keyOf).toSeq
+      .sortBy { case (k, _) => k.getOrElse("") }
+      .map { case (k, es) =>
+        new GenericInternalRow(Array[Any](
+          k.map(utf).orNull, es.size.toLong,
+          es.flatMap(_.rows).sum, es.flatMap(_.bytes).sum)): InternalRow
+      }
+    new StaticTable(name, schema, rows.toArray)
+  }
+
+  /** Read-only driver-materialized table planning as a LocalScan. */
+  private final class StaticTable(
+      tableName: String, tableSchema: StructType, tableRows: Array[InternalRow])
+      extends Table with SupportsRead {
+    override def name(): String = tableName
+    override def schema(): StructType = tableSchema
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      new ScanBuilder {
+        override def build(): Scan = new LocalScan {
+          override def rows(): Array[InternalRow] = tableRows
+          override def readSchema(): StructType = tableSchema
+          override def description(): String = s"$tableName metadata"
+        }
+      }
+  }
+}

@@ -12,6 +12,49 @@ class ChangelogSpec extends SparkSpec {
   private def cat: GraftCatalog =
     spark.sessionState.catalogManager.catalog("graft").asInstanceOf[GraftCatalog]
 
+  test("metadata tables: $snapshots/$history/$refs/$files/$partitions") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.metat")
+    spark.sql("CREATE TABLE graft.metat.t (id BIGINT, day BIGINT) PARTITIONED BY (day)")
+    val dir = new Path(s"$warehouse/metat/t")
+    spark.sql("INSERT INTO graft.metat.t SELECT id, 0 FROM range(0, 10)")
+    spark.sql("INSERT INTO graft.metat.t SELECT id, 1 FROM range(0, 20)")
+    cat.ops.commit(dir, Seq.empty, Seq(MetadataUpdate.SetSnapshotRef(
+      "audit", cat.ops.load(dir).get._2.currentSnapshotId.get, "tag")))
+
+    val snaps = spark.sql(
+      "SELECT snapshot_id, operation, is_current FROM graft.metat.`t$snapshots` ORDER BY sequence_number")
+      .collect()
+    assert(snaps.length == 2 && snaps.forall(_.getString(1) == "append"))
+    assert(!snaps.head.getBoolean(2) && snaps.last.getBoolean(2))
+
+    val hist = spark.sql(
+      "SELECT snapshot_id, is_current_ancestor FROM graft.metat.`t$history`").collect()
+    assert(hist.length == 2 && hist.forall(_.getBoolean(1)))
+
+    val refs = spark.sql(
+      "SELECT name, type FROM graft.metat.`t$refs` ORDER BY name").collect()
+    assert(refs.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("audit", "tag"), ("main", "branch")))
+
+    val files = spark.sql(
+      """SELECT file_path, record_count, sequence_number, lower_bounds['id'], upper_bounds['id']
+         FROM graft.metat.`t$files` ORDER BY file_path""").collect()
+    assert(files.nonEmpty && files.forall(_.getLong(1) > 0))
+    assert(files.forall(r => r.getString(3) != null && r.getString(4) != null),
+      "manifest min/max must surface in bounds maps")
+
+    val parts = spark.sql(
+      """SELECT partition, file_count, record_count FROM graft.metat.`t$partitions`
+         ORDER BY partition""").collect()
+    assert(parts.map(r => (r.getString(0), r.getLong(2))).toSeq ==
+      Seq(("day=0", 10L), ("day=1", 20L)), parts.mkString(", "))
+
+    // metadata views plan as LocalScan — no data files are opened
+    val plan = spark.sql("SELECT * FROM graft.metat.`t$files`")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"), plan.take(400))
+  }
+
   test("batch $changes serves the file diff feed with seq windows") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cl")
     spark.sql("CREATE TABLE graft.cl.t (id BIGINT, v STRING)")
