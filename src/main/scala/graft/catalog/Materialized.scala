@@ -88,6 +88,99 @@ object Materialized {
         MetadataUpdate.SetProperties(Map("graft.mv.last-seq" -> headSeq.toString)))
   }
 
+  /** Incrementally-maintained MIN/MAX aggregate — the non-subtractable
+    * case: inserts only ever TIGHTEN a group's extremes
+    * (least/greatest fold), but a delete can invalidate them, so
+    * groups whose deleted values touch the stored min or max are
+    * recomputed from the source restricted to JUST those keys
+    * (recompute-on-retract — Flink's retraction strategy for
+    * non-retractable aggregates). Cost: O(churn) for the delta fold +
+    * O(rows of invalidated groups) for the repair scan; a delete of a
+    * non-extreme value costs nothing. Same guarded single-commit
+    * crash consistency as [[refreshSumCount]]. */
+  def refreshMinMax(
+      spark: SparkSession,
+      ops: TableOps,
+      srcDir: Path,
+      dstDir: Path,
+      keyCols: Seq[String],
+      valueCol: String): TableMetadata = {
+    require(keyCols.nonEmpty, "need at least one aggregation key")
+    val (_, srcMeta) = ops.load(srcDir).getOrElse(
+      throw new IllegalArgumentException(s"source table does not exist at $srcDir"))
+    val headSeq = srcMeta.currentSnapshot.map(_.sequenceNumber).getOrElse(0L)
+
+    if (!ops.exists(dstDir)) {
+      val srcSchema = SchemaBridge.toSpark(srcMeta.currentSchema)
+      val dstSchema = org.apache.spark.sql.types.StructType(
+        keyCols.map(k => srcSchema.fields.find(_.name == k).getOrElse(
+          throw new IllegalArgumentException(s"key column $k not in source schema"))) ++ Seq(
+          org.apache.spark.sql.types.StructField("value_min",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("value_max",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("n_rows",
+            org.apache.spark.sql.types.LongType)))
+      ops.create(dstDir, TableMetadata.create(
+        dstDir.toString, SchemaBridge.fromSpark(dstSchema),
+        PartitionSpec(0, Seq.empty), SortOrder(0, Seq.empty),
+        Map("graft.mv.last-seq" -> "0",
+            "graft.mv.source" -> srcDir.toString,
+            "graft.mv.keys" -> keyCols.mkString(","),
+            "graft.mv.value" -> valueCol,
+            "graft.mv.agg" -> "minmax")))
+    }
+    val (_, dstMeta) = ops.load(dstDir).get
+    val lastSeq = dstMeta.properties.get("graft.mv.last-seq").map(_.toLong).getOrElse(0L)
+    if (headSeq <= lastSeq) return dstMeta
+
+    val v = col(valueCol).cast("double")
+    val delta = ops.changes(spark, srcDir, lastSeq, headSeq)
+      .withColumn("_sign", when(col("_change_type") === "insert", 1L).otherwise(-1L))
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        min(when(col("_sign") === 1L, v)).as("ins_min"),
+        max(when(col("_sign") === 1L, v)).as("ins_max"),
+        min(when(col("_sign") === -1L, v)).as("del_min"),
+        max(when(col("_sign") === -1L, v)).as("del_max"),
+        sum(col("_sign")).as("cnt_delta"))
+
+    val current = ops.read(spark, dstDir)
+    val joined = current.join(delta, keyCols, "full_outer")
+      .withColumn("new_n",
+        coalesce(col("n_rows"), lit(0L)) + coalesce(col("cnt_delta"), lit(0L)))
+      // a group needs repair iff a deleted value touches a stored
+      // extreme (deleting strictly-interior values can't move them);
+      // a group BORN inside this window that also saw deletes has no
+      // trusted extremes at all — repair it unconditionally
+      .withColumn("needs_repair",
+        col("new_n") > 0 &&
+          (col("del_min").isNotNull || col("del_max").isNotNull) &&
+          (col("n_rows").isNull ||
+            col("del_min") <= col("value_min") || col("del_max") >= col("value_max")))
+    val repairKeys = joined.filter(col("needs_repair")).select(keyCols.map(col): _*)
+    val repaired = ops.read(spark, srcDir)
+      .join(repairKeys, keyCols, "left_semi")
+      .groupBy(keyCols.map(col): _*)
+      .agg(min(v).as("value_min"), max(v).as("value_max"), count(lit(1)).as("n_rows"))
+    val folded = joined.filter(col("new_n") > 0 && !coalesce(col("needs_repair"), lit(false)))
+      .select(
+        keyCols.map(col) ++ Seq(
+          least(col("value_min"), col("ins_min")).as("value_min"),
+          greatest(col("value_max"), col("ins_max")).as("value_max"),
+          col("new_n").as("n_rows")): _*)
+    val merged = folded.unionByName(repaired)
+
+    val writeDir = new Path(ops.dataDir(dstDir), s"w-${java.util.UUID.randomUUID()}")
+    merged.write.parquet(writeDir.toString)
+    val files = listParquet(ops, writeDir)
+    ops.commit(dstDir,
+      Seq(Requirement.AssertRefSnapshotId("main",
+        dstMeta.currentSnapshot.map(_.snapshotId))),
+      ops.buildSnapshotUpdates(dstDir, dstMeta, files, "overwrite") :+
+        MetadataUpdate.SetProperties(Map("graft.mv.last-seq" -> headSeq.toString)))
+  }
+
   /** C48 — incrementally-maintained JOIN aggregate across TWO source
     * tables: the destination holds `key, n_pairs` =
     * `SELECT k, COUNT(*) FROM A JOIN B ON A.keyA = B.keyB GROUP BY k`,

@@ -138,6 +138,55 @@ class MaterializedSpec extends SparkSpec {
     assert(mv() == fullJoin(), s"after one-sided update: ${mv()} vs ${fullJoin()}")
   }
 
+  test("refreshMinMax folds inserts, repairs only extreme-touching deletes") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mv")
+    spark.sql("CREATE TABLE graft.mv.mm (k BIGINT, v DOUBLE)")
+    val srcDir = new Path(s"$warehouse/mv/mm")
+    val dstDir = new Path(s"$warehouse/mv/mmagg")
+    def full(): Map[Long, (Double, Double, Long)] =
+      spark.sql("SELECT k, min(v), max(v), count(*) FROM graft.mv.mm GROUP BY k")
+        .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    def mv(): Map[Long, (Double, Double, Long)] =
+      cat.ops.read(spark, dstDir).collect()
+        .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    def refresh() = Materialized.refreshMinMax(spark, cat.ops, srcDir, dstDir, Seq("k"), "v")
+
+    spark.sql("INSERT INTO graft.mv.mm VALUES (1, 3.0), (1, 7.0), (2, 10.0)")
+    refresh()
+    assert(mv() == full(), s"initial: ${mv()} vs ${full()}")
+
+    // pure inserts tighten without repair (new max on 1, new group 3)
+    spark.sql("INSERT INTO graft.mv.mm VALUES (1, 9.0), (3, 5.0)")
+    refresh()
+    assert(mv() == full(), s"insert fold: ${mv()} vs ${full()}")
+
+    // interior delete: min/max unchanged, count down
+    spark.sql("INSERT INTO graft.mv.mm VALUES (1, 5.0)")
+    refresh()
+    spark.sql("DELETE FROM graft.mv.mm WHERE k = 1 AND v = 5.0")
+    refresh()
+    assert(mv() == full(), s"interior delete: ${mv()} vs ${full()}")
+
+    // extreme delete: stored max 9 removed → repair finds 7
+    spark.sql("DELETE FROM graft.mv.mm WHERE k = 1 AND v = 9.0")
+    refresh()
+    assert(mv() == full(), s"extreme delete: ${mv()} vs ${full()}")
+    assert(mv()(1L) == ((3.0, 7.0, 2L)))
+
+    // group born AND shrunk within one refresh window
+    spark.sql("INSERT INTO graft.mv.mm VALUES (4, 1.0), (4, 2.0)")
+    spark.sql("DELETE FROM graft.mv.mm WHERE k = 4 AND v = 2.0")
+    refresh()
+    assert(mv() == full(), s"same-window churn: ${mv()} vs ${full()}")
+    assert(mv()(4L) == ((1.0, 1.0, 1L)))
+
+    // full-group delete disappears
+    spark.sql("DELETE FROM graft.mv.mm WHERE k = 2")
+    refresh()
+    assert(mv() == full(), s"group drop: ${mv()} vs ${full()}")
+    assert(!mv().contains(2L))
+  }
+
   test("merge-on-read deletes flow through the refresh") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mv")
     spark.sql("CREATE TABLE graft.mv.src2 (k BIGINT, v DOUBLE)")
