@@ -450,7 +450,7 @@ final class TableOps(store: FsStore) {
     val bits = math.max(1, (math.log(numFiles.toDouble) / math.log(2.0)).round.toInt)
     val tiles = 1 << bits
     df.withColumn("__z", ZOrder.zValue(df, cols))
-      .withColumn("__zp", shiftright(col("__z"), 32 - bits))
+      .withColumn("__zp", shiftright(col("__z"), ZOrder.totalBits(cols.size) - bits))
       .repartition(tiles, col("__zp"))
       .sortWithinPartitions("__z")
       .drop("__z")

@@ -30,12 +30,29 @@ object ZOrder {
     x
   }
 
-  /** Morton value of two (numeric) columns, each normalized to
-    * 16 bits over [min, max]. Nulls sort first (z-value 0 slot).
-    * (The spread ladder places bits 2 apart — exactly two dims; a
-    * wider ladder would generalize to 3-4.) */
+  /** Bits-per-dimension for a k-column interleave: 16 where the full
+    * product fits under the Long sign bit, 15 for k=4 (60 bits). */
+  def bitsPerDim(k: Int): Int = math.min(16, 62 / k)
+
+  /** Total interleaved bits — callers tile files on the TOP bits. */
+  def totalBits(k: Int): Int = k * bitsPerDim(k)
+
+  /** Generic bit spread: bit i of `c` lands at position i*k. The
+    * magic-number ladder only exists for k=2; for wider interleaves
+    * the per-bit shift-mask chain is still a linear, fully codegen'd
+    * expression (16 shifts/ors per dimension). */
+  private def spreadK(c: Column, k: Int): Column =
+    (0 until bitsPerDim(k)).map { i =>
+      shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * k): Column
+    }.reduce(_ bitwiseOR _)
+
+  /** Morton value of 2-4 (numeric) columns, each normalized to
+    * [[bitsPerDim]] bits over [min, max]. Nulls sort first (z-value 0
+    * slot). Dimension j contributes its spread bits shifted by j. */
   def zValue(df: DataFrame, cols: Seq[String]): Column = {
-    require(cols.size == 2, "z-order over exactly 2 columns")
+    require(cols.size >= 2 && cols.size <= 4, "z-order over 2-4 columns")
+    val k = cols.size
+    val side = (1L << bitsPerDim(k)) - 1
     val aggCols = cols.flatMap(c => Seq(
       min(col(c)).cast("double").as(s"mn_$c"),
       max(col(c)).cast("double").as(s"mx_$c")))
@@ -45,12 +62,12 @@ object ZOrder {
       val mx = bounds.getDouble(2 * i + 1)
       val scaled =
         if (mx > mn)
-          ((col(c).cast("double") - lit(mn)) / lit(mx - mn) * lit(65535.0)).cast("long")
+          ((col(c).cast("double") - lit(mn)) / lit(mx - mn) * lit(side.toDouble)).cast("long")
         else lit(0L)
-      spread16(coalesce(scaled, lit(0L)))
+      val v = coalesce(scaled, lit(0L))
+      if (k == 2) spread16(v) else spreadK(v, k)
     }
-    // dimension k contributes its spread bits shifted by k
-    normalized.zipWithIndex.map { case (s, k) => shiftleft(s, k): Column }
+    normalized.zipWithIndex.map { case (s, j) => shiftleft(s, j): Column }
       .reduce(_ bitwiseOR _)
   }
 

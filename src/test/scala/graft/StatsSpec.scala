@@ -190,6 +190,31 @@ class StatsSpec extends SparkSpec {
       .collect().head.getLong(0) == 11 * 100)
   }
 
+  test("3-column z-order prunes on every clustered dimension") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stats")
+    spark.sql("CREATE TABLE graft.stats.z3 (x BIGINT, y BIGINT, z BIGINT)")
+    val dir = new Path(s"$warehouse/stats/z3")
+    import spark.implicits._
+    val grid = (for (x <- 0L until 20L; y <- 0L until 20L; z <- 0L until 20L)
+      yield (x, y, z)).toDF("x", "y", "z")
+    cat.ops.writeZOrdered(dir, grid, Seq("x", "y", "z"), numFiles = 8)
+
+    assert(spark.sql("SELECT count(*) FROM graft.stats.z3").collect().head.getLong(0) == 8000)
+    val entries = cat.ops.resolveEntries(dir, cat.ops.load(dir).get._2)
+    assert(entries.size == 8)
+    val schema = SchemaBridge.toSpark(cat.ops.load(dir).get._2.currentSchema)
+    import org.apache.spark.sql.sources.{And, GreaterThanOrEqual, LessThanOrEqual}
+    def filesFor(c: String, lo: Long, hi: Long): Int =
+      entries.count(e => Stats.mayContain(e, schema,
+        And(GreaterThanOrEqual(c, lo), LessThanOrEqual(c, hi))))
+    // 8 files = one z-tile per octant → a half-range slice on ANY of
+    // the three dims must drop half the files
+    for (c <- Seq("x", "y", "z"))
+      assert(filesFor(c, 0, 9) <= 4, s"$c-slice hit ${filesFor(c, 0, 9)}/8")
+    assert(spark.sql("SELECT count(*) FROM graft.stats.z3 WHERE y BETWEEN 0 AND 9")
+      .collect().head.getLong(0) == 20L * 10L * 20L)
+  }
+
   test("hilbert-clustered writes prune files on BOTH dimensions; curve is exact") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stats")
     spark.sql("CREATE TABLE graft.stats.h (x BIGINT, y BIGINT)")
