@@ -27,11 +27,44 @@ object TextHashes {
     XXH64.hashInt(i, seed)
 
   @inline def pmod(x: Long, m: Long): Long = { val r = x % m; if (r < 0) r + m else r }
+
+  // ---- cross-engine (md5-prefix) hashes -------------------------------
+  // Any engine with md5() reproduces these: the value IS the first 8/15
+  // hex chars of the digest read as an unsigned integer —
+  //   Spark:  CAST(conv(substr(md5(s), 1, 8), 16, 10) AS BIGINT)
+  //   DuckDB: CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)
+  // That's what lets the MinHash/SimHash pipelines ship DuckDB oracles
+  // instead of rows-only checks.
+
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  @inline private def md5First8(bytes: Array[Byte]): Long = {
+    val d = md5Local.get(); d.reset()
+    val h = d.digest(bytes)
+    ((h(0) & 0xFFL) << 56) | ((h(1) & 0xFFL) << 48) | ((h(2) & 0xFFL) << 40) |
+      ((h(3) & 0xFFL) << 32) | ((h(4) & 0xFFL) << 24) | ((h(5) & 0xFFL) << 16) |
+      ((h(6) & 0xFFL) << 8) | (h(7) & 0xFFL)
+  }
+
+  /** First 8 hex chars of md5 as an unsigned 32-bit value. */
+  @inline def md5Low32(s: UTF8String): Long = md5First8(s.getBytes) >>> 32
+  @inline def md5Low32(s: String): Long =
+    md5First8(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)) >>> 32
+
+  /** First 15 hex chars of md5 as an unsigned 60-bit value (60 keeps
+    * every engine's signed-BIGINT cast overflow-free). */
+  @inline def md5Low60(s: UTF8String): Long = md5First8(s.getBytes) >>> 4
 }
 
-/** `graft_simhash(words)` → 64-bit SimHash of the distinct word set:
-  * bit b is set when Σ_words (bit b of xxhash64(word) ? +1 : -1) > 0.
-  * Identical to the votes/zip_with SQL pipeline in TextPipeline. */
+/** `graft_simhash(words)` → 60-bit SimHash of the distinct word set:
+  * bit b is set when Σ_words (bit b of md5-low-60(word) ? +1 : -1) > 0.
+  * The word hash is the cross-engine md5 prefix (TextHashes), so an
+  * ANSI-SQL engine reproduces signatures — and the driver's DuckDB
+  * oracle hash-matches the pair output instead of a rows-only check. */
 case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -57,16 +90,18 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 }
 
 object SimHash64 {
-  /** One pass: hash each word, accumulate the 64 bit-votes, pack. */
+  val Bits = 60
+
+  /** One pass: hash each word, accumulate the 60 bit-votes, pack. */
   def compute(words: ArrayData): Long = {
-    val votes = new Array[Int](64)
+    val votes = new Array[Int](Bits)
     val n = words.numElements()
     var i = 0
     while (i < n) {
       if (!words.isNullAt(i)) {
-        val h = TextHashes.hashString(words.getUTF8String(i))
+        val h = TextHashes.md5Low60(words.getUTF8String(i))
         var b = 0
-        while (b < 64) {
+        while (b < Bits) {
           if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
           b += 1
         }
@@ -75,7 +110,7 @@ object SimHash64 {
     }
     var sig = 0L
     var b = 0
-    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    while (b < Bits) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
     sig
   }
 }
@@ -138,9 +173,10 @@ object HyperplaneCode {
 }
 
 /** `graft_minhash(shingles)` → the 64-permutation MinHash signature:
-  * base = pmod(xxhash64(s), p); sig_j = min_s (base·a_j + b_j) mod p
-  * with p = 2^31-1 and hash-derived coefficients — identical to the
-  * affine SQL pipeline in TextPipeline. */
+  * base = md5-low-32(s) mod p; sig_j = min_s (base·a_j + b_j) mod p
+  * with p = 2^31-1 and md5-derived coefficients (a_j from "a<j>", b_j
+  * from "b<j>") — every ingredient reproducible in ANSI SQL, so the
+  * LSH pipeline ships a DuckDB oracle. */
 case class MinHashSig(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -167,14 +203,13 @@ object MinHashSig {
   val P = 2147483647L // 2^31 - 1
 
   // Coefficients are a pure function of the permutation index —
-  // precomputed once per JVM, identical to the SQL derivation:
-  // a_j = pmod(xxhash64(j), p-1) + 1
-  // b_j = pmod(xxhash64(j, 7), p)   [multi-arg xxhash64 chains seeds]
+  // precomputed once per JVM from the cross-engine md5 prefix:
+  // a_j = (md5_low32("a" + j) mod (p-1)) + 1
+  // b_j =  md5_low32("b" + j) mod p
   private lazy val coefA: Array[Long] =
-    Array.tabulate(64)(j => TextHashes.pmod(TextHashes.hashInt(j), P - 1) + 1)
+    Array.tabulate(64)(j => TextHashes.pmod(TextHashes.md5Low32("a" + j), P - 1) + 1)
   private lazy val coefB: Array[Long] =
-    Array.tabulate(64)(j =>
-      TextHashes.pmod(XXH64.hashInt(7, XXH64.hashInt(j, 42L)), P))
+    Array.tabulate(64)(j => TextHashes.pmod(TextHashes.md5Low32("b" + j), P))
 
   def compute(shingles: ArrayData): ArrayData = {
     val n = shingles.numElements()
@@ -182,7 +217,7 @@ object MinHashSig {
     var i = 0
     while (i < n) {
       if (!shingles.isNullAt(i)) {
-        val base = TextHashes.pmod(TextHashes.hashString(shingles.getUTF8String(i)), P)
+        val base = TextHashes.pmod(TextHashes.md5Low32(shingles.getUTF8String(i)), P)
         var j = 0
         while (j < 64) {
           val v = (base * coefA(j) + coefB(j)) % P

@@ -78,21 +78,22 @@ object TextPipeline {
     * rows; candidate pairs from band-bucket equi-join, verified with
     * exact Jaccard computed from the per-doc shingle sets (set
     * intersect on the FEW candidate pairs — never a corpus-wide
-    * shared-shingle pair aggregation). Rows-only at the driver (Spark
-    * hash seeds aren't reproducible in ANSI SQL); MinHashSpec asserts
-    * candidate recall against [[ngramJaccard]]. */
+    * shared-shingle pair aggregation). Every hash is the cross-engine
+    * md5 prefix and buckets are the literal band value strings, so the
+    * DuckDB oracle reproduces the candidate set exactly — this is
+    * hash-matched at the driver, not rows-only. MinHashSpec
+    * additionally asserts candidate recall against [[ngramJaccard]]. */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
     val docsets = shingles(documents(s, d))
       .groupBy("doc_id").agg(collect_set(col("s")).as("sh"))
       .cache()
     // Native MinHashSig expression: one base hash per shingle + 64
     // affine permutations mod 2^31-1 in a single fused codegen loop
-    // (bit-identical to the SQL chain it replaced — see
-    // graft.functions.MinHashSig).
+    // (see graft.functions.MinHashSig for the md5-derived recipe).
     val bands = docsets
       .withColumn("sig", graftExpr(graft.functions.MinHashSig(colExpr(col("sh")))))
       .select(col("doc_id"),
-        posexplode(expr("transform(sequence(0, 7), b -> xxhash64(slice(sig, b * 8 + 1, 8)))")))
+        posexplode(expr("transform(sequence(0, 7), b -> concat_ws('|', slice(sig, b * 8 + 1, 8)))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val cand = bands.as("x")
       .join(bands.as("y"),
@@ -110,9 +111,41 @@ object TextPipeline {
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
   }
 
-  /** L3 — SimHash near-dup: 64-bit signature from unigram hashes,
-    * pigeonhole banding on 4×16-bit chunks, pairs within Hamming ≤ 12.
-    * Rows-only (hash not reproducible in SQL); SimHashSpec covers it. */
+  val minhashLshSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+              FROM w, UNNEST(range(1, GREATEST(len(ws) - 1, 1))) AS t(i)),
+       base AS (SELECT doc_id, s,
+                       CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) % 2147483647 AS b
+                FROM sh),
+       perm AS (SELECT j,
+                       (CAST(('0x' || substr(md5('a' || j), 1, 8)) AS BIGINT) % 2147483646) + 1 AS a,
+                       CAST(('0x' || substr(md5('b' || j), 1, 8)) AS BIGINT) % 2147483647 AS bb
+                FROM UNNEST(range(0, 64)) AS t(j)),
+       sig AS (SELECT doc_id, j, MIN((b * a + bb) % 2147483647) AS m
+               FROM base, perm GROUP BY doc_id, j),
+       bands AS (SELECT doc_id, j // 8 AS band,
+                        string_agg(CAST(m AS VARCHAR), '|' ORDER BY j) AS bucket
+                 FROM sig GROUP BY doc_id, j // 8),
+       cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                FROM bands x JOIN bands y
+                  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+       sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       shared AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
+                  FROM cand c
+                  JOIN sh xa ON xa.doc_id = c.doc_a
+                  JOIN sh xb ON xb.doc_id = c.doc_b AND xa.s = xb.s
+                  GROUP BY c.doc_a, c.doc_b)
+       SELECT s.doc_a, s.doc_b,
+              round(CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared), 4) AS jaccard
+       FROM shared s JOIN sz sa ON s.doc_a = sa.doc_id JOIN sz sb ON s.doc_b = sb.doc_id
+       WHERE round(CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared), 4) >= 0.2
+       ORDER BY jaccard DESC, s.doc_a, s.doc_b"""
+
+  /** L3 — SimHash near-dup: 60-bit signature from unigram md5-prefix
+    * hashes (cross-engine — see TextHashes), pigeonhole banding on
+    * 4×15-bit chunks, pairs within Hamming ≤ 12. Oracle-matched: the
+    * DuckDB mirror recomputes signatures bit-for-bit from md5. */
   def simhash(s: SparkSession, d: String): DataFrame = {
     // Signature packed into ONE long (bit b of votes → bit b of sig):
     // the banding join then shuffles 16 bytes per row instead of a
@@ -124,7 +157,7 @@ object TextPipeline {
       .withColumn("sig",
         graftExpr(graft.functions.SimHash64(colExpr(array_distinct(col("ws"))))))
       .select(col("doc_id"), col("sig"),
-        posexplode(expr("transform(sequence(0, 3), c -> shiftright(sig, c * 16) & 65535)")))
+        posexplode(expr("transform(sequence(0, 3), c -> shiftright(sig, c * 15) & 32767)")))
       .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
     // Hamming cut INSIDE the join condition: non-near pairs die at the
     // probe side of the bucket join instead of being shuffled into the
@@ -140,6 +173,26 @@ object TextPipeline {
       .distinct()
     pairs.orderBy(col("hamming"), col("doc_a"), col("doc_b"))
   }
+
+  val simhashSql: String =
+    """WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents),
+       wd AS (SELECT doc_id, unnest(ws) AS word FROM w),
+       h AS (SELECT doc_id, CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT) AS hw FROM wd),
+       bits AS (SELECT doc_id, b,
+                       SUM(CASE WHEN (hw >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+                FROM h, UNNEST(range(0, 60)) AS t(b) GROUP BY doc_id, b),
+       sig AS (SELECT doc_id,
+                      SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sig
+               FROM bits GROUP BY doc_id),
+       chunks AS (SELECT doc_id, sig, c, (sig >> (c * 15)) & 32767 AS chunk
+                  FROM sig, UNNEST(range(0, 4)) AS t(c)),
+       pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                        bit_count(xor(x.sig, y.sig)) AS hamming
+                 FROM chunks x JOIN chunks y
+                   ON x.c = y.c AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+                 WHERE bit_count(xor(x.sig, y.sig)) <= 12)
+       SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+       FROM pairs ORDER BY hamming, doc_a, doc_b"""
 
   /** L14 — duplicate-cluster resolution: connected components over the
     * near-dup pair graph (jaccard ≥ 0.5 edges from [[ngramJaccard]]),
@@ -390,13 +443,24 @@ object TextPipeline {
 
   /** L11 — document fingerprint: rolling polynomial hash over word
     * hashes, mod a 30-bit prime (keeps every product within long
-    * range). Rows-only: depends on Spark's xxhash64 seed. */
+    * range). Word hash = cross-engine md5 prefix, so the DuckDB
+    * list_reduce mirror hash-matches. */
   def textFingerprint(s: SparkSession, d: String): DataFrame =
     withWords(documents(s, d))
       .withColumn("fp", expr(
-        "aggregate(ws, 7L, (h, w) -> (h * 31 + pmod(xxhash64(w), 65536)) % 1073741789)"))
+        """aggregate(ws, 7L, (h, w) ->
+           (h * 31 + CAST(conv(substr(md5(w), 1, 8), 16, 10) AS BIGINT) % 65536) % 1073741789)"""))
       .select("doc_id", "fp")
       .orderBy("doc_id")
+
+  val textFingerprintSql: String =
+    """SELECT doc_id,
+              list_reduce(
+                list_prepend(CAST(7 AS BIGINT),
+                  list_transform(string_split(text, ' '),
+                    w -> CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 65536)),
+                (h, x) -> (h * 31 + x) % 1073741789) AS fp
+       FROM documents ORDER BY doc_id"""
 
   /** L17 — repetition scoring (Gopher-style repetition filters,
     * word-level): `rep_frac` = fraction of words that are repeats of
