@@ -117,10 +117,10 @@ object SimHash64 {
 
 /** `graft_hyperplane(vec, table, planes)` → LSH hyperplane bucket code
   * for a float vector: bit p = sign(dot(vec, w_p)) with deterministic
-  * pseudo-random weights w_p[i] = pmod(xxhash64(tableL, pL, i), 1000)
-  * / 1000 - 0.5 — identical to the SQL planeCode it replaces
-  * (Vectors.annLshTopk), one fused loop instead of `planes`
-  * interpreted aggregate/zip_with lambdas per vector. */
+  * pseudo-random weights w_p[i] = (md5_low32("t_p_i") mod 1000) / 1000
+  * - 0.5 — the cross-engine md5 prefix, so the DuckDB oracle replays
+  * bucket codes bit-for-bit (products and the left-to-right double
+  * accumulation are IEEE-identical). One fused loop per vector. */
 case class HyperplaneCode(child: Expression, tableId: Int, planes: Int)
     extends UnaryExpression {
 
@@ -145,13 +145,24 @@ case class HyperplaneCode(child: Expression, tableId: Int, planes: Int)
 }
 
 object HyperplaneCode {
-  /** Weight for (table, plane, dim) — xxhash64(tableL, pL, i) chains
-    * seeds long→long→int exactly like the SQL multi-arg xxhash64. */
-  @inline private def weight(table: Int, p: Int, i: Int): Double = {
-    var h = XXH64.hashLong(table.toLong, 42L)
-    h = XXH64.hashLong(p.toLong, h)
-    h = XXH64.hashInt(i, h)
-    TextHashes.pmod(h, 1000L) / 1000.0 - 0.5
+  /** Weight for (table, plane, dim) — cross-engine md5 prefix of the
+    * "t_p_i" seed string; SQL mirror:
+    * (('0x'||substr(md5(t||'_'||p||'_'||i),1,8))::BIGINT % 1000)
+    * / 1000.0 - 0.5. Cached per (table, plane) — md5 runs once per
+    * weight per JVM, not once per vector element. */
+  private val wcache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Double]]()
+
+  private def weights(table: Int, p: Int, n: Int): Array[Double] = {
+    val key = (table.toLong << 32) | (p.toLong & 0xFFFFFFFFL)
+    val cached = wcache.get(key)
+    if (cached != null && cached.length >= n) cached
+    else {
+      val arr = Array.tabulate(math.max(n, 64))(i =>
+        TextHashes.pmod(TextHashes.md5Low32(s"${table}_${p}_$i"), 1000L) / 1000.0 - 0.5)
+      wcache.put(key, arr)
+      arr
+    }
   }
 
   def compute(vec: ArrayData, table: Int, planes: Int): Long = {
@@ -159,10 +170,11 @@ object HyperplaneCode {
     var code = 0L
     var p = 0
     while (p < planes) {
+      val w = weights(table, p, n)
       var dot = 0.0
       var i = 0
       while (i < n) {
-        dot += vec.getFloat(i).toDouble * weight(table, p, i)
+        dot += vec.getFloat(i).toDouble * w(i)
         i += 1
       }
       if (dot > 0) code += (1L << p)

@@ -135,8 +135,9 @@ object Vectors {
     * broadcast argmax, queries probe their `nProbe` nearest cells,
     * exact cosine re-rank inside the probed cells only. Candidate
     * generation is a broadcast join + shuffle on cluster id — never a
-    * corpus cross join. Rows-only; AnnSpec-style recall asserted in
-    * PipelineSpec. */
+    * corpus cross join. Oracle-matched (every step is cosine ranking,
+    * which DuckDB's list_cosine_similarity replays bitwise); recall
+    * additionally asserted in PipelineSpec. */
   def annIvfTopk(s: SparkSession, d: String, nProbe: Int = 3): DataFrame = {
     val e = embeddings(s, d)
     val centroids = broadcast(e.filter(col("vec_id") < 16)
@@ -168,11 +169,36 @@ object Vectors {
       .orderBy("query_id", "rank")
   }
 
+  val annIvfTopkSql: String =
+    """WITH cent AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 16),
+       ranked AS (SELECT e.vec_id, c.cent_id,
+                         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                           CAST(c.cv AS DOUBLE[])) DESC,
+                                    c.cent_id) AS crank
+                  FROM embeddings e CROSS JOIN cent c),
+       assign AS (SELECT vec_id AS neighbor_id, cent_id FROM ranked WHERE crank = 1),
+       probes AS (SELECT vec_id AS query_id, cent_id FROM ranked
+                  WHERE vec_id < 10 AND crank <= 3),
+       cand AS (SELECT DISTINCT query_id, neighbor_id
+                FROM probes JOIN assign USING (cent_id)
+                WHERE query_id != neighbor_id),
+       rer AS (SELECT c.query_id, c.neighbor_id,
+                      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                             CAST(n.embedding AS DOUBLE[])) AS sim,
+                      ROW_NUMBER() OVER (PARTITION BY c.query_id
+                        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                        CAST(n.embedding AS DOUBLE[])) DESC,
+                                 c.neighbor_id) AS rank
+               FROM cand c JOIN embeddings q ON c.query_id = q.vec_id
+                           JOIN embeddings n ON c.neighbor_id = n.vec_id)
+       SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, ROUND(sim, 4) AS cos_sim
+       FROM rer WHERE rank <= 5 ORDER BY query_id, rank"""
+
   /** Deterministic pseudo-random hyperplane bucket code for (table,
-    * plane, dim) — hash-derived, no RNG, so plans replay identically.
-    * Native codegen'd expression (graft.functions.HyperplaneCode); the
-    * weights match the aggregate/zip_with SQL it replaced bit-for-bit.
-    */
+    * plane, dim) — the cross-engine md5-prefix weights of
+    * graft.functions.HyperplaneCode, so the oracle replays bucket
+    * codes bit-for-bit. Native codegen'd expression. */
   private def planeCode(vecCol: String, table: Int, planes: Int): Column = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     org.apache.spark.sql.execution.datasources.GraftBridge.column(
@@ -181,8 +207,10 @@ object Vectors {
 
   /** L7 — LSH-bucketed ANN (scale path): 8 hash tables × 4 random
     * hyperplanes; candidates = vectors sharing any (table, code)
-    * bucket; exact cosine re-rank inside candidates. Rows-only;
-    * AnnSpec measures recall@5 against [[annBruteforceTopk]]. */
+    * bucket; exact cosine re-rank inside candidates. Oracle-matched
+    * (md5-derived weights + ordered list_reduce dot replay the codes);
+    * PipelineSpec additionally measures recall@5 against
+    * [[annBruteforceTopk]]. */
   def annLshTopk(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
     val tables = 8
@@ -210,4 +238,34 @@ object Vectors {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("sim"), 4).as("cos_sim"))
       .orderBy("query_id", "rank")
   }
+
+  val annLshTopkSql: String =
+    """WITH wl AS (SELECT t, p,
+                          list_transform(range(0, 64), i ->
+                            (CAST(('0x' || substr(md5(t || '_' || p || '_' || i), 1, 8)) AS BIGINT)
+                             % 1000) / 1000.0 - 0.5) AS w
+                   FROM UNNEST(range(0, 8)) AS tt(t), UNNEST(range(0, 4)) AS pp(p)),
+       dots AS (SELECT e.vec_id, wl.t AS tbl, wl.p,
+                       list_reduce(
+                         list_transform(range(1, len(e.embedding) + 1),
+                           i -> CAST(e.embedding[i] AS DOUBLE) * wl.w[i]),
+                         (a, b) -> a + b) AS dot
+                FROM embeddings e CROSS JOIN wl),
+       codes AS (SELECT vec_id, tbl,
+                        SUM(CASE WHEN dot > 0 THEN (1 << p) ELSE 0 END) AS code
+                 FROM dots GROUP BY vec_id, tbl),
+       cand AS (SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+                FROM codes q JOIN codes n ON q.tbl = n.tbl AND q.code = n.code
+                WHERE q.vec_id < 10 AND q.vec_id != n.vec_id),
+       rer AS (SELECT c.query_id, c.neighbor_id,
+                      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                             CAST(n.embedding AS DOUBLE[])) AS sim,
+                      ROW_NUMBER() OVER (PARTITION BY c.query_id
+                        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                        CAST(n.embedding AS DOUBLE[])) DESC,
+                                 c.neighbor_id) AS rank
+               FROM cand c JOIN embeddings q ON c.query_id = q.vec_id
+                           JOIN embeddings n ON c.neighbor_id = n.vec_id)
+       SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, ROUND(sim, 4) AS cos_sim
+       FROM rer WHERE rank <= 5 ORDER BY query_id, rank"""
 }
