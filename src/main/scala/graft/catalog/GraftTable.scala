@@ -86,12 +86,15 @@ final class GraftTable(
       .asJava
 
   private def parquetDelegate(paths: Seq[String]): ParquetTable =
+    parquetDelegate(paths, schema)
+
+  private def parquetDelegate(paths: Seq[String], tableSchema: StructType): ParquetTable =
     new ParquetTable(
       tableName,
       spark,
       new CaseInsensitiveStringMap(new util.HashMap[String, String]()),
       paths,
-      Some(schema),
+      Some(tableSchema),
       classOf[ParquetFileFormat])
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -171,6 +174,11 @@ final class GraftTable(
       * file skipping stays on either way (whole-file skips don't
       * disturb other files' ordinals). */
     private def buildMorOrMeta(): org.apache.spark.sql.connector.read.Scan = {
+      if (keptEntries.exists(e => SchemaEvolution.renames(meta, e).nonEmpty))
+        throw new UnsupportedOperationException(
+          "reading renamed-column history with merge-on-read deletes or " +
+          "metadata columns is not supported — run TableOps.applyDeletes / " +
+          "compact to rewrite files under the current schema first")
       def norm(p: String): String = new Path(p).toUri.getPath
       val required = requiredState.getOrElse(schema)
       val needOrdinals = posDeletes.nonEmpty || metaCols.contains("_pos")
@@ -297,6 +305,13 @@ final class GraftTable(
     override def build(): org.apache.spark.sql.connector.read.Scan = {
       if (eqDeletes.nonEmpty || posDeletes.nonEmpty || metaCols.nonEmpty)
         return buildMorOrMeta()
+      // Field-id schema evolution: files written before a RENAME read
+      // via their physical names in current column order (positional
+      // alignment — no projection, columnar stays on), one delegate
+      // per distinct rename signature.
+      val renameGroups = keptEntries.groupBy(e => SchemaEvolution.renames(meta, e))
+      if (renameGroups.keys.exists(_.nonEmpty))
+        return new MultiSchemaScan(renameGroups.toSeq, options, predicateState, requiredState)
       val batchScan = delegate.build()
       KeyGrouping.keysFor(meta, schema, keptEntries) match {
         case Some((specCols, keyByPath)) =>
@@ -329,6 +344,52 @@ final class GraftTable(
       }
     }
   }
+
+    /** Field-id evolution scan: one parquet delegate per rename
+      * signature, each reading its files through their PHYSICAL
+      * column names in the CURRENT column order — rows and columnar
+      * batches align positionally with the current schema, so no
+      * projection and no vectorization loss. Pushed predicates are
+      * attribute-renamed per group; manifest skipping already ran on
+      * current-named stats (resolveEntries re-keys them). */
+    private final class MultiSchemaScan(
+        groups: Seq[(Map[String, String], Seq[DataFileEntry])],
+        options: CaseInsensitiveStringMap,
+        predicateState: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+        requiredState: Option[StructType])
+        extends org.apache.spark.sql.connector.read.Scan
+        with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+      import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory}
+      import org.apache.spark.sql.catalyst.expressions.AttributeReference
+
+      private val required = requiredState.getOrElse(schema)
+
+      private val scans = groups.map { case (rn, es) =>
+        val b = parquetDelegate(es.map(_.path), SchemaEvolution.physStructType(schema, rn))
+          .newScanBuilder(options)
+        val renamed = predicateState.map(_.transform {
+          case a: AttributeReference if rn.contains(a.name) => a.withName(rn(a.name))
+        })
+        if (renamed.nonEmpty) b.pushFilters(renamed)
+        b.pruneColumns(SchemaEvolution.physStructType(required, rn))
+        b.build()
+      }
+
+      override def readSchema(): StructType = required
+      override def description(): String =
+        s"graft parquet multi-schema (${groups.size} rename groups)"
+      override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+        GraftTable.manifestStatistics(groups.flatMap(_._2))
+      override def toBatch: Batch = new Batch {
+        override def planInputPartitions(): Array[InputPartition] =
+          scans.zipWithIndex.flatMap { case (s, g) =>
+            s.toBatch.planInputPartitions()
+              .map(p => GraftTable.GroupTaggedPartition(p, g): InputPartition)
+          }.toArray
+        override def createReaderFactory(): PartitionReaderFactory =
+          GraftTable.DispatchingFactory(scans.map(_.toBatch.createReaderFactory()))
+      }
+    }
 
   /** Storage-partitioned-join scan: reports `KeyGroupedPartitioning`
     * over the identity partition-spec columns and plans ONE input
@@ -888,6 +949,34 @@ object GraftTable {
       override def name(): String = "graftFilesSkipped"
       override def value(): Long = skipped.toLong
     })
+
+  /** A partition of one rename-signature group of a multi-schema scan
+    * (field-id evolution), tagged with the group whose reader factory
+    * must open it. */
+  private[catalog] final case class GroupTaggedPartition(
+      inner: org.apache.spark.sql.connector.read.InputPartition, group: Int)
+      extends org.apache.spark.sql.connector.read.InputPartition {
+    override def preferredLocations(): Array[String] = inner.preferredLocations()
+  }
+
+  /** Routes each tagged partition to its group's delegate factory —
+    * columnar capability is answered per group, so vectorized reads
+    * survive schema evolution. */
+  private[catalog] final case class DispatchingFactory(
+      factories: Seq[org.apache.spark.sql.connector.read.PartitionReaderFactory])
+      extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+    private def un(p: org.apache.spark.sql.connector.read.InputPartition) =
+      p.asInstanceOf[GroupTaggedPartition]
+    override def createReader(p: org.apache.spark.sql.connector.read.InputPartition)
+        : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
+      factories(un(p).group).createReader(un(p).inner)
+    override def createColumnarReader(p: org.apache.spark.sql.connector.read.InputPartition)
+        : org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+      factories(un(p).group).createColumnarReader(un(p).inner)
+    override def supportColumnarReads(p: org.apache.spark.sql.connector.read.InputPartition)
+        : Boolean =
+      factories(un(p).group).supportColumnarReads(un(p).inner)
+  }
 
   /** Planner statistics from manifest footers (rows + on-disk bytes of
     * the files a scan will actually read, AFTER stat-based pruning) —

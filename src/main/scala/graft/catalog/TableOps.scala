@@ -1108,7 +1108,10 @@ final class TableOps(store: FsStore) {
         meta.snapshotById(eligible.last.snapshotId)
       case _ => meta.currentSnapshot
     }
+    // stats re-keyed to current column names (field-id evolution):
+    // pruning/SPJ/$files read them without knowing about renames
     snap.map(snapshotEntries(tableDir, _)).getOrElse(Seq.empty)
+      .map(SchemaEvolution.statsToCurrent(meta, _))
   }
 
   /** Read a table state as a DataFrame (time-travel via the options).
@@ -1147,8 +1150,20 @@ final class TableOps(store: FsStore) {
       return org.apache.spark.sql.execution.datasources.GraftBridge.ofRows(spark,
         new GraftTable(tableDir.toString, tableDir, meta, this, Some(entries)))
     if (dataEntries.isEmpty) return emptyDf
-    if (eqDels.isEmpty)
-      return spark.read.schema(schema).parquet(dataEntries.map(_.path): _*)
+    if (eqDels.isEmpty) {
+      // field-id evolution: files written before a RENAME are read via
+      // their physical names (current order ⇒ positional alignment)
+      val groups = dataEntries.groupBy(e => SchemaEvolution.renames(meta, e))
+      return groups.map { case (rn, es) =>
+        spark.read.schema(SchemaEvolution.physStructType(schema, rn))
+          .parquet(es.map(_.path): _*)
+          .toDF(schema.fieldNames.toIndexedSeq: _*)
+      }.reduce(_ unionAll _)
+    }
+    if (dataEntries.exists(e => SchemaEvolution.renames(meta, e).nonEmpty))
+      throw new UnsupportedOperationException(
+        "reading renamed-column history with pending merge-on-read deletes " +
+        "is not supported — run TableOps.applyDeletes first")
     dataEntries.groupBy(df => eqDels.filter(_.deleteSeq > df.dataSeq).map(_.path).toSet)
       .toSeq.sortBy(_._1.size)
       .map { case (delPaths, files) =>
