@@ -927,17 +927,9 @@ object GraftTable {
   import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
   import org.apache.spark.sql.connector.write.DataWriter
 
-  /** Manifest-pruning scan metrics — the Spark-native face of the
-    * reference's metrics-report endpoint (denali routes/tables.go
-    * reportMetrics, a server-side no-op sink): here the numbers are
-    * real and surface in the Spark SQL UI per query. */
-  private final class FilesMetric(val name: String, val description: String)
-      extends org.apache.spark.sql.connector.metric.CustomSumMetric
-
   private[catalog] val scanMetrics
       : Array[org.apache.spark.sql.connector.metric.CustomMetric] = Array(
-    new FilesMetric("graftFilesKept", "data files read after manifest pruning"),
-    new FilesMetric("graftFilesSkipped", "data files skipped by manifest stats"))
+    new GraftFilesKeptMetric, new GraftFilesSkippedMetric)
 
   private[catalog] def driverMetrics(kept: Int, skipped: Int)
       : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = Array(
@@ -1024,4 +1016,22 @@ object GraftTable {
       }
     }
   }
+}
+
+/** Manifest-pruning scan metrics — the Spark-native face of the
+  * reference's metrics-report endpoint (denali routes/tables.go
+  * reportMetrics, a server-side no-op sink): here the numbers are real
+  * and surface in the Spark SQL UI per query. Top-level zero-arg
+  * classes because Spark re-instantiates CustomMetric reflectively on
+  * the UI path. */
+final class GraftFilesKeptMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "graftFilesKept"
+  override def description(): String = "data files read after manifest pruning"
+}
+
+final class GraftFilesSkippedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "graftFilesSkipped"
+  override def description(): String = "data files skipped by manifest stats"
 }

@@ -61,6 +61,21 @@ class EvolveSpec extends SparkSpec {
     assert(feed.filter("val = 1.5").count() == 1)
   }
 
+  test("type widening: INT→BIGINT and FLOAT→DOUBLE read across eras") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ev")
+    spark.sql("CREATE TABLE graft.ev.tw (id INT, x FLOAT)")
+    spark.sql("INSERT INTO graft.ev.tw VALUES (1, CAST(1.5 AS FLOAT))")
+    spark.sql("ALTER TABLE graft.ev.tw ALTER COLUMN id TYPE BIGINT")
+    spark.sql("ALTER TABLE graft.ev.tw ALTER COLUMN x TYPE DOUBLE")
+    spark.sql("INSERT INTO graft.ev.tw VALUES (CAST(2147483648 AS BIGINT), 2.5)")
+    val rows = spark.sql("SELECT id, x FROM graft.ev.tw ORDER BY id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2147483648L))
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(1.5, 2.5))
+    // pushdown over the widened column still filters both eras
+    assert(spark.sql("SELECT count(*) FROM graft.ev.tw WHERE id >= 1").collect()
+      .head.getLong(0) == 2)
+  }
+
   test("add-spec + set-default-spec evolves clustering for new writes only") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ev")
     spark.sql("CREATE TABLE graft.ev.t (day BIGINT, user BIGINT, v DOUBLE) PARTITIONED BY (day)")
