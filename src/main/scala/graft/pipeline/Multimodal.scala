@@ -104,10 +104,12 @@ object Multimodal {
       .select(col("media_id"), (col("pos") / everyNth).cast("int").as("frame_no"),
         length(col("col")).cast("long").as("frame_bytes"))
 
-  /** Driver-facing query (rows-only; the decode stub is not
-    * SQL-expressible): full media pipeline — synthesize the media
+  /** Driver-facing query: full media pipeline — synthesize the media
     * frame, extract features per blob, attach sampled-frame counts.
-    * MultimodalSpec asserts the semantics. */
+    * Oracle-matched: the deterministic decode stub (mean byte level +
+    * 1 KiB chunking) is mirrorable in SQL because the synthetic
+    * payloads are ASCII; a real codec would be rows-only again.
+    * MultimodalSpec asserts the semantics independently. */
   def multimodalFeatures(s: SparkSession, d: String): DataFrame = {
     val media = mediaFromDocuments(s, d)
     val frames = sampleFrames(media)
@@ -122,6 +124,34 @@ object Multimodal {
         coalesce(col("sampled_bytes"), lit(0L)).as("sampled_bytes"))
       .orderBy("media_id")
   }
+
+  val multimodalFeaturesSql: String =
+    """WITH base AS (SELECT doc_id AS media_id,
+              CASE WHEN doc_id % 3 = 0 THEN 'image'
+                   WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+              text, CAST(length(text) AS BIGINT) AS n_bytes
+       FROM documents),
+       lv AS (SELECT media_id,
+                     CAST(SUM(ascii(substring(text, i, 1))) AS DOUBLE) / n_bytes AS mean_level
+              FROM base, UNNEST(range(1, CAST(n_bytes AS INT) + 1)) AS t(i)
+              GROUP BY media_id, n_bytes),
+       fr AS (SELECT media_id, kind, n_bytes,
+                     CAST((n_bytes + 1023) // 1024 AS BIGINT) AS n_frames,
+                     LEAST((n_bytes + 1023) // 1024, 16) AS capped
+              FROM base),
+       samp AS (SELECT f.media_id, COUNT(*) AS n_sampled,
+                       CAST(SUM(LEAST(1024, f.n_bytes - t.i * 1024)) AS BIGINT) AS s_bytes
+                FROM fr f, UNNEST(range(0, CAST(f.capped AS INT))) AS t(i)
+                WHERE t.i % 2 = 0 AND f.kind != 'audio'
+                GROUP BY f.media_id)
+       SELECT b.media_id, b.kind, b.n_bytes, lv.mean_level, f.n_frames,
+              COALESCE(s.n_sampled, 0) AS n_sampled_frames,
+              COALESCE(s.s_bytes, 0) AS sampled_bytes
+       FROM base b
+       JOIN lv USING (media_id)
+       JOIN fr f USING (media_id)
+       LEFT JOIN samp s ON b.media_id = s.media_id
+       ORDER BY b.media_id"""
 
   /** "Resize" metadata update (stub: recompute width/height metadata,
     * pass content through — a real impl transforms the bytes). */
