@@ -77,6 +77,11 @@ final case class DataFileEntry(
   def dataSeq: Long = seq.getOrElse(0L)
   def deleteSeq: Long = seq.getOrElse(Long.MaxValue)
 }
+/** One partition's rollup inside a partition statistics file
+  * (None partition = the unpartitioned / straddling-file bucket). */
+final case class PartitionStat(
+    partition: Option[String], files: Long, rows: Long, bytes: Long)
+
 final case class SnapshotLogEntry(snapshotId: Long, timestampMs: Long)
 final case class MetadataLogEntry(metadataFile: String, timestampMs: Long)
 final case class StatisticsFile(snapshotId: Long, statistics: String)

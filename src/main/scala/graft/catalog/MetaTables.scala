@@ -125,27 +125,14 @@ object MetaTables {
       StructField("file_count", LongType, nullable = false),
       StructField("record_count", LongType, nullable = false),
       StructField("total_bytes", LongType, nullable = false)))
-    val specCols = meta.specs.find(_.specId == meta.defaultSpecId)
-      .map(_.fields.filter(_.transform == "identity").map(_.name)).getOrElse(Seq.empty)
-    def keyOf(e: DataFileEntry): Option[String] =
-      if (specCols.isEmpty) None
-      else {
-        val vals = specCols.map { c =>
-          e.stats.get(c) match {
-            case Some(ColumnStats(Some(mn), Some(mx), _)) if mn == mx => Some(s"$c=$mn")
-            case _ => None
-          }
-        }
-        if (vals.exists(_.isEmpty)) None else Some(vals.flatten.mkString("/"))
-      }
-    val rows = entryRows(dir, meta, ops).filter(_.isData)
-      .groupBy(keyOf).toSeq
-      .sortBy { case (k, _) => k.getOrElse("") }
-      .map { case (k, es) =>
-        new GenericInternalRow(Array[Any](
-          k.map(utf).orNull, es.size.toLong,
-          es.flatMap(_.rows).sum, es.flatMap(_.bytes).sum)): InternalRow
-      }
+    // persisted partition-stats file (C53) when fresh for the current
+    // snapshot; manifest-derived rollup otherwise
+    val stats = ops.readPartitionStats(dir, meta)
+      .getOrElse(ops.partitionRollup(dir, meta))
+    val rows = stats.map { p =>
+      new GenericInternalRow(Array[Any](
+        p.partition.map(utf).orNull, p.files, p.rows, p.bytes)): InternalRow
+    }
     new StaticTable(name, schema, rows.toArray)
   }
 

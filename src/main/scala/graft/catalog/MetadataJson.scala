@@ -246,6 +246,32 @@ object MetadataJson {
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(o)
   }
 
+  // ---------- partition statistics files ----------
+
+  def partitionStatsToJson(stats: Seq[PartitionStat]): String = {
+    val o = mapper.createObjectNode()
+    val a = o.putArray("partitions")
+    stats.foreach { p =>
+      val po = a.addObject()
+      p.partition.foreach(po.put("partition", _))
+      po.put("file-count", p.files)
+      po.put("record-count", p.rows)
+      po.put("total-bytes", p.bytes)
+    }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(o)
+  }
+
+  def partitionStatsFromJson(json: String): Seq[PartitionStat] = {
+    val n = mapper.readTree(json)
+    arr(n, "partitions").map { po =>
+      PartitionStat(
+        Option(po.get("partition")).map(_.asText()),
+        po.get("file-count").asLong(),
+        po.get("record-count").asLong(),
+        po.get("total-bytes").asLong())
+    }
+  }
+
   def viewFromJson(json: String): ViewMetadata = {
     val n = mapper.readTree(json)
     ViewMetadata(

@@ -978,6 +978,62 @@ final class TableOps(store: FsStore) {
     updated
   }
 
+  /** Per-partition-value rollup of a snapshot's data files (files
+    * single-valued on the identity spec; straddling or unpartitioned
+    * files roll up under None). Metadata-only — O(manifest). */
+  def partitionRollup(tableDir: Path, meta: TableMetadata): Seq[PartitionStat] = {
+    val specCols = meta.specs.find(_.specId == meta.defaultSpecId)
+      .map(_.fields.filter(_.transform == "identity").map(_.name)).getOrElse(Seq.empty)
+    def keyOf(e: DataFileEntry): Option[String] =
+      if (specCols.isEmpty) None
+      else {
+        val vals = specCols.map { c =>
+          e.stats.get(c) match {
+            case Some(ColumnStats(Some(mn), Some(mx), _)) if mn == mx => Some(s"$c=$mn")
+            case _ => None
+          }
+        }
+        if (vals.exists(_.isEmpty)) None else Some(vals.flatten.mkString("/"))
+      }
+    resolveEntries(tableDir, meta).filter(_.isData)
+      .groupBy(keyOf).toSeq.sortBy(_._1.getOrElse(""))
+      .map { case (k, es) =>
+        PartitionStat(k, es.size.toLong, es.flatMap(_.rows).sum, es.flatMap(_.bytes).sum)
+      }
+  }
+
+  /** C53 — partition statistics files (Iceberg's partition-stats
+    * shape): persist the current snapshot's per-partition rollup as a
+    * stats file and register it with the reference's set-statistics
+    * update. `$partitions` then serves the persisted rollup instead of
+    * re-deriving it from the manifest — at millions of files this is
+    * the difference between O(1 stats read) and O(manifest) per
+    * inspection. Stats are pinned to their snapshot: a later commit
+    * makes them stale and readers fall back to the manifest (the
+    * update overwrites per snapshot id; `remove-statistics` drops). */
+  def computePartitionStats(tableDir: Path): TableMetadata = {
+    val (_, meta) = load(tableDir).getOrElse(
+      throw new CommitFailedException(s"table does not exist at $tableDir"))
+    val snap = meta.currentSnapshot.getOrElse(
+      throw new CommitFailedException("no snapshot to compute partition stats for"))
+    val rollup = partitionRollup(tableDir, meta)
+    val name = s"partition-stats-${snap.snapshotId}.json"
+    store.writeString(new Path(metadataDir(tableDir), name),
+      MetadataJson.partitionStatsToJson(rollup))
+    commit(tableDir, Seq.empty,
+      Seq(MetadataUpdate.SetStatistics(snap.snapshotId, name)))
+  }
+
+  /** Persisted partition stats for the CURRENT snapshot, if fresh. */
+  def readPartitionStats(tableDir: Path, meta: TableMetadata): Option[Seq[PartitionStat]] =
+    for {
+      current <- meta.currentSnapshotId
+      sf <- meta.statistics.find(_.snapshotId == current)
+      json <- scala.util.Try(
+        store.readString(new Path(metadataDir(tableDir), sf.statistics))).toOption
+      stats <- scala.util.Try(MetadataJson.partitionStatsFromJson(json)).toOption
+    } yield stats
+
   /** C49 — snapshot rollback: point `main` back at an earlier
     * snapshot of its own lineage (Iceberg's rollback_to_snapshot).
     * Pure metadata — no data movement; the rolled-back-past snapshots

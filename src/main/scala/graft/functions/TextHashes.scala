@@ -92,6 +92,23 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 object SimHash64 {
   val Bits = 60
 
+  // Word hashes follow a Zipfian vocabulary — memoize the md5 for the
+  // hot head of the distribution, bounded so an adversarial vocabulary
+  // can't grow the executor heap. ~64k entries ≈ a few MB.
+  private val memoCap = 1 << 16
+  private val memo = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def hashWord(w: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val key = w.toString
+    val cached = memo.get(key)
+    if (cached != null) cached.longValue()
+    else {
+      val h = TextHashes.md5Low60(w)
+      if (memo.size < memoCap) memo.put(key, h)
+      h
+    }
+  }
+
   /** One pass: hash each word, accumulate the 60 bit-votes, pack. */
   def compute(words: ArrayData): Long = {
     val votes = new Array[Int](Bits)
@@ -99,7 +116,7 @@ object SimHash64 {
     var i = 0
     while (i < n) {
       if (!words.isNullAt(i)) {
-        val h = TextHashes.md5Low60(words.getUTF8String(i))
+        val h = hashWord(words.getUTF8String(i))
         var b = 0
         while (b < Bits) {
           if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1

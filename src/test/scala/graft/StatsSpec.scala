@@ -277,6 +277,42 @@ class StatsSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graft.stats.bp").collect().head.getLong(0) == 20005)
   }
 
+  test("partition statistics files: persisted rollup, staleness fallback") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stats")
+    spark.sql("CREATE TABLE graft.stats.ps (id BIGINT, day BIGINT) PARTITIONED BY (day)")
+    val dir = new Path(s"$warehouse/stats/ps")
+    spark.sql("INSERT INTO graft.stats.ps SELECT id, 0 FROM range(0, 10)")
+    spark.sql("INSERT INTO graft.stats.ps SELECT id, 1 FROM range(0, 20)")
+
+    cat.ops.computePartitionStats(dir)
+    val (_, m1) = cat.ops.load(dir).get
+    assert(m1.statistics.nonEmpty, "set-statistics must register the stats file")
+    val persisted = cat.ops.readPartitionStats(dir, m1)
+    assert(persisted.isDefined)
+    assert(persisted.get.map(p => (p.partition, p.rows)) ==
+      Seq((Some("day=0"), 10L), (Some("day=1"), 20L)))
+
+    // $partitions serves the persisted rollup
+    val viaView = spark.sql(
+      "SELECT partition, record_count FROM graft.stats.ps$pview ORDER BY partition"
+        .replace("ps$pview", "`ps$partitions`")).collect()
+    assert(viaView.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("day=0", 10L), ("day=1", 20L)))
+
+    // a newer commit makes the stats stale: readers fall back to the
+    // manifest (readPartitionStats is None), and recompute re-pins
+    spark.sql("INSERT INTO graft.stats.ps SELECT id, 2 FROM range(0, 5)")
+    val (_, m2) = cat.ops.load(dir).get
+    assert(cat.ops.readPartitionStats(dir, m2).isEmpty, "stale stats must not serve")
+    val fresh = spark.sql(
+      "SELECT partition, record_count FROM graft.stats.`ps$partitions` ORDER BY partition")
+      .collect()
+    assert(fresh.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("day=0", 10L), ("day=1", 20L), ("day=2", 5L)))
+    cat.ops.computePartitionStats(dir)
+    assert(cat.ops.readPartitionStats(dir, cat.ops.load(dir).get._2).isDefined)
+  }
+
   test("scan exposes manifest-pruning metrics (kept/skipped files)") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stats")
     spark.sql("CREATE TABLE graft.stats.met (id BIGINT) PARTITIONED BY (id)")
