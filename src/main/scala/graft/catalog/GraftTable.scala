@@ -769,7 +769,7 @@ final class GraftTable(
       predicates: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
       required: Option[StructType])
       extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-      with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+      with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
     import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory}
     import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
     import org.apache.spark.sql.execution.datasources.GraftBridge
@@ -779,6 +779,17 @@ final class GraftTable(
     }
 
     private def currentMeta: TableMetadata = ops.load(dir).map(_._2).getOrElse(meta)
+
+    // —— Trigger.AvailableNow: the end of the backlog is pinned at
+    // query start; admission control still paces the catch-up into
+    // bounded batches, but no snapshot committed after preparation is
+    // consumed — the query drains to the pin and stops.
+    private var availableNowCap: Option[Long] = None
+    override def prepareForTriggerAvailableNow(): Unit =
+      availableNowCap = Some(
+        currentMeta.currentSnapshot.map(_.sequenceNumber).getOrElse(0L))
+    private def capSeq(seq: Long): Long =
+      availableNowCap.map(math.min(_, seq)).getOrElse(seq)
 
     /** Main-lineage snapshots ascending by sequence, walked via parent
       * ids from the current head (stops where history was expired). */
@@ -794,7 +805,7 @@ final class GraftTable(
       else SeqOffset(0L)
 
     override def latestOffset(): Offset =
-      SeqOffset(currentMeta.currentSnapshot.map(_.sequenceNumber).getOrElse(0L))
+      SeqOffset(capSeq(currentMeta.currentSnapshot.map(_.sequenceNumber).getOrElse(0L)))
 
     // —— admission control: cap each micro-batch's file budget so a
     // backlogged stream (or stream-from=earliest over a long history)
@@ -808,13 +819,14 @@ final class GraftTable(
     override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
       val startSeq = start.asInstanceOf[SeqOffset].seq
       val m = currentMeta
-      val headSeq = m.currentSnapshot.map(_.sequenceNumber).getOrElse(0L)
+      val headSeq = capSeq(m.currentSnapshot.map(_.sequenceNumber).getOrElse(0L))
       limit match {
         case mf: ReadMaxFiles =>
           var budget = mf.maxFiles()
           var endSeq = startSeq
           val pending = lineage(m)
-            .filter(s => s.sequenceNumber > startSeq && s.operation == "append")
+            .filter(s => s.sequenceNumber > startSeq && s.sequenceNumber <= headSeq &&
+              s.operation == "append")
           val it = pending.iterator
           var full = false
           while (it.hasNext && !full) {

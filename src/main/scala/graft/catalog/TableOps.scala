@@ -953,6 +953,32 @@ final class TableOps(store: FsStore) {
       .foldLeft(empty)(_ unionAll _)
   }
 
+  /** Net row-level changes over a sequence window (Iceberg's
+    * create_changelog_view net_changes mode): per-row-identity signed
+    * counts collapse intermediate churn — a row inserted AND deleted
+    * inside the window disappears, a delete+reinsert nets to nothing,
+    * and multiplicity is preserved for duplicate rows. The output is
+    * what a downstream sync must APPLY, not what happened — at 100 TB
+    * the difference between replaying every intermediate rewrite and
+    * shipping the delta. One hash aggregate over the raw feed. */
+  def netChanges(
+      spark: SparkSession,
+      tableDir: Path,
+      fromSeqExclusive: Long,
+      toSeqInclusive: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, lit, sum, when}
+    val raw = changes(spark, tableDir, fromSeqExclusive, toSeqInclusive)
+    val dataCols = raw.columns.filterNot(c => c == "_change_type" || c == "_commit_seq")
+    val signed = raw.withColumn("_sign",
+      when(col("_change_type") === "insert", 1L).otherwise(-1L))
+    signed.groupBy(dataCols.map(col).toSeq: _*)
+      .agg(sum(col("_sign")).as("_net"))
+      .filter(col("_net") =!= 0L)
+      .select((dataCols.map(col) :+
+        when(col("_net") > 0, lit("insert")).otherwise(lit("delete")).as("_change_type") :+
+        expr("abs(_net)").as("_copies")).toSeq: _*)
+  }
+
   // ---------- maintenance ----------
 
   /** Expire snapshots older than `olderThanMs`, always retaining the

@@ -55,6 +55,42 @@ class ChangelogSpec extends SparkSpec {
     assert(plan.contains("LocalTableScan"), plan.take(400))
   }
 
+  test("netChanges collapses intermediate churn to the applyable delta") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cdc")
+    spark.sql("CREATE TABLE graft.cdc.net (id BIGINT, v DOUBLE)")
+    val dir = new Path(s"$warehouse/cdc/net")
+    spark.sql("INSERT INTO graft.cdc.net VALUES (1, 1.0), (2, 2.0)")
+    // churn inside the window: 3 inserted AND deleted → nets away;
+    // 2 updated → net = delete old + insert new; 1 untouched after
+    // a delete+reinsert of the same row → nets away entirely
+    spark.sql("INSERT INTO graft.cdc.net VALUES (3, 3.0)")
+    spark.sql("DELETE FROM graft.cdc.net WHERE id = 3")
+    spark.sql("UPDATE graft.cdc.net SET v = 20.0 WHERE id = 2")
+    spark.sql("DELETE FROM graft.cdc.net WHERE id = 1")
+    spark.sql("INSERT INTO graft.cdc.net VALUES (1, 1.0)")
+
+    val raw = cat.ops.changes(spark, dir, 0L, Long.MaxValue)
+    assert(raw.count() > 4, "raw feed reports the intermediate churn")
+
+    // from an empty start, the net delta IS the current table content:
+    // (2,2.0) and (3,3.0) were both born and killed inside the window
+    val net = cat.ops.netChanges(spark, dir, 0L, Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(net.toSeq == Seq(
+      (1L, 1.0, "insert", 1L),
+      (2L, 20.0, "insert", 1L)), net.mkString(", "))
+
+    // windows that start AFTER the initial load net only the tail
+    val (_, m) = cat.ops.load(dir).get
+    val firstSeq = m.snapshots.map(_.sequenceNumber).min
+    val tail = cat.ops.netChanges(spark, dir, firstSeq, Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(tail.toSeq == Seq((2L, 2.0, "delete"), (2L, 20.0, "insert")),
+      tail.mkString(", "))
+  }
+
   test("batch $changes serves the file diff feed with seq windows") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cl")
     spark.sql("CREATE TABLE graft.cl.t (id BIGINT, v STRING)")

@@ -204,6 +204,32 @@ class DmlSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the backlog in paced batches, then stops") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
+    spark.sql("CREATE TABLE graft.dml.avnow (v BIGINT)")
+    (1 to 3).foreach(i => spark.sql(s"INSERT INTO graft.dml.avnow VALUES ($i)"))
+
+    var batches = 0
+    val seen = scala.collection.mutable.Set[Long]()
+    val q = spark.readStream
+      .option("max-files-per-trigger", "1")
+      .table("graft.dml.avnow")
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val vs = batch.collect().map(_.getLong(0))
+        if (vs.nonEmpty) { batches += 1; seen ++= vs }
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-avnow-").toString)
+      .start()
+    // the query must terminate by itself after draining the pinned backlog
+    assert(q.awaitTermination(120000), "AvailableNow query must self-terminate")
+    assert(seen == Set(1L, 2L, 3L), s"backlog fully drained, got $seen")
+    assert(batches >= 3, s"pacing must still apply under AvailableNow, got $batches")
+  }
+
   test("SQL UPDATE and MERGE INTO via row-level operations") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
     spark.sql("CREATE TABLE graft.dml.rlo (id BIGINT, v STRING)")
