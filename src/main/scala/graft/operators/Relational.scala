@@ -1314,6 +1314,52 @@ object Relational {
            (sqrt(sxx / n - (sx / n) * (sx / n)) * sqrt(syy / n - (sy / n) * (sy / n))), 8) AS corr_qty_price
        FROM m ORDER BY l_returnflag"""
 
+  /** R69 — catalog round-trip under the EXTERNAL oracle gate: orders
+    * flow through the graft catalog (create → two append snapshots →
+    * snapshot-pinned time travel) and the aggregate of what comes back
+    * is hash-compared against DuckDB over the raw parquet. This puts
+    * the commit protocol, manifest resolution and time travel —
+    * normally covered by ScalaTest only — under the same
+    * cross-engine correctness gate as every query. */
+  def qCatalogRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog._
+    import org.apache.hadoop.fs.{Path => HPath}
+    val wh = java.nio.file.Files.createTempDirectory("graft-rt-").toString
+    val ops = new TableOps(new FsStore(s.sparkContext.hadoopConfiguration))
+    val dir = new HPath(wh, "orders_rt")
+    val src = orders(s, d).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    ops.create(dir, TableMetadata.create(
+      dir.toString, SchemaBridge.fromSpark(src.schema),
+      PartitionSpec(0, Seq.empty), SortOrder(0, Seq.empty), Map.empty))
+    ops.write(dir, src.filter(col("o_orderkey") < 1000), "append")
+    val firstSnap = ops.load(dir).get._2.currentSnapshot.get.snapshotId
+    ops.write(dir, src.filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 2000), "append")
+
+    val full = ops.read(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_all"), dsum(col("o_totalprice")).as("sum_all"))
+    val asOfFirst = ops.read(s, dir, snapshotId = Some(firstSnap))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_snap1"))
+    full.join(asOfFirst, Seq("o_orderstatus"), "left")
+      .select(col("o_orderstatus"), col("n_all"), col("sum_all"),
+        coalesce(col("n_snap1"), lit(0L)).as("n_snap1"))
+      .orderBy("o_orderstatus")
+  }
+
+  val qCatalogRoundtripSql: String =
+    s"""WITH full_t AS (
+         SELECT o_orderstatus, COUNT(*) AS n_all,
+                ${sqlSum("o_totalprice")} AS sum_all
+         FROM orders WHERE o_orderkey < 2000 GROUP BY o_orderstatus),
+       snap1 AS (
+         SELECT o_orderstatus, COUNT(*) AS n_snap1
+         FROM orders WHERE o_orderkey < 1000 GROUP BY o_orderstatus)
+       SELECT f.o_orderstatus, f.n_all, f.sum_all,
+              COALESCE(s.n_snap1, 0) AS n_snap1
+       FROM full_t f LEFT JOIN snap1 s ON f.o_orderstatus = s.o_orderstatus
+       ORDER BY f.o_orderstatus"""
+
   /** R60 — distribution window functions: percent_rank / cume_dist
     * over a peerless ordering (unique tiebreak ⇒ both are exact rank
     * arithmetic, engine-independent), plus first/nth/last value over
