@@ -692,6 +692,54 @@ object TextPipeline {
               t.n_batch - COALESCE(f.n_new, 0) AS n_dup
        FROM tot t LEFT JOIN fresh f ON t.lang = f.lang ORDER BY t.lang"""
 
+  /** L25 — corpus dashboard: the one-stop per-source health report a
+    * curation run starts and ends with — volume, token mass, language
+    * mix, exact-dup rate, and mean quality, each a column computed by
+    * the same definitions as the standalone operators. One pass +
+    * one dedup shuffle; every column is exact-arithmetic so the
+    * DuckDB oracle hash-matches. */
+  def corpusStats(s: SparkSession, d: String): DataFrame = {
+    val scored = withWords(documents(s, d))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("h_en", expr(hitsExpr("en"))).withColumn("h_es", expr(hitsExpr("es")))
+      .withColumn("h_de", expr(hitsExpr("de"))).withColumn("h_fr", expr(hitsExpr("fr")))
+      .withColumn("h_zh", expr(hitsExpr("zh")))
+      .withColumn("pred_lang", expr(predCase))
+      .withColumn("h", md5(col("text")))
+    scored.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("total_tokens"),
+        countDistinct(col("h")).as("n_unique"),
+        round(lit(1.0) - countDistinct(col("h")).cast("double") / count(lit(1)), 6)
+          .as("dup_rate"),
+        round(count(when(col("pred_lang") === "en", 1)).cast("double") / count(lit(1)), 6)
+          .as("english_share"),
+        round(graft.Exact.davg(col("n_words").cast("double")), 6).as("mean_tokens"))
+      .orderBy("source")
+  }
+
+  val corpusStatsSql: String = {
+    def h(lang: String) = {
+      val list = stops(lang).map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(ws, w -> w IN ($list))) AS BIGINT) AS h_${lang}"
+    }
+    s"""WITH w AS (SELECT doc_id, text, source, string_split(text, ' ') AS ws FROM documents),
+       f AS (SELECT source, text, CAST(len(ws) AS BIGINT) AS n_words,
+                    ${h("en")}, ${h("es")}, ${h("de")}, ${h("fr")}, ${h("zh")}
+             FROM w),
+       sc AS (SELECT source, n_words, md5(text) AS h, $predCase AS pred_lang FROM f)
+       SELECT source,
+              COUNT(*) AS n_docs,
+              CAST(SUM(n_words) AS BIGINT) AS total_tokens,
+              COUNT(DISTINCT h) AS n_unique,
+              round(1.0 - CAST(COUNT(DISTINCT h) AS DOUBLE) / COUNT(*), 6) AS dup_rate,
+              round(CAST(COUNT(*) FILTER (WHERE pred_lang = 'en') AS DOUBLE) / COUNT(*), 6)
+                AS english_share,
+              round(${graft.Exact.sqlAvg("CAST(n_words AS DOUBLE)")}, 6) AS mean_tokens
+       FROM sc GROUP BY source ORDER BY source"""
+  }
+
   val decontaminateSql: String =
     """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        grams AS (
