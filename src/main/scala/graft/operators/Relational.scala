@@ -1360,6 +1360,84 @@ object Relational {
        FROM full_t f LEFT JOIN snap1 s ON f.o_orderstatus = s.o_orderstatus
        ORDER BY f.o_orderstatus"""
 
+  /** R70 — latest-row-per-key dedup (the CDC-compaction / SCD-1
+    * pattern): one row_number window per key, keep rank 1. One
+    * shuffle on the key; at 100 TB this is THE idiom for collapsing
+    * an append-only event log to current state. */
+  def qLatestPerKey(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    orders(s, d).filter(col("o_custkey") < 300)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey").as("latest_order"),
+        col("o_orderdate").cast("date").cast("string").as("latest_date"),
+        col("o_totalprice").as("latest_price"))
+      .orderBy("o_custkey")
+  }
+
+  val qLatestPerKeySql: String =
+    """SELECT o_custkey, o_orderkey AS latest_order,
+              CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS latest_date,
+              o_totalprice AS latest_price
+       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+             FROM orders WHERE o_custkey < 300) t
+       WHERE rn = 1 ORDER BY o_custkey"""
+
+  /** R71 — UNPIVOT (wide → long): per-flag quantity/price measure
+    * columns melted into (measure, value) rows. Narrow per-row
+    * expansion, no shuffle until the final sort. */
+  def qUnpivot(s: SparkSession, d: String): DataFrame = {
+    val wide = lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(dsum(col("l_quantity")).as("qty"),
+           dsum(col("l_extendedprice")).as("price"),
+           dsum(col("l_discount")).as("disc"))
+    wide.select(col("l_returnflag"),
+        expr("stack(3, 'qty', qty, 'price', price, 'disc', disc) AS (measure, value)"))
+      .orderBy("l_returnflag", "measure")
+  }
+
+  val qUnpivotSql: String =
+    s"""WITH wide AS (
+         SELECT l_returnflag,
+                ${sqlSum("l_quantity")} AS qty,
+                ${sqlSum("l_extendedprice")} AS price,
+                ${sqlSum("l_discount")} AS disc
+         FROM lineitem GROUP BY l_returnflag)
+       SELECT l_returnflag, measure, value
+       FROM wide UNPIVOT (value FOR measure IN (qty, price, disc))
+       ORDER BY l_returnflag, measure"""
+
+  /** R72 — dense-grid zero-fill report: the full (status × priority)
+    * grid cross-joined from the distinct dimensions, LEFT-joined to
+    * facts so empty cells report 0 — the reporting idiom that makes
+    * dashboards stable when a cell has no activity. Both dimension
+    * sides are tiny and broadcast. */
+  def qDenseGrid(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val statuses = o.select("o_orderstatus").distinct()
+    val prios = o.select("o_orderpriority").distinct()
+    val facts = o.groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+    statuses.crossJoin(prios)
+      .join(facts, Seq("o_orderstatus", "o_orderpriority"), "left")
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        coalesce(col("n"), lit(0L)).as("n_orders"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
+  val qDenseGridSql: String =
+    """SELECT s.o_orderstatus, p.o_orderpriority,
+              COALESCE(f.n, 0) AS n_orders
+       FROM (SELECT DISTINCT o_orderstatus FROM orders) s
+       CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+       LEFT JOIN (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+                  FROM orders GROUP BY 1, 2) f
+         ON s.o_orderstatus = f.o_orderstatus AND p.o_orderpriority = f.o_orderpriority
+       ORDER BY s.o_orderstatus, p.o_orderpriority"""
+
   /** R60 — distribution window functions: percent_rank / cume_dist
     * over a peerless ordering (unique tiebreak ⇒ both are exact rank
     * arithmetic, engine-independent), plus first/nth/last value over
