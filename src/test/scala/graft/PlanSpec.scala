@@ -159,6 +159,24 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(bp.contains("partial_"), "gram counting must map-side combine")
   }
 
+  test("latest-per-key / dense-grid: one window shuffle; tiny dims broadcast") {
+    val lk = planOf(Relational.qLatestPerKey(spark, sfDir))
+    val finalPlan = lk.split("== Initial Plan ==").head
+    // exactly one Window operator; WindowGroupLimit operators are the
+    // rank<=1 pushdown — a bonus, not a second window sort
+    assert("Window \\[".r.findAllIn(finalPlan).size == 1, finalPlan.take(600))
+    assert("Exchange hashpartitioning".r.findAllIn(finalPlan).size <= 1,
+      s"latest-per-key is one shuffle\n$finalPlan")
+    val dg = planOf(Relational.qDenseGrid(spark, sfDir))
+    // the cross join multiplies two distinct-value sets of a handful
+    // of rows each — it must plan as a broadcast nested loop over
+    // broadcast sides, never shuffle the fact table into it
+    assert(dg.contains("BroadcastNestedLoopJoin") || dg.contains("CartesianProduct"),
+      dg.take(600))
+    assert(dg.contains("BroadcastHashJoin") || dg.contains("BroadcastNestedLoopJoin"),
+      "fact attach must broadcast the tiny grid")
+  }
+
   test("catalog table scans keep pushdown through GraftTable") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.plans")
     spark.read.parquet(s"$sfDir/orders.parquet")
