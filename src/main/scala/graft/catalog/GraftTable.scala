@@ -380,6 +380,12 @@ final class GraftTable(
         s"graft parquet multi-schema (${groups.size} rename groups)"
       override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
         GraftTable.manifestStatistics(groups.flatMap(_._2))
+      override def toMicroBatchStream(checkpointLocation: String)
+          : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+        require(pinnedFiles.isEmpty, "cannot stream a time-travel-pinned table")
+        // deltaBatch does its own per-snapshot rename grouping
+        new GraftMicroBatchStream(options, predicateState, requiredState)
+      }
       override def toBatch: Batch = new Batch {
         override def planInputPartitions(): Array[InputPartition] =
           scans.zipWithIndex.flatMap { case (s, g) =>
@@ -870,12 +876,39 @@ final class GraftTable(
         .filter(s => s.sequenceNumber > startSeq && s.sequenceNumber <= endSeq)
         .filter(_.operation == "append")
         .flatMap(addedEntries(m, _))
+        .map(SchemaEvolution.statsToCurrent(m, _))
       val translated = predicates.flatMap(GraftBridge.translateFilter)
       val kept = entries.filter(e => translated.forall(f => Stats.mayContain(e, schema, f)))
-      val b = parquetDelegate(kept.map(_.path)).newScanBuilder(options)
-      if (predicates.nonEmpty) b.pushFilters(predicates)
-      required.foreach(b.pruneColumns)
-      b.build().toBatch
+      // Field-id evolution for replayed history: a delta's files were
+      // written under their snapshots' schemas — read them through the
+      // physical names in current column order (same contract as the
+      // batch MultiSchemaScan; per-signature grouping because a wide
+      // endSeq range can straddle a rename).
+      val groups = kept.groupBy(e => SchemaEvolution.renames(m, e)).toSeq
+      val scans = groups.map { case (rn, es) =>
+        val b = parquetDelegate(es.map(_.path), SchemaEvolution.physStructType(schema, rn))
+          .newScanBuilder(options)
+        val renamed = predicates.map(_.transform {
+          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+              if rn.contains(a.name) => a.withName(rn(a.name))
+        })
+        if (renamed.nonEmpty) b.pushFilters(renamed)
+        b.pruneColumns(SchemaEvolution.physStructType(required.getOrElse(schema), rn))
+        b.build()
+      }
+      // The stream-level reader factory is created ONCE for the whole
+      // query while groups are per-batch, so each partition CARRIES its
+      // group's factory instead of an index into per-batch state.
+      new Batch {
+        override def planInputPartitions(): Array[InputPartition] =
+          scans.flatMap { s =>
+            val f = s.toBatch.createReaderFactory()
+            s.toBatch.planInputPartitions()
+              .map(p => GraftTable.CarryingPartition(p, f): InputPartition)
+          }.toArray
+        override def createReaderFactory(): PartitionReaderFactory =
+          GraftTable.CarryingFactory()
+      }
     }
 
     override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
@@ -980,6 +1013,31 @@ object GraftTable {
     override def supportColumnarReads(p: org.apache.spark.sql.connector.read.InputPartition)
         : Boolean =
       factories(un(p).group).supportColumnarReads(un(p).inner)
+  }
+
+  /** A partition carrying its own reader factory — for streaming delta
+    * batches, whose per-batch rename grouping cannot be addressed by a
+    * query-lifetime factory. */
+  private[catalog] final case class CarryingPartition(
+      inner: org.apache.spark.sql.connector.read.InputPartition,
+      factory: org.apache.spark.sql.connector.read.PartitionReaderFactory)
+      extends org.apache.spark.sql.connector.read.InputPartition {
+    override def preferredLocations(): Array[String] = inner.preferredLocations()
+  }
+
+  private[catalog] final case class CarryingFactory()
+      extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+    private def un(p: org.apache.spark.sql.connector.read.InputPartition) =
+      p.asInstanceOf[CarryingPartition]
+    override def createReader(p: org.apache.spark.sql.connector.read.InputPartition)
+        : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
+      un(p).factory.createReader(un(p).inner)
+    override def createColumnarReader(p: org.apache.spark.sql.connector.read.InputPartition)
+        : org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+      un(p).factory.createColumnarReader(un(p).inner)
+    override def supportColumnarReads(p: org.apache.spark.sql.connector.read.InputPartition)
+        : Boolean =
+      un(p).factory.supportColumnarReads(un(p).inner)
   }
 
   /** Planner statistics from manifest footers (rows + on-disk bytes of

@@ -61,6 +61,29 @@ class EvolveSpec extends SparkSpec {
     assert(feed.filter("val = 1.5").count() == 1)
   }
 
+  test("streaming replay across a rename reads old snapshots through field ids") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ev")
+    spark.sql("CREATE TABLE graft.ev.srn (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.ev.srn VALUES (1, 1.5), (2, 2.5)")
+    spark.sql("ALTER TABLE graft.ev.srn RENAME COLUMN v TO val")
+    spark.sql("INSERT INTO graft.ev.srn VALUES (3, 3.5)")
+
+    val seen = scala.collection.mutable.Map[Long, Double]()
+    val q = spark.readStream.table("graft.ev.srn")
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("id", "val").collect().foreach(r => seen(r.getLong(0)) = r.getDouble(1))
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-srn-").toString)
+      .start()
+    assert(q.awaitTermination(120000))
+    assert(seen.toMap == Map(1L -> 1.5, 2L -> 2.5, 3L -> 3.5),
+      s"pre-rename snapshots must replay under the new name, got $seen")
+  }
+
   test("type widening: INT→BIGINT and FLOAT→DOUBLE read across eras") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ev")
     spark.sql("CREATE TABLE graft.ev.tw (id INT, x FLOAT)")
