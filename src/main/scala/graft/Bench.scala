@@ -18,8 +18,14 @@ object Bench {
       .foreach(_(spark, sfDir).count())
     catch { case _: Throwable => () }
     // min of two runs per query: steady-state cost, robust to ambient
-    // load spikes on a shared box
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // load spikes on a shared box. The FS-churning catalog roundtrip
+    // runs LAST so its write jobs and GC pressure can't inflate the
+    // pure-relational timings measured before it.
+    val sideEffecting = Set("q_catalog_roundtrip")
+    val ordered = SparkEntry.queries.toSeq.sortBy { case (n, _) =>
+      (sideEffecting.contains(n), n)
+    }
+    val results = ordered.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -33,16 +39,21 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    // Repeat a short headline line last: the full per-query line can
-    // exceed the harness's captured log tail, this one never does.
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // core = the query-engine total without the catalog-DDL roundtrip,
+    // whose cost is commit protocol + write jobs, not query plans.
+    val core = results.filterNot(r => sideEffecting.contains(r._1)).map(_._2).sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","core_sec":${fmt(core)},"queries":$qs,"sf":"$sfDir"}""")
+    // Repeat a short headline line last (distinct metric name so
+    // line-oriented parsers can't confuse it with the full line): the
+    // full per-query line can exceed the harness's captured log tail,
+    // this one never does.
     val headline = Seq("q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
       "q9_product_profit", "q18_large_volume", "dedup_minhash_lsh", "dedup_components",
       "ann_lsh_topk", "text_quality", "pipeline_curate")
-    val hq = headline.flatMap(k => results.get(k).map(v => s"\"" + k + "\":" + fmt(v)))
+    val hq = headline.flatMap(k => results.toMap.get(k).map(v => s"\"" + k + "\":" + fmt(v)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$hq,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_headline","value":${fmt(total)},"unit":"sec","core_sec":${fmt(core)},"queries":$hq,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -159,7 +159,10 @@ object Materialized {
           (col("n_rows").isNull ||
             col("del_min") <= col("value_min") || col("del_max") >= col("value_max")))
     val repairKeys = joined.filter(col("needs_repair")).select(keyCols.map(col): _*)
-    val repaired = ops.read(spark, srcDir)
+    // repair at the PINNED head — reading the source at `now` would
+    // fold in commits beyond headSeq while the watermark records
+    // headSeq, double-applying them on the next refresh
+    val repaired = ops.readAtSeq(spark, srcDir, headSeq)
       .join(repairKeys, keyCols, "left_semi")
       .groupBy(keyCols.map(col): _*)
       .agg(min(v).as("value_min"), max(v).as("value_max"), count(lit(1)).as("n_rows"))
@@ -239,7 +242,10 @@ object Materialized {
       .select(col(keyA).as("key"), col("_sign").as("sa"))
     val dB = signed(ops.changes(spark, srcBDir, lastB, headB))
       .select(col(keyB).as("kb"), col("_sign").as("sb"))
-    val bNew = ops.read(spark, srcBDir).select(col(keyB).as("kb"))
+    // B pinned at the recorded watermark headB — a commit to B that
+    // races in between the watermark pin and this read would otherwise
+    // be counted here AND again by the next refresh's ΔB term
+    val bNew = ops.readAtSeq(spark, srcBDir, headB).select(col(keyB).as("kb"))
     val aOld = ops.readAtSeq(spark, srcADir, lastA).select(col(keyA).as("key"))
 
     val term1 = dA.join(bNew, col("key") === col("kb")).select(col("key"), col("sa").as("w"))

@@ -27,13 +27,27 @@ object SchemaEvolution {
 
   /** current name → physical (write-time) name, for fields whose name
     * changed between the file's write schema and the current one.
-    * Empty ⇒ the file reads correctly by name. */
+    * Empty ⇒ the file reads correctly by name.
+    *
+    * Resolution is strictly by FIELD ID: a current field whose id is
+    * absent from the write schema but whose NAME is physically present
+    * in the file (the name was freed by a RENAME or DROP and later
+    * reused by ADD COLUMN) is mapped to a synthetic absent name so the
+    * reader null-fills it — reading by name there would resurrect the
+    * old column's data under the new column. */
   def renames(meta: TableMetadata, e: DataFileEntry): Map[String, String] =
     writeSchema(meta, e) match {
       case None => Map.empty
       case Some(ws) =>
+        val physNames = ws.fields.map(_.name).toSet
         meta.currentSchema.fields.flatMap { f =>
-          ws.fields.find(_.id == f.id).filter(_.name != f.name).map(w => f.name -> w.name)
+          ws.fields.find(_.id == f.id) match {
+            case Some(w) if w.name != f.name => Some(f.name -> w.name)
+            case Some(_) => None
+            case None if physNames.contains(f.name) =>
+              Some(f.name -> s"__graft_absent_${f.id}")
+            case None => None // fresh name: by-name read null-fills
+          }
         }.toMap
     }
 

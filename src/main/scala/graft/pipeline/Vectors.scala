@@ -214,10 +214,13 @@ object Vectors {
   def annLshTopk(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
     val tables = 8
-    val codes = (0 until tables).map { t =>
-      e.select(col("vec_id"), col("embedding"), lit(t).as("tbl"),
-        planeCode("embedding", t, 4).as("code"))
-    }.reduce(_ union _)
+    // ONE scan computes all 8 table codes per vector in a single
+    // projection, then posexplode fans them out to (tbl, code) rows —
+    // identical buckets to a per-table scan at 1/8 the scan work.
+    val codes = e
+      .select(col("vec_id"), col("embedding"),
+        posexplode(array((0 until tables).map(t => planeCode("embedding", t, 4)): _*)))
+      .select(col("vec_id"), col("embedding"), col("pos").as("tbl"), col("col").as("code"))
     val q = codes.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("tbl"), col("code"))
     // Dedup candidates on the (query, neighbor) ID pair ONLY, then

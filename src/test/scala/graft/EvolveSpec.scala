@@ -61,6 +61,37 @@ class EvolveSpec extends SparkSpec {
     assert(feed.filter("val = 1.5").count() == 1)
   }
 
+  test("name reuse after RENAME/DROP: new column null-fills, never resurrects old data") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ev")
+
+    // RENAME v -> val, then ADD a NEW column reusing the freed name v:
+    // for pre-rename files the new v must be NULL (its field id is not
+    // in their write schema) while val still carries the old v data.
+    spark.sql("CREATE TABLE graft.ev.reuse (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.ev.reuse VALUES (1, 1.5), (2, 2.5)")
+    spark.sql("ALTER TABLE graft.ev.reuse RENAME COLUMN v TO val")
+    spark.sql("ALTER TABLE graft.ev.reuse ADD COLUMN v BIGINT")
+    spark.sql("INSERT INTO graft.ev.reuse VALUES (3, 3.5, 30)")
+    val rows = spark.sql("SELECT id, val, v FROM graft.ev.reuse ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 1.5), (2L, 2.5), (3L, 3.5)), rows.mkString(", "))
+    assert(rows.take(2).forall(_.isNullAt(2)),
+      s"new column v must null-fill pre-rename files, got ${rows.mkString(", ")}")
+    assert(rows.last.getLong(2) == 30L)
+
+    // DROP then re-ADD the same name: old files must read NULL for the
+    // re-added column, not the dropped column's values.
+    spark.sql("CREATE TABLE graft.ev.readd (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.ev.readd VALUES (1, 1.5)")
+    spark.sql("ALTER TABLE graft.ev.readd DROP COLUMN v")
+    spark.sql("ALTER TABLE graft.ev.readd ADD COLUMN v DOUBLE")
+    spark.sql("INSERT INTO graft.ev.readd VALUES (2, 9.5)")
+    val r2 = spark.sql("SELECT id, v FROM graft.ev.readd ORDER BY id").collect()
+    assert(r2.head.isNullAt(1),
+      s"re-added v must be NULL for pre-drop files, got ${r2.mkString(", ")}")
+    assert(r2.last.getDouble(1) == 9.5)
+  }
+
   test("streaming replay across a rename reads old snapshots through field ids") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ev")
     spark.sql("CREATE TABLE graft.ev.srn (id BIGINT, v DOUBLE)")
