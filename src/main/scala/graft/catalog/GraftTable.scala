@@ -164,8 +164,11 @@ final class GraftTable(
       * PLUS any missing delete-key columns, and a per-file reader
       * assigns row ordinals, drops dead rows (positional + seq-aware
       * equality deletes) and appends the requested metadata columns.
-      * Delete sets are collected driver-side at build (delete files
-      * are O(deleted keys/rows) by design).
+      * Delete sets are read PER TASK on the executors (planned here as
+      * parquet sub-scans, decoded+cached JVM-wide by MorFilter) — the
+      * driver never materializes keys or coordinates, so a
+      * multi-million-key delete commit cannot OOM it or bloat task
+      * serialization.
       *
       * When ordinals matter (pos-deletes present or `_pos` requested)
       * the delegate gets NO pushdown — parquet row-group skipping
@@ -191,41 +194,41 @@ final class GraftTable(
       if (!needOrdinals && predicateState.nonEmpty) b.pushFilters(predicateState)
       b.pruneColumns(extended)
       val inner = b.build()
+      // Delete state stays OFF the driver: only the planned parquet
+      // sub-scan over each delete-file group (paths + offsets) ships
+      // to executors, which decode and cache the sets themselves
+      // (MorFilter.deadKeys / deadPositions).
+      def deleteHandle(paths: Seq[String], ds: StructType): MorFilter.DeleteScanHandle = {
+        val db = parquetDelegate(paths, ds).newScanBuilder(
+          new CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
+        db.pruneColumns(ds)
+        val batch = db.build().toBatch
+        MorFilter.DeleteScanHandle(
+          java.util.UUID.randomUUID().toString,
+          batch.planInputPartitions().toIndexedSeq, batch.createReaderFactory(), ds)
+      }
       val keySets = eqDeletes.groupBy(e => (e.equalityColumns, e.deleteSeq)).toSeq
         .map { case ((cols, dseq), es) =>
           val ks = StructType(cols.map(c => schema.fields.find(_.name == c).get))
-          val dead = spark.read.schema(ks).parquet(es.map(_.path): _*)
-            .distinct().collect()
-            .map(r => cols.indices.map(i => MorFilter.normalize(r.get(i))).toVector)
-            .filterNot(_.contains(null)).toSet
           MorFilter.KeySet(
             cols.map(extended.fieldIndex).toArray,
             cols.map(c => extended(extended.fieldIndex(c)).dataType).toArray,
-            dead, dseq)
+            deleteHandle(es.map(_.path), ks), dseq)
         }
-      val posByFile: Map[String, Set[Long]] =
-        if (posDeletes.isEmpty) Map.empty
+      val posHandle: Option[MorFilter.DeleteScanHandle] =
+        if (posDeletes.isEmpty) None
         else {
           val posSchema = StructType(Seq(
             org.apache.spark.sql.types.StructField("_file", org.apache.spark.sql.types.StringType, nullable = false),
             org.apache.spark.sql.types.StructField(
               "_pos", org.apache.spark.sql.types.LongType, nullable = false)))
-          spark.read.schema(posSchema).parquet(posDeletes.map(_.path): _*)
-            .collect()
-            .groupBy { r =>
-              val s = r.getString(0)
-              // table-relative coordinates (rename-safe) resolve
-              // against the CURRENT table dir; legacy absolutes as-is
-              if (s.startsWith("/") || s.contains(":/")) norm(s)
-              else norm(new Path(dir, s).toString)
-            }
-            .map { case (p, rows) => p -> rows.map(_.getLong(1)).toSet }
+          Some(deleteHandle(posDeletes.map(_.path), posSchema))
         }
       val confByPath = keptEntries.map { e =>
         val p = norm(e.path)
         p -> MorFilter.FileConf(
           keySets.filter(_.deleteSeq > e.dataSeq),
-          posByFile.getOrElse(p, Set.empty))
+          posHandle, dir.toString)
       }.toMap
       val metaFields = metaCols.map {
         case "_file" => org.apache.spark.sql.types.StructField(

@@ -10,9 +10,17 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Merge-on-read delete application at the reader level: rows whose
   * key tuple appears in an applicable equality-delete set, or whose
   * (file, ordinal) appears in a positional-delete set, are dropped
-  * before they leave the scan. Delete sets are collected driver-side
-  * at scan build (delete files are O(deleted keys/rows), small by
-  * design) and ship to executors inside the reader factory.
+  * before they leave the scan.
+  *
+  * Delete state is NEVER materialized on the driver: scan build only
+  * PLANS a parquet sub-scan over the delete files (paths + offsets —
+  * O(files) metadata) and ships that plan ([[DeleteScanHandle]])
+  * inside the reader factory; each EXECUTOR reads the delete files
+  * itself on first use and caches the decoded set per JVM (the
+  * Iceberg `DeleteFilter` shape). A delete commit carrying millions
+  * of keys costs the driver nothing and each executor one read +
+  * one in-memory set, instead of a driver collect plus a copy in
+  * every serialized task.
   *
   * Sequence semantics: an equality delete applies to a data file iff
   * the file's data sequence number is strictly below the delete's
@@ -26,34 +34,93 @@ import org.apache.spark.unsafe.types.UTF8String
   * delete tuples containing nulls are dropped at set build. */
 object MorFilter {
 
+  /** A PLANNED (not executed) scan over a group of delete files: the
+    * parquet reader factory plus its input partitions, both of which
+    * Spark already makes serializable for normal task shipping. `id`
+    * is the executor-side cache key — unique per scan build. */
+  final case class DeleteScanHandle(
+      id: String,
+      partitions: Seq[InputPartition],
+      factory: PartitionReaderFactory,
+      schema: StructType) extends Serializable
+
   /** One equality-delete set: positions/types of its key columns
-    * within the EXTENDED read schema, the normalized dead tuples, and
-    * the delete's sequence number (for per-file applicability). */
+    * within the EXTENDED read schema, the handle that loads its dead
+    * tuples executor-side, and the delete's sequence number (for
+    * per-file applicability). */
   final case class KeySet(
-      idx: Array[Int], types: Array[DataType], dead: Set[Vector[Any]], deleteSeq: Long)
+      idx: Array[Int], types: Array[DataType], handle: DeleteScanHandle, deleteSeq: Long)
       extends Serializable
 
   /** Per-data-file delete state: the equality keysets that apply to
-    * this file (seq-filtered) plus its dead row ordinals. */
-  final case class FileConf(keySets: Seq[KeySet], deadPos: Set[Long]) extends Serializable {
-    def isEmpty: Boolean = keySets.isEmpty && deadPos.isEmpty
+    * this file (seq-filtered) plus the positional-delete scan (shared
+    * across files; each reader looks up its own ordinals) and the
+    * table dir that relative delete coordinates resolve against. */
+  final case class FileConf(
+      keySets: Seq[KeySet],
+      posHandle: Option[DeleteScanHandle],
+      tableDir: String) extends Serializable {
+    def isEmpty: Boolean = keySets.isEmpty && posHandle.isEmpty
   }
 
-  /** External (driver) value → comparison-normal form. */
-  def normalize(v: Any): Any = v match {
-    case n: Number => n.longValue()
-    case s: String => s
-    case b: java.lang.Boolean => b.booleanValue()
-    case other => other
+  /** Executor-side decoded-delete-set cache: access-ordered LRU, keyed
+    * by handle id. Bounds memory on long-lived executors that scan
+    * many MOR tables; within one scan every task hits the same entry. */
+  private val cache = new java.util.LinkedHashMap[String, AnyRef](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, AnyRef]): Boolean =
+      size() > 32
+  }
+  private def cached[T <: AnyRef](id: String)(load: => T): T = cache.synchronized {
+    cache.get(id) match {
+      case t: AnyRef if t != null => t.asInstanceOf[T]
+      case _ => val t = load; cache.put(id, t); t
+    }
   }
 
-  private def rowKey(row: InternalRow, ks: KeySet): Vector[Any] = {
+  private def foreachRow(h: DeleteScanHandle)(f: InternalRow => Unit): Unit =
+    h.partitions.foreach { p =>
+      val r = h.factory.createReader(p)
+      try while (r.next()) f(r.get()) finally r.close()
+    }
+
+  /** Dead key tuples of one equality-delete group, loaded and decoded
+    * on the executor (distinct via set insertion; null-containing
+    * tuples dropped — they never match). */
+  def deadKeys(h: DeleteScanHandle): Set[Vector[Any]] = cached(s"eq:${h.id}") {
+    val types = h.schema.fields.map(_.dataType)
+    val idx = types.indices.toArray
+    val out = scala.collection.mutable.HashSet.empty[Vector[Any]]
+    foreachRow(h) { row =>
+      val k = extractKey(row, idx, types)
+      if (k != null) out += k
+    }
+    out.toSet
+  }
+
+  /** file path (normalized absolute) → dead ordinals, loaded on the
+    * executor. Table-relative coordinates (rename-safe) resolve
+    * against the CURRENT table dir; legacy absolutes as-is. */
+  def deadPositions(h: DeleteScanHandle, tableDir: String): Map[String, Set[Long]] =
+    cached(s"pos:${h.id}") {
+      def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toUri.getPath
+      val out = scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.HashSet[Long]]
+      foreachRow(h) { row =>
+        val s = row.getUTF8String(0).toString
+        val p =
+          if (s.startsWith("/") || s.contains(":/")) norm(s)
+          else norm(new org.apache.hadoop.fs.Path(tableDir, s).toString)
+        out.getOrElseUpdate(p, scala.collection.mutable.HashSet.empty) += row.getLong(1)
+      }
+      out.map { case (k, v) => k -> v.toSet }.toMap
+    }
+
+  private def extractKey(row: InternalRow, idx: Array[Int], types: Array[DataType]): Vector[Any] = {
     val out = Vector.newBuilder[Any]
     var i = 0
-    while (i < ks.idx.length) {
-      val at = ks.idx(i)
-      if (row.isNullAt(at)) return null // null never matches a delete tuple
-      out += (ks.types(i) match {
+    while (i < idx.length) {
+      val at = idx(i)
+      if (row.isNullAt(at)) return null
+      out += (types(i) match {
         case ByteType => row.getByte(at).toLong
         case ShortType => row.getShort(at).toLong
         case IntegerType => row.getInt(at).toLong
@@ -65,6 +132,15 @@ object MorFilter {
       i += 1
     }
     out.result()
+  }
+
+  /** External (driver) value → comparison-normal form (kept for
+    * callers that compare against executor-decoded tuples). */
+  def normalize(v: Any): Any = v match {
+    case n: Number => n.longValue()
+    case s: String => s
+    case b: java.lang.Boolean => b.booleanValue()
+    case other => other
   }
 
   /** Key-grouped MOR reading: a storage-partitioned-join partition
@@ -130,8 +206,16 @@ object MorFilter {
           java.net.URLDecoder.decode(fp.files.head.urlEncodedPath, "UTF-8")
         case other => throw new IllegalStateException(s"unexpected partition: $other")
       }
-      val conf = confByPath.getOrElse(
-        new org.apache.hadoop.fs.Path(path).toUri.getPath, FileConf(Seq.empty, Set.empty))
+      val normPath = new org.apache.hadoop.fs.Path(path).toUri.getPath
+      val conf = confByPath.getOrElse(normPath, FileConf(Seq.empty, None, ""))
+      // Executor-side delete-set resolution: first reader on this JVM
+      // loads each delete group once, later readers hit the cache.
+      val eqSets: Seq[(Array[Int], Array[DataType], Set[Vector[Any]])] =
+        conf.keySets.map(ks => (ks.idx, ks.types, deadKeys(ks.handle)))
+      val deadPos: Set[Long] = conf.posHandle match {
+        case Some(h) => deadPositions(h, conf.tableDir).getOrElse(normPath, Set.empty)
+        case None => Set.empty
+      }
       val delegate = inner.createReader(p)
       new PartitionReader[InternalRow] {
         private val proj = UnsafeProjection.create(
@@ -155,10 +239,10 @@ object MorFilter {
           while (delegate.next()) {
             ordinal += 1
             val row = delegate.get()
-            if (!conf.deadPos.contains(ordinal)) {
-              val eqDead = conf.keySets.exists { ks =>
-                val k = rowKey(row, ks)
-                k != null && ks.dead.contains(k)
+            if (!deadPos.contains(ordinal)) {
+              val eqDead = eqSets.exists { case (idx, types, dead) =>
+                val k = extractKey(row, idx, types)
+                k != null && dead.contains(k)
               }
               if (!eqDead) { current = row; currentPos = ordinal; return true }
             }

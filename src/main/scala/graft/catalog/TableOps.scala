@@ -21,7 +21,7 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   * writers never observe each other's files, and failed writes leave
   * orphans that no manifest references (cleanable later, never read).
   */
-final class TableOps(store: FsStore) {
+final class TableOps(private[graft] val store: FsStore) {
 
   def metadataDir(tableDir: Path): Path = new Path(tableDir, "metadata")
   def dataDir(tableDir: Path): Path = new Path(tableDir, "data")
@@ -601,7 +601,10 @@ final class TableOps(store: FsStore) {
       }
     }
     val writeDir = new Path(dataDir(tableDir), s"w-${UUID.randomUUID()}")
-    keys.distinct().coalesce(1).write.parquet(writeDir.toString)
+    // distinct() shuffles on the key; the write keeps that parallelism
+    // (one part per shuffle partition) — a million-key delete must not
+    // funnel through one task. The manifest carries every part.
+    keys.distinct().write.parquet(writeDir.toString)
     val files = store.listFilesRec(writeDir)
       .filter(_.getName.endsWith(".parquet")).map(_.toString)
     // A delete commit COMMUTES with concurrent snapshot commits (the
@@ -645,7 +648,9 @@ final class TableOps(store: FsStore) {
       .select(regexp_replace(col("_file"), s"^.*$baseNorm", "").as("_file"),
               col("_pos"))
     val writeDir = new Path(dataDir(tableDir), s"w-${UUID.randomUUID()}")
-    matches.coalesce(1).write.parquet(writeDir.toString)
+    // parallel write — the matched coordinate set of a large delete
+    // must not funnel through one task; the manifest keeps every part
+    matches.write.parquet(writeDir.toString)
     val files = store.listFilesRec(writeDir)
       .filter(_.getName.endsWith(".parquet")).map(_.toString)
     commitDeleteEntries(tableDir, seq => files.map(f => DataFileEntry(
@@ -781,7 +786,7 @@ final class TableOps(store: FsStore) {
           val keySchema = StructType(schema.fields.filter(f => cols.contains(f.name)))
           val writeDir = new Path(dataDir(tableDir), s"w-${UUID.randomUUID()}")
           spark.read.schema(keySchema).parquet(run.map(_.path): _*)
-            .distinct().coalesce(1).write.parquet(writeDir.toString)
+            .distinct().write.parquet(writeDir.toString)
           store.listFilesRec(writeDir)
             .filter(_.getName.endsWith(".parquet")).map(_.toString)
             .map(f => DataFileEntry(relativize(tableDir, f), content = "eq-deletes",

@@ -15,6 +15,41 @@ import org.apache.spark.unsafe.types.UTF8String
   * vote/affine arithmetic), so downstream candidate sets are
   * unchanged. */
 object TextHashes {
+
+  /** Production hash mode: the dedup family's PER-TOKEN hash switches
+    * from the cross-engine md5 prefix to xxhash64 (~3× cheaper per
+    * shingle, the dominant dedup CPU cost at corpus scale). Default
+    * stays the md5 oracle mode — that is what lets the driver's DuckDB
+    * oracle replay MinHash/SimHash signatures bit-for-bit. Derived
+    * ONE-TIME constants (MinHash permutation coefficients, hyperplane
+    * weights) stay md5-based in both modes: their cost is per JVM, not
+    * per row. Opt in per JVM with `-Dgraft.hash.mode=production` /
+    * `GRAFT_HASH_MODE=production`, or at runtime via
+    * [[setProductionMode]] (flushes the per-mode memo caches).
+    * Signatures from the two modes are incompatible — never mix modes
+    * across the corpus inside one dedup run. */
+  @volatile private var production0: Boolean =
+    sys.props.get("graft.hash.mode").orElse(sys.env.get("GRAFT_HASH_MODE"))
+      .contains("production")
+
+  def productionMode: Boolean = production0
+
+  def setProductionMode(on: Boolean): Unit = synchronized {
+    if (production0 != on) {
+      production0 = on
+      SimHash64.clearMemo()
+    }
+  }
+
+  /** Per-token 60-bit hash (SimHash bit source): md5 prefix in oracle
+    * mode, xxhash64 in production. */
+  @inline def token60(s: UTF8String): Long =
+    if (production0) XXH64.hashUTF8String(s, 42L) >>> 4 else md5Low60(s)
+
+  /** Per-shingle base hash for the MinHash affine permutations. */
+  @inline def shingleBase(s: UTF8String, p: Long): Long =
+    if (production0) pmod(XXH64.hashUTF8String(s, 42L), p) else pmod(md5Low32(s), p)
+
   /** Spark SQL's xxhash64(string) with its default seed. */
   @inline def hashString(s: UTF8String, seed: Long = 42L): Long =
     XXH64.hashUTF8String(s, seed)
@@ -98,12 +133,14 @@ object SimHash64 {
   private val memoCap = 1 << 16
   private val memo = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  private[functions] def clearMemo(): Unit = memo.clear()
+
   private def hashWord(w: org.apache.spark.unsafe.types.UTF8String): Long = {
     val key = w.toString
     val cached = memo.get(key)
     if (cached != null) cached.longValue()
     else {
-      val h = TextHashes.md5Low60(w)
+      val h = TextHashes.token60(w)
       if (memo.size < memoCap) memo.put(key, h)
       h
     }
@@ -246,7 +283,7 @@ object MinHashSig {
     var i = 0
     while (i < n) {
       if (!shingles.isNullAt(i)) {
-        val base = TextHashes.pmod(TextHashes.md5Low32(shingles.getUTF8String(i)), P)
+        val base = TextHashes.shingleBase(shingles.getUTF8String(i), P)
         var j = 0
         while (j < 64) {
           val v = (base * coefA(j) + coefB(j)) % P

@@ -1,0 +1,591 @@
+package graft.rest
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import scala.jdk.CollectionConverters._
+
+import graft.catalog._
+
+/** Thin Iceberg-REST-protocol shim over [[TableOps]] — the reference's
+  * HTTP surface (denali routes/router.go: config, namespaces, tables
+  * CRUD, optimistic commit, views) served from the same FS-backed
+  * warehouse the Spark-side [[GraftCatalog]] mounts, so anything that
+  * speaks the protocol manages the SAME tables Spark queries.
+  *
+  * Request/response shapes follow routes/config.go, routes/ns.go,
+  * routes/tables.go and routes/views.go: `{"error": {code, type,
+  * message}}` envelopes, 204-on-empty, `%1F`-separated namespace path
+  * segments (common/funcs.go NamespaceIDFromPath), requirement JSON
+  * keyed by `type` (logic/reqs.go) and update JSON keyed by `action`
+  * (logic/updates.go tableUpdateMap). Divergence, documented: the
+  * `metadata` payload is graft's metadata JSON (Iceberg vocabulary,
+  * Spark DDL type names) rather than iceberg-go's — the storage layer
+  * under this shim is graft's, not a foreign engine's.
+  *
+  * Runs on the JDK's built-in HttpServer: no Spark session, no extra
+  * dependency; state lives entirely in the warehouse (the reference
+  * keeps a DB; graft's CAS-versioned metadata files fill that role, so
+  * the shim itself is stateless and any number of them can front one
+  * warehouse).
+  */
+final class RestCatalogServer(warehouse: Path, conf: Configuration, port: Int = 0) {
+
+  private val store = new FsStore(conf)
+  private val ops = new TableOps(store)
+  private val mapper = new ObjectMapper()
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+  private val NsMarker = ".graft-ns.json" // same layout as GraftCatalog
+  private val ViewsDir = ".graft-views"
+
+  final case class RestError(code: Int, errType: String, message: String)
+      extends RuntimeException(message)
+
+  def start(): Int = {
+    server.createContext("/", (ex: HttpExchange) => handle(ex))
+    server.setExecutor(null) // current thread of the default dispatcher
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = server.stop(0)
+
+  // ---------- routing ----------
+
+  private def handle(ex: HttpExchange): Unit = {
+    val method = ex.getRequestMethod
+    val segs = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty).toSeq
+      .map(s => java.net.URLDecoder.decode(s, "UTF-8"))
+    val out: Either[RestError, Option[JsonNode]] =
+      try Right(route(method, segs, ex))
+      catch {
+        case e: RestError => Left(e)
+        case e: CommitFailedException =>
+          Left(RestError(409, "CommitFailedException", e.getMessage))
+        case e: IllegalArgumentException =>
+          Left(RestError(400, "BadRequestError", e.getMessage))
+        case e: Exception =>
+          Left(RestError(500, "InternalError", String.valueOf(e.getMessage)))
+      }
+    out match {
+      case Right(None) => respond(ex, 204, None)
+      case Right(Some(node)) => respond(ex, 200, Some(node.toString))
+      case Left(err) =>
+        val o = mapper.createObjectNode()
+        val eo = o.putObject("error")
+        eo.put("code", err.code); eo.put("type", err.errType)
+        eo.put("message", err.message)
+        respond(ex, err.code, Some(o.toString))
+    }
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: Option[String]): Unit = {
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    body match {
+      case None =>
+        ex.sendResponseHeaders(code, -1)
+      case Some(s) =>
+        val bytes = s.getBytes(StandardCharsets.UTF_8)
+        // HEAD must not carry a body even when the handler built one
+        if (ex.getRequestMethod == "HEAD") ex.sendResponseHeaders(code, -1)
+        else {
+          ex.sendResponseHeaders(code, bytes.length.toLong)
+          ex.getResponseBody.write(bytes)
+        }
+    }
+    ex.close()
+  }
+
+  /** `%1F`-separated multipart namespace (reference common/funcs.go). */
+  private def nsFromSeg(seg: String): Seq[String] = seg.split('\u001F').toSeq
+
+  private def route(method: String, segs: Seq[String], ex: HttpExchange): Option[JsonNode] = {
+    val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+    def query(k: String): Option[String] =
+      q.split("&").filter(_.nonEmpty).map(_.split("=", 2))
+        .collectFirst { case Array(`k`, v) => java.net.URLDecoder.decode(v, "UTF-8") }
+    def body: JsonNode = mapper.readTree(ex.getRequestBody)
+
+    (method, segs) match {
+      case ("GET", Seq("status")) => None
+      case ("GET", Seq("v1", "config")) =>
+        query("warehouse").filter(_ != warehouse.toString).foreach { _ =>
+          throw RestError(400, "InvalidConfigError",
+            "The requested warehouse does not match the server warehouse")
+        }
+        val o = mapper.createObjectNode()
+        o.putObject("defaults").put("warehouse", warehouse.toString)
+        o.putObject("overrides")
+        Some(o)
+
+      case ("GET", Seq("v1", "namespaces")) =>
+        listNamespaces(query("parent").map(nsFromSeg).getOrElse(Seq.empty))
+      case ("POST", Seq("v1", "namespaces")) => createNamespace(body)
+      case ("HEAD", Seq("v1", "namespaces", ns)) =>
+        if (nsExists(nsFromSeg(ns))) None else throw notFoundNs(ns)
+      case ("GET", Seq("v1", "namespaces", ns)) => loadNamespace(nsFromSeg(ns))
+      case ("DELETE", Seq("v1", "namespaces", ns)) => dropNamespace(nsFromSeg(ns))
+      case ("POST", Seq("v1", "namespaces", ns, "properties")) =>
+        updateNsProperties(nsFromSeg(ns), body)
+
+      case ("GET", Seq("v1", "namespaces", ns, "tables")) => listTables(nsFromSeg(ns))
+      case ("POST", Seq("v1", "namespaces", ns, "tables")) => createTable(nsFromSeg(ns), body)
+      case ("POST", Seq("v1", "namespaces", ns, "register")) => registerTable(nsFromSeg(ns), body)
+      case ("GET", Seq("v1", "namespaces", ns, "tables", t)) => loadTable(nsFromSeg(ns), t)
+      case ("POST", Seq("v1", "namespaces", ns, "tables", t)) => commitTable(nsFromSeg(ns), t, body)
+      case ("DELETE", Seq("v1", "namespaces", ns, "tables", t)) => dropTable(nsFromSeg(ns), t)
+      case ("HEAD", Seq("v1", "namespaces", ns, "tables", t)) =>
+        if (ops.exists(tablePath(nsFromSeg(ns), t))) None
+        else throw RestError(404, "NoSuchTableError", s"Table `$t` not found")
+      case ("POST", Seq("v1", "tables", "rename")) => renameTable(body)
+      case ("POST", Seq("v1", "namespaces", _, "tables", _, "metrics")) => None // accepted
+
+      case ("GET", Seq("v1", "namespaces", ns, "views")) => listViews(nsFromSeg(ns))
+      case ("POST", Seq("v1", "namespaces", ns, "views")) => createView(nsFromSeg(ns), body)
+      case ("GET", Seq("v1", "namespaces", ns, "views", v)) => loadView(nsFromSeg(ns), v)
+      case ("POST", Seq("v1", "namespaces", ns, "views", v)) => replaceView(nsFromSeg(ns), v, body)
+      case ("DELETE", Seq("v1", "namespaces", ns, "views", v)) => dropView(nsFromSeg(ns), v)
+      case ("HEAD", Seq("v1", "namespaces", ns, "views", v)) =>
+        if (store.currentVersion(viewPath(nsFromSeg(ns), v)).isDefined) None
+        else throw RestError(404, "NoSuchViewError", s"View `$v` not found")
+      case ("POST", Seq("v1", "views", "rename")) => renameView(body)
+
+      case _ => throw RestError(404, "NotFoundError", s"$method /${segs.mkString("/")}")
+    }
+  }
+
+  // ---------- namespaces (routes/ns.go) ----------
+
+  private def nsPath(ns: Seq[String]): Path =
+    ns.foldLeft(warehouse)((p, part) => new Path(p, part))
+  private def tablePath(ns: Seq[String], t: String): Path = new Path(nsPath(ns), t)
+  private def viewPath(ns: Seq[String], v: String): Path =
+    new Path(new Path(nsPath(ns), ViewsDir), v)
+  private def nsExists(ns: Seq[String]): Boolean =
+    ns.isEmpty || store.exists(new Path(nsPath(ns), NsMarker))
+  private def notFoundNs(ns: String) =
+    RestError(404, "NoSuchNamespaceError", s"Namespace `$ns` not found")
+  private def requireNs(ns: Seq[String]): Unit =
+    if (!nsExists(ns)) throw notFoundNs(ns.mkString("."))
+
+  private def nsArray(o: ObjectNode, field: String, ns: Seq[String]): Unit = {
+    val a = o.putArray(field); ns.foreach(a.add)
+  }
+
+  private def listNamespaces(parent: Seq[String]): Option[JsonNode] = {
+    requireNs(parent)
+    val o = mapper.createObjectNode()
+    val a = o.putArray("namespaces")
+    store.list(nsPath(parent))
+      .filter(p => store.exists(new Path(p, NsMarker)))
+      .map(_.getName).sorted
+      .foreach { child =>
+        val e = a.addArray(); (parent :+ child).foreach(e.add)
+      }
+    Some(o)
+  }
+
+  private def readStringMap(n: JsonNode): Map[String, String] =
+    Option(n).map(_.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+      .getOrElse(Map.empty)
+
+  private def writeNsProps(ns: Seq[String], props: Map[String, String]): Unit = {
+    val node = mapper.createObjectNode()
+    props.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+    store.mkdirs(nsPath(ns))
+    store.writeString(new Path(nsPath(ns), NsMarker), node.toPrettyString)
+  }
+
+  private def createNamespace(body: JsonNode): Option[JsonNode] = {
+    val ns = Option(body.get("namespace")).map(_.elements().asScala.map(_.asText()).toSeq)
+      .getOrElse(throw new IllegalArgumentException("createNamespace: missing `namespace`"))
+    if (nsExists(ns))
+      throw RestError(409, "NamespaceAlreadyExistsError", s"Namespace already exists")
+    if (ns.length > 1) requireNs(ns.dropRight(1))
+    writeNsProps(ns, readStringMap(body.get("properties")))
+    val o = mapper.createObjectNode()
+    nsArray(o, "namespace", ns)
+    val po = o.putObject("properties")
+    readStringMap(body.get("properties")).toSeq.sortBy(_._1).foreach { case (k, v) => po.put(k, v) }
+    Some(o)
+  }
+
+  private def loadNamespace(ns: Seq[String]): Option[JsonNode] = {
+    requireNs(ns)
+    val props =
+      if (ns.isEmpty) Map.empty[String, String]
+      else readStringMap(mapper.readTree(store.readString(new Path(nsPath(ns), NsMarker))))
+    val o = mapper.createObjectNode()
+    nsArray(o, "namespace", ns)
+    val po = o.putObject("properties")
+    props.toSeq.sortBy(_._1).foreach { case (k, v) => po.put(k, v) }
+    Some(o)
+  }
+
+  private def dropNamespace(ns: Seq[String]): Option[JsonNode] = {
+    requireNs(ns)
+    val children = store.list(nsPath(ns)).filterNot(_.getName == NsMarker)
+    if (children.nonEmpty)
+      throw RestError(409, "NamespaceNotEmptyError", s"Namespace is not empty")
+    store.delete(nsPath(ns))
+    None
+  }
+
+  private def updateNsProperties(ns: Seq[String], body: JsonNode): Option[JsonNode] = {
+    requireNs(ns)
+    val removals = Option(body.get("removals"))
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
+    val updates = readStringMap(body.get("updates"))
+    removals.find(updates.contains).foreach { k =>
+      throw RestError(422, "UnprocessableInputError",
+        s"Namespace properties cannot be updated since the key `$k` is repeated in the request")
+    }
+    val props = readStringMap(mapper.readTree(store.readString(new Path(nsPath(ns), NsMarker))))
+    val missing = removals.filterNot(props.contains)
+    writeNsProps(ns, props -- removals ++ updates)
+    val o = mapper.createObjectNode()
+    val up = o.putArray("updated"); updates.keys.toSeq.sorted.foreach(up.add)
+    val rm = o.putArray("removed"); removals.filter(props.contains).foreach(rm.add)
+    val ms = o.putArray("missing"); missing.foreach(ms.add)
+    Some(o)
+  }
+
+  // ---------- tables (routes/tables.go) ----------
+
+  /** Iceberg primitive type name → Spark DDL (the subset both sides
+    * express; iceberg-go vocabulary per the Iceberg spec). */
+  private def icebergTypeToSpark(t: String): String = t match {
+    case "boolean" => "boolean"
+    case "int" | "integer" => "int"
+    case "long" => "bigint"
+    case "float" => "float"
+    case "double" => "double"
+    case "date" => "date"
+    case "string" | "uuid" => "string"
+    case "binary" => "binary"
+    case "timestamp" | "timestamptz" => "timestamp"
+    case d if d.startsWith("decimal") => d
+    case other => throw new IllegalArgumentException(s"unsupported type `$other`")
+  }
+
+  private def parseSchema(n: JsonNode, schemaId: Int): TableSchema =
+    TableSchema(
+      Option(n.get("schema-id")).map(_.asInt()).getOrElse(schemaId),
+      Option(n.get("fields")).map(_.elements().asScala.toSeq).getOrElse(Seq.empty).map { f =>
+        NestedField(
+          f.get("id").asInt(), f.get("name").asText(),
+          icebergTypeToSpark(f.get("type").asText()),
+          Option(f.get("required")).exists(_.asBoolean()))
+      })
+
+  private def tableResponse(dir: Path): Option[JsonNode] = {
+    val (v, meta) = ops.load(dir).getOrElse(
+      throw RestError(404, "NoSuchTableError", s"Table not found at $dir"))
+    val o = mapper.createObjectNode()
+    o.put("metadata-location", store.versionPath(ops.metadataDir(dir), v).toString)
+    o.set[JsonNode]("metadata", mapper.readTree(MetadataJson.toJson(meta)))
+    o.putObject("config")
+    Some(o)
+  }
+
+  private def listTables(ns: Seq[String]): Option[JsonNode] = {
+    requireNs(ns)
+    val o = mapper.createObjectNode()
+    val a = o.putArray("identifiers")
+    store.list(nsPath(ns))
+      .filter(p => ops.exists(p))
+      .map(_.getName).sorted
+      .foreach { t =>
+        val e = a.addObject(); nsArray(e, "namespace", ns); e.put("name", t)
+      }
+    Some(o)
+  }
+
+  private def createTable(ns: Seq[String], body: JsonNode): Option[JsonNode] = {
+    requireNs(ns)
+    if (Option(body.get("location")).exists(!_.isNull))
+      throw RestError(400, "InvalidRequest",
+        "Creating tables at custom locations are not supported")
+    if (Option(body.get("stage-create")).exists(_.asBoolean()))
+      throw RestError(400, "InvalidRequest", "Staged table creation is not supported yet")
+    val name = body.get("name").asText()
+    val dir = tablePath(ns, name)
+    if (ops.exists(dir))
+      throw RestError(409, "TableAlreadyExistsError", s"Table `$name` already exists")
+    val schema = parseSchema(body.get("schema"), 0)
+    val spec = PartitionSpec(0,
+      Option(body.get("partition-spec")).flatMap(s => Option(s.get("fields")))
+        .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+        .map(f => PartitionField(
+          f.get("source-id").asInt(), f.get("field-id").asInt(),
+          f.get("name").asText(), f.get("transform").asText())))
+    val order = SortOrder(0,
+      Option(body.get("sort-order")).flatMap(s => Option(s.get("fields")))
+        .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+        .map(f => SortField(
+          f.get("source-id").asInt(), f.get("transform").asText(),
+          f.get("direction").asText(), f.get("null-order").asText())))
+    ops.create(dir, TableMetadata.create(
+      dir.toString, schema, spec, order, readStringMap(body.get("properties"))))
+    tableResponse(dir)
+  }
+
+  private def registerTable(ns: Seq[String], body: JsonNode): Option[JsonNode] = {
+    requireNs(ns)
+    val name = body.get("name").asText()
+    val loc = body.get("metadata-location").asText()
+    val dir = tablePath(ns, name)
+    if (ops.exists(dir))
+      throw RestError(409, "TableAlreadyExistsError", s"Table `$name` already exists")
+    val meta =
+      try MetadataJson.fromJson(store.readString(new Path(loc)))
+      catch {
+        case _: Exception => throw RestError(404, "MetadataFileNotFound",
+          s"Metadata file not found at location `$loc`")
+      }
+    ops.create(dir, meta.copy(location = dir.toString))
+    tableResponse(dir)
+  }
+
+  private def loadTable(ns: Seq[String], t: String): Option[JsonNode] =
+    tableResponse(tablePath(ns, t))
+
+  /** Commit: parse requirements (logic/reqs.go `type`) and updates
+    * (logic/updates.go `action`), run them through the SAME
+    * [[TableOps.commit]] CAS path Spark-side writes use. */
+  private def commitTable(ns: Seq[String], t: String, body: JsonNode): Option[JsonNode] = {
+    val dir = tablePath(ns, t)
+    if (!ops.exists(dir))
+      throw RestError(404, "NoSuchTableError", s"Table `$t` not found")
+    val reqs = Option(body.get("requirements"))
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty).map(parseRequirement)
+    val updates = Option(body.get("updates"))
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty).map(parseUpdate)
+    ops.commit(dir, reqs, updates)
+    tableResponse(dir)
+  }
+
+  private def parseRequirement(n: JsonNode): Requirement = {
+    import Requirement._
+    n.get("type").asText() match {
+      case "assert-create" => AssertCreate
+      case "assert-table-uuid" => AssertTableUuid(n.get("uuid").asText())
+      case "assert-ref-snapshot-id" =>
+        AssertRefSnapshotId(n.get("ref").asText(),
+          Option(n.get("snapshot-id")).filterNot(_.isNull).map(_.asLong()))
+      case "assert-last-assigned-field-id" =>
+        AssertLastAssignedFieldId(n.get("last-assigned-field-id").asInt())
+      case "assert-current-schema-id" =>
+        AssertCurrentSchemaId(n.get("current-schema-id").asInt())
+      case "assert-last-assigned-partition-id" =>
+        AssertLastAssignedPartitionId(n.get("last-assigned-partition-id").asInt())
+      case "assert-default-spec-id" =>
+        AssertDefaultSpecId(n.get("default-spec-id").asInt())
+      case "assert-default-sort-order-id" =>
+        AssertDefaultSortOrderId(n.get("default-sort-order-id").asInt())
+      case other => throw RestError(400, "BadRequestError",
+        s"Invalid requirement type `$other`")
+    }
+  }
+
+  private def parseUpdate(n: JsonNode): MetadataUpdate = {
+    import MetadataUpdate._
+    n.get("action").asText() match {
+      case "assign-uuid" => AssignUuid(n.get("uuid").asText())
+      case "upgrade-format-version" =>
+        UpgradeFormatVersion(n.get("format-version").asInt())
+      case "add-schema" => AddSchema(parseSchema(n.get("schema"), -1))
+      case "set-current-schema" => SetCurrentSchema(n.get("schema-id").asInt())
+      case "add-spec" =>
+        val s = n.get("spec")
+        AddSpec(PartitionSpec(s.get("spec-id").asInt(),
+          Option(s.get("fields")).map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+            .map(f => PartitionField(
+              f.get("source-id").asInt(), f.get("field-id").asInt(),
+              f.get("name").asText(), f.get("transform").asText()))))
+      case "set-default-spec" => SetDefaultSpec(n.get("spec-id").asInt())
+      case "add-sort-order" =>
+        val s = n.get("sort-order")
+        AddSortOrder(SortOrder(s.get("order-id").asInt(),
+          Option(s.get("fields")).map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+            .map(f => SortField(
+              f.get("source-id").asInt(), f.get("transform").asText(),
+              f.get("direction").asText(), f.get("null-order").asText()))))
+      case "set-default-sort-order" => SetDefaultSortOrder(n.get("sort-order-id").asInt())
+      case "add-snapshot" =>
+        val s = n.get("snapshot")
+        val summary = readStringMap(s.get("summary"))
+        AddSnapshot(Snapshot(
+          s.get("snapshot-id").asLong(),
+          Option(s.get("parent-snapshot-id")).filterNot(_.isNull).map(_.asLong()),
+          s.get("sequence-number").asLong(),
+          s.get("timestamp-ms").asLong(),
+          summary.getOrElse("operation", "append"),
+          // graft snapshots point at a JSON manifest; accept either key
+          Option(s.get("manifest")).orElse(Option(s.get("manifest-list")))
+            .map(_.asText()).getOrElse(""),
+          summary - "operation",
+          Option(s.get("schema-id")).map(_.asInt()).getOrElse(0)))
+      case "set-snapshot-ref" =>
+        SetSnapshotRef(n.get("ref-name").asText(), n.get("snapshot-id").asLong(),
+          Option(n.get("type")).map(_.asText()).getOrElse("branch"))
+      case "remove-snapshots" =>
+        RemoveSnapshots(n.get("snapshot-ids").elements().asScala.map(_.asLong()).toSeq)
+      case "remove-snapshot-ref" => RemoveSnapshotRef(n.get("ref-name").asText())
+      case "set-location" => SetLocation(n.get("location").asText())
+      case "set-properties" => SetProperties(readStringMap(n.get("updates")))
+      case "remove-properties" =>
+        RemoveProperties(n.get("removals").elements().asScala.map(_.asText()).toSeq)
+      case "set-statistics" =>
+        SetStatistics(n.get("snapshot-id").asLong(), n.get("statistics").asText())
+      case "remove-statistics" => RemoveStatistics(n.get("snapshot-id").asLong())
+      case other => throw RestError(400, "BadRequestError", s"Invalid update action `$other`")
+    }
+  }
+
+  private def dropTable(ns: Seq[String], t: String): Option[JsonNode] = {
+    val dir = tablePath(ns, t)
+    if (!ops.exists(dir))
+      throw RestError(404, "NoSuchTableError", s"Table `$t` not found")
+    store.delete(dir) // FS-backed: drop and purge coincide
+    None
+  }
+
+  /** Accepts `source`/`destination` (Iceberg REST) or `Source`/`Target`
+    * (the reference's untagged Go struct) — Go decodes either, so both
+    * appear in the wild. */
+  private def renameTable(body: JsonNode): Option[JsonNode] = {
+    def ident(keys: String*): (Seq[String], String) = {
+      val n = keys.flatMap(k => Option(body.get(k))).headOption.getOrElse(
+        throw new IllegalArgumentException(s"rename: missing ${keys.head}"))
+      (n.get("namespace").elements().asScala.map(_.asText()).toSeq, n.get("name").asText())
+    }
+    val (sNs, sName) = ident("source", "Source")
+    val (dNs, dName) = ident("destination", "Target", "target")
+    val from = tablePath(sNs, sName)
+    if (!ops.exists(from))
+      throw RestError(404, "NoSuchTableError", s"Table `$sName` not found")
+    requireNs(dNs)
+    val to = tablePath(dNs, dName)
+    if (ops.exists(to))
+      throw RestError(409, "TableAlreadyExistsError", s"Table `$dName` already exists")
+    if (!store.fs(from).rename(from, to))
+      throw RestError(500, "InternalError", s"rename $from -> $to failed")
+    None
+  }
+
+  // ---------- views (routes/views.go) ----------
+
+  private def viewResponse(dir: Path): Option[JsonNode] = {
+    val (v, json) = store.currentVersion(dir).getOrElse(
+      throw RestError(404, "NoSuchViewError", s"View not found at $dir"))
+    val o = mapper.createObjectNode()
+    o.put("metadata-location", store.versionPath(dir, v).toString)
+    o.set[JsonNode]("metadata", mapper.readTree(json))
+    Some(o)
+  }
+
+  private def listViews(ns: Seq[String]): Option[JsonNode] = {
+    requireNs(ns)
+    val o = mapper.createObjectNode()
+    val a = o.putArray("identifiers")
+    store.list(new Path(nsPath(ns), ViewsDir))
+      .filter(p => store.currentVersion(p).isDefined)
+      .map(_.getName).sorted
+      .foreach { v =>
+        val e = a.addObject(); nsArray(e, "namespace", ns); e.put("name", v)
+      }
+    Some(o)
+  }
+
+  private def parseViewVersion(n: JsonNode, versionId: Int): ViewVersion =
+    ViewVersion(
+      versionId = Option(n.get("version-id")).map(_.asInt()).getOrElse(versionId),
+      timestampMs = Option(n.get("timestamp-ms")).map(_.asLong())
+        .getOrElse(System.currentTimeMillis()),
+      sql = Option(n.get("representations")).map(_.elements().asScala.toSeq)
+        .getOrElse(Seq.empty)
+        .find(r => Option(r.get("type")).forall(_.asText() == "sql"))
+        .map(_.get("sql").asText())
+        .getOrElse(throw new IllegalArgumentException("view version needs a sql representation")),
+      defaultCatalog = Option(n.get("default-catalog")).map(_.asText()).getOrElse(""),
+      defaultNamespace = Option(n.get("default-namespace"))
+        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty),
+      schemaId = Option(n.get("schema-id")).map(_.asInt()).getOrElse(0))
+
+  private def createView(ns: Seq[String], body: JsonNode): Option[JsonNode] = {
+    requireNs(ns)
+    val name = body.get("name").asText()
+    val dir = viewPath(ns, name)
+    if (store.currentVersion(dir).isDefined)
+      throw RestError(409, "ViewAlreadyExistsError", s"View `$name` already exists")
+    val vm = ViewMetadata(
+      viewUuid = java.util.UUID.randomUUID().toString,
+      formatVersion = 1,
+      location = dir.toString,
+      currentVersionId = 0,
+      versions = Seq(parseViewVersion(body.get("version"), 0).copy(versionId = 0)),
+      schemas = Seq(parseSchema(body.get("schema"), 0)),
+      properties = readStringMap(body.get("properties")))
+    if (!store.publish(dir, 0, MetadataJson.viewToJson(vm)))
+      throw RestError(409, "ViewAlreadyExistsError", s"View `$name` already exists")
+    viewResponse(dir)
+  }
+
+  private def loadView(ns: Seq[String], v: String): Option[JsonNode] =
+    viewResponse(viewPath(ns, v))
+
+  private def replaceView(ns: Seq[String], name: String, body: JsonNode): Option[JsonNode] = {
+    val dir = viewPath(ns, name)
+    val (v, json) = store.currentVersion(dir).getOrElse(
+      throw RestError(404, "NoSuchViewError", s"View `$name` not found"))
+    val vm = MetadataJson.viewFromJson(json)
+    val nextVer = parseViewVersion(body.get("version"), vm.versions.map(_.versionId).max + 1)
+      .copy(schemaId = vm.schemas.map(_.schemaId).max + 1)
+    val updated = vm
+      .addVersion(nextVer)
+      .setCurrentVersion(nextVer.versionId)
+      .copy(
+        schemas = vm.schemas :+ parseSchema(body.get("schema"), nextVer.schemaId)
+          .copy(schemaId = nextVer.schemaId),
+        properties = readStringMap(body.get("properties")))
+    if (!store.publish(dir, v + 1, MetadataJson.viewToJson(updated)))
+      throw new CommitFailedException(s"concurrent replace of view `$name`")
+    viewResponse(dir)
+  }
+
+  private def dropView(ns: Seq[String], v: String): Option[JsonNode] = {
+    val dir = viewPath(ns, v)
+    if (store.currentVersion(dir).isEmpty)
+      throw RestError(404, "NoSuchViewError", s"View `$v` not found")
+    store.delete(dir)
+    None
+  }
+
+  private def renameView(body: JsonNode): Option[JsonNode] = {
+    def ident(keys: String*): (Seq[String], String) = {
+      val n = keys.flatMap(k => Option(body.get(k))).headOption.getOrElse(
+        throw new IllegalArgumentException(s"rename: missing ${keys.head}"))
+      (n.get("namespace").elements().asScala.map(_.asText()).toSeq, n.get("name").asText())
+    }
+    val (sNs, sName) = ident("source", "Source")
+    val (dNs, dName) = ident("destination", "Target", "target")
+    val from = viewPath(sNs, sName)
+    if (store.currentVersion(from).isEmpty)
+      throw RestError(404, "NoSuchViewError", s"View `$sName` not found")
+    requireNs(dNs)
+    val to = viewPath(dNs, dName)
+    if (store.currentVersion(to).isDefined)
+      throw RestError(409, "ViewAlreadyExistsError", s"View `$dName` already exists")
+    store.mkdirs(to.getParent)
+    if (!store.fs(from).rename(from, to))
+      throw RestError(500, "InternalError", s"rename view $from -> $to failed")
+    None
+  }
+}

@@ -266,6 +266,37 @@ class CatalogSpec extends SparkSpec {
     assert(cat.listViews("db").isEmpty)
   }
 
+  test("C8b: SQL-level view DDL routes to the ViewCatalog (extensions rule)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    sql("CREATE TABLE graft.db.sv (id BIGINT, v DOUBLE)")
+    sql("INSERT INTO graft.db.sv VALUES (1, 10.0), (2, 20.0), (3, 30.0)")
+
+    // CREATE VIEW via plain SQL lands in the graft ViewCatalog ...
+    sql("CREATE VIEW graft.db.topv AS SELECT id, v FROM graft.db.sv WHERE v > 15")
+    val cat = spark.sessionState.catalogManager.catalog("graft").asInstanceOf[GraftCatalog]
+    assert(cat.listViews("db").map(_.name).contains("topv"))
+    // ... and SELECT resolves through the substitution rule
+    assert(sql("SELECT count(*) FROM graft.db.topv").collect().head.getLong(0) == 2)
+
+    // duplicate create fails; IF NOT EXISTS is a no-op
+    intercept[Exception](sql("CREATE VIEW graft.db.topv AS SELECT 1 AS x"))
+    sql("CREATE VIEW IF NOT EXISTS graft.db.topv AS SELECT 1 AS x")
+    assert(sql("SELECT count(*) FROM graft.db.topv").collect().head.getLong(0) == 2)
+
+    // OR REPLACE adds a view version (history retained on disk)
+    sql("CREATE OR REPLACE VIEW graft.db.topv AS SELECT id FROM graft.db.sv WHERE v > 5")
+    assert(sql("SELECT count(*) FROM graft.db.topv").collect().head.getLong(0) == 3)
+    val viewMetaDir = new java.io.File(s"$warehouse/db/.graft-views/topv")
+    assert(viewMetaDir.listFiles().map(_.getName)
+      .count(_.matches("v\\d+\\.metadata\\.json")) == 2)
+
+    // DROP VIEW; IF EXISTS tolerates the missing view afterwards
+    sql("DROP VIEW graft.db.topv")
+    assert(!cat.listViews("db").map(_.name).contains("topv"))
+    intercept[Exception](sql("DROP VIEW graft.db.topv"))
+    sql("DROP VIEW IF EXISTS graft.db.topv")
+  }
+
   // ---------- C2 partitioned create + alter schema ----------
 
   test("C2: partitioned table records identity spec; ALTER evolves schema") {

@@ -57,4 +57,49 @@ class FunctionsSpec extends SparkSpec {
     assert(err.getMessage.toLowerCase.contains("array") ||
       err.getMessage.contains("graft_cosine"))
   }
+
+  test("production hash mode: xxhash64 dedup signatures, same near-dup behavior") {
+    import graft.functions.TextHashes
+    // Signatures come from single-row local evals so executor threads
+    // can't observe a torn mode (the mode is JVM-global by design:
+    // one mode per dedup run).
+    def sims(): (Long, Long, Array[Long], Array[Long]) = {
+      // long docs + one-word edit → shingle Jaccard ≈ 0.97, so ≥1 of
+      // the 8 LSH bands collides with near-certainty in any hash family
+      val base = (1 to 40).map(i => s"token$i").mkString(" ")
+      val df = Seq(
+        (s"$base alpha ending tokens here now", 1),
+        (s"$base betaa ending tokens here now", 2)
+      ).toDF("text", "id")
+        .selectExpr(
+          "graft_simhash(split(text, ' ')) AS sh",
+          "graft_minhash(transform(sequence(1, greatest(length(text)-4, 1)), " +
+            "i -> substr(text, i, 5))) AS mh")
+        .collect()
+      (df(0).getLong(0), df(1).getLong(0),
+        df(0).getSeq[Long](1).toArray, df(1).getSeq[Long](1).toArray)
+    }
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    def bandMatches(a: Array[Long], b: Array[Long]): Int =
+      a.grouped(8).zip(b.grouped(8)).count { case (x, y) => x.sameElements(y) }
+
+    assert(!TextHashes.productionMode)
+    val (shA1, shB1, mhA1, mhB1) = sims()
+    try {
+      TextHashes.setProductionMode(true)
+      val (shA2, shB2, mhA2, mhB2) = sims()
+      // different hash family → different signatures ...
+      assert(shA2 != shA1 || !mhA2.sameElements(mhA1))
+      // ... same near-dup behavior: one-word-edit docs stay
+      // hamming-close / band-colliding in BOTH modes
+      assert(hamming(shA1, shB1) <= 15 && hamming(shA2, shB2) <= 15)
+      assert(bandMatches(mhA1, mhB1) >= 1 && bandMatches(mhA2, mhB2) >= 1)
+      // deterministic within the mode
+      val (shA2b, _, mhA2b, _) = sims()
+      assert(shA2b == shA2 && mhA2b.sameElements(mhA2))
+    } finally TextHashes.setProductionMode(false)
+    // oracle mode restored bit-for-bit (memo caches flushed on switch)
+    val (shA3, _, mhA3, _) = sims()
+    assert(shA3 == shA1 && mhA3.sameElements(mhA1))
+  }
 }

@@ -148,7 +148,9 @@ class MorSpec extends SparkSpec {
     val after = cat.ops.resolveEntries(dir, cat.ops.load(dir).get._2)
     assert(before.filter(_.isData).map(_.path).toSet
       .subsetOf(after.filter(_.isData).map(_.path).toSet))
-    assert(after.count(_.isPosDelete) == 1)
+    // parallel delete-file write: one part per source partition that
+    // held matched rows (no coalesce(1) funnel)
+    assert(after.count(_.isPosDelete) >= 1)
 
     // appends after the positional delete are untouched by it
     spark.sql("INSERT INTO graft.mor.pos VALUES (5,'y')")
@@ -263,6 +265,42 @@ class MorSpec extends SparkSpec {
     // and the table still behaves (another reinsert + read)
     spark.sql("INSERT INTO graft.mor.cd VALUES (3,'returns')")
     assert(content() == before + ((3L, "returns")))
+  }
+
+  test("million-key equality + million-row positional deletes stay off the driver") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mor")
+    val dir = new Path(s"$warehouse/mor/big")
+    spark.sql("CREATE TABLE graft.mor.big (id BIGINT, v BIGINT)")
+    // 3M rows in several files
+    cat.ops.write(dir,
+      spark.range(0, 3000000).selectExpr("id", "id * 2 AS v").repartition(6), "append")
+
+    // ≥1M-key equality delete: every id ≡ 0 (mod 3)
+    cat.ops.mergeOnReadDelete(spark, dir,
+      spark.range(0, 3000000, 3).toDF("id"))
+    // the delete-file write must NOT have funneled through one task
+    val eqEntries = cat.ops.resolveEntries(dir, cat.ops.load(dir).get._2)
+      .filter(_.isEqDelete)
+    assert(eqEntries.size > 1,
+      s"expected a multi-part equality-delete write, got ${eqEntries.size} file(s)")
+
+    // reads apply the mask via executor-side delete-set loading; the
+    // driver never holds the keys (MorFilter plans a sub-scan only)
+    assert(spark.sql("SELECT count(*) FROM graft.mor.big").collect().head.getLong(0)
+      == 2000000L)
+    assert(spark.sql("SELECT count(*) FROM graft.mor.big WHERE id % 3 = 0")
+      .collect().head.getLong(0) == 0L)
+    assert(spark.sql("SELECT sum(v) FROM graft.mor.big WHERE id < 10")
+      .collect().head.getLong(0) == Seq(1L, 2, 4, 5, 7, 8).map(_ * 2).sum)
+
+    // ≥1M-row positional delete on the surviving rows: id ≡ 1 (mod 3)
+    cat.ops.positionalDelete(spark, dir, org.apache.spark.sql.functions.expr("id % 3 = 1"))
+    assert(spark.sql("SELECT count(*) FROM graft.mor.big").collect().head.getLong(0)
+      == 1000000L)
+    assert(spark.sql("SELECT min(id), max(id) FROM graft.mor.big")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head == ((2L, 2999999L)))
+    assert(spark.sql("SELECT count(*) FROM graft.mor.big WHERE id % 3 != 2")
+      .collect().head.getLong(0) == 0L)
   }
 
   test("string keys and multi-column keys") {

@@ -1,0 +1,218 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.fs.Path
+import scala.jdk.CollectionConverters._
+
+import graft.rest.RestCatalogServer
+
+/** REST shim over TableOps: replays the reference's own flow
+  * (routes/config.go, ns.go, tables.go, views.go) over HTTP against a
+  * warehouse that the Spark-side graft catalog mounts simultaneously —
+  * REST-created tables are queryable by Spark, Spark-written snapshots
+  * are visible over REST. */
+class RestSpec extends SparkSpec {
+
+  private val mapper = new ObjectMapper()
+  private val client = HttpClient.newHttpClient()
+  private var server: RestCatalogServer = _
+  private var base: String = _
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    server = new RestCatalogServer(
+      new Path(warehouse.toString), spark.sparkContext.hadoopConfiguration)
+    base = s"http://127.0.0.1:${server.start()}"
+  }
+
+  override def afterAll(): Unit = {
+    if (server != null) server.stop()
+    super.afterAll()
+  }
+
+  private def req(method: String, path: String, body: Option[String] = None): HttpRequest = {
+    val b = HttpRequest.newBuilder(URI.create(s"$base$path"))
+    body match {
+      case Some(s) => b.method(method, HttpRequest.BodyPublishers.ofString(s))
+      case None => b.method(method, HttpRequest.BodyPublishers.noBody())
+    }
+    b.build()
+  }
+
+  private def send(method: String, path: String, body: Option[String] = None): (Int, JsonNode) = {
+    val res: HttpResponse[String] =
+      client.send(req(method, path, body), HttpResponse.BodyHandlers.ofString())
+    val node = if (res.body() == null || res.body().isEmpty) mapper.createObjectNode()
+               else mapper.readTree(res.body())
+    (res.statusCode(), node)
+  }
+
+  test("config, status and namespace CRUD follow the reference shapes") {
+    assert(send("GET", "/status")._1 == 204)
+
+    val (cc, conf) = send("GET", "/v1/config")
+    assert(cc == 200)
+    assert(conf.get("defaults").get("warehouse").asText() == warehouse.toString)
+    assert(conf.has("overrides"))
+    // wrong warehouse → InvalidConfigError (routes/config.go)
+    val (wc, werr) = send("GET", "/v1/config?warehouse=/nope")
+    assert(wc == 400 && werr.get("error").get("type").asText() == "InvalidConfigError")
+
+    // create + list + load + head
+    val (c1, ns1) = send("POST", "/v1/namespaces",
+      Some("""{"namespace": ["restns"], "properties": {"owner": "it"}}"""))
+    assert(c1 == 200 && ns1.get("namespace").get(0).asText() == "restns")
+    assert(send("POST", "/v1/namespaces",
+      Some("""{"namespace": ["restns"]}"""))._1 == 409) // duplicate
+    val (_, listed) = send("GET", "/v1/namespaces")
+    assert(listed.get("namespaces").elements().asScala.toSeq
+      .exists(_.get(0).asText() == "restns"))
+    val (lc, loaded) = send("GET", "/v1/namespaces/restns")
+    assert(lc == 200 && loaded.get("properties").get("owner").asText() == "it")
+    assert(send("HEAD", "/v1/namespaces/restns")._1 == 204)
+    assert(send("HEAD", "/v1/namespaces/ghost")._1 == 404)
+
+    // update properties: updated/removed/missing report (routes/ns.go)
+    val (pc, rep) = send("POST", "/v1/namespaces/restns/properties",
+      Some("""{"removals": ["owner", "absent"], "updates": {"tier": "gold"}}"""))
+    assert(pc == 200)
+    assert(rep.get("updated").get(0).asText() == "tier")
+    assert(rep.get("removed").get(0).asText() == "owner")
+    assert(rep.get("missing").get(0).asText() == "absent")
+    // repeated key → 422 (reference RepeatedKeyError)
+    assert(send("POST", "/v1/namespaces/restns/properties",
+      Some("""{"removals": ["tier"], "updates": {"tier": "x"}}"""))._1 == 422)
+
+    // drop refuses while non-empty, succeeds after
+    val (_, _) = send("POST", "/v1/namespaces",
+      Some("""{"namespace": ["dropme"]}"""))
+    assert(send("DELETE", "/v1/namespaces/dropme")._1 == 204)
+    assert(send("HEAD", "/v1/namespaces/dropme")._1 == 404)
+  }
+
+  test("table create → load → commit flow with requirements, then Spark interop") {
+    send("POST", "/v1/namespaces", Some("""{"namespace": ["restt"]}"""))
+
+    // create (routes/tables.go CreateTableReq — iceberg type names)
+    val createBody =
+      """{"name": "orders",
+          "schema": {"type": "struct", "fields": [
+            {"id": 1, "name": "id", "required": true, "type": "long"},
+            {"id": 2, "name": "status", "required": false, "type": "string"},
+            {"id": 3, "name": "total", "required": false, "type": "double"}]},
+          "properties": {"owner": "rest"}}"""
+    val (cc, created) = send("POST", "/v1/namespaces/restt/tables", Some(createBody))
+    assert(cc == 200, created.toString)
+    assert(created.get("metadata-location").asText().endsWith("v0.metadata.json"))
+    val meta0 = created.get("metadata")
+    assert(meta0.get("format-version").asInt() == 2)
+    assert(meta0.get("last-sequence-number").asLong() == 0L)
+    val uuid = meta0.get("table-uuid").asText()
+    // custom locations refused, like the reference
+    assert(send("POST", "/v1/namespaces/restt/tables",
+      Some("""{"name": "x", "location": "/tmp/elsewhere",
+              "schema": {"fields": []}}"""))._1 == 400)
+
+    // list + head + load
+    val (_, ids) = send("GET", "/v1/namespaces/restt/tables")
+    assert(ids.get("identifiers").get(0).get("name").asText() == "orders")
+    assert(send("HEAD", "/v1/namespaces/restt/tables/orders")._1 == 204)
+    assert(send("GET", "/v1/namespaces/restt/tables/orders")._1 == 200)
+
+    // commit: set-properties guarded by assert-table-uuid (logic/reqs.go)
+    val commitOk =
+      s"""{"requirements": [{"type": "assert-table-uuid", "uuid": "$uuid"}],
+           "updates": [{"action": "set-properties", "updates": {"fmt": "parquet"}}]}"""
+    val (uc, updated) = send("POST", "/v1/namespaces/restt/tables/orders", Some(commitOk))
+    assert(uc == 200, updated.toString)
+    assert(updated.get("metadata").get("properties").get("fmt").asText() == "parquet")
+    assert(updated.get("metadata-location").asText().endsWith("v1.metadata.json"))
+
+    // failed requirement → 409 CommitFailedException
+    val commitBad =
+      """{"requirements": [{"type": "assert-table-uuid", "uuid": "wrong-uuid"}],
+          "updates": [{"action": "set-properties", "updates": {"x": "y"}}]}"""
+    val (bc, berr) = send("POST", "/v1/namespaces/restt/tables/orders", Some(commitBad))
+    assert(bc == 409 && berr.get("error").get("type").asText() == "CommitFailedException")
+
+    // Spark interop: the REST-created table IS a graft catalog table
+    spark.sql("INSERT INTO graft.restt.orders VALUES (1, 'O', 10.5), (2, 'F', 20.0)")
+    assert(spark.sql("SELECT sum(total) FROM graft.restt.orders")
+      .collect().head.getDouble(0) == 30.5)
+    // ... and the Spark write is visible over REST as a snapshot
+    val (_, afterWrite) = send("GET", "/v1/namespaces/restt/tables/orders")
+    val snaps = afterWrite.get("metadata").get("snapshots")
+    assert(snaps.size() == 1 && snaps.get(0).get("sequence-number").asLong() == 1L)
+
+    // rename (both the spec's source/destination and Go's Source/Target)
+    assert(send("POST", "/v1/tables/rename",
+      Some("""{"source": {"namespace": ["restt"], "name": "orders"},
+              "destination": {"namespace": ["restt"], "name": "orders2"}}"""))._1 == 204)
+    assert(send("HEAD", "/v1/namespaces/restt/tables/orders")._1 == 404)
+    assert(spark.sql("SELECT count(*) FROM graft.restt.orders2")
+      .collect().head.getLong(0) == 2)
+
+    // metrics endpoint accepts and discards (routes/tables.go reportMetrics)
+    assert(send("POST", "/v1/namespaces/restt/tables/orders2/metrics",
+      Some("""{"report-type": "scan-report"}"""))._1 == 204)
+
+    // drop
+    assert(send("DELETE", "/v1/namespaces/restt/tables/orders2")._1 == 204)
+    assert(send("HEAD", "/v1/namespaces/restt/tables/orders2")._1 == 404)
+  }
+
+  test("register adopts an existing table's metadata file") {
+    send("POST", "/v1/namespaces", Some("""{"namespace": ["restreg"]}"""))
+    // build a table via REST + Spark, then register its metadata as a new name
+    send("POST", "/v1/namespaces/restreg/tables", Some(
+      """{"name": "src", "schema": {"fields": [
+          {"id": 1, "name": "id", "required": false, "type": "long"}]}}"""))
+    spark.sql("INSERT INTO graft.restreg.src VALUES (7), (8)")
+    val (_, loaded) = send("GET", "/v1/namespaces/restreg/tables/src")
+    val loc = loaded.get("metadata-location").asText()
+    val (rc, reg) = send("POST", "/v1/namespaces/restreg/register",
+      Some(s"""{"name": "adopted", "metadata-location": "$loc"}"""))
+    assert(rc == 200, reg.toString)
+    assert(send("GET", "/v1/namespaces/restreg/tables/adopted")._1 == 200)
+    // missing metadata file → 404 MetadataFileNotFound
+    assert(send("POST", "/v1/namespaces/restreg/register",
+      Some("""{"name": "nope", "metadata-location": "/no/such/file.json"}"""))._1 == 404)
+  }
+
+  test("view create → load → replace → rename → drop over REST") {
+    send("POST", "/v1/namespaces", Some("""{"namespace": ["restv"]}"""))
+    val createView =
+      """{"name": "v1",
+          "schema": {"fields": [{"id": 1, "name": "n", "required": false, "type": "long"}]},
+          "version": {"version-id": 0, "schema-id": 0,
+            "default-catalog": "graft", "default-namespace": ["restv"],
+            "representations": [{"type": "sql", "sql": "SELECT 1 AS n", "dialect": "spark"}]},
+          "properties": {"comment": "c"}}"""
+    val (vc, created) = send("POST", "/v1/namespaces/restv/views", Some(createView))
+    assert(vc == 200, created.toString)
+    assert(created.get("metadata").get("current-version-id").asInt() == 0)
+
+    assert(send("HEAD", "/v1/namespaces/restv/views/v1")._1 == 204)
+    val (_, listed) = send("GET", "/v1/namespaces/restv/views")
+    assert(listed.get("identifiers").get(0).get("name").asText() == "v1")
+
+    // replace = add-view-version + set-current-view-version
+    val replace =
+      """{"schema": {"fields": [{"id": 1, "name": "n", "required": false, "type": "long"}]},
+          "version": {"default-catalog": "graft", "default-namespace": ["restv"],
+            "representations": [{"type": "sql", "sql": "SELECT 2 AS n", "dialect": "spark"}]}}"""
+    val (rc, replaced) = send("POST", "/v1/namespaces/restv/views/v1", Some(replace))
+    assert(rc == 200, replaced.toString)
+    assert(replaced.get("metadata").get("current-version-id").asInt() == 1)
+    assert(replaced.get("metadata").get("versions").size() == 2)
+
+    assert(send("POST", "/v1/views/rename",
+      Some("""{"source": {"namespace": ["restv"], "name": "v1"},
+              "destination": {"namespace": ["restv"], "name": "v2"}}"""))._1 == 204)
+    assert(send("HEAD", "/v1/namespaces/restv/views/v1")._1 == 404)
+    assert(send("DELETE", "/v1/namespaces/restv/views/v2")._1 == 204)
+  }
+}
