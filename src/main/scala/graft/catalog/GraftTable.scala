@@ -74,7 +74,7 @@ final class GraftTable(
   override def properties(): util.Map[String, String] = {
     val out = new util.HashMap[String, String]()
     meta.properties.foreach { case (k, v) => out.put(k, v) }
-    out.put("format", "graft/parquet")
+    out.put("format", s"graft/$fmtName")
     out.put("table-uuid", meta.tableUuid)
     meta.currentSnapshotId.foreach(id => out.put("current-snapshot-id", id.toString))
     out
@@ -85,8 +85,37 @@ final class GraftTable(
         TableCapability.MICRO_BATCH_READ)
       .asJava
 
-  private def parquetDelegate(paths: Seq[String]): ParquetTable =
-    parquetDelegate(paths, schema)
+  /** Data-file format of this table: `graft.format` property, parquet
+    * by default, `orc` supported (C58). Delete files are ALWAYS
+    * parquet — they are graft-internal state, not user data. */
+  private def fmtName: String =
+    meta.properties.getOrElse("graft.format", "parquet")
+
+  private def dataDelegate(paths: Seq[String])
+      : org.apache.spark.sql.execution.datasources.v2.FileTable =
+    dataDelegate(paths, schema)
+
+  /** Format-dispatched DSv2 file-table delegate: ParquetTable or
+    * OrcTable — both FileTables with identical scan/write builder
+    * surfaces, so every downstream path (pushdown, pruning, MOR
+    * per-file readers, write builders) is format-agnostic. */
+  private def dataDelegate(paths: Seq[String], tableSchema: StructType)
+      : org.apache.spark.sql.execution.datasources.v2.FileTable =
+    if (fmtName == "orc")
+      org.apache.spark.sql.execution.datasources.v2.orc.OrcTable(
+        tableName, spark,
+        new CaseInsensitiveStringMap(new util.HashMap[String, String]()),
+        paths, Some(tableSchema),
+        classOf[org.apache.spark.sql.execution.datasources.orc.OrcFileFormat])
+    else parquetDelegate(paths, tableSchema)
+
+  private def dataScanBuilder(
+      paths: Seq[String], tableSchema: StructType, options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.execution.datasources.v2.FileScanBuilder =
+    // ParquetScanBuilder and OrcScanBuilder both extend FileScanBuilder;
+    // FileTable's declared return type is just the narrow interface
+    dataDelegate(paths, tableSchema).newScanBuilder(options)
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScanBuilder]
 
   private def parquetDelegate(paths: Seq[String], tableSchema: StructType): ParquetTable =
     new ParquetTable(
@@ -130,8 +159,8 @@ final class GraftTable(
     private val eqDeletes = entries.filter(_.isEqDelete)
     private val posDeletes = entries.filter(_.isPosDelete)
 
-    private var delegate: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder =
-      parquetDelegate(dataEntries.map(_.path)).newScanBuilder(options)
+    private var delegate: org.apache.spark.sql.execution.datasources.v2.FileScanBuilder =
+      dataScanBuilder(dataEntries.map(_.path), schema, options)
     // Stashed for the micro-batch stream, which re-applies the same
     // pushdown state to each per-snapshot delta scan.
     private var predicateState: Seq[Expression] = Seq.empty
@@ -143,7 +172,7 @@ final class GraftTable(
       val translated = predicates.flatMap(GraftBridge.translateFilter)
       val kept = dataEntries.filter(e => translated.forall(f => Stats.mayContain(e, schema, f)))
       keptEntries = kept
-      delegate = parquetDelegate(kept.map(_.path)).newScanBuilder(options)
+      delegate = dataScanBuilder(kept.map(_.path), schema, options)
       delegate.pushFilters(predicates)
     }
     override def pushedFilters(): Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
@@ -190,7 +219,7 @@ final class GraftTable(
       val extended = StructType(
         required.fields ++ missing.map(c => schema.fields.find(_.name == c).getOrElse(
           throw new IllegalStateException(s"delete key column $c missing from table schema"))))
-      val b = parquetDelegate(keptEntries.map(_.path)).newScanBuilder(options)
+      val b = dataScanBuilder(keptEntries.map(_.path), schema, options)
       if (!needOrdinals && predicateState.nonEmpty) b.pushFilters(predicateState)
       b.pruneColumns(extended)
       val inner = b.build()
@@ -368,8 +397,7 @@ final class GraftTable(
       private val required = requiredState.getOrElse(schema)
 
       private val scans = groups.map { case (rn, es) =>
-        val b = parquetDelegate(es.map(_.path), SchemaEvolution.physStructType(schema, rn))
-          .newScanBuilder(options)
+        val b = dataScanBuilder(es.map(_.path), SchemaEvolution.physStructType(schema, rn), options)
         val renamed = predicateState.map(_.transform {
           case a: AttributeReference if rn.contains(a.name) => a.withName(rn(a.name))
         })
@@ -466,7 +494,7 @@ final class GraftTable(
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val writeDir = new Path(ops.dataDir(dir), s"w-${java.util.UUID.randomUUID()}")
-    val delegate = parquetDelegate(Seq(writeDir.toString)).newWriteBuilder(info)
+    val delegate = dataDelegate(Seq(writeDir.toString)).newWriteBuilder(info)
     new WriteBuilder with SupportsTruncate {
       private var operation = "append"
       override def truncate(): WriteBuilder = { operation = "overwrite"; this }
@@ -655,7 +683,7 @@ final class GraftTable(
 
         override def toBatch: Batch = new Batch {
           private def delegateBatch: Batch = {
-            val b = parquetDelegate(affectedEntries.map(_.path)).newScanBuilder(options)
+            val b = dataScanBuilder(affectedEntries.map(_.path), schema, options)
             b.pruneColumns(required)
             b.build().toBatch
           }
@@ -672,7 +700,7 @@ final class GraftTable(
 
       override def newWriteBuilder(winfo: LWI): WriteBuilder = {
         val writeDir = new Path(ops.dataDir(dir), s"w-${java.util.UUID.randomUUID()}")
-        val delegate = parquetDelegate(Seq(writeDir.toString)).newWriteBuilder(winfo)
+        val delegate = dataDelegate(Seq(writeDir.toString)).newWriteBuilder(winfo)
         new WriteBuilder {
           override def build(): Write = {
             val inner = delegate.build()
@@ -711,7 +739,7 @@ final class GraftTable(
           val buf = Seq.newBuilder[String]
           while (it.hasNext) {
             val f = it.next().getPath
-            if (f.getName.endsWith(".parquet")) buf += f.toString
+            if (f.getName.endsWith(".parquet") || f.getName.endsWith(".orc")) buf += f.toString
           }
           buf.result()
         }
@@ -743,16 +771,16 @@ final class GraftTable(
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     val writeDir = new Path(ops.dataDir(dir), s"w-${java.util.UUID.randomUUID()}")
-    val survivors = spark.read.schema(schema).parquet(affected.map(_.path): _*)
+    val survivors = spark.read.schema(schema).format(fmtName).load(affected.map(_.path): _*)
       .filter(!cond)
-    survivors.write.parquet(writeDir.toString)
+    survivors.write.format(fmtName).save(writeDir.toString)
     val newFiles = {
       val fs = writeDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val it = fs.listFiles(writeDir, true)
       val buf = Seq.newBuilder[String]
       while (it.hasNext) {
         val f = it.next().getPath
-        if (f.getName.endsWith(".parquet")) buf += f.toString
+        if (f.getName.endsWith(".parquet") || f.getName.endsWith(".orc")) buf += f.toString
       }
       buf.result()
     }
@@ -889,8 +917,7 @@ final class GraftTable(
       // endSeq range can straddle a rename).
       val groups = kept.groupBy(e => SchemaEvolution.renames(m, e)).toSeq
       val scans = groups.map { case (rn, es) =>
-        val b = parquetDelegate(es.map(_.path), SchemaEvolution.physStructType(schema, rn))
-          .newScanBuilder(options)
+        val b = dataScanBuilder(es.map(_.path), SchemaEvolution.physStructType(schema, rn), options)
         val renamed = predicates.map(_.transform {
           case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
               if rn.contains(a.name) => a.withName(rn(a.name))
@@ -963,7 +990,7 @@ final class GraftTable(
       val buf = Seq.newBuilder[String]
       while (it.hasNext) {
         val f = it.next().getPath
-        if (f.getName.endsWith(".parquet")) buf += f.toString
+        if (f.getName.endsWith(".parquet") || f.getName.endsWith(".orc")) buf += f.toString
       }
       buf.result()
     }

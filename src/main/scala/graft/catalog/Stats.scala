@@ -28,8 +28,51 @@ import org.apache.spark.sql.types._
 object Stats {
 
   /** Read footer metadata for one file: row count + per-column
-    * min/max/null-count aggregated across row groups. */
-  def collect(conf: Configuration, file: String): DataFileEntry = {
+    * min/max/null-count aggregated across row groups. Dispatches on
+    * extension: parquet footers or ORC file-tail statistics (C58). */
+  def collect(conf: Configuration, file: String): DataFileEntry =
+    if (file.endsWith(".orc")) collectOrc(conf, file) else collectParquet(conf, file)
+
+  /** ORC file-tail statistics → the same manifest stats shape the
+    * parquet path produces. Numeric/string/boolean columns get
+    * min/max/null-count; other types stay stat-less (conservative —
+    * never pruned). */
+  private def collectOrc(conf: Configuration, file: String): DataFileEntry = {
+    import org.apache.orc.{OrcFile, ColumnStatistics}
+    val reader = OrcFile.createReader(new Path(file), OrcFile.readerOptions(conf))
+    try {
+      val rows = reader.getNumberOfRows
+      val schema = reader.getSchema // struct<...>
+      val names = schema.getFieldNames.asScala.toSeq
+      val children = schema.getChildren.asScala.toSeq
+      val all = reader.getStatistics // indexed by flattened column id; 0 = root
+      val cols = names.zip(children).flatMap { case (name, child) =>
+        val cs: ColumnStatistics = all(child.getId)
+        val nulls = Some(rows - cs.getNumberOfValues)
+        val mm: Option[(String, String)] = cs match {
+          case s: org.apache.orc.IntegerColumnStatistics if cs.getNumberOfValues > 0 =>
+            Some((s.getMinimum.toString, s.getMaximum.toString))
+          case s: org.apache.orc.DoubleColumnStatistics if cs.getNumberOfValues > 0 =>
+            Some((s.getMinimum.toString, s.getMaximum.toString))
+          case s: org.apache.orc.StringColumnStatistics
+              if cs.getNumberOfValues > 0 && s.getMinimum != null && s.getMaximum != null =>
+            Some((s.getMinimum, s.getMaximum))
+          case _ => None
+        }
+        mm match {
+          case Some((mn, mx)) => Some(name -> ColumnStats(Some(mn), Some(mx), nulls))
+          case None if cs.getNumberOfValues < rows =>
+            Some(name -> ColumnStats(None, None, nulls)) // null-count still usable
+          case None => None
+        }
+      }.toMap
+      val bytes = Try(new Path(file).getFileSystem(conf)
+        .getFileStatus(new Path(file)).getLen).toOption
+      DataFileEntry(file, Some(rows), cols, bytes = bytes)
+    } finally reader.close()
+  }
+
+  private def collectParquet(conf: Configuration, file: String): DataFileEntry = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
     try {
       val footer = reader.getFooter

@@ -26,6 +26,16 @@ final class TableOps(private[graft] val store: FsStore) {
   def metadataDir(tableDir: Path): Path = new Path(tableDir, "metadata")
   def dataDir(tableDir: Path): Path = new Path(tableDir, "data")
 
+  /** Data-file format of a table (`graft.format` property): "parquet"
+    * (default) or "orc" (C58). Delete files are always parquet —
+    * graft-internal state, not user data. */
+  def dataFormat(meta: TableMetadata): String =
+    meta.properties.getOrElse("graft.format", "parquet")
+  private def dataFormat(tableDir: Path): String =
+    load(tableDir).map(m => dataFormat(m._2)).getOrElse("parquet")
+  private def isDataFile(name: String): Boolean =
+    name.endsWith(".parquet") || name.endsWith(".orc")
+
   def exists(tableDir: Path): Boolean = store.currentVersion(metadataDir(tableDir)).isDefined
 
   def load(tableDir: Path): Option[(Int, TableMetadata)] =
@@ -345,9 +355,10 @@ final class TableOps(private[graft] val store: FsStore) {
       else shaped.sortWithinPartitions(
         sortCols.map { case (n, desc) =>
           if (desc) shaped.col(n).desc else shaped.col(n).asc }: _*)
-    ordered.write.parquet(writeDir.toString)
+    ordered.write.format(metaOpt.map(dataFormat).getOrElse("parquet"))
+      .save(writeDir.toString)
     val files = store.listFilesRec(writeDir)
-      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+      .filter(f => isDataFile(f.getName)).map(_.toString)
     commitFiles(tableDir, files, operation)
   }
 
@@ -370,9 +381,10 @@ final class TableOps(private[graft] val store: FsStore) {
       s"writeValuePartitioned needs identity partition columns present in the frame")
     val writeDir = new Path(dataDir(tableDir), s"w-${UUID.randomUUID()}")
     val dup = specCols.foldLeft(df)((f, c) => f.withColumn(s"__p_$c", f.col(c)))
-    dup.write.partitionBy(specCols.map("__p_" + _): _*).parquet(writeDir.toString)
+    dup.write.partitionBy(specCols.map("__p_" + _): _*)
+      .format(dataFormat(tableDir)).save(writeDir.toString)
     val files = store.listFilesRec(writeDir)
-      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+      .filter(f => isDataFile(f.getName)).map(_.toString)
     commitFiles(tableDir, files, operation)
   }
 
@@ -454,9 +466,9 @@ final class TableOps(private[graft] val store: FsStore) {
       .repartition(tiles, col("__zp"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.partitionBy("__zp").parquet(writeDir.toString)
+      .write.partitionBy("__zp").format(dataFormat(tableDir)).save(writeDir.toString)
     val files = store.listFilesRec(writeDir)
-      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+      .filter(f => isDataFile(f.getName)).map(_.toString)
     commitFiles(tableDir, files, operation)
   }
 
@@ -481,9 +493,9 @@ final class TableOps(private[graft] val store: FsStore) {
       .repartition(tiles, col("__hp"))
       .sortWithinPartitions("__h")
       .drop("__h")
-      .write.partitionBy("__hp").parquet(writeDir.toString)
+      .write.partitionBy("__hp").format(dataFormat(tableDir)).save(writeDir.toString)
     val files = store.listFilesRec(writeDir)
-      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+      .filter(f => isDataFile(f.getName)).map(_.toString)
     commitFiles(tableDir, files, operation)
   }
 
@@ -509,11 +521,11 @@ final class TableOps(private[graft] val store: FsStore) {
     val totalBytes = small.flatMap(_.bytes).sum
     val outFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val writeDir = new Path(dataDir(tableDir), s"w-${UUID.randomUUID()}")
-    spark.read.schema(schema).parquet(small.map(_.path): _*)
+    spark.read.schema(schema).format(dataFormat(meta)).load(small.map(_.path): _*)
       .repartition(outFiles)
-      .write.parquet(writeDir.toString)
+      .write.format(dataFormat(meta)).save(writeDir.toString)
     val newFiles = store.listFilesRec(writeDir)
-      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+      .filter(f => isDataFile(f.getName)).map(_.toString)
     overwriteWith(tableDir, big, newFiles, operation = "compact-files")
   }
 
@@ -555,13 +567,14 @@ final class TableOps(private[graft] val store: FsStore) {
     val existing =
       if (affected.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-      else spark.read.schema(schema).parquet(affected.map(_.path): _*)
+      else spark.read.schema(schema).format(dataFormat(meta))
+        .load(affected.map(_.path): _*)
     val survivors = existing.join(source.select(keys.map(col): _*), keys, "left_anti")
     survivors.select(schema.fieldNames.map(col): _*)
       .unionByName(source.select(schema.fieldNames.map(col): _*))
-      .write.parquet(writeDir.toString)
+      .write.format(dataFormat(meta)).save(writeDir.toString)
     val newFiles = store.listFilesRec(writeDir)
-      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+      .filter(f => isDataFile(f.getName)).map(_.toString)
     overwriteWith(tableDir, untouched, newFiles, operation = "upsert")
   }
 
@@ -722,9 +735,9 @@ final class TableOps(private[graft] val store: FsStore) {
     if (meta0.properties.get(sinkKey).exists(_.toLong >= batchId)) return // replay
     if (batch.isEmpty) return
     val writeDir = new Path(dataDir(tableDir), s"w-${UUID.randomUUID()}")
-    batch.write.parquet(writeDir.toString)
+    batch.write.format(dataFormat(meta0)).save(writeDir.toString)
     val files = store.listFilesRec(writeDir)
-      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+      .filter(f => isDataFile(f.getName)).map(_.toString)
     var attempt = 0
     while (true) {
       val (_, cur) = load(tableDir).getOrElse(
@@ -1243,7 +1256,7 @@ final class TableOps(private[graft] val store: FsStore) {
       val groups = dataEntries.groupBy(e => SchemaEvolution.renames(meta, e))
       return groups.map { case (rn, es) =>
         spark.read.schema(SchemaEvolution.physStructType(schema, rn))
-          .parquet(es.map(_.path): _*)
+          .format(dataFormat(meta)).load(es.map(_.path): _*)
           .toDF(schema.fieldNames.toIndexedSeq: _*)
       }.reduce(_ unionAll _)
     }
@@ -1254,7 +1267,8 @@ final class TableOps(private[graft] val store: FsStore) {
     dataEntries.groupBy(df => eqDels.filter(_.deleteSeq > df.dataSeq).map(_.path).toSet)
       .toSeq.sortBy(_._1.size)
       .map { case (delPaths, files) =>
-        val base = spark.read.schema(schema).parquet(files.map(_.path): _*)
+        val base = spark.read.schema(schema).format(dataFormat(meta))
+          .load(files.map(_.path): _*)
         eqDels.filter(e => delPaths.contains(e.path)).groupBy(_.equalityColumns)
           .foldLeft(base) { case (df, (keyCols, delEntries)) =>
             val keySchema = StructType(schema.fields.filter(f => keyCols.contains(f.name)))
