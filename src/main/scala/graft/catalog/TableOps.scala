@@ -489,7 +489,8 @@ final class TableOps(private[graft] val store: FsStore) {
     val bits = math.max(1, (math.log(numFiles.toDouble) / math.log(2.0)).round.toInt)
     val tiles = 1 << bits
     ZOrder.withHilbert(df, cols, "__h")
-      .withColumn("__hp", shiftright(col("__h"), 16 - bits))
+      .withColumn("__hp",
+        shiftright(col("__h"), ZOrder.hilbertTotalBits(cols.size) - bits))
       .repartition(tiles, col("__hp"))
       .sortWithinPartitions("__h")
       .drop("__h")

@@ -36,10 +36,11 @@ import org.apache.hadoop.fs.Path
   * store can't span tables in one transaction; swapping a
   * transactional store (the reference's SQLite/Postgres) under the
   * [[FsStore]] interface closes it. */
-final class Transactions(store: FsStore) {
-  import Transactions.{TableTx, TornTransactionException}
+final class Transactions(store: FsStore, journalDir: Option[Path] = None) {
+  import Transactions.{JournalEntry, TableTx, TornTransactionException}
 
   private val ops = new TableOps(store)
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   def commitAll(txs: Seq[TableTx], maxRetries: Int = 20): Map[String, TableMetadata] = {
     require(txs.nonEmpty, "empty transaction")
@@ -76,6 +77,14 @@ final class Transactions(store: FsStore) {
       val (withLog, _) = ops.appendMetadataLog(tx.tableDir, v, meta, updated)
       (tx, v, meta, withLog)
     }
+    // 3b: write-ahead journal (when configured) — the durable intent
+    // record that makes a crash or torn abort RECOVERABLE instead of
+    // manual: [[recover]] reads it and completes or reports.
+    val journal = journalDir.map { jd =>
+      writeJournal(prepared.map { case (tx, v, _, next) =>
+        JournalEntry(tx.tableDir.toString, v, MetadataJson.toJson(next))
+      }, jd)
+    }
     // 4: publish in order; roll back published prefix on a lost CAS
     val published = scala.collection.mutable.ArrayBuffer[(TableTx, Int, TableMetadata)]()
     prepared.foreach { case (tx, v, meta, next) =>
@@ -90,12 +99,88 @@ final class Transactions(store: FsStore) {
           throw new TornTransactionException(
             s"transaction aborted on ${tx.tableDir} but rollback lost a race on: " +
             torn.map(_._1.tableDir).mkString(", ") +
-            " — a concurrent commit built on the transient state; reconcile manually")
+            journal.map(j => s" — journal retained at $j for Transactions.recover")
+              .getOrElse(" — a concurrent commit built on the transient state; " +
+                "reconcile manually"))
+        journal.foreach(store.delete(_)) // clean rollback: intent void
         throw new CommitFailedException(
           s"transaction CAS conflict on ${tx.tableDir}; rolled back")
       }
     }
+    journal.foreach(store.delete(_)) // success: intent fulfilled
     prepared.map { case (tx, _, _, next) => tx.tableDir.toString -> next }.toMap
+  }
+
+  // ---------- write-ahead journal + crash recovery ----------
+
+  private[graft] def writeJournal(entries: Seq[JournalEntry], jd: Path): Path = {
+    val o = mapper.createObjectNode()
+    val a = o.putArray("tables")
+    entries.foreach { e =>
+      val eo = a.addObject()
+      eo.put("dir", e.dir); eo.put("prev-version", e.prevVersion)
+      eo.put("next-metadata", e.nextJson)
+    }
+    store.mkdirs(jd)
+    val p = new Path(jd, s"txj-${java.util.UUID.randomUUID()}.json")
+    store.writeString(p, o.toPrettyString)
+    p
+  }
+
+  /** Crash/torn-state recovery from a retained journal: classify each
+    * table against the recorded intent —
+    *  - `pending`:   head still at the pre-transaction version;
+    *  - `published`: head is OUR intended next state;
+    *  - `foreign`:   a third-party commit owns the next version.
+    * If any of our publishes are durable and no foreign commit blocks
+    * the rest, the transaction COMPLETES FORWARD (publish the pending
+    * tables' recorded next states) — later writers may already have
+    * built on the published part, so forward is the only safe
+    * direction. If nothing was published, the transaction never
+    * happened: the journal is dropped. A durable publish alongside a
+    * foreign commit is genuinely torn and reported. Returns the
+    * outcome: "complete" | "completed-forward" | "aborted". */
+  def recover(journalPath: Path): String = {
+    val n = mapper.readTree(store.readString(journalPath))
+    import scala.jdk.CollectionConverters._
+    val entries = n.get("tables").elements().asScala.toSeq.map { e =>
+      JournalEntry(e.get("dir").asText(), e.get("prev-version").asInt(),
+        e.get("next-metadata").asText())
+    }
+    sealed trait St
+    case object Pending extends St
+    case object Published extends St
+    case object Foreign extends St
+    val classified = entries.map { e =>
+      val md = ops.metadataDir(new Path(e.dir))
+      val (v, content) = store.currentVersion(md).getOrElse(
+        throw new IllegalStateException(s"journaled table vanished: ${e.dir}"))
+      val st =
+        if (v == e.prevVersion) Pending
+        else if (v == e.prevVersion + 1 &&
+          MetadataJson.fromJson(content) == MetadataJson.fromJson(e.nextJson)) Published
+        else Foreign
+      (e, st)
+    }
+    val anyPublished = classified.exists(_._2 == Published)
+    val foreign = classified.filter(_._2 == Foreign)
+    if (classified.forall(_._2 == Published)) {
+      store.delete(journalPath); return "complete"
+    }
+    if (!anyPublished) { // nothing durable: transaction never happened
+      store.delete(journalPath); return "aborted"
+    }
+    if (foreign.nonEmpty)
+      throw new TornTransactionException(
+        "recovery blocked: transaction partially durable but a concurrent " +
+        s"commit owns the next version on: ${foreign.map(_._1.dir).mkString(", ")}")
+    classified.filter(_._2 == Pending).foreach { case (e, _) =>
+      if (!store.publish(ops.metadataDir(new Path(e.dir)), e.prevVersion + 1, e.nextJson))
+        throw new TornTransactionException(
+          s"recovery lost a publish race on ${e.dir} — re-run recover")
+    }
+    store.delete(journalPath)
+    "completed-forward"
   }
 
   /** Atomic multi-table snapshot append: each table gets one append
@@ -121,6 +206,10 @@ object Transactions {
       tableDir: Path,
       requirements: Seq[Requirement] = Seq.empty,
       mkUpdates: TableMetadata => Seq[MetadataUpdate] = _ => Seq.empty)
+
+  /** One table's recorded intent in the write-ahead journal. */
+  private[graft] final case class JournalEntry(
+      dir: String, prevVersion: Int, nextJson: String)
 
   final class TornTransactionException(msg: String) extends RuntimeException(msg)
 }

@@ -84,8 +84,14 @@ object ZOrder {
     * expressions it would duplicate, so codegen evaluates level by
     * level instead of exponentially expanding the when-trees.
     * Appends `outCol`; temp state columns are dropped. */
+  /** Hilbert bits per dimension (8 → 256 cells/dim) and the total
+    * curve length in bits for a k-column clustering. */
+  val HilbertBits = 8
+  def hilbertTotalBits(k: Int): Int = k * HilbertBits
+
   def withHilbert(df: DataFrame, cols: Seq[String], outCol: String): DataFrame = {
-    require(cols.size == 2, "hilbert over exactly 2 columns")
+    require(cols.size >= 2 && cols.size <= 4, "hilbert over 2-4 columns")
+    if (cols.size > 2) return withHilbertN(df, cols, outCol)
     val bits = 8
     val side = (1L << bits) - 1 // 255
     val aggCols = cols.flatMap(c => Seq(
@@ -127,6 +133,35 @@ object ZOrder {
         .drop("__nx", "__ny", "__rx", "__ry")
     }
     out.drop("__hx", "__hy")
+  }
+
+  /** 3-4 dimension Hilbert clustering: normalization identical to the
+    * 2-D path (range-scale each column to [0, 255], nulls to cell 0),
+    * but the curve index comes from the codegen'd
+    * [[graft.functions.HilbertIndex]] Skilling-transform expression —
+    * one fused per-row loop instead of an unrolled 28-level Column
+    * chain (the 2-D unroll stays: it is spec-pinned bit-for-bit
+    * against the classic xy→d walk). */
+  private def withHilbertN(df: DataFrame, cols: Seq[String], outCol: String): DataFrame = {
+    val bits = HilbertBits
+    val side = (1L << bits) - 1
+    val aggCols = cols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"mn_$c"),
+      max(col(c)).cast("double").as(s"mx_$c")))
+    val bounds = df.agg(aggCols.head, aggCols.tail: _*).collect().head
+    def norm(c: String, i: Int): Column = {
+      val mn = bounds.getDouble(2 * i)
+      val mx = bounds.getDouble(2 * i + 1)
+      val scaled =
+        if (mx > mn) ((col(c).cast("double") - lit(mn)) / lit(mx - mn) * lit(side.toDouble)).cast("long")
+        else lit(0L)
+      coalesce(scaled, lit(0L))
+    }
+    val cells = array(cols.zipWithIndex.map { case (c, i) => norm(c, i) }: _*)
+    df.withColumn(outCol,
+      org.apache.spark.sql.execution.datasources.GraftBridge.column(
+        graft.functions.HilbertIndex(
+          org.apache.spark.sql.execution.datasources.GraftBridge.expression(cells), bits)))
   }
 
   /** Reference Hilbert xy→d (same unrolled algorithm, driver-side) —

@@ -253,6 +253,55 @@ class StatsSpec extends SparkSpec {
       .collect().head.getLong(0) == 11 * 100)
   }
 
+  test("3-D hilbert: Skilling curve walks adjacent cells; files prune on all dims") {
+    // exhaustive 8x8x8 grid (3 bits/dim): the index must be a
+    // bijection AND consecutive curve positions must be
+    // Manhattan-adjacent cells — THE Hilbert property
+    val bits = 3
+    val n = 1 << bits
+    val all = for (x <- 0 until n; y <- 0 until n; z <- 0 until n)
+      yield (x.toLong, y.toLong, z.toLong)
+    val indexed = all.map(c => graft.functions.HilbertIndex.index(
+      Array(c._1, c._2, c._3), bits) -> c)
+    assert(indexed.map(_._1).distinct.size == n * n * n, "bijection")
+    val walk = indexed.sortBy(_._1).map(_._2)
+    walk.sliding(2).foreach { case Seq(a, b) =>
+      val dist = math.abs(a._1 - b._1) + math.abs(a._2 - b._2) + math.abs(a._3 - b._3)
+      assert(dist == 1, s"curve jumped from $a to $b (distance $dist)")
+    }
+
+    // Column expression agrees with the driver-side reference
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stats")
+    spark.sql("CREATE TABLE graft.stats.h3 (x BIGINT, y BIGINT, z BIGINT)")
+    val dir = new Path(s"$warehouse/stats/h3")
+    import spark.implicits._
+    val grid = (for (x <- 0L until 20L; y <- 0L until 20L; z <- 0L until 20L)
+      yield (x, y, z)).toDF("x", "y", "z")
+    def norm(v: Long): Long = v * 255 / 19
+    ZOrder.withHilbert(grid, Seq("x", "y", "z"), "h")
+      .collect().foreach { r =>
+        val expected = graft.functions.HilbertIndex.index(
+          Array(norm(r.getLong(0)), norm(r.getLong(1)), norm(r.getLong(2))), 8)
+        assert(r.getLong(3) == expected,
+          s"hilbert3(${r.getLong(0)},${r.getLong(1)},${r.getLong(2)}) mismatch")
+      }
+
+    // clustered write prunes slices on ALL THREE dimensions
+    cat.ops.writeHilbertClustered(dir, grid, Seq("x", "y", "z"), numFiles = 16)
+    val entries = cat.ops.resolveEntries(dir, cat.ops.load(dir).get._2)
+    assert(entries.size == 16)
+    val schema = SchemaBridge.toSpark(cat.ops.load(dir).get._2.currentSchema)
+    import org.apache.spark.sql.sources.{And, GreaterThanOrEqual, LessThanOrEqual}
+    def filesFor(c: String, lo: Long, hi: Long): Int =
+      entries.count(e => Stats.mayContain(e, schema,
+        And(GreaterThanOrEqual(c, lo), LessThanOrEqual(c, hi))))
+    Seq("x", "y", "z").foreach { c =>
+      assert(filesFor(c, 0, 4) <= 12, s"$c-slice hit ${filesFor(c, 0, 4)}/16")
+    }
+    assert(spark.sql("SELECT count(*) FROM graft.stats.h3 WHERE x BETWEEN 0 AND 4")
+      .collect().head.getLong(0) == 5L * 20 * 20)
+  }
+
   test("compactSmallFiles rewrites only the small-file tail") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stats")
     spark.sql("CREATE TABLE graft.stats.bp (id BIGINT, pad STRING)")

@@ -122,4 +122,79 @@ class TxSpec extends SparkSpec {
     assert(cat.ops.load(d1).get._2.snapshots.size == 4)
     assert(cat.ops.load(d2).get._2.snapshots.size == 4)
   }
+
+  test("journaled transactions: journal cleaned on success, recovery completes a crash forward") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tx")
+    spark.sql("CREATE TABLE graft.tx.j1 (id BIGINT)")
+    spark.sql("CREATE TABLE graft.tx.j2 (id BIGINT)")
+    val d1 = new Path(s"$warehouse/tx/j1")
+    val d2 = new Path(s"$warehouse/tx/j2")
+    val jd = new Path(s"$warehouse/.tx-journal")
+    val jtx = new Transactions(cat.store, journalDir = Some(jd))
+    import spark.implicits._
+
+    // success path leaves no journal behind
+    jtx.appendAll(Seq(
+      d1 -> stage(d1, Seq(1L).toDF("id")),
+      d2 -> stage(d2, Seq(2L).toDF("id"))))
+    assert(cat.store.list(jd).isEmpty, "journal must be deleted after success")
+
+    // simulate a coordinator crash HALFWAY: journal written, table j1's
+    // next version published, j2 still at its pre-transaction version
+    val (v1, m1) = cat.ops.load(d1).get
+    val (v2, m2) = cat.ops.load(d2).get
+    val next1 = m1.copy(properties = m1.properties + ("tx-step" -> "2"))
+    val next2 = m2.copy(properties = m2.properties + ("tx-step" -> "2"))
+    val journal = jtx.writeJournal(Seq(
+      Transactions.JournalEntry(d1.toString, v1, MetadataJson.toJson(next1)),
+      Transactions.JournalEntry(d2.toString, v2, MetadataJson.toJson(next2))), jd)
+    assert(cat.store.publish(
+      cat.ops.metadataDir(d1), v1 + 1, MetadataJson.toJson(next1)))
+    // crash here. Recovery must complete FORWARD: j1's publish is
+    // durable (later writers may have built on it), so j2 gets its
+    // recorded next state instead of j1 being torn back.
+    assert(jtx.recover(journal) == "completed-forward")
+    assert(cat.ops.load(d1).get._2.properties.get("tx-step").contains("2"))
+    assert(cat.ops.load(d2).get._2.properties.get("tx-step").contains("2"))
+    assert(!cat.store.exists(journal), "journal consumed by recovery")
+
+    // idempotence shape: a journal whose intents all landed reports
+    // complete and is dropped
+    val journal2 = jtx.writeJournal(Seq(
+      Transactions.JournalEntry(d1.toString, v1, MetadataJson.toJson(next1)),
+      Transactions.JournalEntry(d2.toString, v2, MetadataJson.toJson(next2))), jd)
+    assert(jtx.recover(journal2) == "complete")
+  }
+
+  test("recovery reports genuinely torn state; pure-crash journals abort clean") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tx")
+    spark.sql("CREATE TABLE graft.tx.t1 (id BIGINT)")
+    spark.sql("CREATE TABLE graft.tx.t2 (id BIGINT)")
+    val d1 = new Path(s"$warehouse/tx/t1")
+    val d2 = new Path(s"$warehouse/tx/t2")
+    val jd = new Path(s"$warehouse/.tx-journal")
+    val jtx = new Transactions(cat.store, journalDir = Some(jd))
+
+    // crash BEFORE any publish: journal exists, nothing durable → abort
+    val (v1, m1) = cat.ops.load(d1).get
+    val (v2, m2) = cat.ops.load(d2).get
+    val next1 = m1.copy(properties = m1.properties + ("tx" -> "x"))
+    val next2 = m2.copy(properties = m2.properties + ("tx" -> "x"))
+    val j0 = jtx.writeJournal(Seq(
+      Transactions.JournalEntry(d1.toString, v1, MetadataJson.toJson(next1)),
+      Transactions.JournalEntry(d2.toString, v2, MetadataJson.toJson(next2))), jd)
+    assert(jtx.recover(j0) == "aborted")
+    assert(cat.ops.load(d1).get._1 == v1 && cat.ops.load(d2).get._1 == v2)
+
+    // our publish durable on t1 + a FOREIGN commit on t2 → torn, reported
+    val j1 = jtx.writeJournal(Seq(
+      Transactions.JournalEntry(d1.toString, v1, MetadataJson.toJson(next1)),
+      Transactions.JournalEntry(d2.toString, v2, MetadataJson.toJson(next2))), jd)
+    assert(cat.store.publish(cat.ops.metadataDir(d1), v1 + 1, MetadataJson.toJson(next1)))
+    val foreign = m2.copy(properties = m2.properties + ("who" -> "else"))
+    assert(cat.store.publish(cat.ops.metadataDir(d2), v2 + 1, MetadataJson.toJson(foreign)))
+    val e = intercept[Transactions.TornTransactionException] { jtx.recover(j1) }
+    assert(e.getMessage.contains(d2.toString))
+    assert(cat.store.exists(j1), "journal retained for manual reconciliation")
+  }
 }
