@@ -19,7 +19,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * scanning for the highest version, so a stale hint is never
   * incorrect, only slower.
   */
-final class FsStore(conf: Configuration) {
+class FsStore(conf: Configuration) {
 
   def fs(p: Path): FileSystem = p.getFileSystem(conf)
 
@@ -38,6 +38,17 @@ final class FsStore(conf: Configuration) {
   def exists(p: Path): Boolean = fs(p).exists(p)
   def delete(p: Path): Boolean = fs(p).delete(p, true)
   def mkdirs(p: Path): Boolean = fs(p).mkdirs(p)
+
+  /** Move a whole subtree (table/view rename). Stores that keep state
+    * outside the filesystem override this to move that state too. */
+  def renameTree(from: Path, to: Path): Boolean = fs(from).rename(from, to)
+
+  /** CAS-publish several versioned objects in ONE transaction, when
+    * the backing store can span objects atomically. `None` = no such
+    * support (this FS store: callers fall back to ordered CAS with
+    * rollback/journal); `Some(true)` = every entry published;
+    * `Some(false)` = a conflict, NOTHING published. */
+  def publishAllAtomic(entries: Seq[(Path, Int, String)]): Option[Boolean] = None
 
   def list(p: Path): Seq[Path] =
     if (!exists(p)) Seq.empty

@@ -41,7 +41,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     val wh = Option(options.get("warehouse")).getOrElse(
       throw new IllegalArgumentException(
         s"catalog $name requires the 'warehouse' option"))
-    store = new FsStore(spark.sparkContext.hadoopConfiguration)
+    // `jdbc-url` mounts the version ledger on a transactional JDBC
+    // store (Derby embedded ships with Spark); default is FS-CAS.
+    store = Option(options.get("jdbc-url")) match {
+      case Some(url) => new JdbcStore(spark.sparkContext.hadoopConfiguration, url)
+      case None => new FsStore(spark.sparkContext.hadoopConfiguration)
+    }
     ops = new TableOps(store)
     warehouse = new Path(wh)
     store.mkdirs(warehouse)
@@ -281,7 +286,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     requireNs(newIdent.namespace.toSeq)
     val to = tablePath(newIdent)
     if (ops.exists(to)) throw new TableAlreadyExistsException(newIdent.toString)
-    if (!store.fs(from).rename(from, to))
+    if (!store.renameTree(from, to))
       throw new IllegalStateException(s"rename $from -> $to failed")
   }
 
@@ -387,7 +392,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     val to = viewPath(newIdent)
     if (store.currentVersion(to).isDefined) throw new ViewAlreadyExistsException(newIdent)
     store.mkdirs(to.getParent)
-    if (!store.fs(from).rename(from, to))
+    if (!store.renameTree(from, to))
       throw new IllegalStateException(s"rename view $from -> $to failed")
   }
 }

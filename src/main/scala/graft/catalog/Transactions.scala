@@ -33,9 +33,11 @@ import org.apache.hadoop.fs.Path
   * back would destroy that writer's work, so the transaction STOPS
   * and reports the torn set instead ([[TornTransactionException]]) —
   * the same exposure a REST multi-table commit has when its backing
-  * store can't span tables in one transaction; swapping a
-  * transactional store (the reference's SQLite/Postgres) under the
-  * [[FsStore]] interface closes it. */
+  * store can't span tables in one transaction. [[JdbcStore]] IS the
+  * transactional store (the reference's SQLite/Postgres role): when
+  * mounted, every table publishes in ONE database transaction via
+  * [[FsStore.publishAllAtomic]] and the window disappears entirely —
+  * no ordering, no rollback, no journal. */
 final class Transactions(store: FsStore, journalDir: Option[Path] = None) {
   import Transactions.{JournalEntry, TableTx, TornTransactionException}
 
@@ -77,7 +79,21 @@ final class Transactions(store: FsStore, journalDir: Option[Path] = None) {
       val (withLog, _) = ops.appendMetadataLog(tx.tableDir, v, meta, updated)
       (tx, v, meta, withLog)
     }
-    // 3b: write-ahead journal (when configured) — the durable intent
+    // 3b: a transactional store ([[JdbcStore]]) spans every table in
+    // ONE database transaction — genuinely atomic, so the ordered
+    // publish, rollback, journal and torn-state machinery below is
+    // unnecessary: either every version lands or none does.
+    store.publishAllAtomic(prepared.map { case (tx, v, _, next) =>
+      (ops.metadataDir(tx.tableDir), v + 1, MetadataJson.toJson(next))
+    }) match {
+      case Some(true) =>
+        return prepared.map { case (tx, _, _, next) => tx.tableDir.toString -> next }.toMap
+      case Some(false) =>
+        throw new CommitFailedException(
+          "transaction CAS conflict (atomic store): nothing published; retrying")
+      case None => // FS store: ordered CAS + rollback/journal below
+    }
+    // 3c: write-ahead journal (when configured) — the durable intent
     // record that makes a crash or torn abort RECOVERABLE instead of
     // manual: [[recover]] reads it and completes or reports.
     val journal = journalDir.map { jd =>

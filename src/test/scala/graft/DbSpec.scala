@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+
+import graft.catalog._
+
+/** JDBC-backed catalog store (Derby embedded — the reference's
+  * SQLite/Postgres transactional backing, denali models/pg,
+  * models/sqlite, sqlgen/): version ledger in the database, data and
+  * manifests on the filesystem, multi-table commits in one DB
+  * transaction. */
+class DbSpec extends SparkSpec {
+
+  private lazy val dbRoot = java.nio.file.Files.createTempDirectory("graft-db-")
+  private lazy val jdbcUrl = s"jdbc:derby:$dbRoot/ledger;create=true"
+  private lazy val dbWarehouse = {
+    val p = java.nio.file.Files.createTempDirectory("graft-dbwh-")
+    spark.conf.set("spark.sql.catalog.graft_db", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_db.warehouse", p.toString)
+    spark.conf.set("spark.sql.catalog.graft_db.jdbc-url", jdbcUrl)
+    p
+  }
+  private def dbCat: GraftCatalog =
+    spark.sessionState.catalogManager.catalog("graft_db").asInstanceOf[GraftCatalog]
+  private def store: JdbcStore = dbCat.store.asInstanceOf[JdbcStore]
+
+  test("SQL round-trip through a JDBC-mounted catalog; DB is the source of truth") {
+    dbWarehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_db.db")
+    spark.sql("CREATE TABLE graft_db.db.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft_db.db.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    assert(spark.sql("SELECT sum(id) FROM graft_db.db.t").collect().head.getLong(0) == 6)
+
+    // the ledger, not the FS mirror, carries correctness: blow the
+    // mirrored version files away and reads still resolve
+    val md = dbCat.ops.metadataDir(new Path(s"$dbWarehouse/db/t"))
+    store.list(md).filter(p => store.versionOf(p).isDefined)
+      .foreach(p => new java.io.File(p.toUri.getPath).delete())
+    assert(spark.sql("SELECT count(*) FROM graft_db.db.t").collect().head.getLong(0) == 3)
+
+    // snapshot history lives in the ledger as ordinary metadata
+    spark.sql("INSERT INTO graft_db.db.t VALUES (4, 'd')")
+    val dir = new Path(s"$dbWarehouse/db/t")
+    assert(dbCat.ops.load(dir).get._2.snapshots.size == 2)
+  }
+
+  test("publish is a DB CAS: 8 racing committers serialize to exactly one winner per version") {
+    dbWarehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_db.db")
+    spark.sql("CREATE TABLE graft_db.db.race (id BIGINT)")
+    val dir = new Path(s"$dbWarehouse/db/race")
+    val threads = 8
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val done = new java.util.concurrent.CountDownLatch(threads)
+    (1 to threads).foreach { i =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          start.await()
+          // every thread retries until it lands ONE commit
+          var landed = false
+          while (!landed) {
+            try {
+              dbCat.ops.commit(dir, Seq.empty,
+                Seq(MetadataUpdate.SetProperties(Map(s"who-$i" -> "me"))))
+              landed = true
+              wins.incrementAndGet()
+            } catch { case _: CommitFailedException => Thread.sleep(5) }
+          }
+          done.countDown()
+        }
+      })
+    }
+    start.countDown()
+    assert(done.await(60, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(wins.get() == threads)
+    val (v, meta) = dbCat.ops.load(dir).get
+    assert(v == threads, s"8 commits over v0 must land versions 1..8, head at $v")
+    (1 to threads).foreach(i => assert(meta.properties.get(s"who-$i").contains("me")))
+  }
+
+  test("publishAllAtomic: a conflict on ANY table publishes NOTHING (true multi-table atomicity)") {
+    dbWarehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_db.db")
+    spark.sql("CREATE TABLE graft_db.db.a1 (id BIGINT)")
+    spark.sql("CREATE TABLE graft_db.db.a2 (id BIGINT)")
+    val d1 = dbCat.ops.metadataDir(new Path(s"$dbWarehouse/db/a1"))
+    val d2 = dbCat.ops.metadataDir(new Path(s"$dbWarehouse/db/a2"))
+    val (v1, c1) = store.currentVersion(d1).get
+    val (v2, c2) = store.currentVersion(d2).get
+
+    // steal a2's next version first — the batch must then fail whole
+    assert(store.publish(d2, v2 + 1, c2))
+    assert(store.publishAllAtomic(Seq((d1, v1 + 1, c1), (d2, v2 + 1, c2)))
+      .contains(false))
+    assert(store.currentVersion(d1).get._1 == v1,
+      "a1 must NOT advance when a2's entry conflicts — no torn prefix")
+
+    // clean batch goes through, both advance together
+    assert(store.publishAllAtomic(Seq((d1, v1 + 1, c1), (d2, v2 + 2, c2))).contains(true))
+    assert(store.currentVersion(d1).get._1 == v1 + 1)
+    assert(store.currentVersion(d2).get._1 == v2 + 2)
+  }
+
+  test("Transactions over the JDBC store commit atomically, no journal needed") {
+    dbWarehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_db.db")
+    spark.sql("CREATE TABLE graft_db.db.fact (id BIGINT)")
+    spark.sql("CREATE TABLE graft_db.db.audit (id BIGINT)")
+    val factDir = new Path(s"$dbWarehouse/db/fact")
+    val auditDir = new Path(s"$dbWarehouse/db/audit")
+    import spark.implicits._
+    def stage(dir: Path, df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val stageDir = new Path(dir, s"data/stage-${java.util.UUID.randomUUID()}")
+      df.write.parquet(stageDir.toString)
+      store.listFilesRec(stageDir).filter(_.getName.endsWith(".parquet")).map(_.toString)
+    }
+    val tx = new Transactions(store)
+    tx.appendAll(Seq(
+      factDir -> stage(factDir, Seq(1L, 2L, 3L).toDF("id")),
+      auditDir -> stage(auditDir, Seq(100L).toDF("id"))))
+    assert(spark.sql("SELECT sum(id) FROM graft_db.db.fact").collect().head.getLong(0) == 6)
+    assert(spark.sql("SELECT sum(id) FROM graft_db.db.audit").collect().head.getLong(0) == 100)
+
+    // two concurrent multi-table transactions on the SAME tables both
+    // land (one retries), and the tables stay mutually consistent
+    val t1 = new Thread(() => tx.appendAll(Seq(
+      factDir -> stage(factDir, Seq(10L).toDF("id")),
+      auditDir -> stage(auditDir, Seq(200L).toDF("id")))))
+    val t2 = new Thread(() => tx.appendAll(Seq(
+      factDir -> stage(factDir, Seq(20L).toDF("id")),
+      auditDir -> stage(auditDir, Seq(300L).toDF("id")))))
+    t1.start(); t2.start(); t1.join(30000); t2.join(30000)
+    assert(dbCat.ops.load(factDir).get._2.snapshots.size == 3)
+    assert(dbCat.ops.load(auditDir).get._2.snapshots.size == 3)
+    assert(spark.sql("SELECT sum(id) FROM graft_db.db.fact").collect().head.getLong(0) == 36)
+    assert(spark.sql("SELECT sum(id) FROM graft_db.db.audit").collect().head.getLong(0) == 600)
+  }
+
+  test("rename moves the ledger; drop purges it (no resurrection on recreate)") {
+    dbWarehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_db.db")
+    spark.sql("CREATE TABLE graft_db.db.r1 (id BIGINT)")
+    spark.sql("INSERT INTO graft_db.db.r1 VALUES (7)")
+    spark.sql("ALTER TABLE graft_db.db.r1 RENAME TO graft_db.db.r2")
+    assert(spark.sql("SELECT id FROM graft_db.db.r2").collect().head.getLong(0) == 7)
+    assert(dbCat.ops.load(new Path(s"$dbWarehouse/db/r1")).isEmpty, "old ledger rows gone")
+    // history came along with the rename
+    assert(dbCat.ops.load(new Path(s"$dbWarehouse/db/r2")).get._2.snapshots.size == 1)
+
+    spark.sql("DROP TABLE graft_db.db.r2")
+    assert(dbCat.ops.load(new Path(s"$dbWarehouse/db/r2")).isEmpty)
+    // recreating the same name starts a fresh ledger at version 0
+    spark.sql("CREATE TABLE graft_db.db.r2 (id BIGINT)")
+    assert(dbCat.ops.load(new Path(s"$dbWarehouse/db/r2")).get._1 == 0)
+    assert(dbCat.ops.load(new Path(s"$dbWarehouse/db/r2")).get._2.snapshots.isEmpty)
+  }
+}
