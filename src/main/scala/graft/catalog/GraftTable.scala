@@ -158,6 +158,7 @@ final class GraftTable(
     private val dataEntries = entries.filter(_.isData)
     private val eqDeletes = entries.filter(_.isEqDelete)
     private val posDeletes = entries.filter(_.isPosDelete)
+    private val dvDeletes = entries.filter(_.isDvDelete)
 
     private var delegate: org.apache.spark.sql.execution.datasources.v2.FileScanBuilder =
       dataScanBuilder(dataEntries.map(_.path), schema, options)
@@ -213,7 +214,8 @@ final class GraftTable(
           "compact to rewrite files under the current schema first")
       def norm(p: String): String = new Path(p).toUri.getPath
       val required = requiredState.getOrElse(schema)
-      val needOrdinals = posDeletes.nonEmpty || metaCols.contains("_pos")
+      val needOrdinals =
+        posDeletes.nonEmpty || dvDeletes.nonEmpty || metaCols.contains("_pos")
       val allKeyCols = eqDeletes.flatMap(_.equalityColumns).distinct
       val missing = allKeyCols.filterNot(required.fieldNames.contains)
       val extended = StructType(
@@ -253,11 +255,14 @@ final class GraftTable(
               "_pos", org.apache.spark.sql.types.LongType, nullable = false)))
           Some(deleteHandle(posDeletes.map(_.path), posSchema))
         }
+      val dvHandle: Option[MorFilter.DeleteScanHandle] =
+        if (dvDeletes.isEmpty) None
+        else Some(deleteHandle(dvDeletes.map(_.path), DeletionVectors.schema))
       val confByPath = keptEntries.map { e =>
         val p = norm(e.path)
         p -> MorFilter.FileConf(
           keySets.filter(_.deleteSeq > e.dataSeq),
-          posHandle, dir.toString)
+          posHandle, dir.toString, dvHandle)
       }.toMap
       val metaFields = metaCols.map {
         case "_file" => org.apache.spark.sql.types.StructField(
@@ -300,7 +305,7 @@ final class GraftTable(
               import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
               override def readSchema(): StructType = req
               override def description(): String =
-                s"${inner.description()} morEq=${eqDeletes.size} morPos=${posDeletes.size} keyGrouped=$specCols"
+                s"${inner.description()} morEq=${eqDeletes.size} morPos=${posDeletes.size} morDv=${dvDeletes.size} keyGrouped=$specCols"
               override def outputPartitioning(): Partitioning =
                 new KeyGroupedPartitioning(
                   specCols.map(c => Expressions.identity(c)
@@ -322,7 +327,7 @@ final class GraftTable(
       new org.apache.spark.sql.connector.read.Scan {
         override def readSchema(): StructType = StructType(req.fields ++ metaFields)
         override def description(): String =
-          s"${inner.description()} morEq=${eqDeletes.size} morPos=${posDeletes.size} meta=$mc"
+          s"${inner.description()} morEq=${eqDeletes.size} morPos=${posDeletes.size} morDv=${dvDeletes.size} meta=$mc"
         override def toBatch: org.apache.spark.sql.connector.read.Batch =
           new org.apache.spark.sql.connector.read.Batch {
             override def planInputPartitions() =
@@ -335,7 +340,8 @@ final class GraftTable(
     }
 
     override def build(): org.apache.spark.sql.connector.read.Scan = {
-      if (eqDeletes.nonEmpty || posDeletes.nonEmpty || metaCols.nonEmpty)
+      if (eqDeletes.nonEmpty || posDeletes.nonEmpty || dvDeletes.nonEmpty ||
+          metaCols.nonEmpty)
         return buildMorOrMeta()
       // Field-id schema evolution: files written before a RENAME read
       // via their physical names in current column order (positional

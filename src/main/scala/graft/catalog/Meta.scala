@@ -72,7 +72,11 @@ final case class DataFileEntry(
   def isData: Boolean = content == "data"
   def isEqDelete: Boolean = content == "eq-deletes"
   def isPosDelete: Boolean = content == "pos-deletes"
-  def isDelete: Boolean = isEqDelete || isPosDelete
+  /** Deletion vector: positional deletes as one Roaring bitmap per
+    * data file ([[DeletionVectors]]) — same coordinate semantics as
+    * `pos-deletes`, different (far denser) physical encoding. */
+  def isDvDelete: Boolean = content == "dv-deletes"
+  def isDelete: Boolean = isEqDelete || isPosDelete || isDvDelete
   /** Sequence for masking decisions, with legacy-manifest defaults. */
   def dataSeq: Long = seq.getOrElse(0L)
   def deleteSeq: Long = seq.getOrElse(Long.MaxValue)

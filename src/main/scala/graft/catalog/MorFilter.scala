@@ -54,13 +54,16 @@ object MorFilter {
 
   /** Per-data-file delete state: the equality keysets that apply to
     * this file (seq-filtered) plus the positional-delete scan (shared
-    * across files; each reader looks up its own ordinals) and the
-    * table dir that relative delete coordinates resolve against. */
+    * across files; each reader looks up its own ordinals), the
+    * deletion-vector scan (same sharing — each reader picks its own
+    * file's bitmap) and the table dir that relative delete
+    * coordinates resolve against. */
   final case class FileConf(
       keySets: Seq[KeySet],
       posHandle: Option[DeleteScanHandle],
-      tableDir: String) extends Serializable {
-    def isEmpty: Boolean = keySets.isEmpty && posHandle.isEmpty
+      tableDir: String,
+      dvHandle: Option[DeleteScanHandle] = None) extends Serializable {
+    def isEmpty: Boolean = keySets.isEmpty && posHandle.isEmpty && dvHandle.isEmpty
   }
 
   /** Executor-side decoded-delete-set cache: access-ordered LRU, keyed
@@ -112,6 +115,33 @@ object MorFilter {
         out.getOrElseUpdate(p, scala.collection.mutable.HashSet.empty) += row.getLong(1)
       }
       out.map { case (k, v) => k -> v.toSet }.toMap
+    }
+
+  /** file path (normalized absolute) → deletion-vector bitmap, loaded
+    * on the executor. One decoded Roaring bitmap per referenced file —
+    * ~128 KB for a million dead ordinals where the parquet-ordinal
+    * path would hold a ~64 MB boxed `Set[Long]`. Overlapping DV
+    * commits for the same file union (newer commits add dead rows;
+    * coordinates never resurrect). */
+  def deadVectors(
+      h: DeleteScanHandle,
+      tableDir: String): Map[String, org.roaringbitmap.longlong.Roaring64NavigableMap] =
+    cached(s"dv:${h.id}") {
+      def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toUri.getPath
+      val out = scala.collection.mutable.HashMap
+        .empty[String, org.roaringbitmap.longlong.Roaring64NavigableMap]
+      foreachRow(h) { row =>
+        val s = row.getUTF8String(0).toString
+        val p =
+          if (s.startsWith("/") || s.contains(":/")) norm(s)
+          else norm(new org.apache.hadoop.fs.Path(tableDir, s).toString)
+        val bm = DeletionVectors.deserialize(row.getBinary(2))
+        out.get(p) match {
+          case Some(acc) => acc.or(bm)
+          case None => out.put(p, bm)
+        }
+      }
+      out.toMap
     }
 
   private def extractKey(row: InternalRow, idx: Array[Int], types: Array[DataType]): Vector[Any] = {
@@ -216,6 +246,8 @@ object MorFilter {
         case Some(h) => deadPositions(h, conf.tableDir).getOrElse(normPath, Set.empty)
         case None => Set.empty
       }
+      val deadVec: org.roaringbitmap.longlong.Roaring64NavigableMap =
+        conf.dvHandle.flatMap(h => deadVectors(h, conf.tableDir).get(normPath)).orNull
       val delegate = inner.createReader(p)
       new PartitionReader[InternalRow] {
         private val proj = UnsafeProjection.create(
@@ -239,7 +271,8 @@ object MorFilter {
           while (delegate.next()) {
             ordinal += 1
             val row = delegate.get()
-            if (!deadPos.contains(ordinal)) {
+            if (!deadPos.contains(ordinal) &&
+                (deadVec == null || !deadVec.contains(ordinal))) {
               val eqDead = eqSets.exists { case (idx, types, dead) =>
                 val k = extractKey(row, idx, types)
                 k != null && dead.contains(k)

@@ -646,7 +646,8 @@ final class TableOps(private[graft] val store: FsStore) {
   def positionalDelete(
       spark: SparkSession,
       tableDir: Path,
-      cond: org.apache.spark.sql.Column): TableMetadata = {
+      cond: org.apache.spark.sql.Column,
+      asVectors: Boolean = false): TableMetadata = {
     import org.apache.spark.sql.execution.datasources.GraftBridge
     val (_, meta) = load(tableDir).getOrElse(
       throw new CommitFailedException(s"table does not exist at $tableDir"))
@@ -664,12 +665,14 @@ final class TableOps(private[graft] val store: FsStore) {
     val writeDir = new Path(dataDir(tableDir), s"w-${UUID.randomUUID()}")
     // parallel write — the matched coordinate set of a large delete
     // must not funnel through one task; the manifest keeps every part
-    matches.write.parquet(writeDir.toString)
+    val content = if (asVectors) "dv-deletes" else "pos-deletes"
+    val toWrite = if (asVectors) DeletionVectors.fromPairs(spark, matches) else matches
+    toWrite.write.parquet(writeDir.toString)
     val files = store.listFilesRec(writeDir)
       .filter(_.getName.endsWith(".parquet")).map(_.toString)
     commitDeleteEntries(tableDir, seq => files.map(f => DataFileEntry(
-      relativize(tableDir, f), content = "pos-deletes", seq = Some(seq))),
-      "pos-delete",
+      relativize(tableDir, f), content = content, seq = Some(seq))),
+      if (asVectors) "dv-delete" else "pos-delete",
       validate = cur => {
         val present = resolveEntries(tableDir, cur).filter(_.isData).map(_.path).toSet
         if (!namedFiles.subsetOf(present))
@@ -677,6 +680,59 @@ final class TableOps(private[graft] val store: FsStore) {
             "positional delete aborted: a concurrent rewrite replaced files the " +
             "delete coordinates reference — recompute against fresh state")
       })
+  }
+
+  /** Positional DELETE committed as deletion vectors: one Roaring
+    * bitmap per touched data file ([[DeletionVectors]]) instead of one
+    * parquet row per dead ordinal — the Iceberg v3 deletion-vector
+    * direction. Same coordinate semantics, same concurrent-rewrite
+    * abort; ~60× denser on disk and O(1) unboxed membership on the
+    * read path. */
+  def deletionVectorDelete(
+      spark: SparkSession,
+      tableDir: Path,
+      cond: org.apache.spark.sql.Column): TableMetadata =
+    positionalDelete(spark, tableDir, cond, asVectors = true)
+
+  /** Compact every pending positional delete (row-coordinate parquet
+    * AND existing vectors) into ONE deletion vector per referenced
+    * data file. Positional application is path-keyed and
+    * sequence-independent (coordinates pin rows in exactly the files
+    * they name), so unioning commits is always semantics-preserving —
+    * unlike equality deletes, where [[compactDeletes]] must respect
+    * interleaved-append sequence boundaries. Data files untouched;
+    * O(dead rows) work. */
+  def vectorizeDeletes(spark: SparkSession, tableDir: Path): TableMetadata = {
+    val (_, meta) = load(tableDir).getOrElse(
+      throw new CommitFailedException(s"table does not exist at $tableDir"))
+    val entries = resolveEntries(tableDir, meta)
+    val pos = entries.filter(_.isPosDelete)
+    val dvs = entries.filter(_.isDvDelete)
+    if (pos.isEmpty && (dvs.size <= 1)) return meta
+    val posSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_file",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("_pos",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val fromPos =
+      if (pos.isEmpty) None
+      else Some(spark.read.schema(posSchema).parquet(pos.map(_.path): _*))
+    val fromDv =
+      if (dvs.isEmpty) None
+      else Some(DeletionVectors.toPairs(spark,
+        spark.read.schema(DeletionVectors.schema).parquet(dvs.map(_.path): _*)))
+    val pairs = (fromPos.toSeq ++ fromDv.toSeq).reduce(_ unionAll _)
+    val writeDir = new Path(dataDir(tableDir), s"w-${UUID.randomUUID()}")
+    DeletionVectors.fromPairs(spark, pairs).write.parquet(writeDir.toString)
+    val files = store.listFilesRec(writeDir)
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    val maxSeq = (pos ++ dvs).map(_.deleteSeq).max
+    val keep = entries.filterNot(e => e.isPosDelete || e.isDvDelete)
+    val merged = files.map(f => DataFileEntry(
+      relativize(tableDir, f), content = "dv-deletes", seq = Some(maxSeq)))
+    val all = (keep ++ merged).map(e => e.copy(path = relativize(tableDir, e.path)))
+    commitManifest(tableDir, all, meta.currentSnapshot, "vectorize-deletes",
+      added = merged.size)
   }
 
   /** Shared delete-file commit loop: stamps entries with the attempt's
@@ -927,23 +983,33 @@ final class TableOps(private[graft] val store: FsStore) {
               .getOrElse(readEntries(spark, tableDir, meta, Seq.empty))
               .withColumn("_change_type", lit("delete"))
               .withColumn("_commit_seq", lit(snap.sequenceNumber))
-          case "pos-delete" =>
+          case "pos-delete" | "dv-delete" =>
             // Row-level change = parent-state rows at the newly
             // deleted (file, ordinal) coordinates. Both sides of the
             // join carry scan-produced path strings, so raw equality
-            // matches.
+            // matches. Deletion vectors resolve through the same path:
+            // bitmaps stream back out as coordinate pairs.
             val prevDel = prev.filter(_.isDelete).map(_.path).toSet
-            val newDels = cur.filter(_.isPosDelete).filterNot(e => prevDel.contains(e.path))
+            val newDels = cur.filter(e => e.isPosDelete || e.isDvDelete)
+              .filterNot(e => prevDel.contains(e.path))
             val posSchema = StructType(Seq(
               org.apache.spark.sql.types.StructField("_file",
                 org.apache.spark.sql.types.StringType, nullable = false),
               org.apache.spark.sql.types.StructField("_pos",
                 org.apache.spark.sql.types.LongType, nullable = false)))
             import org.apache.spark.sql.functions.{concat, lit, regexp_replace, when}
+            val (newPos, newDv) = newDels.partition(_.isPosDelete)
+            val posPairs =
+              if (newPos.isEmpty) None
+              else Some(spark.read.schema(posSchema).parquet(newPos.map(_.path): _*))
+            val dvPairs =
+              if (newDv.isEmpty) None
+              else Some(DeletionVectors.toPairs(spark,
+                spark.read.schema(DeletionVectors.schema).parquet(newDv.map(_.path): _*)))
             // both sides normalized to bare absolute paths: stored
             // coordinates may be table-relative (rename-safe form),
             // scan-produced _file strings may carry a URI scheme
-            val pairs = spark.read.schema(posSchema).parquet(newDels.map(_.path): _*)
+            val pairs = (posPairs.toSeq ++ dvPairs.toSeq).reduce(_ unionAll _)
               .withColumn("_file",
                 when(col("_file").startsWith("/") || col("_file").contains(":/"),
                   regexp_replace(col("_file"), "^file:/+", "/"))
@@ -1247,7 +1313,7 @@ final class TableOps(private[graft] val store: FsStore) {
     val eqDels = entries.filter(_.isEqDelete)
     def emptyDf =
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    if (entries.exists(_.isPosDelete))
+    if (entries.exists(e => e.isPosDelete || e.isDvDelete))
       return org.apache.spark.sql.execution.datasources.GraftBridge.ofRows(spark,
         new GraftTable(tableDir.toString, tableDir, meta, this, Some(entries)))
     if (dataEntries.isEmpty) return emptyDf

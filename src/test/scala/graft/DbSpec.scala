@@ -144,7 +144,8 @@ class DbSpec extends SparkSpec {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_db.db")
     spark.sql("CREATE TABLE graft_db.db.r1 (id BIGINT)")
     spark.sql("INSERT INTO graft_db.db.r1 VALUES (7)")
-    spark.sql("ALTER TABLE graft_db.db.r1 RENAME TO graft_db.db.r2")
+    // the RENAME TO target is catalog-relative (no catalog prefix)
+    spark.sql("ALTER TABLE graft_db.db.r1 RENAME TO db.r2")
     assert(spark.sql("SELECT id FROM graft_db.db.r2").collect().head.getLong(0) == 7)
     assert(dbCat.ops.load(new Path(s"$dbWarehouse/db/r1")).isEmpty, "old ledger rows gone")
     // history came along with the rename
