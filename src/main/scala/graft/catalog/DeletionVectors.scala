@@ -29,8 +29,9 @@ import org.roaringbitmap.longlong.Roaring64NavigableMap
   * The reference's metadata layer is delete-format-agnostic (denali
   * stores pointers, engines define delete file contents —
   * logic/table.go); graft keeps DV files graft-internal state like
-  * its other delete files, and [[IcebergExport]] materializes them
-  * as spec v2 positional-delete parquet for external engines. */
+  * its other delete files. [[IcebergExport]] materializes pending
+  * DVs (via [[toPairs]]) as spec v2 positional-delete parquet +
+  * content=1 manifests so external engines resolve the same rowset. */
 object DeletionVectors {
 
   /** Schema of a DV parquet file. */

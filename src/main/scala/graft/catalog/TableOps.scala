@@ -726,7 +726,12 @@ final class TableOps(private[graft] val store: FsStore) {
     DeletionVectors.fromPairs(spark, pairs).write.parquet(writeDir.toString)
     val files = store.listFilesRec(writeDir)
       .filter(_.getName.endsWith(".parquet")).map(_.toString)
-    val maxSeq = (pos ++ dvs).map(_.deleteSeq).max
+    // merged entry's seq = newest REAL input seq (positional application
+    // is path-keyed, so any seq ≤ table's lastSequenceNumber is sound —
+    // never deleteSeq, whose Long.MaxValue legacy fallback would commit
+    // a sentinel far above the table's sequence counter)
+    val realSeqs = (pos ++ dvs).flatMap(_.seq)
+    val maxSeq = if (realSeqs.nonEmpty) realSeqs.max else meta.lastSequenceNumber
     val keep = entries.filterNot(e => e.isPosDelete || e.isDvDelete)
     val merged = files.map(f => DataFileEntry(
       relativize(tableDir, f), content = "dv-deletes", seq = Some(maxSeq)))
@@ -1009,7 +1014,12 @@ final class TableOps(private[graft] val store: FsStore) {
             // both sides normalized to bare absolute paths: stored
             // coordinates may be table-relative (rename-safe form),
             // scan-produced _file strings may carry a URI scheme
-            val pairs = (posPairs.toSeq ++ dvPairs.toSeq).reduce(_ unionAll _)
+            // reduceOption: a pos/dv-delete snapshot can contribute no NEW
+            // delete files (all paths already present in the parent state)
+            val emptyPairs = spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], posSchema)
+            val pairs = (posPairs.toSeq ++ dvPairs.toSeq)
+              .reduceOption(_ unionAll _).getOrElse(emptyPairs)
               .withColumn("_file",
                 when(col("_file").startsWith("/") || col("_file").contains(":/"),
                   regexp_replace(col("_file"), "^file:/+", "/"))

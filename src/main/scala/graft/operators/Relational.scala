@@ -1379,6 +1379,56 @@ object Relational {
        FROM full_t f LEFT JOIN snap1 s ON f.o_orderstatus = s.o_orderstatus
        ORDER BY f.o_orderstatus"""
 
+  /** C61 under the oracle gate — deletion-vector roundtrip: a catalog
+    * table takes two OVERLAPPING deletion-vector DELETEs (Roaring
+    * bitmaps per data file, the Iceberg v3 direction) plus a
+    * vectorize-compaction, and the MOR-resolved read is hash-compared
+    * against DuckDB computing the same complement over raw parquet.
+    * Covers the bitmap write path, the overlap-union read path and
+    * [[graft.catalog.TableOps.vectorizeDeletes]] cross-engine. */
+  private val dvCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def qDvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog._
+    import org.apache.hadoop.fs.{Path => HPath}
+    val ops = new TableOps(new FsStore(s.sparkContext.hadoopConfiguration))
+    val wh = dvCache.computeIfAbsent(d, { _ =>
+      val whPath = java.nio.file.Files.createTempDirectory("graft-dv-")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(whPath.toFile)
+      }))
+      val tdir = new HPath(whPath.toString, "orders_dv")
+      val src = orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .filter(col("o_orderkey") < 4000)
+      ops.create(tdir, TableMetadata.create(
+        tdir.toString, SchemaBridge.fromSpark(src.schema),
+        PartitionSpec(0, Seq.empty), SortOrder(0, Seq.empty), Map.empty))
+      ops.write(tdir, src, "append")
+      // two overlapping bitmap deletes (keys ≡ 0 mod 7, mod 5 — the
+      // union path), then fold both commits into one vector set
+      ops.deletionVectorDelete(s, tdir, col("o_orderkey") % 7 === 0)
+      ops.deletionVectorDelete(s, tdir, col("o_orderkey") % 5 === 0)
+      ops.vectorizeDeletes(s, tdir)
+      whPath.toString
+    })
+    ops.read(s, new HPath(wh, "orders_dv"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_live"), dsum(col("o_totalprice")).as("sum_live"))
+      .orderBy("o_orderstatus")
+  }
+
+  val qDvRoundtripSql: String =
+    s"""SELECT o_orderstatus, COUNT(*) AS n_live,
+              ${sqlSum("o_totalprice")} AS sum_live
+       FROM orders
+       WHERE o_orderkey < 4000 AND o_orderkey % 7 <> 0 AND o_orderkey % 5 <> 0
+       GROUP BY o_orderstatus
+       ORDER BY o_orderstatus"""
+
   /** R70 — latest-row-per-key dedup (the CDC-compaction / SCD-1
     * pattern): one row_number window per key, keep rank 1. One
     * shuffle on the key; at 100 TB this is THE idiom for collapsing

@@ -158,4 +158,22 @@ class DbSpec extends SparkSpec {
     assert(dbCat.ops.load(new Path(s"$dbWarehouse/db/r2")).get._1 == 0)
     assert(dbCat.ops.load(new Path(s"$dbWarehouse/db/r2")).get._2.snapshots.isEmpty)
   }
+
+  test("catalog-prefixed RENAME TO target is catalog-relative: clean error, source intact") {
+    dbWarehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_db.db")
+    spark.sql("CREATE TABLE graft_db.db.p1 (id BIGINT)")
+    spark.sql("INSERT INTO graft_db.db.p1 VALUES (9)")
+    // Spark treats every part of the RENAME TO target as namespace
+    // segments within the SOURCE's catalog — a 'graft_db.db.p2' target
+    // means namespace (graft_db, db), which does not exist → the
+    // catalog's requireNs rejects it cleanly instead of silently
+    // renaming into a phantom directory
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_db.db.p1 RENAME TO graft_db.db.p2")
+    }
+    // source untouched, no phantom target ledger
+    assert(spark.sql("SELECT id FROM graft_db.db.p1").collect().head.getLong(0) == 9)
+    assert(dbCat.ops.load(new Path(s"$dbWarehouse/graft_db/db/p2")).isEmpty)
+  }
 }

@@ -1,0 +1,288 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions.col
+
+import graft.catalog._
+
+/** Deletion vectors (C61): positional deletes stored as one Roaring
+  * bitmap per data file — delete/read parity with row-coordinate
+  * positional deletes, overlap union, vectorize compaction, changelog
+  * resolution, rename safety, concurrent-rewrite abort, and the
+  * ≥1M-row off-driver read path. */
+class DvSpec extends SparkSpec {
+
+  private def cat: GraftCatalog =
+    spark.sessionState.catalogManager.catalog("graft").asInstanceOf[GraftCatalog]
+
+  private def entries(dir: Path) =
+    cat.ops.resolveEntries(dir, cat.ops.load(dir).get._2)
+
+  test("deletion-vector delete matches positional-delete semantics exactly") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dv")
+    for (t <- Seq("pos_ref", "vec")) {
+      spark.sql(s"CREATE TABLE graft.dv.$t (id BIGINT, v STRING)")
+      spark.sql(s"INSERT INTO graft.dv.$t VALUES (1,'x'), (1,'x'), (2,'y')")
+      spark.sql(s"INSERT INTO graft.dv.$t VALUES (3,'z'), (4,'y')")
+    }
+    val posDir = new Path(s"$warehouse/dv/pos_ref")
+    val vecDir = new Path(s"$warehouse/dv/vec")
+    val beforeData = entries(vecDir).filter(_.isData).map(_.path).toSet
+
+    cat.ops.positionalDelete(spark, posDir, col("v") === "y")
+    cat.ops.deletionVectorDelete(spark, vecDir, col("v") === "y")
+
+    // identical visible rowsets through the SQL scan path
+    def rows(t: String) = spark.sql(s"SELECT id, v FROM graft.dv.$t ORDER BY id, v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows("vec") == rows("pos_ref"))
+    assert(rows("vec") == Seq((1L, "x"), (1L, "x"), (3L, "z")))
+    // pruning + pushed-filter read paths agree
+    assert(spark.sql("SELECT count(*) FROM graft.dv.vec WHERE id >= 1")
+      .collect().head.getLong(0) == 3)
+    assert(spark.sql("SELECT v FROM graft.dv.vec ORDER BY v")
+      .collect().map(_.getString(0)).toSeq == Seq("x", "x", "z"))
+    assert(cat.ops.read(spark, vecDir).count() == 3)
+
+    // the commit is dv-deletes entries; zero data files rewritten
+    val after = entries(vecDir)
+    assert(after.count(_.isDvDelete) >= 1)
+    assert(after.count(_.isPosDelete) == 0)
+    assert(beforeData.subsetOf(after.filter(_.isData).map(_.path).toSet))
+
+    // appends after the DV delete are untouched by it
+    spark.sql("INSERT INTO graft.dv.vec VALUES (5,'y')")
+    assert(spark.sql("SELECT count(*) FROM graft.dv.vec").collect().head.getLong(0) == 4)
+  }
+
+  test("overlapping DV commits union (newer commits add dead rows)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dv")
+    spark.sql("CREATE TABLE graft.dv.ov (id BIGINT)")
+    spark.sql("INSERT INTO graft.dv.ov SELECT id FROM range(0, 100)")
+    val dir = new Path(s"$warehouse/dv/ov")
+
+    cat.ops.deletionVectorDelete(spark, dir, col("id") % 3 === 0)  // kills 0,3,6,…
+    cat.ops.deletionVectorDelete(spark, dir, col("id") % 5 === 0)  // overlaps at 0,15,30,…
+
+    val expect = (0L until 100L).filterNot(i => i % 3 == 0 || i % 5 == 0)
+    assert(spark.sql("SELECT id FROM graft.dv.ov ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == expect)
+    assert(entries(dir).count(_.isDvDelete) >= 2, "two separate DV commits pending")
+  }
+
+  test("changes() emits row-level deletes for dv-delete commits") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dv")
+    spark.sql("CREATE TABLE graft.dv.cdc (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.dv.cdc VALUES (1,'a'), (2,'b'), (3,'c')") // seq 1
+    val dir = new Path(s"$warehouse/dv/cdc")
+    cat.ops.deletionVectorDelete(spark, dir, col("id") === 2)              // seq 2
+
+    val feed = cat.ops.changes(spark, dir, 0L, Long.MaxValue)
+      .collect()
+      .map(r => (r.getLong(3), r.getString(2), r.getLong(0), r.getString(1)))
+      .sortBy(t => (t._1, t._2, t._3)).toSeq
+    assert(feed == Seq(
+      (1L, "insert", 1L, "a"),
+      (1L, "insert", 2L, "b"),
+      (1L, "insert", 3L, "c"),
+      (2L, "delete", 2L, "b")).sortBy(t => (t._1, t._2, t._3)), s"feed was $feed")
+  }
+
+  test("empty-match positional/DV delete commits cleanly; changes() tolerates it") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dv")
+    spark.sql("CREATE TABLE graft.dv.noop (id BIGINT)")
+    spark.sql("INSERT INTO graft.dv.noop VALUES (1), (2)")
+    val dir = new Path(s"$warehouse/dv/noop")
+    // nothing matches → a delete snapshot that adds no delete files
+    cat.ops.positionalDelete(spark, dir, col("id") === 999)
+    cat.ops.deletionVectorDelete(spark, dir, col("id") === 999)
+    assert(spark.sql("SELECT count(*) FROM graft.dv.noop").collect().head.getLong(0) == 2)
+    // the changelog must not throw on the file-less delete snapshots
+    val feed = cat.ops.changes(spark, dir, 0L, Long.MaxValue).collect()
+    assert(feed.count(_.getString(1) == "insert") == 2)
+    assert(feed.count(_.getString(1) == "delete") == 0)
+  }
+
+  test("vectorizeDeletes merges pos + DV commits, preserves rows, nets zero in changes()") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dv")
+    spark.sql("CREATE TABLE graft.dv.vz (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.dv.vz VALUES (1,'a'), (2,'b'), (3,'c'), (4,'d')")
+    spark.sql("INSERT INTO graft.dv.vz VALUES (5,'e'), (6,'f')")
+    val dir = new Path(s"$warehouse/dv/vz")
+    cat.ops.positionalDelete(spark, dir, col("id") === 2)       // row coords
+    cat.ops.deletionVectorDelete(spark, dir, col("id") === 5)   // bitmap
+    cat.ops.deletionVectorDelete(spark, dir, col("id") === 4)   // second bitmap
+    def content() = spark.sql("SELECT id FROM graft.dv.vz ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(content() == Seq(1L, 3L, 6L))
+    val seqBefore = cat.ops.load(dir).get._2.lastSequenceNumber
+
+    cat.ops.vectorizeDeletes(spark, dir)
+
+    assert(content() == Seq(1L, 3L, 6L), "vectorize must not change visible rows")
+    val after = entries(dir)
+    assert(after.count(_.isPosDelete) == 0, "row-coordinate files merged away")
+    assert(after.count(_.isDvDelete) >= 1)
+    // merged entries carry the newest REAL input sequence — never the
+    // Long.MaxValue legacy sentinel, never above the table's counter
+    val merged = after.filter(_.isDvDelete)
+    assert(merged.forall(_.seq.isDefined))
+    assert(merged.forall(_.seq.get <= seqBefore), s"merged seqs ${merged.map(_.seq)}")
+    // the vectorize snapshot itself nets to ZERO row-level changes
+    val vzSeq = cat.ops.load(dir).get._2.lastSequenceNumber
+    assert(cat.ops.changes(spark, dir, vzSeq - 1, vzSeq).count() == 0)
+    // still behaves afterwards: re-insert a dead key, it is visible
+    spark.sql("INSERT INTO graft.dv.vz VALUES (2,'back')")
+    assert(content() == Seq(1L, 2L, 3L, 6L))
+  }
+
+  test("applyDeletes purges deletion vectors; copy-on-write guarded while pending") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dv")
+    spark.sql("CREATE TABLE graft.dv.purge (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.dv.purge VALUES (1,'a'), (2,'b'), (3,'c')")
+    val dir = new Path(s"$warehouse/dv/purge")
+    cat.ops.deletionVectorDelete(spark, dir, col("id") === 2)
+
+    // raw-file rewrites would resurrect dead rows → guarded
+    intercept[Exception] { spark.sql("UPDATE graft.dv.purge SET v = 'X' WHERE id = 1") }
+    intercept[Exception] {
+      import spark.implicits._
+      cat.ops.upsert(spark, dir, Seq((1L, "z")).toDF("id", "v"), Seq("id"))
+    }
+
+    cat.ops.applyDeletes(spark, dir)
+    assert(entries(dir).forall(_.isData), "applyDeletes drops DV entries")
+    assert(spark.sql("SELECT id FROM graft.dv.purge ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // COW restored
+    spark.sql("UPDATE graft.dv.purge SET v = 'X' WHERE id = 1")
+    assert(spark.sql("SELECT v FROM graft.dv.purge WHERE id = 1")
+      .collect().head.getString(0) == "X")
+  }
+
+  test("compact with pending DVs applies them: rows preserved, vectors purged") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dv")
+    spark.sql("CREATE TABLE graft.dv.cp (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.dv.cp VALUES (1,'a'), (2,'b'), (3,'c'), (4,'d')")
+    spark.sql("INSERT INTO graft.dv.cp VALUES (5,'e'), (6,'f')")
+    val dir = new Path(s"$warehouse/dv/cp")
+    cat.ops.deletionVectorDelete(spark, dir, col("id") % 2 === 0)
+    assert(spark.sql("SELECT count(*) FROM graft.dv.cp").collect().head.getLong(0) == 3)
+
+    // compact resolves the MOR state first, so it doubles as an
+    // applyDeletes with file sizing: vectors gone, rowset identical
+    cat.ops.compact(spark, dir, 1)
+    val after = entries(dir)
+    assert(after.forall(_.isData), s"compaction must purge DV entries: $after")
+    assert(spark.sql("SELECT id FROM graft.dv.cp ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L, 5L))
+    // history: the pre-compaction snapshot still time-travels WITH the DV applied
+    val (_, m) = cat.ops.load(dir).get
+    val prev = m.snapshots.sortBy(_.sequenceNumber).dropRight(1).last
+    assert(spark.sql(s"SELECT count(*) FROM graft.dv.cp VERSION AS OF ${prev.snapshotId}")
+      .collect().head.getLong(0) == 3)
+  }
+
+  test("deletion vectors survive table rename (relative coordinates)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dv")
+    spark.sql("CREATE TABLE graft.dv.rn (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.dv.rn VALUES (1,'a'), (2,'b'), (3,'c')")
+    cat.ops.deletionVectorDelete(spark, new Path(s"$warehouse/dv/rn"), col("v") === "b")
+    assert(spark.sql("SELECT count(*) FROM graft.dv.rn").collect().head.getLong(0) == 2)
+
+    spark.sql("ALTER TABLE graft.dv.rn RENAME TO dv.rn2")
+    assert(spark.sql("SELECT id FROM graft.dv.rn2 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // CDC resolves the bitmap row-level post-rename too
+    val feed = cat.ops.changes(spark, new Path(s"$warehouse/dv/rn2"), 0L, Long.MaxValue)
+      .collect().map(r => (r.getString(2), r.getLong(0)))
+    assert(feed.contains(("delete", 2L)), s"feed was ${feed.toSeq}")
+  }
+
+  test("DV delete aborts when a concurrent rewrite replaces the referenced files") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dv")
+    spark.sql("CREATE TABLE graft.dv.race (id BIGINT)")
+    spark.sql("INSERT INTO graft.dv.race SELECT id FROM range(0, 50)")
+    val dir = new Path(s"$warehouse/dv/race")
+    val plainOps = cat.ops
+
+    // Store hook: the first CAS publish for this table triggers a
+    // compaction (rewriting every data file) through a SEPARATE ops,
+    // then proceeds — so the delete's first commit attempt loses the
+    // race deterministically and its retry re-validates against the
+    // rewritten state.
+    val hooked = new FsStore(spark.sparkContext.hadoopConfiguration) {
+      private val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+      override def publish(d: Path, next: Int, content: String): Boolean = {
+        if (d.toString.contains("dv/race") && fired.compareAndSet(false, true))
+          plainOps.compact(spark, dir, 1)
+        super.publish(d, next, content)
+      }
+    }
+    val racingOps = new TableOps(hooked)
+    val e = intercept[CommitFailedException] {
+      racingOps.positionalDelete(spark, dir, col("id") < 10, asVectors = true)
+    }
+    assert(e.getMessage.contains("concurrent rewrite"), e.getMessage)
+    // no delete landed; the compacted table is intact
+    assert(entries(dir).forall(_.isData))
+    assert(spark.sql("SELECT count(*) FROM graft.dv.race").collect().head.getLong(0) == 50)
+  }
+
+  test("million-row DV delete stays off the driver and reads correctly") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dv")
+    val dir = new Path(s"$warehouse/dv/big")
+    spark.sql("CREATE TABLE graft.dv.big (id BIGINT, v BIGINT)")
+    cat.ops.write(dir,
+      spark.range(0, 3000000).selectExpr("id", "id * 2 AS v").repartition(6), "append")
+
+    // ≥1M dead ordinals, committed as bitmaps: the driver plans a
+    // sub-scan over the DV parquet only; executors decode per file
+    cat.ops.deletionVectorDelete(spark, dir,
+      org.apache.spark.sql.functions.expr("id % 3 = 0"))
+
+    val dvEntries = entries(dir).filter(_.isDvDelete)
+    assert(dvEntries.nonEmpty)
+    // bitmap density: total DV payload must be a tiny fraction of the
+    // ~8 MB the same ordinals cost as row-coordinate parquet
+    val fs = new Path(dvEntries.head.path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dvBytes = dvEntries.map(e => fs.getFileStatus(new Path(e.path)).getLen).sum
+    assert(dvBytes < 2L * 1024 * 1024, s"DV files unexpectedly large: $dvBytes bytes")
+
+    assert(spark.sql("SELECT count(*) FROM graft.dv.big").collect().head.getLong(0)
+      == 2000000L)
+    assert(spark.sql("SELECT count(*) FROM graft.dv.big WHERE id % 3 = 0")
+      .collect().head.getLong(0) == 0L)
+    assert(spark.sql("SELECT sum(v) FROM graft.dv.big WHERE id < 10")
+      .collect().head.getLong(0) == Seq(1L, 2, 4, 5, 7, 8).map(_ * 2).sum)
+
+    // a second overlapping 1M-row DV commit unions on the read path
+    cat.ops.deletionVectorDelete(spark, dir,
+      org.apache.spark.sql.functions.expr("id % 3 = 1"))
+    assert(spark.sql("SELECT count(*) FROM graft.dv.big").collect().head.getLong(0)
+      == 1000000L)
+    assert(spark.sql("SELECT min(id), max(id) FROM graft.dv.big")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head == ((2L, 2999999L)))
+
+    // vectorize folds both commits into one vector set; rows unchanged
+    cat.ops.vectorizeDeletes(spark, dir)
+    assert(spark.sql("SELECT count(*) FROM graft.dv.big").collect().head.getLong(0)
+      == 1000000L)
+    assert(spark.sql("SELECT count(*) FROM graft.dv.big WHERE id % 3 != 2")
+      .collect().head.getLong(0) == 0L)
+  }
+
+  test("DeletionVectors round-trip: fromPairs/toPairs are inverses") {
+    import spark.implicits._
+    val pairs = Seq(
+      ("f1", 0L), ("f1", 5L), ("f1", 1000000L), ("f2", 7L), ("f2", 8L))
+      .toDF("_file", "_pos")
+    val dv = DeletionVectors.fromPairs(spark, pairs)
+    val back = DeletionVectors.toPairs(spark, dv).as[(String, Long)].collect().toSet
+    assert(back == Set(("f1", 0L), ("f1", 5L), ("f1", 1000000L), ("f2", 7L), ("f2", 8L)))
+    // cardinality column is the bitmap's true cardinality
+    val cards = dv.as[(String, Long, Array[Byte])].collect()
+      .map(t => (t._1, t._2)).toMap
+    assert(cards == Map("f1" -> 3L, "f2" -> 2L))
+  }
+}
