@@ -32,51 +32,90 @@ import org.apache.hadoop.fs.Path
   * The export is read-only interop: graft's own CAS metadata line
   * stays authoritative; re-export after new commits refreshes the
   * Iceberg view (same version numbering, so external readers see
-  * monotone metadata versions). Pending merge-on-read deletes must be
-  * applied first — their graft-JSON representation has no faithful
-  * spec encoding without positional/equality Avro delete manifests,
-  * and silently dropping them would export WRONG rows. */
+  * monotone metadata versions).
+  *
+  * Pending merge-on-read deletes export faithfully when a
+  * SparkSession is supplied: each graft delete file materializes ONCE
+  * (snapshots share the result) as a spec v2 delete file under
+  * `iceberg/data/` — positional/DV state as positional-delete parquet
+  * (`file_path` 2147483546 / `pos` 2147483545, the spec's reserved
+  * ids, sorted; deletion-vector bitmaps stream out via
+  * [[DeletionVectors.toPairs]]), equality state as equality-delete
+  * parquet carrying the table schema's field ids — referenced from a
+  * content=1 delete manifest per snapshot. Without a session the
+  * export refuses rather than silently dropping deletes (which would
+  * resurrect dead rows in external engines). */
 object IcebergExport {
 
   private val mapper = new ObjectMapper()
 
+  /** One materialized spec delete file (shared across the snapshots
+    * that reference the same graft delete file). */
+  private final case class DeleteExport(
+      path: String, rows: Long, bytes: Long, content: Int, equalityIds: Seq[Int])
+
   /** Export `tableDir`'s full snapshot lineage; returns the exported
-    * metadata.json path. */
-  def export(ops: TableOps, tableDir: Path): Path = {
+    * metadata.json path. Pass `spark` when the lineage carries
+    * merge-on-read delete files (they are materialized as spec v2
+    * delete files + content=1 manifests). */
+  def export(
+      ops: TableOps,
+      tableDir: Path,
+      spark: Option[org.apache.spark.sql.SparkSession] = None): Path = {
     val (version, meta) = ops.load(tableDir).getOrElse(
       throw new IllegalArgumentException(s"table does not exist at $tableDir"))
     val store = ops.store
     val exportDir = new Path(tableDir, "iceberg")
     val metaDir = new Path(exportDir, "metadata")
+    val dataDir = new Path(exportDir, "data")
     store.mkdirs(metaDir)
 
-    // Snapshots whose live state carries MOR delete files cannot be
-    // exported faithfully (a spec export without delete manifests
-    // would resurrect deleted rows in external engines): the CURRENT
-    // snapshot must be delete-free; delete-bearing HISTORY snapshots
-    // are omitted from the export (graft-side time travel keeps them).
-    val entriesBySnap = meta.snapshots.map(s => s -> ops.snapshotEntries(tableDir, s))
-    if (meta.currentSnapshot.exists(s =>
+    val allBySnap = meta.snapshots.map(s => s -> ops.snapshotEntries(tableDir, s))
+    // Without a SparkSession delete files cannot be materialized: a
+    // delete-bearing CURRENT snapshot refuses (silently dropping the
+    // deletes would resurrect dead rows in external engines);
+    // delete-bearing HISTORY snapshots are omitted from the export
+    // (graft-side time travel keeps them).
+    if (spark.isEmpty && meta.currentSnapshot.exists(s =>
         ops.snapshotEntries(tableDir, s).exists(_.isDelete)))
       throw new UnsupportedOperationException(
-        "table has pending merge-on-read deletes — run TableOps.applyDeletes " +
-        "before exporting (a spec export without delete manifests would " +
-        "resurrect deleted rows in external engines)")
-    val exportable = entriesBySnap.filter { case (_, es) => !es.exists(_.isDelete) }
+        "table has pending merge-on-read deletes — pass a SparkSession " +
+        "(IcebergExport.export(ops, dir, Some(spark))) to materialize them as " +
+        "spec v2 delete files, or run TableOps.applyDeletes before exporting " +
+        "(a spec export without delete manifests would resurrect deleted rows " +
+        "in external engines)")
+    val entriesBySnap =
+      if (spark.isDefined) allBySnap
+      else allBySnap.filter { case (_, es) => !es.exists(_.isDelete) }
 
     // fresh ids for nested (list element) types, above every field id
     var nextId = math.max(meta.lastColumnId, meta.schemas.map(_.highestFieldId).max)
     def allocId(): Int = { nextId += 1; nextId }
     val schemaJsons = meta.schemas.map(s => s.schemaId -> icebergSchema(s, () => allocId()))
 
-    // one manifest + one manifest list per exportable snapshot
-    val manifestLists = exportable.map { case (snap, entries) =>
+    // graft delete file -> spec delete file, materialized once
+    val deleteCache = scala.collection.mutable.Map.empty[String, DeleteExport]
+    def materialized(e: DataFileEntry): DeleteExport =
+      deleteCache.getOrElseUpdate(e.path,
+        materializeDelete(ops, spark.get, tableDir, dataDir, meta, e))
+
+    // one data manifest (+ one delete manifest when pending deletes
+    // exist) + one manifest list per snapshot
+    val manifestLists = entriesBySnap.map { case (snap, entries) =>
       val schemaJson = schemaJsons.find(_._1 == snap.schemaId)
         .getOrElse(schemaJsons.head)._2
       val manifestPath = new Path(metaDir, s"m-${snap.snapshotId}.avro")
       val (length, rows) = writeManifest(ops, manifestPath, snap, entries, schemaJson)
+      val dels = entries.filter(_.isDelete).map(e => e -> materialized(e))
+      val delManifest = if (dels.isEmpty) None else {
+        val dPath = new Path(metaDir, s"m-${snap.snapshotId}-deletes.avro")
+        val (dLen, dRows) = writeDeleteManifest(ops, dPath, snap, dels, schemaJson)
+        Some((dPath, dLen, dels.size, dRows,
+          dels.map { case (e, _) => e.seq.getOrElse(snap.sequenceNumber) }.min))
+      }
       val listPath = new Path(metaDir, s"snap-${snap.snapshotId}.avro")
-      writeManifestList(ops, listPath, snap, manifestPath, length, entries.size, rows)
+      writeManifestList(ops, listPath, snap, manifestPath, length,
+        entries.count(_.isData), rows, delManifest)
       snap.snapshotId -> listPath.toString
     }.toMap
 
@@ -85,6 +124,77 @@ object IcebergExport {
     store.writeString(metaFile, json)
     store.writeString(new Path(metaDir, "version-hint.text"), version.toString)
     metaFile
+  }
+
+  /** Spark-side materialization of one graft delete file as a spec v2
+    * delete file: single sorted parquet part with the spec's reserved
+    * field ids (positional) or the table schema's ids (equality),
+    * renamed to a stable name derived from the source file. Runs once
+    * per distinct delete file per export — O(dead rows) work on the
+    * cluster, only the rename on the driver. */
+  private def materializeDelete(
+      ops: TableOps,
+      spark: org.apache.spark.sql.SparkSession,
+      tableDir: Path,
+      dataDir: Path,
+      meta: TableMetadata,
+      e: DataFileEntry): DeleteExport = {
+    import org.apache.spark.sql.functions.{col, concat, lit, regexp_replace, when}
+    import org.apache.spark.sql.types._
+    val fieldMeta = (id: Int) =>
+      new MetadataBuilder().putLong("parquet.field.id", id.toLong).build()
+    val (df, content, eqIds) =
+      if (e.isEqDelete) {
+        val schemaFields = meta.currentSchema.fields
+        val ids = e.equalityColumns.map { c =>
+          schemaFields.find(_.name == c).getOrElse(throw new IllegalStateException(
+            s"equality-delete column $c not in current schema")).id
+        }
+        val keySchema = StructType(e.equalityColumns.map { c =>
+          val f = schemaFields.find(_.name == c).get
+          StructField(f.name, SchemaBridge.toSpark(
+            TableSchema(0, Seq(f))).fields.head.dataType)
+        })
+        val keys = spark.read.schema(keySchema).parquet(e.path)
+        val withIds = keys.select(e.equalityColumns.zip(ids).map { case (c, id) =>
+          col(c).as(c, fieldMeta(id))
+        }: _*)
+        (withIds.orderBy(e.equalityColumns.map(col): _*), 2, ids)
+      } else {
+        val posSchema = StructType(Seq(
+          StructField("_file", StringType, nullable = false),
+          StructField("_pos", LongType, nullable = false)))
+        val raw =
+          if (e.isDvDelete) DeletionVectors.toPairs(spark,
+            spark.read.schema(DeletionVectors.schema).parquet(e.path))
+          else spark.read.schema(posSchema).parquet(e.path)
+        // stored coordinates may be table-relative (rename-safe form);
+        // the spec requires the data file's full path
+        val abs = raw.withColumn("_file",
+            when(col("_file").startsWith("/") || col("_file").contains(":/"),
+              regexp_replace(col("_file"), "^file:/+", "/"))
+            .otherwise(concat(lit(tableDir.toUri.getPath + "/"), col("_file"))))
+          .select(
+            col("_file").as("file_path", fieldMeta(2147483546)),
+            col("_pos").as("pos", fieldMeta(2147483545)))
+          .orderBy("file_path", "pos")
+        (abs, 1, Seq.empty[Int])
+      }
+    val rows = df.count()
+    val tmp = new Path(dataDir, s"tmp-${java.util.UUID.randomUUID()}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = ops.store.listFilesRec(tmp)
+      .filter(_.getName.endsWith(".parquet")).head
+    val name = {
+      val base = new Path(e.path).getName.stripSuffix(".parquet")
+      s"del-${math.abs(e.path.hashCode).toHexString}-$base.parquet"
+    }
+    val target = new Path(dataDir, name)
+    val fs = ops.store.fs(target)
+    if (fs.exists(target)) fs.delete(target, false)
+    fs.rename(part, target)
+    fs.delete(tmp, true)
+    DeleteExport(target.toString, rows, fs.getFileStatus(target).getLen, content, eqIds)
   }
 
   // ---------- type mapping (Spark DDL -> Iceberg) ----------
@@ -157,7 +267,9 @@ object IcebergExport {
             {"name": "partition", "field-id": 102,
              "type": {"type": "record", "name": "r102", "fields": []}},
             {"name": "record_count", "type": "long", "field-id": 103},
-            {"name": "file_size_in_bytes", "type": "long", "field-id": 104}
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {"name": "equality_ids", "field-id": 135, "default": null,
+             "type": ["null", {"type": "array", "items": "int", "element-id": 136}]}
         ]}}
     ]}""")
 
@@ -247,6 +359,53 @@ object IcebergExport {
     (len, totalRows)
   }
 
+  /** One content=deletes manifest for a snapshot's pending delete
+    * files (each already materialized in spec form); returns
+    * (fileLength, totalDeleteRows). Entry sequence numbers are the
+    * graft delete files' own commit sequences, so the spec's masking
+    * rules (positional ≤, equality <) match graft's semantics. */
+  private def writeDeleteManifest(
+      ops: TableOps,
+      target: Path,
+      snap: Snapshot,
+      dels: Seq[(DataFileEntry, DeleteExport)],
+      schemaJson: ObjectNode): (Long, Long) = {
+    var totalRows = 0L
+    val records = dels.map { case (e, exp) =>
+      val rec = new GenericData.Record(manifestEntrySchema)
+      rec.put("status", 1) // ADDED (explicit sequence numbers follow)
+      rec.put("snapshot_id", snap.snapshotId)
+      val seq = e.seq.getOrElse(snap.sequenceNumber)
+      rec.put("sequence_number", seq)
+      rec.put("file_sequence_number", seq)
+      val dfSchema = manifestEntrySchema.getField("data_file").schema()
+      val df = new GenericData.Record(dfSchema)
+      df.put("content", exp.content) // 1 = position deletes, 2 = equality
+      df.put("file_path", exp.path)
+      df.put("file_format", "PARQUET")
+      df.put("partition", new GenericData.Record(
+        dfSchema.getField("partition").schema()))
+      df.put("record_count", exp.rows)
+      df.put("file_size_in_bytes", exp.bytes)
+      if (exp.equalityIds.nonEmpty) {
+        val ids = new java.util.ArrayList[Integer]()
+        exp.equalityIds.foreach(i => ids.add(Integer.valueOf(i)))
+        df.put("equality_ids", ids)
+      }
+      totalRows += exp.rows
+      rec.put("data_file", df)
+      rec
+    }
+    val len = writeAvro(ops, target, manifestEntrySchema, Map(
+      "schema" -> schemaJson.toString,
+      "schema-id" -> snap.schemaId.toString,
+      "partition-spec" -> "[]",
+      "partition-spec-id" -> "0",
+      "format-version" -> "2",
+      "content" -> "deletes"), records)
+    (len, totalRows)
+  }
+
   private def writeManifestList(
       ops: TableOps,
       target: Path,
@@ -254,7 +413,8 @@ object IcebergExport {
       manifestPath: Path,
       manifestLength: Long,
       fileCount: Int,
-      rowCount: Long): Unit = {
+      rowCount: Long,
+      deleteManifest: Option[(Path, Long, Int, Long, Long)] = None): Unit = {
     val rec = new GenericData.Record(manifestFileSchema)
     rec.put("manifest_path", manifestPath.toString)
     rec.put("manifest_length", manifestLength)
@@ -269,11 +429,29 @@ object IcebergExport {
     rec.put("added_rows_count", rowCount)
     rec.put("existing_rows_count", 0L)
     rec.put("deleted_rows_count", 0L)
+    val delRec = deleteManifest.map { case (dPath, dLen, dFiles, dRows, minSeq) =>
+      val r = new GenericData.Record(manifestFileSchema)
+      r.put("manifest_path", dPath.toString)
+      r.put("manifest_length", dLen)
+      r.put("partition_spec_id", 0)
+      r.put("content", 1) // delete manifest
+      r.put("sequence_number", snap.sequenceNumber)
+      // pruning floor: the oldest delete-file sequence in the manifest
+      r.put("min_sequence_number", minSeq)
+      r.put("added_snapshot_id", snap.snapshotId)
+      r.put("added_files_count", dFiles)
+      r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", dRows)
+      r.put("existing_rows_count", 0L)
+      r.put("deleted_rows_count", 0L)
+      r
+    }
     writeAvro(ops, target, manifestFileSchema, Map(
       "snapshot-id" -> snap.snapshotId.toString,
       "parent-snapshot-id" -> snap.parentSnapshotId.map(_.toString).getOrElse("null"),
       "sequence-number" -> snap.sequenceNumber.toString,
-      "format-version" -> "2"), Seq(rec))
+      "format-version" -> "2"), Seq(rec) ++ delRec)
     ()
   }
 

@@ -13,9 +13,18 @@ import scala.jdk.CollectionConverters._
   * are (the reference's register-table flow, routes/tables.go
   * registerTable, generalized to the whole lineage).
   *
-  * Scope: format-version 2, parquet data files, no pending delete
-  * manifests (content != data throws — import after the source engine
-  * compacts), primitive + list column types. */
+  * Delete manifests (content=1) import when a SparkSession is
+  * supplied: spec positional-delete files (`file_path`/`pos`, the
+  * reserved 2147483546/2147483545 ids) convert to graft `pos-deletes`
+  * coordinate parquet, equality-delete files (equality_ids → column
+  * names via the source schema) to graft `eq-deletes` key parquet —
+  * each converted ONCE and committed as its own delete snapshot, so
+  * replay preserves the source's sequence ordering (equality deletes
+  * keep masking only strictly-older files) and graft CDC resolves the
+  * imported deletes row-level. Without a session, delete manifests
+  * throw (import after the source engine compacts).
+  *
+  * Scope: format-version 2, parquet files, primitive + list types. */
 object IcebergImport {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -52,16 +61,16 @@ object IcebergImport {
           Option(f.get("required")).exists(_.asBoolean()))
       })
 
-  /** The live data files of one snapshot: manifest list → manifests →
+  /** One live file of a source snapshot: content 0 = data, 1 =
+    * position deletes, 2 = equality deletes. */
+  private final case class SrcFile(
+      path: String, rows: Long, bytes: Long, content: Int, equalityIds: Seq[Int])
+
+  /** The live files of one snapshot: manifest list → manifests →
     * non-deleted entries. Paths as recorded (absolute). */
-  private def snapshotFiles(ops: TableOps, manifestList: Path): Seq[(String, Long, Long)] = {
+  private def snapshotFiles(ops: TableOps, manifestList: Path): Seq[SrcFile] = {
     val (manifests, _, _) = IcebergExport.readAvro(ops, manifestList)
     manifests.flatMap { mf =>
-      if (mf.get("content") != null &&
-          mf.get("content").asInstanceOf[Number].intValue() != 0)
-        throw new UnsupportedOperationException(
-          "Iceberg delete manifests are not importable — compact the source " +
-          "table (rewrite data files) first")
       val (entries, _, _) =
         IcebergExport.readAvro(ops, new Path(mf.get("manifest_path").toString))
       entries.flatMap { e =>
@@ -69,27 +78,68 @@ object IcebergImport {
         if (status == 2) None // DELETED entry
         else {
           val df = e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
-          if (df.get("content") != null &&
-              df.get("content").asInstanceOf[Number].intValue() != 0)
-            throw new UnsupportedOperationException(
-              "Iceberg delete files are not importable — compact the source first")
+          val content = Option(df.get("content"))
+            .map(_.asInstanceOf[Number].intValue()).getOrElse(0)
           val fmt = df.get("file_format").toString
           if (!fmt.equalsIgnoreCase("parquet"))
-            throw new UnsupportedOperationException(s"unsupported data-file format $fmt")
-          Some((df.get("file_path").toString,
+            throw new UnsupportedOperationException(s"unsupported file format $fmt")
+          val eqIds = Option(df.get("equality_ids")).map {
+            case l: java.util.List[_] =>
+              l.asScala.toSeq.map(_.asInstanceOf[Number].intValue())
+            case a: org.apache.avro.generic.GenericData.Array[_] =>
+              a.asScala.toSeq.map(_.asInstanceOf[Number].intValue())
+          }.getOrElse(Seq.empty)
+          Some(SrcFile(df.get("file_path").toString,
             df.get("record_count").asInstanceOf[Number].longValue(),
-            df.get("file_size_in_bytes").asInstanceOf[Number].longValue()))
+            df.get("file_size_in_bytes").asInstanceOf[Number].longValue(),
+            content, eqIds))
         }
       }
     }
   }
 
+  /** Convert one spec delete file to graft form under
+    * `<targetDir>/data/`; returns (graft files, graft content kind,
+    * equality column names). Conversion is Spark-distributed; each
+    * source file converts once per import. */
+  private def convertDelete(
+      ops: TableOps,
+      spark: org.apache.spark.sql.SparkSession,
+      targetDir: Path,
+      f: SrcFile,
+      idToName: Map[Int, String]): (Seq[String], String, Seq[String]) = {
+    import org.apache.spark.sql.functions.col
+    val outDir = new Path(new Path(targetDir, "data"),
+      s"w-import-del-${java.util.UUID.randomUUID()}")
+    val (df, content, eqCols) =
+      if (f.content == 1) {
+        val pairs = spark.read.parquet(f.path)
+          .select(col("file_path").as("_file"), col("pos").as("_pos"))
+        (pairs, "pos-deletes", Seq.empty[String])
+      } else {
+        val names = f.equalityIds.map(id => idToName.getOrElse(id,
+          throw new IllegalArgumentException(
+            s"equality_ids $id not in the source schema")))
+        val keys = spark.read.parquet(f.path).select(names.map(col): _*)
+        (keys, "eq-deletes", names)
+      }
+    df.coalesce(1).write.parquet(outDir.toString)
+    val files = ops.store.listFilesRec(outDir)
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    (files, content, eqCols)
+  }
+
   /** Import the table at `metadataJson` (an Iceberg vN.metadata.json
     * path) as a graft table at `targetDir`, replaying its snapshot
     * lineage: pure-append steps commit only the added files as
-    * `append`, everything else as `overwrite`. Returns the resulting
+    * `append`, new delete manifests as delete snapshots (needs
+    * `spark`), everything else as `overwrite`. Returns the resulting
     * graft metadata. */
-  def importTable(ops: TableOps, metadataJson: Path, targetDir: Path): TableMetadata = {
+  def importTable(
+      ops: TableOps,
+      metadataJson: Path,
+      targetDir: Path,
+      spark: Option[org.apache.spark.sql.SparkSession] = None): TableMetadata = {
     if (ops.exists(targetDir))
       throw new IllegalArgumentException(s"target table already exists at $targetDir")
     val n = mapper.readTree(ops.store.readString(metadataJson))
@@ -99,6 +149,7 @@ object IcebergImport {
     val currentSchemaId = n.get("current-schema-id").asInt()
     val schemas = n.get("schemas").elements().asScala.toSeq.map(readSchema)
     val schema = schemas.find(_.schemaId == currentSchemaId).getOrElse(schemas.head)
+    val idToName = schemas.flatMap(_.fields.map(f => f.id -> f.name)).toMap
     val props = Option(n.get("properties"))
       .map(_.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
       .getOrElse(Map.empty[String, String]) +
@@ -107,22 +158,80 @@ object IcebergImport {
     ops.create(targetDir, TableMetadata.create(
       targetDir.toString, schema.copy(schemaId = 0),
       PartitionSpec(0, Seq.empty), SortOrder(0, Seq.empty), props))
+    val conf = ops.store.fs(targetDir).getConf
 
     // replay lineage in sequence order
     val snaps = Option(n.get("snapshots")).map(_.elements().asScala.toSeq)
       .getOrElse(Seq.empty)
       .sortBy(_.get("sequence-number").asLong())
-    var prevFiles = Set.empty[String]
+    // source path -> converted graft delete files (once per import)
+    val converted =
+      scala.collection.mutable.Map.empty[String, (Seq[String], String, Seq[String])]
+    // source path -> graft sequence assigned at first appearance, so
+    // later full-state commits preserve masking order (equality
+    // deletes apply only to strictly-older data sequences)
+    var seqOf = Map.empty[String, Long]
+    var prevLive = Set.empty[String]
     snaps.foreach { s =>
       val files = snapshotFiles(ops, new Path(s.get("manifest-list").asText()))
-      val paths = files.map(_._1)
-      if (prevFiles.subsetOf(paths.toSet) && prevFiles.size < paths.size) {
-        // pure append: commit only the delta
-        ops.commitFiles(targetDir, paths.filterNot(prevFiles.contains), "append")
-      } else if (paths.toSet != prevFiles) {
-        ops.commitFiles(targetDir, paths, "overwrite")
+      val live = files.map(_.path).toSet
+      if (live != prevLive) {
+        val dels = files.filter(_.content != 0)
+        if (dels.nonEmpty && spark.isEmpty)
+          throw new UnsupportedOperationException(
+            "source snapshot has delete manifests — pass a SparkSession " +
+            "(IcebergImport.importTable(ops, json, dir, Some(spark))) to " +
+            "convert them, or compact the source table first")
+        dels.foreach { f =>
+          converted.getOrElseUpdate(f.path,
+            convertDelete(ops, spark.get, targetDir, f, idToName))
+        }
+        def deleteEntries(fs: Seq[SrcFile], seqFor: SrcFile => Long): Seq[DataFileEntry] =
+          fs.flatMap { f =>
+            val (paths, content, eqCols) = converted(f.path)
+            paths.map(p => DataFileEntry(p, rows = Some(f.rows), content = content,
+              equalityColumns = eqCols, seq = Some(seqFor(f))))
+          }
+        val newPaths = live -- prevLive
+        val removed = prevLive -- live
+        val dataF = files.filter(_.content == 0)
+        val newData = dataF.filter(f => newPaths.contains(f.path))
+        val newDels = dels.filter(f => newPaths.contains(f.path))
+        if (removed.isEmpty && newDels.isEmpty) {
+          // pure data append: commit only the delta
+          val meta = ops.commitFiles(targetDir, newData.map(_.path), "append")
+          newData.foreach(f => seqOf += f.path -> meta.lastSequenceNumber)
+        } else if (removed.isEmpty && newData.isEmpty) {
+          // pure delete addition: one graft delete snapshot per kind,
+          // in eq-then-pos order (both mask by their own sequence)
+          Seq("eq-deletes" -> "eq-delete", "pos-deletes" -> "pos-delete").foreach {
+            case (kind, op) =>
+              val ofKind = newDels.filter(f => converted(f.path)._2 == kind)
+              if (ofKind.nonEmpty) {
+                val meta0 = ops.load(targetDir).get._2
+                val next = meta0.lastSequenceNumber + 1
+                val cur = ops.resolveEntries(targetDir, meta0)
+                val entries = deleteEntries(ofKind, _ => next)
+                ops.commitReplay(targetDir, cur ++ entries, op, entries.size)
+                ofKind.foreach(f => seqOf += f.path -> next)
+              }
+          }
+        } else {
+          // rewrite (or mixed add): commit the full converted state,
+          // keeping each surviving file's first-assigned sequence
+          val meta0 = ops.load(targetDir).get._2
+          val next = meta0.lastSequenceNumber + 1
+          val entries =
+            dataF.map { f =>
+              val e = scala.util.Try(Stats.collect(conf, f.path))
+                .getOrElse(DataFileEntry(f.path, rows = Some(f.rows)))
+              e.copy(path = f.path, seq = Some(seqOf.getOrElse(f.path, next)))
+            } ++ deleteEntries(dels, f => seqOf.getOrElse(f.path, next))
+          ops.commitReplay(targetDir, entries, "overwrite", newPaths.size)
+          newPaths.foreach(p => seqOf += p -> next)
+        }
       } // identical set (metadata-only source snapshot): no graft commit
-      prevFiles = paths.toSet
+      prevLive = live
     }
     ops.load(targetDir).get._2
   }

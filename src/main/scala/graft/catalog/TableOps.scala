@@ -926,6 +926,21 @@ final class TableOps(private[graft] val store: FsStore) {
         MetadataUpdate.SetSnapshotRef("main", snapId, "branch")))
   }
 
+  /** Lineage-replay commit ([[IcebergImport]]): writes the given
+    * entries — absolute paths, caller-assigned sequence numbers and
+    * content kinds — verbatim as the next snapshot's manifest. Import
+    * runs single-writer on a fresh table, so no retry loop. */
+  private[catalog] def commitReplay(
+      tableDir: Path,
+      entries: Seq[DataFileEntry],
+      operation: String,
+      added: Int): TableMetadata = {
+    val (_, meta) = load(tableDir).getOrElse(
+      throw new CommitFailedException(s"table does not exist at $tableDir"))
+    val rel = entries.map(e => e.copy(path = relativize(tableDir, e.path)))
+    commitManifest(tableDir, rel, meta.currentSnapshot, operation, added)
+  }
+
   /** Row-level change feed (CDC) for the snapshots in
     * `(fromSeqExclusive, toSeqInclusive]` on the main lineage, computed
     * purely from snapshot file diffs — no change log is stored:

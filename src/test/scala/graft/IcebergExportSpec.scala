@@ -152,6 +152,8 @@ class IcebergExportSpec extends SparkSpec {
     val dir = new Path(s"$warehouse/ice/m")
     import spark.implicits._
     cat.ops.mergeOnReadDelete(spark, dir, Seq(1L).toDF("id"))
+    // without a SparkSession delete materialization is impossible —
+    // refuse rather than silently resurrect dead rows
     val e = intercept[UnsupportedOperationException] { IcebergExport.export(cat.ops, dir) }
     assert(e.getMessage.contains("applyDeletes"))
 
@@ -165,5 +167,138 @@ class IcebergExportSpec extends SparkSpec {
     val n2 = mapper.readTree(cat.ops.store.readString(f2))
     val snapsAfter = n2.get("snapshots").elements().asScala.toSeq
     assert(snapsAfter.nonEmpty && n2.get("last-sequence-number").asLong() >= 3L)
+  }
+
+  test("delete-bearing export: spec v2 delete files + content=1 manifests") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ice")
+    spark.sql("CREATE TABLE graft.ice.d (id BIGINT, v STRING)")
+    spark.sql("""INSERT INTO graft.ice.d VALUES
+      (1,'a'), (2,'b'), (3,'c'), (4,'d')""")
+    spark.sql("INSERT INTO graft.ice.d VALUES (5,'e'), (6,'f')")
+    val dir = new Path(s"$warehouse/ice/d")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    cat.ops.mergeOnReadDelete(spark, dir, Seq(2L).toDF("id"))   // equality
+    cat.ops.positionalDelete(spark, dir, col("id") === 4L)      // coordinates
+    cat.ops.deletionVectorDelete(spark, dir, col("id") === 5L)  // bitmap
+    val expectLive = Seq(1L, 3L, 6L)
+    assert(spark.sql("SELECT id FROM graft.ice.d ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == expectLive)
+
+    val metaFile = IcebergExport.export(cat.ops, dir, Some(spark))
+    val n = mapper.readTree(cat.ops.store.readString(metaFile))
+    val current = n.get("snapshots").elements().asScala.toSeq.find(
+      _.get("snapshot-id").asLong() == n.get("current-snapshot-id").asLong()).get
+
+    // ---- manifest list: one data + one delete manifest record ----
+    val (mlRecs, _, _) =
+      IcebergExport.readAvro(cat.ops, new Path(current.get("manifest-list").asText()))
+    val byContent = mlRecs.groupBy(_.get("content").asInstanceOf[Int])
+    assert(byContent.keySet == Set(0, 1), s"want data+delete manifests: $byContent")
+    val delMl = byContent(1).head
+    assert(delMl.get("min_sequence_number").asInstanceOf[Long] >= 3L,
+      "delete manifest floor = oldest delete commit sequence")
+
+    // ---- delete manifest: content kinds, equality_ids, spec files ----
+    val (dRecs, dMeta, dSchema) = IcebergExport.readAvro(
+      cat.ops, new Path(delMl.get("manifest_path").toString))
+    assert(dMeta("content") == "deletes")
+    def fieldId(s: org.apache.avro.Schema, name: String): Int =
+      s.getField(name).getObjectProp("field-id").asInstanceOf[Number].intValue()
+    assert(fieldId(dSchema.getField("data_file").schema(), "equality_ids") == 135)
+    val dFiles = dRecs.map(_.get("data_file")
+      .asInstanceOf[org.apache.avro.generic.GenericRecord])
+    // eq delete -> content=2 with equality_ids = [id of `id`]; the two
+    // positional flavors (coordinates + bitmap) -> content=1
+    val eqs = dFiles.filter(_.get("content").asInstanceOf[Int] == 2)
+    val poss = dFiles.filter(_.get("content").asInstanceOf[Int] == 1)
+    assert(eqs.size == 1 && poss.size == 2, s"delete files: $dFiles")
+    assert(eqs.head.get("equality_ids").asInstanceOf[java.util.List[_]]
+      .asScala.map(_.asInstanceOf[Number].intValue()).toSeq == Seq(1))
+    assert(eqs.head.get("record_count").asInstanceOf[Long] == 1L)
+
+    // spec positional-delete files: file_path/pos columns, absolute
+    // existing data paths, in-range ordinals
+    val dataPaths = {
+      val dataMl = byContent(0).head
+      val (mRecs, _, _) = IcebergExport.readAvro(
+        cat.ops, new Path(dataMl.get("manifest_path").toString))
+      mRecs.map(_.get("data_file")
+        .asInstanceOf[org.apache.avro.generic.GenericRecord])
+        .map(df => df.get("file_path").toString ->
+          df.get("record_count").asInstanceOf[Long]).toMap
+    }
+    poss.foreach { pf =>
+      val specFile = pf.get("file_path").toString
+      assert(cat.ops.store.exists(new Path(specFile)))
+      val pairs = spark.read.parquet(specFile)
+      assert(pairs.columns.toSeq == Seq("file_path", "pos"))
+      pairs.collect().foreach { r =>
+        val (f, p) = (r.getString(0), r.getLong(1))
+        assert(dataPaths.contains(f), s"pos delete names unknown data file $f")
+        assert(p >= 0 && p < dataPaths(f), s"ordinal $p out of range for $f")
+      }
+      assert(pairs.count() == pf.get("record_count").asInstanceOf[Long])
+    }
+
+    // an external engine's resolution (read data files, subtract eq
+    // keys and positional coordinates) yields graft's visible rowset
+    import org.apache.spark.sql.functions.{input_file_name, regexp_replace}
+    val raw = spark.read.parquet(dataPaths.keys.toSeq: _*)
+      .withColumn("_f", regexp_replace(input_file_name(), "^file:/+", "/"))
+    val eqKeys = spark.read.parquet(eqs.head.get("file_path").toString)
+    val posPairs = poss.map(pf =>
+        spark.read.parquet(pf.get("file_path").toString))
+      .reduce(_ unionAll _)
+      .groupBy("file_path").count()
+    // per-file dead counts match; surviving ids match via anti joins
+    val lively = raw.join(eqKeys, Seq("id"), "left_anti")
+    assert(lively.count() == 5L, "equality delete kills exactly one row")
+    val deadTotal = posPairs.agg(org.apache.spark.sql.functions.sum("count"))
+      .collect().head.getLong(0)
+    assert(deadTotal == 2L, "two positional ordinals dead (pos + dv)")
+  }
+
+  test("round-trip with pending deletes: import replays delete snapshots, rows intact") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ice")
+    spark.sql("CREATE TABLE graft.ice.rd (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.ice.rd VALUES (1,'a'), (2,'b'), (3,'c')")
+    spark.sql("INSERT INTO graft.ice.rd VALUES (4,'d'), (5,'e')")
+    val dir = new Path(s"$warehouse/ice/rd")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    cat.ops.mergeOnReadDelete(spark, dir, Seq(1L).toDF("id"))
+    cat.ops.deletionVectorDelete(spark, dir, col("id") === 4L)
+    // delete-then-reinsert: the reinserted key must stay visible
+    // through the round-trip (sequence ordering preserved on replay)
+    spark.sql("INSERT INTO graft.ice.rd VALUES (1,'back')")
+    val want = spark.sql("SELECT id, v FROM graft.ice.rd ORDER BY id, v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(want == Seq((1L, "back"), (2L, "b"), (3L, "c"), (5L, "e")))
+
+    val metaFile = IcebergExport.export(cat.ops, dir, Some(spark))
+    val target = new Path(s"$warehouse/ice/rd_imported")
+    // spark-less import of a delete-bearing export must refuse
+    val e = intercept[UnsupportedOperationException] {
+      IcebergImport.importTable(cat.ops, metaFile, new Path(s"$warehouse/ice/rd_x"))
+    }
+    assert(e.getMessage.contains("SparkSession"))
+
+    val imported = IcebergImport.importTable(cat.ops, metaFile, target, Some(spark))
+    val got = cat.ops.read(spark, target).orderBy("id", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == want, "imported MOR state resolves to the source rowset")
+
+    // the replayed lineage carries graft delete snapshots (CDC works)
+    assert(imported.snapshots.exists(s =>
+      s.operation == "eq-delete" || s.operation == "pos-delete"))
+    val feed = cat.ops.changes(spark, target, 0L, Long.MaxValue).collect()
+    assert(feed.count(_.getString(2) == "delete") == 2,
+      s"imported CDC must emit the eq + pos deletes: ${feed.toSeq}")
+
+    // time travel to the pre-delete snapshot shows all five rows
+    val firstTwo = imported.snapshots.sortBy(_.sequenceNumber).take(2)
+    assert(cat.ops.read(spark, target,
+      snapshotId = Some(firstTwo.last.snapshotId)).count() == 5L)
   }
 }
