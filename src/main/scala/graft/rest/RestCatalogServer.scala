@@ -34,9 +34,13 @@ import graft.catalog._
   * the shim itself is stateless and any number of them can front one
   * warehouse).
   */
-final class RestCatalogServer(warehouse: Path, conf: Configuration, port: Int = 0) {
+final class RestCatalogServer(
+    warehouse: Path,
+    conf: Configuration,
+    port: Int = 0,
+    store0: Option[FsStore] = None) {
 
-  private val store = new FsStore(conf)
+  private val store = store0.getOrElse(new FsStore(conf))
   private val ops = new TableOps(store)
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -145,6 +149,7 @@ final class RestCatalogServer(warehouse: Path, conf: Configuration, port: Int = 
         else throw RestError(404, "NoSuchTableError", s"Table `$t` not found")
       case ("POST", Seq("v1", "tables", "rename")) => renameTable(body)
       case ("POST", Seq("v1", "namespaces", _, "tables", _, "metrics")) => None // accepted
+      case ("POST", Seq("v1", "transactions", "commit")) => commitTransaction(body)
 
       case ("GET", Seq("v1", "namespaces", ns, "views")) => listViews(nsFromSeg(ns))
       case ("POST", Seq("v1", "namespaces", ns, "views")) => createView(nsFromSeg(ns), body)
@@ -369,6 +374,41 @@ final class RestCatalogServer(warehouse: Path, conf: Configuration, port: Int = 
       .map(_.elements().asScala.toSeq).getOrElse(Seq.empty).map(parseUpdate)
     ops.commit(dir, reqs, updates)
     tableResponse(dir)
+  }
+
+  /** Cross-table atomic commit — the endpoint the reference REGISTERS
+    * but answers 501 Not Implemented (routes/tables.go:470; "transactions
+    * not supported" in logic). graft implements it: every
+    * table-change's requirements are checked against a consistent
+    * read, then all updates publish all-or-nothing through
+    * [[Transactions]] — ordered CAS with prefix rollback on the plain
+    * FS store, ONE database transaction when the warehouse store is a
+    * [[JdbcStore]]. Success is 204 (CommitTransactionRequest has no
+    * response body in the spec); a lost race after retries is 409. */
+  private def commitTransaction(body: JsonNode): Option[JsonNode] = {
+    val changes = Option(body.get("table-changes"))
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+    if (changes.isEmpty)
+      throw RestError(400, "BadRequestError", "table-changes must be non-empty")
+    val txs = changes.map { c =>
+      val id = Option(c.get("identifier")).filterNot(_.isNull).getOrElse(
+        throw RestError(400, "BadRequestError",
+          "each table-change needs an identifier {namespace, name}"))
+      val ns = Option(id.get("namespace"))
+        .map(_.elements().asScala.toSeq.map(_.asText())).getOrElse(Seq.empty)
+      requireNs(ns)
+      val name = id.get("name").asText()
+      val dir = tablePath(ns, name)
+      if (!ops.exists(dir))
+        throw RestError(404, "NoSuchTableError", s"Table `$name` not found")
+      val reqs = Option(c.get("requirements"))
+        .map(_.elements().asScala.toSeq).getOrElse(Seq.empty).map(parseRequirement)
+      val updates = Option(c.get("updates"))
+        .map(_.elements().asScala.toSeq).getOrElse(Seq.empty).map(parseUpdate)
+      Transactions.TableTx(dir, reqs, _ => updates)
+    }
+    new Transactions(store).commitAll(txs)
+    None // 204: all tables committed
   }
 
   private def parseRequirement(n: JsonNode): Requirement = {

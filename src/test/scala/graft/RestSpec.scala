@@ -215,4 +215,96 @@ class RestSpec extends SparkSpec {
     assert(send("HEAD", "/v1/namespaces/restv/views/v1")._1 == 404)
     assert(send("DELETE", "/v1/namespaces/restv/views/v2")._1 == 204)
   }
+
+  test("/v1/transactions/commit: multi-table all-or-nothing (reference 501s this)") {
+    send("POST", "/v1/namespaces", Some("""{"namespace": ["txns"]}"""))
+    for (t <- Seq("tx1", "tx2"))
+      assert(send("POST", "/v1/namespaces/txns/tables", Some(
+        s"""{"name": "$t", "schema": {"schema-id": 0, "fields": [
+             {"id": 1, "name": "id", "type": "long", "required": true}]}}"""))._1 == 200)
+
+    // one request commits both tables; requirements checked per table
+    val ok = """{"table-changes": [
+      {"identifier": {"namespace": ["txns"], "name": "tx1"},
+       "requirements": [{"type": "assert-ref-snapshot-id", "ref": "main", "snapshot-id": null}],
+       "updates": [{"action": "set-properties", "updates": {"stage": "a"}}]},
+      {"identifier": {"namespace": ["txns"], "name": "tx2"},
+       "updates": [{"action": "set-properties", "updates": {"stage": "a"}}]}]}"""
+    val (okC, okB) = send("POST", "/v1/transactions/commit", Some(ok))
+    assert(okC == 204, okB.toString)
+    for (t <- Seq("tx1", "tx2"))
+      assert(send("GET", s"/v1/namespaces/txns/tables/$t")._2
+        .get("metadata").get("properties").get("stage").asText() == "a")
+
+    // a failed requirement on the SECOND table publishes NOTHING
+    val bad = """{"table-changes": [
+      {"identifier": {"namespace": ["txns"], "name": "tx1"},
+       "updates": [{"action": "set-properties", "updates": {"stage": "b"}}]},
+      {"identifier": {"namespace": ["txns"], "name": "tx2"},
+       "requirements": [{"type": "assert-ref-snapshot-id", "ref": "main", "snapshot-id": 12345}],
+       "updates": [{"action": "set-properties", "updates": {"stage": "b"}}]}]}"""
+    val (bc, berr) = send("POST", "/v1/transactions/commit", Some(bad))
+    assert(bc == 409, berr.toString)
+    for (t <- Seq("tx1", "tx2"))
+      assert(send("GET", s"/v1/namespaces/txns/tables/$t")._2
+        .get("metadata").get("properties").get("stage").asText() == "a",
+        s"$t must keep its pre-transaction state")
+
+    // request-shape errors (the reference's validation style)
+    assert(send("POST", "/v1/transactions/commit",
+      Some("""{"table-changes": []}"""))._1 == 400)
+    assert(send("POST", "/v1/transactions/commit",
+      Some("""{"table-changes": [{"identifier":
+        {"namespace": ["txns"], "name": "ghost"}, "updates": []}]}"""))._1 == 404)
+  }
+
+  test("transaction CAS failure mid-publish rolls back the published prefix") {
+    import graft.catalog.FsStore
+    val failMode = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // the SECOND table's publish always loses while failMode holds, so
+    // every attempt publishes txf1, fails txf2, and must revert txf1
+    val hooked = new FsStore(spark.sparkContext.hadoopConfiguration) {
+      override def publish(d: Path, next: Int, content: String): Boolean =
+        if (failMode.get() && d.toString.contains("txf2")) false
+        else super.publish(d, next, content)
+    }
+    val srv2 = new RestCatalogServer(
+      new Path(warehouse.toString), spark.sparkContext.hadoopConfiguration,
+      0, Some(hooked))
+    val base2 = s"http://127.0.0.1:${srv2.start()}"
+    def send2(method: String, path: String, body: Option[String] = None): (Int, JsonNode) = {
+      val b = HttpRequest.newBuilder(URI.create(s"$base2$path"))
+      body match {
+        case Some(s) => b.method(method, HttpRequest.BodyPublishers.ofString(s))
+        case None => b.method(method, HttpRequest.BodyPublishers.noBody())
+      }
+      val res = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      val node = if (res.body() == null || res.body().isEmpty) mapper.createObjectNode()
+                 else mapper.readTree(res.body())
+      (res.statusCode(), node)
+    }
+    try {
+      send2("POST", "/v1/namespaces", Some("""{"namespace": ["txf"]}"""))
+      for (t <- Seq("txf1", "txf2"))
+        assert(send2("POST", "/v1/namespaces/txf/tables", Some(
+          s"""{"name": "$t", "schema": {"schema-id": 0, "fields": [
+               {"id": 1, "name": "id", "type": "long", "required": true}]}}"""))._1 == 200)
+      failMode.set(true)
+      val tx = """{"table-changes": [
+        {"identifier": {"namespace": ["txf"], "name": "txf1"},
+         "updates": [{"action": "set-properties", "updates": {"stage": "x"}}]},
+        {"identifier": {"namespace": ["txf"], "name": "txf2"},
+         "updates": [{"action": "set-properties", "updates": {"stage": "x"}}]}]}"""
+      val (c, err) = send2("POST", "/v1/transactions/commit", Some(tx))
+      assert(c == 409, err.toString)
+      failMode.set(false)
+      // the first table published on every attempt and was reverted on
+      // every attempt: its logical state must be pre-transaction
+      for (t <- Seq("txf1", "txf2")) {
+        val props = send2("GET", s"/v1/namespaces/txf/tables/$t")._2
+          .get("metadata").get("properties")
+        assert(!props.has("stage"), s"$t must carry no transaction residue: $props")
+      }
+    } finally srv2.stop()
+  }
 }
