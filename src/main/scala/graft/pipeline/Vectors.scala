@@ -242,6 +242,107 @@ object Vectors {
       .orderBy("query_id", "rank")
   }
 
+  /** Cosine over a float-array vs double-array pair (embedding vs
+    * refined centroid) — the HOF formulation, double precision,
+    * left-to-right accumulation: bit-identical to DuckDB's
+    * list_cosine_similarity on the same operands, which keeps the
+    * k-means re-assignment ranking oracle-replayable. */
+  private def cosMixed(a: String, b: String): Column = expr(
+    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * y),
+                  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+        / (sqrt(aggregate($a, CAST(0.0 AS DOUBLE),
+                  (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+           * sqrt(aggregate($b, CAST(0.0 AS DOUBLE), (acc, y) -> acc + y * y)))""")
+
+  /** L26 — semantic dedup: k-means clustering (deterministic seeds +
+    * one Lloyd refinement) replaces L5's GIVEN label blocking with
+    * LEARNED clusters, then near-dup candidates are ranked inside each
+    * cluster only — the corpus-level shape when no labels exist.
+    *
+    * Steps, each oracle-replayable bit-for-bit:
+    *  1. seeds = the k lowest vec_ids (the IVF coarse-quantizer
+    *     convention, L7b);
+    *  2. assign every vector to its nearest seed by cosine (broadcast
+    *     argmax, no shuffle on the corpus side);
+    *  3. Lloyd step: element-wise centroid means per cluster
+    *     (posexplode → one shuffle on (cluster, dim); decimal-cast
+    *     sums keep the refined centroids bit-identical cross-engine);
+    *  4. re-assign to the nearest REFINED centroid (broadcast argmax);
+    *  5. intra-cluster pair ranking: self-join on the learned cluster
+    *     id, top-100 pairs by cosine.
+    *
+    * 100 TB shape: centroids are k×dim (broadcast side); both argmax
+    * passes are broadcast joins; the only corpus shuffles are the
+    * centroid aggregation and the within-cluster pair join — never an
+    * all-pairs cross join. k grows with corpus size; more Lloyd
+    * rounds = repeat steps 3-4 (each O(corpus) with the same plan). */
+  def dedupSemantic(s: SparkSession, d: String, k: Int = 16): DataFrame =
+    semanticPairs(embeddings(s, d), k)
+
+  /** The L26 core over any `(vec_id, embedding)` frame — the spec
+    * drives it with planted near-duplicates to prove recovery. */
+  def semanticPairs(e: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val seeds = broadcast(e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv")))
+    val assign1 = e.join(seeds)
+      .withColumn("csim", cosine("embedding", "cv"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cluster0"))
+    val centroids = assign1
+      .select(col("cluster0"), posexplode(col("embedding")))
+      .groupBy(col("cluster0"), col("pos"))
+      .agg((sum(col("col").cast("double").cast(DecimalType(18, 9)))
+        .cast("double") / count(lit(1))).as("cval"))
+      .groupBy("cluster0")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cval")))),
+        x => x.getField("cval")).as("cv2"))
+    val assign2 = e.join(broadcast(centroids.select(col("cluster0").as("cent2"), col("cv2"))))
+      .withColumn("csim2", cosMixed("embedding", "cv2"))
+      .withColumn("crank2", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("csim2").desc, col("cent2"))))
+      .filter(col("crank2") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent2").as("cluster"))
+    val a = assign2.select(col("cluster"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = assign2.select(col("cluster"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, Seq("cluster")).filter(col("vec_a") < col("vec_b"))
+      .select(col("cluster"), col("vec_a"), col("vec_b"),
+        round(cosine("ea", "eb"), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b"))
+      .limit(100)
+  }
+
+  val dedupSemanticSql: String =
+    """WITH seeds AS (SELECT vec_id AS cent_id, embedding AS cv
+                      FROM embeddings WHERE vec_id < 16),
+       a1 AS (SELECT vec_id, embedding, cent_id AS cluster0 FROM (
+               SELECT e.vec_id, e.embedding, s.cent_id,
+                      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                        CAST(s.cv AS DOUBLE[])) DESC,
+                                 s.cent_id) AS rk
+               FROM embeddings e CROSS JOIN seeds s) t WHERE rk = 1),
+       cent AS (SELECT cluster0, list(cval ORDER BY i) AS cv2 FROM (
+                 SELECT cluster0, i,
+                        CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)))
+                             AS DOUBLE) / COUNT(*) AS cval
+                 FROM a1, UNNEST(generate_series(1, len(embedding))) AS t(i)
+                 GROUP BY cluster0, i) m GROUP BY cluster0),
+       a2 AS (SELECT vec_id, embedding, cent2 AS cluster FROM (
+               SELECT e.vec_id, e.embedding, c.cluster0 AS cent2,
+                      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                        c.cv2) DESC,
+                                 c.cluster0) AS rk
+               FROM embeddings e CROSS JOIN cent c) t WHERE rk = 1)
+       SELECT a.cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
+              ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+       FROM a2 a JOIN a2 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 100"""
+
   val annLshTopkSql: String =
     """WITH wl AS (SELECT t, p,
                           list_transform(range(0, 64), i ->

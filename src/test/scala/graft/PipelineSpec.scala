@@ -47,6 +47,35 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.6, s"ANN recall@5 = $recall")
   }
 
+  test("L26: semantic dedup recovers planted near-duplicate pairs") {
+    import spark.implicits._
+    // 120 deterministic base vectors + 15 planted near-duplicates
+    // (base vector + 1% perturbation, cosine ≈ 0.999). The real
+    // corpus has no true near-dups (max pairwise cosine ≈ 0.5), so
+    // the recovery property needs planted ground truth.
+    val rnd = new scala.util.Random(42)
+    val base = (0L until 120L).map(i => (i, Array.fill(32)(rnd.nextFloat() - 0.5f)))
+    val planted = (0 until 15).map { j =>
+      val (src, v) = base(j * 7)
+      (1000L + src, v.map(x => x + 0.01f * (rnd.nextFloat() - 0.5f)))
+    }
+    val e = (base ++ planted).toDF("vec_id", "embedding")
+    val got = Vectors.semanticPairs(e, k = 16)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (0 until 15).map(j => (j * 7L, 1000L + j * 7L)).toSet
+    val recall = want.intersect(got).size.toDouble / want.size
+    // a planted near-identical pair can only be missed if k-means
+    // splits it across a cluster boundary — with cosine ≈ 0.999 both
+    // members rank every centroid almost identically, so recovery
+    // should be (near-)total
+    assert(recall >= 0.9, s"planted-dup recall = $recall (got ${got.size} pairs)")
+    // output discipline: ordered pairs, clusters are seed ids
+    val full = Vectors.semanticPairs(e, k = 16).collect()
+    assert(full.forall(r => r.getLong(1) < r.getLong(2)))
+    assert(full.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 16))
+  }
+
   test("R23: HLL approx distinct within 5% of exact") {
     val approx = Relational.qApproxDistinct(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -177,6 +177,20 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "fact attach must broadcast the tiny grid")
   }
 
+  test("semantic dedup: both argmax passes broadcast; no corpus cross join") {
+    import graft.pipeline.Vectors
+    val plan = planOf(Vectors.dedupSemantic(spark, sfDir))
+    // centroid sides are k×dim — every corpus-side join against them
+    // must be a broadcast nested loop (cross join with broadcast
+    // side), never a shuffled cartesian of the corpus
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnl >= 2, s"seed + refined-centroid argmaxes must broadcast\n${plan.take(800)}")
+    // the pair join blocks on the learned cluster id (equi join)
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin") ||
+      plan.contains("ShuffledHashJoin"), plan.take(800))
+  }
+
   test("catalog table scans keep pushdown through GraftTable") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.plans")
     spark.read.parquet(s"$sfDir/orders.parquet")
