@@ -119,7 +119,15 @@ object IcebergExport {
       snap.snapshotId -> listPath.toString
     }.toMap
 
-    val json = metadataJson(meta, exportDir, schemaJsons, manifestLists)
+    // Puffin statistics for the current snapshot, registered in the
+    // metadata.json `statistics` array (the spec's table-stats hook):
+    // per-column manifest rollup, zero data reads.
+    val puffin = meta.currentSnapshot.map { snap =>
+      snap -> PuffinStats.write(ops, tableDir, meta, snap,
+        new Path(metaDir, s"stats-${snap.snapshotId}.puffin"))
+    }
+
+    val json = metadataJson(meta, exportDir, schemaJsons, manifestLists, puffin)
     val metaFile = new Path(metaDir, s"v$version.metadata.json")
     store.writeString(metaFile, json)
     store.writeString(new Path(metaDir, "version-hint.text"), version.toString)
@@ -461,7 +469,8 @@ object IcebergExport {
       m: TableMetadata,
       exportDir: Path,
       schemaJsons: Seq[(Int, ObjectNode)],
-      manifestLists: Map[Long, String]): String = {
+      manifestLists: Map[Long, String],
+      puffin: Option[(Snapshot, PuffinStats.Written)] = None): String = {
     val o = mapper.createObjectNode()
     o.put("format-version", 2)
     o.put("table-uuid", m.tableUuid)
@@ -507,6 +516,15 @@ object IcebergExport {
       eo.put("snapshot-id", e.snapshotId); eo.put("timestamp-ms", e.timestampMs)
     }
     o.putArray("metadata-log")
+    puffin.foreach { case (snap, w) =>
+      val sa = o.putArray("statistics")
+      val so = sa.addObject()
+      so.put("snapshot-id", snap.snapshotId)
+      so.put("statistics-path", w.path)
+      so.put("file-size-in-bytes", w.fileSize)
+      so.put("file-footer-size-in-bytes", w.footerSize)
+      so.putArray("blob-metadata").add(mapper.readTree(w.blobMetadataJson))
+    }
     val refs = o.putObject("refs")
     m.refs.toSeq.filter(r => exported.contains(r._2.snapshotId)).sortBy(_._1)
       .foreach { case (name, r) =>

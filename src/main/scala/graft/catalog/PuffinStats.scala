@@ -1,0 +1,121 @@
+package graft.catalog
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.Path
+
+/** Minimal Apache Puffin writer — the Iceberg statistics-file format
+  * ([[IcebergExport]] registers the result in the exported
+  * metadata.json `statistics` array, the spec's table-level stats
+  * hook).
+  *
+  * Layout per the Puffin spec: `Magic, Blob₁…Blobₙ, Footer` where
+  * Footer = `Magic, FooterPayload (UTF-8 JSON), FooterPayloadSize
+  * (4-byte LE int), Flags (4 bytes, zero = uncompressed), Magic` and
+  * Magic = "PFA1". FileMetadata JSON carries one BlobMetadata per
+  * blob: type, fields, snapshot-id, sequence-number, offset, length.
+  *
+  * The blob graft writes is `graft-column-stats-v1`: the
+  * manifest-derived per-column min/max/null-count/file-count rollup of
+  * the snapshot's live data files, as UTF-8 JSON — zero data-file
+  * reads (the rollup is O(manifest)), and spec-conforming readers that
+  * don't know the type skip it by contract ("ignore unknown blob
+  * types"). The standard sketch blob (apache-datasketches-theta-v1)
+  * needs the datasketches library, which this environment doesn't
+  * ship; the container format is the compatibility surface. */
+object PuffinStats {
+
+  private val Magic = Array[Byte]('P', 'F', 'A', '1')
+  private val mapper = new ObjectMapper()
+
+  final case class Written(
+      path: String, fileSize: Long, footerSize: Long, blobMetadataJson: String)
+
+  /** Aggregate per-column stats over the snapshot's live data entries
+    * (min of mins, max of maxes, sum of null counts — strings compare
+    * by the schema's type semantics at read time, so the rollup keeps
+    * the manifest's string forms verbatim where ordering is unclear
+    * and numeric forms where it is). */
+  private[catalog] def columnRollup(
+      meta: TableMetadata, entries: Seq[DataFileEntry]): Map[String, (Option[String], Option[String], Long, Int)] = {
+    val numeric: Set[String] = meta.currentSchema.fields.collect {
+      case f if Set("tinyint", "smallint", "int", "integer", "bigint", "long",
+        "float", "real", "double").contains(f.dataType.toLowerCase) => f.name
+    }.toSet
+    val data = entries.filter(_.isData)
+    val cols = data.flatMap(_.stats.keys).distinct
+    cols.map { c =>
+      val s = data.flatMap(_.stats.get(c))
+      def pick(vs: Seq[String], wantMin: Boolean): Option[String] =
+        if (vs.isEmpty) None
+        else Some(
+          if (numeric.contains(c)) {
+            val ds = vs.map(v => v -> v.toDouble)
+            (if (wantMin) ds.minBy(_._2) else ds.maxBy(_._2))._1
+          } else if (wantMin) vs.min else vs.max)
+      val mins = pick(s.flatMap(_.min), wantMin = true)
+      val maxs = pick(s.flatMap(_.max), wantMin = false)
+      val nulls = s.flatMap(_.nulls).sum
+      c -> ((mins, maxs, nulls, data.count(_.stats.contains(c))))
+    }.toMap
+  }
+
+  /** Write a Puffin stats file for `snap`'s live state at `target`;
+    * returns sizes + the blob-metadata JSON for the metadata.json
+    * `statistics` entry. */
+  def write(
+      ops: TableOps,
+      tableDir: Path,
+      meta: TableMetadata,
+      snap: Snapshot,
+      target: Path): Written = {
+    val rollup = columnRollup(meta, ops.snapshotEntries(tableDir, snap))
+    val blobNode = mapper.createObjectNode()
+    rollup.toSeq.sortBy(_._1).foreach { case (c, (mn, mx, nulls, files)) =>
+      val co = blobNode.putObject(c)
+      mn.foreach(co.put("min", _))
+      mx.foreach(co.put("max", _))
+      co.put("null-count", nulls)
+      co.put("file-count", files)
+    }
+    val blob = blobNode.toString.getBytes(StandardCharsets.UTF_8)
+
+    val fieldIds = meta.currentSchema.fields
+      .filter(f => rollup.contains(f.name)).map(_.id)
+    val blobMeta = mapper.createObjectNode()
+    blobMeta.put("type", "graft-column-stats-v1")
+    val fa = blobMeta.putArray("fields")
+    fieldIds.foreach(fa.add)
+    blobMeta.put("snapshot-id", snap.snapshotId)
+    blobMeta.put("sequence-number", snap.sequenceNumber)
+    blobMeta.put("offset", Magic.length.toLong) // first blob, after the header magic
+    blobMeta.put("length", blob.length.toLong)
+
+    val footerPayloadNode = mapper.createObjectNode()
+    footerPayloadNode.putArray("blobs").add(blobMeta)
+    footerPayloadNode.putObject("properties").put("created-by", "graft")
+    val footerPayload = footerPayloadNode.toString.getBytes(StandardCharsets.UTF_8)
+
+    val bos = new ByteArrayOutputStream()
+    bos.write(Magic)          // header
+    bos.write(blob)           // blob 1
+    bos.write(Magic)          // footer start
+    bos.write(footerPayload)
+    val sizeBuf = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+    sizeBuf.putInt(footerPayload.length)
+    bos.write(sizeBuf.array())
+    bos.write(Array[Byte](0, 0, 0, 0)) // flags: uncompressed payload
+    bos.write(Magic)          // footer end
+    val bytes = bos.toByteArray
+
+    val out = ops.store.fs(target).create(target, true)
+    try out.write(bytes) finally out.close()
+    // footer = Magic + payload + size + flags + Magic
+    Written(target.toString, bytes.length.toLong,
+      (Magic.length + footerPayload.length + 4 + 4 + Magic.length).toLong,
+      blobMeta.toString)
+  }
+}

@@ -129,7 +129,8 @@ final class RestCatalogServer(
         Some(o)
 
       case ("GET", Seq("v1", "namespaces")) =>
-        listNamespaces(query("parent").map(nsFromSeg).getOrElse(Seq.empty))
+        listNamespaces(query("parent").map(nsFromSeg).getOrElse(Seq.empty),
+          query("pageToken"), query("pageSize"))
       case ("POST", Seq("v1", "namespaces")) => createNamespace(body)
       case ("HEAD", Seq("v1", "namespaces", ns)) =>
         if (nsExists(nsFromSeg(ns))) None else throw notFoundNs(ns)
@@ -138,7 +139,8 @@ final class RestCatalogServer(
       case ("POST", Seq("v1", "namespaces", ns, "properties")) =>
         updateNsProperties(nsFromSeg(ns), body)
 
-      case ("GET", Seq("v1", "namespaces", ns, "tables")) => listTables(nsFromSeg(ns))
+      case ("GET", Seq("v1", "namespaces", ns, "tables")) =>
+        listTables(nsFromSeg(ns), query("pageToken"), query("pageSize"))
       case ("POST", Seq("v1", "namespaces", ns, "tables")) => createTable(nsFromSeg(ns), body)
       case ("POST", Seq("v1", "namespaces", ns, "register")) => registerTable(nsFromSeg(ns), body)
       case ("GET", Seq("v1", "namespaces", ns, "tables", t)) => loadTable(nsFromSeg(ns), t)
@@ -151,7 +153,8 @@ final class RestCatalogServer(
       case ("POST", Seq("v1", "namespaces", _, "tables", _, "metrics")) => None // accepted
       case ("POST", Seq("v1", "transactions", "commit")) => commitTransaction(body)
 
-      case ("GET", Seq("v1", "namespaces", ns, "views")) => listViews(nsFromSeg(ns))
+      case ("GET", Seq("v1", "namespaces", ns, "views")) =>
+        listViews(nsFromSeg(ns), query("pageToken"), query("pageSize"))
       case ("POST", Seq("v1", "namespaces", ns, "views")) => createView(nsFromSeg(ns), body)
       case ("GET", Seq("v1", "namespaces", ns, "views", v)) => loadView(nsFromSeg(ns), v)
       case ("POST", Seq("v1", "namespaces", ns, "views", v)) => replaceView(nsFromSeg(ns), v, body)
@@ -183,16 +186,44 @@ final class RestCatalogServer(
     val a = o.putArray(field); ns.foreach(a.add)
   }
 
-  private def listNamespaces(parent: Seq[String]): Option[JsonNode] = {
+  /** List pagination (the spec's `pageToken`/`pageSize`): names are
+    * served sorted, a page starts AFTER the opaque token (the last
+    * name of the previous page), `next-page-token` is present while
+    * more remain. The reference DECLARES pageToken
+    * (routes/common.go:22) but never honors it — graft implements it,
+    * so a 100k-table namespace lists in bounded responses instead of
+    * one unbounded JSON array. */
+  private def paginate(
+      names: Seq[String],
+      token: Option[String],
+      size: Option[String]): (Seq[String], Option[String]) = {
+    val after = token match {
+      case Some(t) => names.dropWhile(_ <= t)
+      case None => names
+    }
+    size.map(_.toInt) match {
+      case Some(n) if n <= 0 =>
+        throw RestError(400, "BadRequestError", s"pageSize must be positive, got $n")
+      case Some(n) if after.size > n => (after.take(n), Some(after(n - 1)))
+      case _ => (after, None)
+    }
+  }
+
+  private def listNamespaces(
+      parent: Seq[String],
+      pageToken: Option[String] = None,
+      pageSize: Option[String] = None): Option[JsonNode] = {
     requireNs(parent)
     val o = mapper.createObjectNode()
-    val a = o.putArray("namespaces")
-    store.list(nsPath(parent))
+    val all = store.list(nsPath(parent))
       .filter(p => store.exists(new Path(p, NsMarker)))
       .map(_.getName).sorted
-      .foreach { child =>
-        val e = a.addArray(); (parent :+ child).foreach(e.add)
-      }
+    val (page, next) = paginate(all, pageToken, pageSize)
+    val a = o.putArray("namespaces")
+    page.foreach { child =>
+      val e = a.addArray(); (parent :+ child).foreach(e.add)
+    }
+    next.foreach(o.put("next-page-token", _))
     Some(o)
   }
 
@@ -299,16 +330,21 @@ final class RestCatalogServer(
     Some(o)
   }
 
-  private def listTables(ns: Seq[String]): Option[JsonNode] = {
+  private def listTables(
+      ns: Seq[String],
+      pageToken: Option[String] = None,
+      pageSize: Option[String] = None): Option[JsonNode] = {
     requireNs(ns)
     val o = mapper.createObjectNode()
-    val a = o.putArray("identifiers")
-    store.list(nsPath(ns))
+    val all = store.list(nsPath(ns))
       .filter(p => ops.exists(p))
       .map(_.getName).sorted
-      .foreach { t =>
-        val e = a.addObject(); nsArray(e, "namespace", ns); e.put("name", t)
-      }
+    val (page, next) = paginate(all, pageToken, pageSize)
+    val a = o.putArray("identifiers")
+    page.foreach { t =>
+      val e = a.addObject(); nsArray(e, "namespace", ns); e.put("name", t)
+    }
+    next.foreach(o.put("next-page-token", _))
     Some(o)
   }
 
@@ -531,16 +567,21 @@ final class RestCatalogServer(
     Some(o)
   }
 
-  private def listViews(ns: Seq[String]): Option[JsonNode] = {
+  private def listViews(
+      ns: Seq[String],
+      pageToken: Option[String] = None,
+      pageSize: Option[String] = None): Option[JsonNode] = {
     requireNs(ns)
     val o = mapper.createObjectNode()
-    val a = o.putArray("identifiers")
-    store.list(new Path(nsPath(ns), ViewsDir))
+    val all = store.list(new Path(nsPath(ns), ViewsDir))
       .filter(p => store.currentVersion(p).isDefined)
       .map(_.getName).sorted
-      .foreach { v =>
-        val e = a.addObject(); nsArray(e, "namespace", ns); e.put("name", v)
-      }
+    val (page, next) = paginate(all, pageToken, pageSize)
+    val a = o.putArray("identifiers")
+    page.foreach { v =>
+      val e = a.addObject(); nsArray(e, "namespace", ns); e.put("name", v)
+    }
+    next.foreach(o.put("next-page-token", _))
     Some(o)
   }
 

@@ -259,6 +259,53 @@ class IcebergExportSpec extends SparkSpec {
     assert(deadTotal == 2L, "two positional ordinals dead (pos + dv)")
   }
 
+  test("export writes a Puffin statistics file registered in metadata.json") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ice")
+    spark.sql("CREATE TABLE graft.ice.pf (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.ice.pf VALUES (1,'a'), (2,'b'), (7,'c')")
+    val dir = new Path(s"$warehouse/ice/pf")
+    val metaFile = IcebergExport.export(cat.ops, dir)
+    val n = mapper.readTree(cat.ops.store.readString(metaFile))
+
+    // statistics entry per the spec's table-metadata field
+    val st = n.get("statistics").get(0)
+    assert(st.get("snapshot-id").asLong() == n.get("current-snapshot-id").asLong())
+    val pfPath = new Path(st.get("statistics-path").asText())
+    assert(cat.ops.store.exists(pfPath))
+
+    // raw bytes follow the Puffin layout: header magic, blob, footer =
+    // Magic + payload + LE size + flags + Magic
+    val in = cat.ops.store.fs(pfPath).open(pfPath)
+    val bytes = try {
+      val buf = new Array[Byte](st.get("file-size-in-bytes").asInt())
+      in.readFully(0, buf); buf
+    } finally in.close()
+    assert(bytes.length == st.get("file-size-in-bytes").asLong())
+    def magic(off: Int) = new String(bytes.slice(off, off + 4), "UTF-8")
+    assert(magic(0) == "PFA1", "header magic")
+    assert(magic(bytes.length - 4) == "PFA1", "footer terminal magic")
+    val payloadSize = java.nio.ByteBuffer.wrap(bytes, bytes.length - 12, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    val footerSize = 4 + payloadSize + 4 + 4 + 4
+    assert(st.get("file-footer-size-in-bytes").asInt() == footerSize)
+    assert(magic(bytes.length - footerSize) == "PFA1", "footer leading magic")
+    val payload = new String(
+      bytes.slice(bytes.length - 12 - payloadSize, bytes.length - 12), "UTF-8")
+    val fm = mapper.readTree(payload)
+    val blobMeta = fm.get("blobs").get(0)
+    assert(blobMeta.get("type").asText() == "graft-column-stats-v1")
+
+    // the blob slice decodes to the manifest's column rollup
+    val off = blobMeta.get("offset").asInt()
+    val len = blobMeta.get("length").asInt()
+    val blob = mapper.readTree(new String(bytes.slice(off, off + len), "UTF-8"))
+    assert(blob.get("id").get("min").asText() == "1")
+    assert(blob.get("id").get("max").asText() == "7")
+    assert(blob.get("id").get("null-count").asLong() == 0L)
+    // blob-metadata in metadata.json matches the footer's copy
+    assert(st.get("blob-metadata").get(0) == blobMeta)
+  }
+
   test("round-trip with pending deletes: import replays delete snapshots, rows intact") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ice")
     spark.sql("CREATE TABLE graft.ice.rd (id BIGINT, v STRING)")

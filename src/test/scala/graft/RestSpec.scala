@@ -216,6 +216,37 @@ class RestSpec extends SparkSpec {
     assert(send("DELETE", "/v1/namespaces/restv/views/v2")._1 == 204)
   }
 
+  test("list endpoints paginate: pageToken/pageSize with next-page-token") {
+    send("POST", "/v1/namespaces", Some("""{"namespace": ["pg"]}"""))
+    for (t <- Seq("a1", "a2", "a3", "a4", "a5"))
+      assert(send("POST", "/v1/namespaces/pg/tables", Some(
+        s"""{"name": "$t", "schema": {"schema-id": 0, "fields": [
+             {"id": 1, "name": "id", "type": "long", "required": true}]}}"""))._1 == 200)
+
+    def names(n: JsonNode): Seq[String] =
+      n.get("identifiers").elements().asScala.toSeq.map(_.get("name").asText())
+    // page 1
+    val (c1, p1) = send("GET", "/v1/namespaces/pg/tables?pageSize=2")
+    assert(c1 == 200 && names(p1) == Seq("a1", "a2"), p1.toString)
+    assert(p1.get("next-page-token").asText() == "a2")
+    // page 2 resumes AFTER the token
+    val (_, p2) = send("GET", "/v1/namespaces/pg/tables?pageSize=2&pageToken=a2")
+    assert(names(p2) == Seq("a3", "a4"))
+    assert(p2.get("next-page-token").asText() == "a4")
+    // final page: remainder, no token
+    val (_, p3) = send("GET", "/v1/namespaces/pg/tables?pageSize=2&pageToken=a4")
+    assert(names(p3) == Seq("a5") && !p3.has("next-page-token"))
+    // no pageSize = the old unbounded contract, no token
+    val (_, all) = send("GET", "/v1/namespaces/pg/tables")
+    assert(names(all) == Seq("a1", "a2", "a3", "a4", "a5") && !all.has("next-page-token"))
+    // namespaces paginate with the same protocol
+    val (_, ns1) = send("GET", "/v1/namespaces?pageSize=1")
+    assert(ns1.get("namespaces").size() == 1 && ns1.has("next-page-token"))
+    // bad pageSize rejected
+    assert(send("GET", "/v1/namespaces/pg/tables?pageSize=0")._1 == 400)
+    assert(send("GET", "/v1/namespaces/pg/tables?pageSize=x")._1 == 400)
+  }
+
   test("/v1/transactions/commit: multi-table all-or-nothing (reference 501s this)") {
     send("POST", "/v1/namespaces", Some("""{"namespace": ["txns"]}"""))
     for (t <- Seq("tx1", "tx2"))
