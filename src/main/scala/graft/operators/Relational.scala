@@ -1787,4 +1787,49 @@ object Relational {
               CAST(ascii(s_name) AS BIGINT) AS first_ascii,
               CAST(bit_length(s_name) AS BIGINT) AS bits
        FROM supplier WHERE s_suppkey < 200 ORDER BY s_suppkey"""
+
+  /** R73 — TPC-H Q20-style excess supply (adapted: the testdata has no
+    * partsupp, so availability is proxied by the all-time shipped
+    * quantity per (part, supplier), exactly how Q2/Q11 were adapted):
+    * suppliers of 'small%' parts whose 1996 shipments exceed half
+    * their all-time volume of that part. Preserves Q20's nested shape
+    * — part-filtered semi chain → per-(part,supp) aggregate →
+    * threshold comparing two aggregates of the same group → semi join
+    * into the supplier dim. Plan: part broadcast into the lineitem
+    * scan, ONE shuffle for the (partkey,suppkey) agg, then the
+    * distinct suppkeys broadcast back as a left-semi against the tiny
+    * supplier dim; nation broadcast. The threshold is compared in
+    * DECIMAL (2·y > total) so both engines agree exactly at any SF. */
+  def q20ExcessSupply(s: SparkSession, d: String): DataFrame = {
+    val qty = col("l_quantity").cast("decimal(18,4)")
+    val supply = lineitem(s, d)
+      .join(broadcast(part(s, d).filter(col("p_name").startsWith("small"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(qty).as("total_qty"),
+           sum(when(year(to_date(col("l_shipdate"))) === 1996, qty).otherwise(lit(0).cast("decimal(18,4)"))).as("y_qty"))
+      .filter(col("y_qty") * 2 > col("total_qty"))
+      .select(col("l_suppkey").as("sk")).distinct()
+    supplier(s, d)
+      .join(broadcast(supply), col("s_suppkey") === col("sk"), "left_semi")
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name").isin("NATION_3", "NATION_7"))
+      .select("s_name", "n_name")
+      .orderBy("s_name")
+  }
+
+  val q20Sql: String =
+    """WITH supply AS (
+         SELECT l_partkey, l_suppkey,
+                SUM(CAST(l_quantity AS DECIMAL(18,4))) AS total_qty,
+                SUM(CASE WHEN year(CAST(l_shipdate AS DATE)) = 1996
+                         THEN CAST(l_quantity AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS y_qty
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_name LIKE 'small%'
+         GROUP BY l_partkey, l_suppkey)
+       SELECT s_name, n_name
+       FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       WHERE s_suppkey IN (SELECT l_suppkey FROM supply WHERE 2 * y_qty > total_qty)
+         AND n_name IN ('NATION_3', 'NATION_7')
+       ORDER BY s_name"""
 }

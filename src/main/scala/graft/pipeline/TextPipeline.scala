@@ -751,4 +751,192 @@ object TextPipeline {
        SELECT c.doc_id, COUNT(*) AS n_shared
        FROM corpus c JOIN eval_grams e USING (gram)
        GROUP BY c.doc_id ORDER BY n_shared DESC, c.doc_id LIMIT 200"""
+
+  /** L27 — token-budget document chunking: split every document into
+    * 40-word training chunks with a 10-word overlap (stride 30), the
+    * standard context-window prep step before tokenization. Chunk
+    * count is pure integer arithmetic (`1 + (n-11) div 30` for
+    * n > 40), chunk text is content-addressed by md5 so the output
+    * stays narrow however long the documents get.
+    *
+    * Scale: map-only — sequence + posexplode inside codegen, no
+    * shuffle at all until the final order-by (which a real pipeline
+    * wouldn't have); 100 TB in, 100 TB of chunks out, embarrassingly
+    * parallel. */
+  def chunkDocs(s: SparkSession, d: String): DataFrame =
+    withWords(documents(s, d))
+      .withColumn("n", size(col("ws")))
+      .withColumn("k",
+        when(col("n") <= 40, lit(1)).otherwise(expr("1 + (n - 11) div 30").cast("int")))
+      .select(col("doc_id"), col("ws"), col("n"),
+        posexplode(expr("sequence(0, k - 1)")))
+      .withColumn("start_word", (col("pos") * 30 + 1).cast("long"))
+      .withColumn("chunk_words", least(lit(40), col("n") - col("pos") * 30).cast("long"))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("start_word"), col("chunk_words"),
+        md5(expr("concat_ws(' ', slice(ws, pos * 30 + 1, least(40, n - pos * 30)))")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+
+  val chunkDocsSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+                         len(string_split(text, ' ')) AS n
+                  FROM documents),
+       k AS (SELECT doc_id, ws, n,
+                    CASE WHEN n <= 40 THEN 1 ELSE 1 + (n - 11) // 30 END AS k
+             FROM w),
+       c AS (SELECT doc_id, ws, n, unnest(range(k)) AS pos FROM k)
+       SELECT doc_id, CAST(pos AS BIGINT) AS chunk_idx,
+              CAST(pos * 30 + 1 AS BIGINT) AS start_word,
+              CAST(LEAST(40, n - pos * 30) AS BIGINT) AS chunk_words,
+              md5(array_to_string(ws[pos * 30 + 1 : pos * 30 + LEAST(40, n - pos * 30)], ' ')) AS chunk_hash
+       FROM c ORDER BY doc_id, chunk_idx"""
+
+  /** L28 — unigram corpus-frequency scoring: the log-free variant of
+    * unigram-LM quality filtering (CCNet-style) — a document whose
+    * tokens are all corpus-rare is likelier gibberish. Per doc: mean
+    * corpus frequency of its token occurrences plus the count of rare
+    * tokens (corpus freq ≤ 2). All integer sums, so the mean is one
+    * exact long→double division (libm `ln` is not bit-stable across
+    * engines — same reasoning as L20's log-free TF-IDF).
+    *
+    * Scale: one word-count agg, then a frequency equi-join back onto
+    * the exploded corpus (shuffle on the word key at real vocab
+    * sizes; broadcast-eligible here and AQE decides), then a per-doc
+    * agg. Nothing all-pairs, nothing driver-side. */
+  def unigramFreq(s: SparkSession, d: String): DataFrame = {
+    val w = documents(s, d).select(col("doc_id"), explode(ws).as("word"))
+    val freq = w.groupBy("word").agg(count(lit(1)).as("cnt"))
+    w.join(freq, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+           (sum(col("cnt")).cast("double") / count(lit(1))).as("mean_tok_freq"),
+           count(when(col("cnt") <= 2, 1)).as("n_rare"))
+      .filter(col("doc_id") < 300)
+      .orderBy("doc_id")
+  }
+
+  val unigramFreqSql: String =
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       freq AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word)
+       SELECT doc_id, COUNT(*) AS n_words,
+              CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS mean_tok_freq,
+              COUNT(*) FILTER (WHERE cnt <= 2) AS n_rare
+       FROM w JOIN freq USING (word)
+       WHERE doc_id < 300
+       GROUP BY doc_id ORDER BY doc_id"""
+
+  /** L29 — source mixing: given a uniform target mix and a global
+    * token budget of half the corpus, compute each source's sampling
+    * rate and expected contribution — the knob that turns a raw crawl
+    * into a weighted training mix. Integer budget arithmetic
+    * (`total div 2`, `budget div n_sources`) so both engines agree
+    * bitwise; the rate is one exact long→double division.
+    *
+    * Scale: one per-source agg (map-side combine) + a broadcast of
+    * the single-row total — the decision table stays tiny no matter
+    * the corpus size; the actual sampling pass would then be L15's
+    * deterministic per-stratum hash filter using these rates. */
+  def mixSources(s: SparkSession, d: String): DataFrame = {
+    val perSrc = withWords(documents(s, d))
+      .groupBy("source").agg(sum(size(col("ws")).cast("long")).as("tokens"))
+    val totals = perSrc.agg(sum(col("tokens")).as("total"),
+                            count(lit(1)).as("n_sources"))
+    perSrc.join(broadcast(totals))
+      .withColumn("target_tokens", expr("(total div 2) div n_sources"))
+      .withColumn("sample_rate",
+        round(least(lit(1.0), col("target_tokens").cast("double") / col("tokens")), 6))
+      .withColumn("expected_tokens", least(col("tokens"), col("target_tokens")))
+      .select("source", "tokens", "target_tokens", "sample_rate", "expected_tokens")
+      .orderBy("source")
+  }
+
+  val mixSourcesSql: String =
+    """WITH s AS (SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+                  FROM documents GROUP BY source),
+       t AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total, COUNT(*) AS n_sources FROM s)
+       SELECT source, tokens,
+              CAST((total // 2) // n_sources AS BIGINT) AS target_tokens,
+              round(LEAST(1.0, CAST((total // 2) // n_sources AS DOUBLE) / tokens), 6) AS sample_rate,
+              CAST(LEAST(tokens, (total // 2) // n_sources) AS BIGINT) AS expected_tokens
+       FROM s, t ORDER BY source"""
+
+  /** L30 — Bloom-filter decontamination: the join-free variant of L18.
+    * The eval set's 3-grams are folded into a 4096-bit Bloom filter
+    * (k=3 md5-derived hash positions — cross-engine replayable), and
+    * every corpus gram is tested by membership, not by join. Reports
+    * per-doc Bloom hits next to L18's exact join count, so the false-
+    * positive overshoot is visible in the output (hits ≥ exact always).
+    *
+    * Scale: THIS is why the Bloom variant exists — L18 shuffles the
+    * full corpus gram set to meet the eval grams; here the filter is
+    * 64 longs broadcast to every executor and the membership test is
+    * a map-only array probe. At 100 TB of corpus the decontamination
+    * pass becomes shuffle-free (the per-doc agg shuffles only doc_ids
+    * that hit). */
+  def decontaminateBloom(s: SparkSession, d: String): DataFrame = {
+    def pos(j: Int) = s"CAST(conv(substr(md5(gram), ${j * 8 + 1}, 8), 16, 10) AS BIGINT) % 4096"
+    val grams = withWords(documents(s, d))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', slice(ws, i + 1, 3)))"))
+        .as("gram"))
+    val bits = grams.filter(col("doc_id") % 97 === 0)
+      .select(explode(array(expr(pos(0)), expr(pos(1)), expr(pos(2)))).as("bit"))
+      .distinct()
+    // Bloom bitmap packed 63 bits/word (DuckDB's `<<` raises on a
+    // 1<<63 overflow, so bit 62 is the highest either engine sets):
+    // 66 longs cover 4096 bits. Built distributed, collected (528 B).
+    val bloom = bits
+      .groupBy(expr("bit div 63").cast("int").as("w"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(bit % 63 AS INT)))").as("m"))
+    val bloomArr = Array.fill[Long](66)(0L)
+    bloom.collect().foreach(r => bloomArr(r.getInt(0)) = r.getLong(1))
+    val bloomLit = array(bloomArr.toIndexedSeq.map(lit): _*)
+    val probe = grams.filter(col("doc_id") % 97 =!= 0).distinct()
+      .withColumn("bloom", bloomLit)
+      .withColumn("hit",
+        expr(s"((element_at(bloom, CAST((${pos(0)}) div 63 AS INT) + 1) >> CAST((${pos(0)}) % 63 AS INT)) & 1) = 1 AND " +
+             s"((element_at(bloom, CAST((${pos(1)}) div 63 AS INT) + 1) >> CAST((${pos(1)}) % 63 AS INT)) & 1) = 1 AND " +
+             s"((element_at(bloom, CAST((${pos(2)}) div 63 AS INT) + 1) >> CAST((${pos(2)}) % 63 AS INT)) & 1) = 1"))
+    val evalGrams = grams.filter(col("doc_id") % 97 === 0).select("gram").distinct()
+    val exact = grams.filter(col("doc_id") % 97 =!= 0).distinct()
+      .join(evalGrams, "gram").groupBy("doc_id")
+      .agg(count(lit(1)).as("n_exact"))
+    probe.filter(col("hit")).groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bloom_hits"))
+      .join(exact, Seq("doc_id"), "left")
+      .withColumn("n_exact", coalesce(col("n_exact"), lit(0L)))
+      .orderBy(col("n_bloom_hits").desc, col("doc_id"))
+      .limit(200)
+  }
+
+  val decontaminateBloomSql: String = {
+    def pos(j: Int) = s"CAST(('0x' || substr(md5(gram), ${j * 8 + 1}, 8)) AS BIGINT) % 4096"
+    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       grams AS (
+         SELECT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+         FROM words, (SELECT unnest(generate_series(1, len(w) - 2)) AS i)
+         WHERE len(w) >= 3
+       ),
+       bits AS (SELECT DISTINCT b
+                FROM (SELECT unnest([${pos(0)}, ${pos(1)}, ${pos(2)}]) AS b
+                      FROM grams WHERE doc_id % 97 = 0)),
+       bloom AS (SELECT b // 63 AS w, bit_or(CAST(1 AS BIGINT) << CAST(b % 63 AS INT)) AS m
+                 FROM bits GROUP BY b // 63),
+       corpus AS (SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 97 <> 0),
+       probe AS (SELECT doc_id FROM corpus c
+                 JOIN bloom b0 ON b0.w = (${pos(0)}) // 63
+                 JOIN bloom b1 ON b1.w = (${pos(1)}) // 63
+                 JOIN bloom b2 ON b2.w = (${pos(2)}) // 63
+                 WHERE ((b0.m >> CAST((${pos(0)}) % 63 AS INT)) & 1) = 1
+                   AND ((b1.m >> CAST((${pos(1)}) % 63 AS INT)) & 1) = 1
+                   AND ((b2.m >> CAST((${pos(2)}) % 63 AS INT)) & 1) = 1),
+       hits AS (SELECT doc_id, COUNT(*) AS n_bloom_hits FROM probe GROUP BY doc_id),
+       eval_grams AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+       exact AS (SELECT c.doc_id, COUNT(*) AS n_exact
+                 FROM corpus c JOIN eval_grams e USING (gram) GROUP BY c.doc_id)
+       SELECT h.doc_id, h.n_bloom_hits, CAST(COALESCE(x.n_exact, 0) AS BIGINT) AS n_exact
+       FROM hits h LEFT JOIN exact x ON h.doc_id = x.doc_id
+       ORDER BY n_bloom_hits DESC, h.doc_id LIMIT 200"""
+  }
 }
