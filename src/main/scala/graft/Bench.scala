@@ -25,13 +25,36 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy { case (n, _) =>
       (sideEffecting.contains(n), n)
     }
+    // Some pipeline queries legitimately cache()/localCheckpoint()
+    // intermediates inside their own plan (LSH shingles, CC edge
+    // frames). Left alone, those blocks accumulate across the ~95
+    // queries x 2 runs sharing this JVM, and the storage-pool pressure
+    // + spill churn lands on whichever queries run later — the r6
+    // driver run showed exactly that shape (broadcast-heavy q21/q22/q2
+    // 2-10x their local times while map-only neighbors stayed flat).
+    // So: after every measured run, drop all cached blocks (untimed).
+    // Each timed run then rebuilds its own caches, which is the cost
+    // the query actually has.
+    def dropCachedState(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+    }
     val results = ordered.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        dropCachedState()
+        dt
       }
-      name -> times.min
+      val times = Seq(once(), once())
+      // The two runs disagreeing badly means an ambient spike (GC, a
+      // co-tenant process, page-cache eviction) hit one of them; one
+      // extra run resolves which reading is the steady state.
+      val all = if (times.max > 2 * times.min && times.max - times.min > 0.5)
+        times :+ once() else times
+      name -> all.min
     }
     // Compact fixed-point formatting keeps the whole line short enough
     // to survive log-tail truncation in the harness capture.

@@ -24,7 +24,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame    = t(s, d, "events")
+  /** `events.ts` normalized to nanos-since-epoch BIGINT whatever the
+    * parquet physical type is. The driver's generator has shipped it
+    * as TIMESTAMP(NANOS) (readable only as long, via
+    * `legacy.parquet.nanosAsLong`) in some rounds and TIMESTAMP(MICROS)
+    * in others; every downstream query derives epoch seconds as
+    * `ts div 1e9`, so dispatch on the loaded type here instead of
+    * spreading both cases across the operators. Sessions run in UTC,
+    * so the NTZ→TZ cast is the identity wall-clock mapping. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = t(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn("ts",
+        org.apache.spark.sql.functions.expr(
+          "unix_micros(CAST(ts AS TIMESTAMP)) * CAST(1000 AS BIGINT)"))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

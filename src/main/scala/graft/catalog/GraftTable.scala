@@ -356,23 +356,97 @@ final class GraftTable(
           new KeyGroupedScan(batchScan, specCols, keyByPath, options, predicateState,
             requiredState, keptEntries)
         case None =>
+          /** C63 — runtime file pruning: beyond the static manifest
+            * skipping in pushFilters, the scan accepts RUNTIME
+            * predicates (Spark's dynamic-pruning subqueries inject
+            * them when this table is the probe side of a selective
+            * join — the DSv2 analogue of dynamic partition pruning)
+            * and re-plans its parquet delegate over only the files
+            * whose manifest min/max may contain the join keys. On a
+            * partitioned or sort-ordered (C34) / z-ordered (C42)
+            * table this turns "scan the fact table, filter after the
+            * join" into "read only the files the dim filter touches"
+            * — at 100 TB the difference between a full scan and a few
+            * hundred files. Declared on every stats-bearing column so
+            * clustering on ANY join key benefits, not just partition
+            * columns; unknown predicate shapes are ignored
+            * (conservative: no pruning, never wrong). The key-grouped
+            * (SPJ) branch above deliberately does NOT runtime-prune:
+            * dropping files there would have to preserve the reported
+            * KeyGroupedPartitioning co-grouping contract. */
           new org.apache.spark.sql.connector.read.Scan
-              with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+              with org.apache.spark.sql.connector.read.SupportsReportStatistics
+              with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+            import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
+            import org.apache.spark.sql.connector.expressions.filter.Predicate
+
+            @volatile private var runtimeKept: Seq[DataFileEntry] = keptEntries
+
+            // Only columns in the PRUNED output may be declared:
+            // Spark's PartitionPruning resolves these refs against the
+            // scan's output attributes and throws on anything pruned
+            // away (a join key is necessarily in the output anyway).
+            override def filterAttributes(): Array[NamedReference] = {
+              val out = readSchema().fieldNames.toSet
+              schema.fieldNames
+                .filter(out.contains)
+                .filter(n => keptEntries.exists(_.stats.contains(n)))
+                .map(n => Expressions.column(n)
+                  : NamedReference)
+            }
+
+            override def filter(predicates: Array[Predicate]): Unit =
+              predicates.foreach(p => toSourceFilter(p).foreach { f =>
+                runtimeKept = runtimeKept.filter(e => Stats.mayContain(e, schema, f))
+              })
+
+            private def toSourceFilter(p: Predicate)
+                : Option[org.apache.spark.sql.sources.Filter] = p.name() match {
+              case "IN" => p.children().toSeq match {
+                case Seq(ref: NamedReference, rest @ _*)
+                    if ref.fieldNames().length == 1 &&
+                       rest.forall(_.isInstanceOf[Literal[_]]) =>
+                  Some(org.apache.spark.sql.sources.In(ref.fieldNames()(0),
+                    rest.map(l => fromInternal(l.asInstanceOf[Literal[_]])).toArray))
+                case _ => None
+              }
+              case "=" => p.children().toSeq match {
+                case Seq(ref: NamedReference, l: Literal[_])
+                    if ref.fieldNames().length == 1 =>
+                  Some(org.apache.spark.sql.sources.EqualTo(
+                    ref.fieldNames()(0), fromInternal(l)))
+                case _ => None
+              }
+              case _ => None
+            }
+            private def fromInternal(l: Literal[_]): Any = l.value() match {
+              case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+              case v => v
+            }
+
             override def readSchema(): StructType = batchScan.readSchema()
             override def description(): String = batchScan.description()
-            override def toBatch: org.apache.spark.sql.connector.read.Batch = batchScan.toBatch
+            override def toBatch: org.apache.spark.sql.connector.read.Batch =
+              if (runtimeKept.size == keptEntries.size) batchScan.toBatch
+              else {
+                val b = dataScanBuilder(runtimeKept.map(_.path), schema, options)
+                if (predicateState.nonEmpty) b.pushFilters(predicateState)
+                requiredState.foreach(b.pruneColumns)
+                b.build().toBatch
+              }
             override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
-              GraftTable.manifestStatistics(keptEntries)
+              GraftTable.manifestStatistics(runtimeKept)
             // Scan observability (the REST surface's metrics-report
             // endpoint, Spark-native): manifest-pruning counters land
-            // in the SQL UI as driver metrics for every query.
+            // in the SQL UI as driver metrics for every query; after a
+            // runtime filter fires, `skipped` includes its prunes.
             override def supportedCustomMetrics()
                 : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
               GraftTable.scanMetrics
             override def reportDriverMetrics()
                 : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
               GraftTable.driverMetrics(
-                kept = keptEntries.size, skipped = dataEntries.size - keptEntries.size)
+                kept = runtimeKept.size, skipped = dataEntries.size - runtimeKept.size)
             override def toMicroBatchStream(checkpointLocation: String)
                 : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
               require(pinnedFiles.isEmpty, "cannot stream a time-travel-pinned table")

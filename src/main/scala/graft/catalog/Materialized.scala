@@ -294,6 +294,101 @@ object Materialized {
       }
       .start()
 
+  /** C62 — incrementally-maintained APPROX COUNT DISTINCT via
+    * mergeable HLL sketches (Apache DataSketches, the `hll_sketch_agg`
+    * / `hll_union` / `hll_sketch_estimate` built-ins): the destination
+    * holds `keys..., sketch BINARY, approx_distinct, n_rows`, and a
+    * refresh folds ONLY the new commits' sketch into the stored one —
+    * sketch union is register-wise max, so it is associative,
+    * commutative and idempotent per item, which makes the incremental
+    * union EXACTLY equal (same registers, same estimate) to a from-
+    * scratch rebuild over the union of inputs. That identity is what
+    * makes sketches the 100 TB answer for distinct counts: per-group
+    * state is O(KB) regardless of cardinality, partials merge without
+    * re-reading history, and the MV refresh stays O(churn).
+    *
+    * Deletes can't be retracted from an HLL (registers only grow), so
+    * any group touched by a delete is recomputed from the source at
+    * the PINNED head seq — the same recompute-on-retract strategy as
+    * [[refreshMinMax]], and the same O(invalidated groups) repair
+    * cost. Same guarded single-commit crash consistency throughout. */
+  def refreshApproxDistinct(
+      spark: SparkSession,
+      ops: TableOps,
+      srcDir: Path,
+      dstDir: Path,
+      keyCols: Seq[String],
+      valueCol: String): TableMetadata = {
+    require(keyCols.nonEmpty, "need at least one aggregation key")
+    val (_, srcMeta) = ops.load(srcDir).getOrElse(
+      throw new IllegalArgumentException(s"source table does not exist at $srcDir"))
+    val headSeq = srcMeta.currentSnapshot.map(_.sequenceNumber).getOrElse(0L)
+
+    if (!ops.exists(dstDir)) {
+      val srcSchema = SchemaBridge.toSpark(srcMeta.currentSchema)
+      val dstSchema = org.apache.spark.sql.types.StructType(
+        keyCols.map(k => srcSchema.fields.find(_.name == k).getOrElse(
+          throw new IllegalArgumentException(s"key column $k not in source schema"))) ++ Seq(
+          org.apache.spark.sql.types.StructField("sketch",
+            org.apache.spark.sql.types.BinaryType),
+          org.apache.spark.sql.types.StructField("approx_distinct",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_rows",
+            org.apache.spark.sql.types.LongType)))
+      ops.create(dstDir, TableMetadata.create(
+        dstDir.toString, SchemaBridge.fromSpark(dstSchema),
+        PartitionSpec(0, Seq.empty), SortOrder(0, Seq.empty),
+        Map("graft.mv.last-seq" -> "0",
+            "graft.mv.source" -> srcDir.toString,
+            "graft.mv.keys" -> keyCols.mkString(","),
+            "graft.mv.value" -> valueCol,
+            "graft.mv.agg" -> "hll")))
+    }
+    val (_, dstMeta) = ops.load(dstDir).get
+    val lastSeq = dstMeta.properties.get("graft.mv.last-seq").map(_.toLong).getOrElse(0L)
+    if (headSeq <= lastSeq) return dstMeta
+
+    val delta = ops.changes(spark, srcDir, lastSeq, headSeq)
+      .withColumn("_sign", when(col("_change_type") === "insert", 1L).otherwise(-1L))
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        expr(s"hll_sketch_agg(CASE WHEN _sign = 1 THEN $valueCol END)").as("ins_sketch"),
+        sum(when(col("_sign") === -1L, 1L).otherwise(0L)).as("n_deletes"),
+        sum(col("_sign")).as("cnt_delta"))
+
+    val current = ops.read(spark, dstDir)
+    val joined = current.join(delta, keyCols, "full_outer")
+      .withColumn("new_n",
+        coalesce(col("n_rows"), lit(0L)) + coalesce(col("cnt_delta"), lit(0L)))
+      .withColumn("needs_repair",
+        col("new_n") > 0 && coalesce(col("n_deletes"), lit(0L)) > 0)
+    val repairKeys = joined.filter(col("needs_repair")).select(keyCols.map(col): _*)
+    val repaired = ops.readAtSeq(spark, srcDir, headSeq)
+      .join(repairKeys, keyCols, "left_semi")
+      .groupBy(keyCols.map(col): _*)
+      .agg(expr(s"hll_sketch_agg($valueCol)").as("sketch"),
+           count(lit(1)).as("n_rows"))
+    val folded = joined.filter(col("new_n") > 0 && !coalesce(col("needs_repair"), lit(false)))
+      .select(
+        keyCols.map(col) ++ Seq(
+          when(col("sketch").isNull, col("ins_sketch"))
+            .when(col("ins_sketch").isNull, col("sketch"))
+            .otherwise(expr("hll_union(sketch, ins_sketch)")).as("sketch"),
+          col("new_n").as("n_rows")): _*)
+    val merged = folded.unionByName(repaired)
+      .withColumn("approx_distinct", expr("hll_sketch_estimate(sketch)"))
+      .select(keyCols.map(col) ++ Seq(col("sketch"), col("approx_distinct"), col("n_rows")): _*)
+
+    val writeDir = new Path(ops.dataDir(dstDir), s"w-${java.util.UUID.randomUUID()}")
+    merged.write.parquet(writeDir.toString)
+    val files = listParquet(ops, writeDir)
+    ops.commit(dstDir,
+      Seq(Requirement.AssertRefSnapshotId("main",
+        dstMeta.currentSnapshot.map(_.snapshotId))),
+      ops.buildSnapshotUpdates(dstDir, dstMeta, files, "overwrite") :+
+        MetadataUpdate.SetProperties(Map("graft.mv.last-seq" -> headSeq.toString)))
+  }
+
   private def listParquet(ops: TableOps, dir: Path): Seq[String] = {
     val fs = dir.getFileSystem(
       org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)

@@ -1832,4 +1832,40 @@ object Relational {
        WHERE s_suppkey IN (SELECT l_suppkey FROM supply WHERE 2 * y_qty > total_qty)
          AND n_name IN ('NATION_3', 'NATION_7')
        ORDER BY s_name"""
+
+  /** R73 — correlated LATERAL join: per-customer order profile as a
+    * lateral aggregate subquery (the SQL:2016 `LATERAL` form clients
+    * port from Postgres/DuckDB). Catalyst decorrelates it into the
+    * same one-shuffle aggregate-then-join plan the hand-written
+    * groupBy would produce — the point of the entry is that the
+    * DECORRELATION path is exercised and oracle-gated, not a new
+    * physical shape. Exact-decimal spend (dsum pattern) keeps the
+    * float hash cross-engine stable. */
+  def qLateralProfile(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("graft_lat_customer")
+    orders(s, d).createOrReplaceTempView("graft_lat_orders")
+    s.sql(
+      s"""SELECT c_custkey, c_mktsegment, t.n_open, t.spend
+         FROM graft_lat_customer,
+         LATERAL (
+           SELECT COUNT(o_orderkey) AS n_open,
+                  ${sqlSum("o_totalprice")} AS spend
+           FROM graft_lat_orders
+           WHERE o_custkey = c_custkey AND o_orderstatus = 'O'
+         ) t
+         WHERE c_custkey < 200 AND t.n_open > 0
+         ORDER BY c_custkey""")
+  }
+
+  val qLateralProfileSql: String =
+    """SELECT c_custkey, c_mktsegment, t.n_open, t.spend
+       FROM customer,
+       LATERAL (
+         SELECT COUNT(o_orderkey) AS n_open,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+         FROM orders
+         WHERE o_custkey = c_custkey AND o_orderstatus = 'O'
+       ) t
+       WHERE c_custkey < 200 AND t.n_open > 0
+       ORDER BY c_custkey"""
 }

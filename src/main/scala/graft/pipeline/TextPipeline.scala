@@ -872,7 +872,17 @@ object TextPipeline {
     * 64 longs broadcast to every executor and the membership test is
     * a map-only array probe. At 100 TB of corpus the decontamination
     * pass becomes shuffle-free (the per-doc agg shuffles only doc_ids
-    * that hit). */
+    * that hit).
+    *
+    * Two-job by design: unlike the other operators in this file, plan
+    * CONSTRUCTION runs a Spark job (the `bloom.collect()` below) —
+    * the filter must be materialized before it can be embedded as a
+    * literal in the probe plan, exactly as DuckDB's `bloom` CTE is
+    * materialized before its probe joins. Harness accounting is
+    * consistent: Bench times the full function call (build + probe),
+    * and the DuckDB oracle likewise pays the build inside the one
+    * statement. Callers embedding this in a lazy pipeline should
+    * construct it at execution time, not plan-assembly time. */
   def decontaminateBloom(s: SparkSession, d: String): DataFrame = {
     def pos(j: Int) = s"CAST(conv(substr(md5(gram), ${j * 8 + 1}, 8), 16, 10) AS BIGINT) % 4096"
     val grams = withWords(documents(s, d))
@@ -939,4 +949,126 @@ object TextPipeline {
        FROM hits h LEFT JOIN exact x ON h.doc_id = x.doc_id
        ORDER BY n_bloom_hits DESC, h.doc_id LIMIT 200"""
   }
+
+  /** L31 — paragraph-level (sub-document) dedup: exact dedup at the
+    * granularity real crawls actually repeat at (navigation blocks,
+    * license headers, syndicated intros survive document-level dedup
+    * untouched — the RefinedWeb/FineWeb motivation for line/paragraph
+    * dedup). "Paragraphs" are disjoint 25-word windows (deterministic
+    * and tokenizer-free), content-addressed by md5; a paragraph is
+    * duplicated if it appears in ≥2 distinct docs.
+    *
+    * Scale: map-only paragraph explode (sequence+posexplode in
+    * codegen), ONE shuffle on the paragraph hash with a map-side
+    * partial agg, broadcast-size result re-joined per doc. Never
+    * doc×doc; the hash-key shuffle is the same cardinality as the
+    * corpus token count ÷ 25. */
+  def paragraphDedup(s: SparkSession, d: String): DataFrame = {
+    val paras = withWords(documents(s, d))
+      .withColumn("k", (size(col("ws")) / 25).cast("int"))
+      .filter(col("k") >= 1)
+      .select(col("doc_id"),
+        posexplode(expr("transform(sequence(0, k - 1), i -> concat_ws(' ', slice(ws, i * 25 + 1, 25)))")))
+      .select(col("doc_id"), md5(col("col")).as("ph"))
+    val dupHashes = paras.groupBy("ph")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("ph")
+    paras.join(dupHashes, Seq("ph"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_paras"))
+      .join(paras.groupBy("doc_id").agg(count(lit(1)).as("n_paras")), Seq("doc_id"), "right")
+      .withColumn("n_dup_paras", coalesce(col("n_dup_paras"), lit(0L)))
+      .select("doc_id", "n_paras", "n_dup_paras")
+      .orderBy(col("n_dup_paras").desc, col("doc_id")).limit(100)
+  }
+
+  val paragraphDedupSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       k AS (SELECT doc_id, ws, len(ws) // 25 AS k FROM w WHERE len(ws) // 25 >= 1),
+       e AS (SELECT doc_id, ws, unnest(range(k)) AS i FROM k),
+       p AS (SELECT doc_id, md5(array_to_string(ws[i * 25 + 1 : i * 25 + 25], ' ')) AS ph
+             FROM e),
+       dup AS (SELECT ph FROM p GROUP BY ph HAVING COUNT(DISTINCT doc_id) >= 2),
+       per AS (SELECT doc_id, COUNT(*) AS n_paras FROM p GROUP BY doc_id),
+       d AS (SELECT doc_id, COUNT(*) AS n_dup_paras FROM p WHERE ph IN (SELECT ph FROM dup)
+             GROUP BY doc_id)
+       SELECT per.doc_id, per.n_paras, COALESCE(d.n_dup_paras, 0) AS n_dup_paras
+       FROM per LEFT JOIN d ON per.doc_id = d.doc_id
+       ORDER BY n_dup_paras DESC, per.doc_id LIMIT 100"""
+
+  /** L32 — train/eval split leakage audit: assign every doc to a
+    * deterministic hash split (90% train / 10% eval on an md5-derived
+    * digit — reproducible across engines and re-runs, the property a
+    * training pipeline needs from its splitter), then surface
+    * train↔eval pairs sharing ≥5 distinct word 3-grams — near-dup
+    * leakage that would contaminate the held-out loss.
+    *
+    * Scale: the pair search is the L4 shingle equi-join restricted
+    * across the split boundary (shuffle on the shingle key, never
+    * doc×doc). At 100 TB the same audit runs on L2's MinHash bands
+    * instead of raw shingles; the split assignment itself is map-only
+    * either way. */
+  def splitLeakage(s: SparkSession, d: String): DataFrame = {
+    val split = documents(s, d).select(col("doc_id"),
+      (expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)") % 10 < 9).as("is_train"))
+    val sh = shingles(documents(s, d)).join(split, "doc_id")
+    val train = sh.filter(col("is_train")).select(col("doc_id").as("train_doc"), col("s"))
+    val eval_ = sh.filter(!col("is_train")).select(col("doc_id").as("eval_doc"), col("s"))
+    train.join(eval_, "s")
+      .groupBy("train_doc", "eval_doc")
+      .agg(count(lit(1)).as("shared_grams"))
+      .filter(col("shared_grams") >= 5)
+      .orderBy(col("shared_grams").desc, col("train_doc"), col("eval_doc"))
+      .limit(100)
+  }
+
+  val splitLeakageSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+              FROM w, (SELECT unnest(generate_series(1, len(ws) - 2)) AS i)
+              WHERE len(ws) >= 3),
+       sp AS (SELECT doc_id,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 9 AS is_train
+              FROM documents),
+       j AS (SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc, COUNT(*) AS shared_grams
+             FROM (SELECT sh.doc_id, s FROM sh JOIN sp ON sh.doc_id = sp.doc_id WHERE is_train) t
+             JOIN (SELECT sh.doc_id, s FROM sh JOIN sp ON sh.doc_id = sp.doc_id WHERE NOT is_train) e
+               ON t.s = e.s
+             GROUP BY t.doc_id, e.doc_id)
+       SELECT train_doc, eval_doc, shared_grams FROM j WHERE shared_grams >= 5
+       ORDER BY shared_grams DESC, train_doc, eval_doc LIMIT 100"""
+
+  /** L33 — sequence-length bucketing: assign every doc's token count
+    * to a power-of-two context bucket (case ladder — no libm log2, so
+    * both engines agree bitwise) and report per-bucket volume plus
+    * the padding waste a naive pad-to-bucket batcher would pay. The
+    * padding column is the number L23's packing exists to reclaim.
+    *
+    * Scale: map-only classify + one tiny agg (map-side combine onto
+    * ≤8 groups). */
+  def lengthBuckets(s: SparkSession, d: String): DataFrame = {
+    val caseLadder =
+      """CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64
+              WHEN n <= 128 THEN 128 WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+              WHEN n <= 1024 THEN 1024 ELSE n END"""
+    withWords(documents(s, d))
+      .select(size(col("ws")).cast("long").as("n"))
+      .withColumn("bucket", expr(caseLadder).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n")).as("total_tokens"),
+           sum(col("bucket") - col("n")).cast("long").as("padding_tokens"))
+      .orderBy("bucket")
+  }
+
+  val lengthBucketsSql: String =
+    """WITH n AS (SELECT len(string_split(text, ' ')) AS n FROM documents),
+       b AS (SELECT n, CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64
+                            WHEN n <= 128 THEN 128 WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+                            WHEN n <= 1024 THEN 1024 ELSE n END AS bucket
+             FROM n)
+       SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_docs,
+              CAST(SUM(n) AS BIGINT) AS total_tokens,
+              CAST(SUM(bucket - n) AS BIGINT) AS padding_tokens
+       FROM b GROUP BY bucket ORDER BY bucket"""
 }

@@ -187,6 +187,61 @@ class MaterializedSpec extends SparkSpec {
     assert(!mv().contains(2L))
   }
 
+  test("refreshApproxDistinct: incremental HLL union equals full rebuild exactly") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mv")
+    spark.sql("CREATE TABLE graft.mv.hll (k BIGINT, v STRING)")
+    val srcDir = new Path(s"$warehouse/mv/hll")
+    val dstDir = new Path(s"$warehouse/mv/hllagg")
+    // the cross-check: the MV's estimate must EQUAL the estimate of a
+    // from-scratch sketch over the current table (HLL union is
+    // register-wise max ⇒ incremental == rebuild, not just ≈), and
+    // stay within 5% of the exact distinct count
+    def rebuilt(): Map[Long, Long] =
+      spark.sql("SELECT k, hll_sketch_estimate(hll_sketch_agg(v)) FROM graft.mv.hll GROUP BY k")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def exact(): Map[Long, Long] =
+      spark.sql("SELECT k, count(DISTINCT v) FROM graft.mv.hll GROUP BY k")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def mv(): Map[Long, (Long, Long)] =
+      cat.ops.read(spark, dstDir).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    def refresh() = Materialized.refreshApproxDistinct(
+      spark, cat.ops, srcDir, dstDir, Seq("k"), "v")
+
+    // initial load: two groups, 300 + 40 distinct values
+    spark.range(300).selectExpr("1L AS k", "concat('a', id) AS v")
+      .union(spark.range(40).selectExpr("2L AS k", "concat('b', id) AS v"))
+      .createOrReplaceTempView("hll_batch1")
+    spark.sql("INSERT INTO graft.mv.hll SELECT * FROM hll_batch1")
+    refresh()
+    assert(mv().view.mapValues(_._1).toMap == rebuilt(), "initial estimate == rebuild")
+    mv().foreach { case (k, (est, _)) =>
+      val ex = exact()(k)
+      assert(math.abs(est - ex).toDouble / ex <= 0.05, s"group $k: est $est vs exact $ex")
+    }
+
+    // incremental append: 150 new + 100 OVERLAPPING values on group 1
+    // (idempotent per item: re-unioning seen values must not inflate)
+    spark.range(250).selectExpr("1L AS k", "concat('a', id + 150) AS v")
+      .createOrReplaceTempView("hll_batch2")
+    spark.sql("INSERT INTO graft.mv.hll SELECT * FROM hll_batch2")
+    refresh()
+    assert(mv().view.mapValues(_._1).toMap == rebuilt(), "union fold == rebuild")
+    assert(mv()(1L)._2 == 550L, "n_rows tracks raw inserts")
+
+    // delete on group 2 → recompute-on-retract repairs that group only
+    spark.sql("DELETE FROM graft.mv.hll WHERE k = 2 AND v < 'b2'")
+    refresh()
+    assert(mv().view.mapValues(_._1).toMap == rebuilt(), "post-delete repair == rebuild")
+    assert(mv()(2L)._2 == exact()(2L), "repaired group count is exact")
+
+    // full-group delete disappears
+    spark.sql("DELETE FROM graft.mv.hll WHERE k = 2")
+    refresh()
+    assert(!mv().contains(2L))
+    assert(mv().view.mapValues(_._1).toMap == rebuilt())
+  }
+
   test("merge-on-read deletes flow through the refresh") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mv")
     spark.sql("CREATE TABLE graft.mv.src2 (k BIGINT, v DOUBLE)")

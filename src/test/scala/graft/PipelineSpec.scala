@@ -145,6 +145,80 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("L27: chunking tiles every document with stride-30/width-40 windows") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = TextPipeline.chunkDocs(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    assert(chunks.keySet == docs.keySet, "every doc chunked exactly once")
+    chunks.foreach { case (id, cs) =>
+      val n = docs(id)
+      val k = if (n <= 40) 1 else 1 + (n - 11) / 30
+      assert(cs.length == k, s"doc $id: ${cs.length} chunks, expected $k")
+      val byIdx = cs.sortBy(_._2)
+      assert(byIdx.map(_._2).toSeq == (0L until k).toSeq, s"doc $id: contiguous chunk_idx")
+      byIdx.foreach { case (_, idx, start, words) =>
+        assert(start == idx * 30 + 1)
+        assert(words == math.min(40, n - idx * 30), s"doc $id chunk $idx width")
+      }
+      // last chunk reaches exactly the last word; stride < width ⇒ no gaps
+      val (_, _, ls, lw) = byIdx.last
+      assert(ls + lw - 1 == n, s"doc $id: chunks must cover word $n")
+    }
+  }
+
+  test("L28: unigram frequency scoring matches a direct recount") {
+    val out = TextPipeline.unigramFreq(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.nonEmpty && out.forall(_._1 < 300))
+    // direct recount for one doc: explode its words, count corpus freq
+    val (docId, nWords, meanFreq, nRare) = out.head
+    val words = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val freqs = words.groupBy("w").count()
+    val mine = words.filter(col("doc_id") === docId).join(freqs, "w")
+      .agg(count(lit(1)), sum("count"), count(when(col("count") <= 2, 1)))
+      .collect()(0)
+    assert(nWords == mine.getLong(0))
+    assert(meanFreq == mine.getLong(1).toDouble / mine.getLong(0))
+    assert(nRare == mine.getLong(2))
+    assert(out.forall { case (_, n, m, r) => m >= 1.0 && r <= n })
+  }
+
+  test("L29: source mix rates respect the half-corpus budget") {
+    val rows = TextPipeline.mixSources(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val total = rows.map(_._2).sum
+    val target = (total / 2) / rows.length
+    rows.foreach { case (src, tokens, tgt, rate, exp) =>
+      assert(tgt == target, s"$src target")
+      assert(exp == math.min(tokens, target), s"$src expected tokens")
+      assert(rate > 0.0 && rate <= 1.0, s"$src rate $rate")
+      assert(math.abs(rate - math.min(1.0, target.toDouble / tokens)) < 1e-6)
+    }
+    // the mix never over-spends the budget
+    assert(rows.map(_._5).sum <= total / 2 + rows.length)
+  }
+
+  test("L30: Bloom decontamination has no false negatives vs the exact join") {
+    val out = TextPipeline.decontaminateBloom(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty, "corpus shares grams with the eval split")
+    // Bloom membership can overshoot (false positives) but NEVER
+    // undershoot: every gram the exact join finds is in the filter.
+    out.foreach { case (id, bloomHits, exact) =>
+      assert(bloomHits >= exact, s"doc $id: bloom $bloomHits < exact $exact")
+    }
+    // and at 4096 bits / k=3 over a tiny eval set, the overshoot is
+    // bounded — bloom hits shouldn't exceed the doc's distinct grams
+    // (sanity that the probe dedups per (doc, gram))
+    assert(out.exists(_._3 > 0), "some corpus doc overlaps the eval split exactly")
+  }
+
   test("R25: salted two-phase agg equals direct aggregation") {
     val salted = Relational.qSaltedTopusers(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq

@@ -388,6 +388,55 @@ class StatsSpec extends SparkSpec {
       s"a quarter-range filter must skip most of 4 range-clustered files: $vals")
   }
 
+  test("C63: runtime IN-filter prunes files and re-plans the delegate") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stats")
+    spark.sql("CREATE TABLE graft.stats.rtf (k BIGINT, v DOUBLE) PARTITIONED BY (k)")
+    val dir = new Path(s"$warehouse/stats/rtf")
+    import spark.implicits._
+    val df = (0L until 8000L).map(i => (i / 1000L, i * 0.25)).toDF("k", "v")
+    cat.ops.write(dir, df, "append", numFiles = Some(8))
+
+    val table = cat.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("stats"), "rtf"))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+    val builder = table.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(new java.util.HashMap()))
+    val scan = builder.build()
+    val rf = scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering]
+    // the join key is a declared runtime-filterable attribute
+    assert(rf.filterAttributes().map(_.fieldNames().mkString(".")).contains("k"))
+    val before = scan.toBatch.planInputPartitions().length
+
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    def lv(v: Long) = new org.apache.spark.sql.connector.expressions.Literal[Long] {
+      override def value(): Long = v
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+    }
+    val in = new Predicate("IN", Array(
+      Expressions.column("k"), lv(2L), lv(5L)))
+    rf.filter(Array(in))
+    val after = scan.toBatch.planInputPartitions().length
+    assert(after < before, s"runtime filter must drop partitions: $before -> $after")
+    val vals = scan.reportDriverMetrics().map(m => m.name() -> m.value()).toMap
+    assert(vals("graftFilesKept") <= 3, s"8 range-clustered files, 2 keys kept: $vals")
+
+    // unknown predicate shapes are ignored, never wrong
+    rf.filter(Array(new Predicate("ALWAYS_TRUE", Array.empty)))
+    assert(scan.toBatch.planInputPartitions().length == after)
+
+    // end-to-end: a selective dim join still answers correctly
+    // (whether or not the optimizer chose to inject dynamic pruning)
+    Seq(2L, 5L).toDF("dk").createOrReplaceTempView("rtf_dim")
+    val joined = spark.sql(
+      """SELECT k, COUNT(*) AS n, SUM(v) AS s
+         FROM graft.stats.rtf JOIN rtf_dim ON k = dk
+         GROUP BY k ORDER BY k""").collect()
+    assert(joined.map(_.getLong(0)).toSeq == Seq(2L, 5L))
+    assert(joined.forall(_.getLong(1) == 1000L))
+  }
+
   test("time travel still resolves legacy and stats manifests") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stats")
     spark.sql("CREATE TABLE graft.stats.tt2 (id BIGINT)")
