@@ -1857,6 +1857,31 @@ object Relational {
          ORDER BY c_custkey""")
   }
 
+  /** R74 — null-safe equi-join (`<=>` / SQL:2003 IS NOT DISTINCT
+    * FROM): NULL join keys match each other instead of vanishing — the
+    * semantics ETL reconciliation joins need when "unknown" is a real
+    * category. Spark plans the null-safe comparison as a HASH join key
+    * (no fallback to nested loops), so it shuffles exactly like a
+    * plain equi-join at any scale; nulls are synthesized via NULLIF so
+    * both engines derive the identical key set. */
+  def qNullSafeJoin(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(col("o_orderkey"),
+      expr("NULLIF(o_orderpriority, '3-MEDIUM')").as("p"))
+    val dim = orders(s, d)
+      .select(expr("NULLIF(o_orderpriority, '3-MEDIUM')").as("dp")).distinct()
+    o.join(broadcast(dim), col("p") <=> col("dp"))
+      .groupBy(coalesce(col("dp"), lit("(null)")).as("prio"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("prio")
+  }
+
+  val qNullSafeJoinSql: String =
+    """WITH o AS (SELECT o_orderkey, NULLIF(o_orderpriority, '3-MEDIUM') AS p FROM orders),
+       d AS (SELECT DISTINCT NULLIF(o_orderpriority, '3-MEDIUM') AS dp FROM orders)
+       SELECT COALESCE(dp, '(null)') AS prio, COUNT(*) AS n
+       FROM o JOIN d ON p IS NOT DISTINCT FROM dp
+       GROUP BY 1 ORDER BY prio"""
+
   val qLateralProfileSql: String =
     """SELECT c_custkey, c_mktsegment, t.n_open, t.spend
        FROM customer,

@@ -169,4 +169,46 @@ object Streams {
           }
       }
   }
+
+  /** Per-key running totals for [[runningTotals]]. */
+  final case class RunState(n: Long, total: Double)
+  final case class RunOut(user_id: Long, n_events: Long, total_value: Double)
+
+  /** R75 — arbitrary stateful processing via `transformWithState`
+    * (the Structured Streaming state API v2): per-user running
+    * event count + value total held in a typed `ValueState`, one
+    * updated row emitted per key per micro-batch. The v2 API is the
+    * production successor to R27's `flatMapGroupsWithState`: typed
+    * state handles (value/list/map) with per-state TTL, timers, and
+    * schema-evolvable state — all backed by the RocksDB state store,
+    * which is what bounds memory at 100 TB/day (state lives off-heap
+    * and spills; keys partition across the cluster).
+    *
+    * Requires `spark.sql.streaming.stateStore.providerClass` =
+    * RocksDBStateStoreProvider (transformWithState's only supported
+    * store). */
+  def runningTotals(events: org.apache.spark.sql.Dataset[Event])
+      : org.apache.spark.sql.Dataset[RunOut] = {
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val stEnc: Encoder[RunState] = Encoders.product[RunState]
+    implicit val outEnc: Encoder[RunOut] = Encoders.product[RunOut]
+    val processor = new StatefulProcessor[Long, Event, RunOut] {
+      @transient private var st: ValueState[RunState] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        st = getHandle.getValueState[RunState]("running", stEnc, TTLConfig.NONE)
+      override def handleInputRows(key: Long, rows: Iterator[Event],
+          timers: TimerValues): Iterator[RunOut] = {
+        val prev = Option(st.get()).getOrElse(RunState(0L, 0.0))
+        var n = prev.n
+        var tot = prev.total
+        rows.foreach { e => n += 1; tot += e.value }
+        st.update(RunState(n, tot))
+        Iterator.single(RunOut(key, n, tot))
+      }
+    }
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(processor, TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -204,4 +204,40 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"),
       plan.take(1000))
   }
+
+  test("q_lateral_profile: LATERAL decorrelates to an aggregate join, no loops") {
+    val plan = planOf(Relational.qLateralProfile(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    // the correlated aggregate becomes a plain two-phase HashAggregate
+    // feeding an equi-join on the correlation key
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(800))
+    assert(plan.contains("PushedFilters: [IsNotNull(o_custkey)") ||
+           plan.contains("PushedFilters: [IsNotNull(o_orderstatus)") ||
+           plan.contains("EqualTo(o_orderstatus,O)"), "status filter reaches the scan: " + plan.take(1200))
+  }
+
+  test("dedup_paragraph: one gram-key shuffle, dup set rejoined as semi, never doc x doc") {
+    val plan = planOf(graft.pipeline.TextPipeline.paragraphDedup(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(plan.contains("LeftSemi"), "dup-hash filter must be a semi join: " + plan.take(800))
+    // paragraph explode is a generator inside codegen, not a UDF
+    assert(plan.contains("Generate posexplode"), plan.take(800))
+  }
+
+  test("length_buckets / mix_sources: map-only classify + tiny two-phase agg") {
+    val lb = planOf(graft.pipeline.TextPipeline.lengthBuckets(spark, sfDir))
+    assert("HashAggregate".r.findAllIn(lb).size >= 2, "partial+final agg: " + lb.take(600))
+    assert(!lb.contains("Join"), "L33 must be join-free: " + lb.take(600))
+    val mx = planOf(graft.pipeline.TextPipeline.mixSources(spark, sfDir))
+    assert(mx.contains("BroadcastNestedLoopJoin") || mx.contains("BroadcastHashJoin"),
+      "single-row totals must broadcast: " + mx.take(600))
+    assert(!mx.contains("CartesianProduct"), mx.take(600))
+  }
+
+  test("split_leakage: shingle equi-join carries the pair search") {
+    val plan = planOf(graft.pipeline.TextPipeline.splitLeakage(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+           plan.contains("BroadcastHashJoin"), "equi-join expected: " + plan.take(800))
+  }
 }

@@ -126,4 +126,39 @@ class StreamingSpec extends SparkSpec {
       assert(rows.toSeq == Seq((1L, 300L)), s"got ${rows.toSeq}")
     } finally q.stop()
   }
+
+  test("R75: transformWithState keeps per-key running totals across batches") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event]
+    val q = Streams.runningTotals(input.toDS())
+      .writeStream.format("memory").queryName("running_totals")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        Event(1, 1, "click", 2.0, ts(0, 0)),
+        Event(2, 1, "click", 3.0, ts(0, 5)),
+        Event(3, 2, "view", 7.0, ts(0, 9)))
+      q.processAllAvailable()
+      input.addData(Event(4, 1, "buy", 5.0, ts(1, 0)))
+      q.processAllAvailable()
+      // memory sink in Update mode appends each update row; the
+      // LATEST row per key carries the running total across batches
+      val rows = spark.sql(
+        """SELECT user_id, n_events, total_value FROM running_totals
+           WHERE (user_id, n_events) IN (
+             SELECT user_id, max(n_events) FROM running_totals GROUP BY user_id)""")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == Set((1L, 3L, 10.0), (2L, 1L, 7.0)), s"got $rows")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
