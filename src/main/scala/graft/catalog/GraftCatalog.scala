@@ -204,15 +204,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident.toString)
     val dir = tablePath(ident)
     val tableSchema = SchemaBridge.fromSpark(schema)
-    val specFields = partitions.toSeq.zipWithIndex.map {
-      case (t, i) if t.name == "identity" =>
-        val srcName = t.references.head.fieldNames.mkString(".")
-        val src = tableSchema.fields.find(_.name == srcName).getOrElse(
-          throw new IllegalArgumentException(s"partition column $srcName not in schema"))
-        PartitionField(src.id, 1000 + i, srcName, "identity")
-      case (t, _) =>
-        throw new UnsupportedOperationException(
-          s"partition transform ${t.describe()} not supported (identity only)")
+    // C65 hidden partitioning: identity plus the Iceberg transform
+    // vocabulary — bucket[N], truncate[W], year/month/day/hour
+    // (Spark parses `PARTITIONED BY (days(ts), bucket(8, id))` into
+    // these v2 Transforms). Source-type compatibility is checked HERE
+    // so a bad spec fails at CREATE, not at first write.
+    val specFields = partitions.toSeq.zipWithIndex.map { case (t, i) =>
+      val srcName = t.references.head.fieldNames.mkString(".")
+      val src = tableSchema.fields.find(_.name == srcName).getOrElse(
+        throw new IllegalArgumentException(s"partition column $srcName not in schema"))
+      val intArg: Option[Int] = t.arguments.collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_]
+            if l.value().isInstanceOf[Number] => l.value().asInstanceOf[Number].intValue()
+      }
+      val transform = t.name match {
+        case "identity" => "identity"
+        case "bucket" => s"bucket[${intArg.getOrElse(
+          throw new IllegalArgumentException("bucket transform needs a bucket count"))}]"
+        case "truncate" => s"truncate[${intArg.getOrElse(
+          throw new IllegalArgumentException("truncate transform needs a width"))}]"
+        case "years" | "year" => "year"
+        case "months" | "month" => "month"
+        case "days" | "day" => "day"
+        case "hours" | "hour" => "hour"
+        case other => throw new UnsupportedOperationException(
+          s"partition transform $other not supported")
+      }
+      val sparkType = schema.fields.find(_.name == srcName).get.dataType
+      if (!Transforms.supports(transform, sparkType))
+        throw new IllegalArgumentException(
+          s"transform $transform not applicable to $srcName: $sparkType")
+      PartitionField(src.id, 1000 + i, srcName, transform)
     }
     val props = properties.asScala.toMap -
       TableCatalog.PROP_LOCATION - TableCatalog.PROP_PROVIDER - TableCatalog.PROP_OWNER

@@ -171,7 +171,18 @@ final class GraftTable(
     override def pushFilters(predicates: Seq[Expression]): Seq[Expression] = {
       predicateState = predicates
       val translated = predicates.flatMap(GraftBridge.translateFilter)
-      val kept = dataEntries.filter(e => translated.forall(f => Stats.mayContain(e, schema, f)))
+      // C65 hidden partitioning: equality/IN predicates on a
+      // bucket-transformed source column derive predicates on the
+      // materialized __pt_ bucket column, whose per-file stats came
+      // from the parquet footers like any column's. Files written
+      // without the hidden column (e.g. SQL INSERT) have no __pt_
+      // stats and are conservatively kept.
+      val specFields = meta.specs.find(_.specId == meta.defaultSpecId)
+        .map(_.fields).getOrElse(Seq.empty)
+      val derived = translated.flatMap(f => Transforms.derive(specFields, schema, f))
+      val ptSchema = Transforms.ptSchema(specFields, schema)
+      val kept = dataEntries.filter(e =>
+        (translated ++ derived).forall(f => Stats.mayContain(e, ptSchema, f)))
       keptEntries = kept
       delegate = dataScanBuilder(kept.map(_.path), schema, options)
       delegate.pushFilters(predicates)
@@ -395,10 +406,19 @@ final class GraftTable(
                   : NamedReference)
             }
 
-            override def filter(predicates: Array[Predicate]): Unit =
+            override def filter(predicates: Array[Predicate]): Unit = {
+              val specFields = meta.specs.find(_.specId == meta.defaultSpecId)
+                .map(_.fields).getOrElse(Seq.empty)
+              val ptSchema = Transforms.ptSchema(specFields, schema)
               predicates.foreach(p => toSourceFilter(p).foreach { f =>
-                runtimeKept = runtimeKept.filter(e => Stats.mayContain(e, schema, f))
+                // runtime join keys also prune through bucket
+                // transforms (C65) — a DPP IN-set on the source
+                // column derives the bucket IN-set
+                val fs = f +: Transforms.derive(specFields, schema, f)
+                runtimeKept = runtimeKept.filter(e =>
+                  fs.forall(Stats.mayContain(e, ptSchema, _)))
               })
+            }
 
             private def toSourceFilter(p: Predicate)
                 : Option[org.apache.spark.sql.sources.Filter] = p.name() match {
@@ -580,8 +600,17 @@ final class GraftTable(
       override def truncate(): WriteBuilder = { operation = "overwrite"; this }
       override def build(): Write = {
         val inner = delegate.build()
+        // Identity fields sort as themselves; order-preserving
+        // transforms (truncate/temporal) sort by their SOURCE column
+        // (equivalent clustering — contiguous raw ranges ARE
+        // contiguous transform cells). Bucket fields are skipped here:
+        // expressing a hash distribution needs a FunctionCatalog
+        // binding, so bucket organization rides the TableOps.write
+        // path (incl. every compaction/rewrite); SQL-inserted files
+        // simply carry no bucket stats and are never mis-pruned.
         val specCols = meta.specs.find(_.specId == meta.defaultSpecId).toSeq
-          .flatMap(_.fields.filter(_.transform == "identity").map(_.name))
+          .flatMap(_.fields.filterNot(f =>
+            Transforms.parse(f.transform).kind == "bucket").map(_.name))
         // default sort order appended after the spec columns (same
         // policy as TableOps.write): clusters files AND orders rows
         val orderCols = meta.sortOrders.find(_.orderId == meta.defaultSortOrderId)

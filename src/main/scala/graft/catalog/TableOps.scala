@@ -328,10 +328,26 @@ final class TableOps(private[graft] val store: FsStore) {
       numFiles: Option[Int] = None): TableMetadata = {
     val writeDir = new Path(dataDir(tableDir), s"w-${UUID.randomUUID()}")
     val metaOpt = load(tableDir).map(_._2)
-    val specCols = metaOpt.toSeq.flatMap { m =>
-      m.specs.find(_.specId == m.defaultSpecId).toSeq
-        .flatMap(_.fields.filter(_.transform == "identity").map(_.name))
-    }.filter(df.columns.contains)
+    val specFields = metaOpt.toSeq.flatMap { m =>
+      m.specs.find(_.specId == m.defaultSpecId).toSeq.flatMap(_.fields)
+    }.filter(f => df.columns.contains(f.name))
+    // C65 hidden partitioning: bucket fields materialize their value
+    // as a hidden __pt_ column — its parquet footer stats land in the
+    // manifest (Stats.collect reads every file column), which is what
+    // lets equality/IN predicates on the SOURCE column prune files
+    // through the hash. Order-preserving transforms need nothing:
+    // clustering alone gives files tight source-column ranges.
+    // Derived on EVERY write, so compaction/rewrites regenerate it.
+    val ptCols = Transforms.materialized(specFields)
+    val dfPt = ptCols.foldLeft(df) { (d, f) =>
+      val dt = d.schema(f.name).dataType
+      d.withColumn(Transforms.ptColName(f),
+        Transforms.clusterExpr(f.transform, f.name, dt))
+    }
+    val specCols = specFields.map { f =>
+      if (Transforms.parse(f.transform).kind == "bucket") Transforms.ptColName(f)
+      else f.name
+    }
     // Default sort order (reference: add-sort-order / set-default-
     // sort-order): drives range clustering when the table is
     // unpartitioned — each file then covers a tight sort-key range, so
@@ -343,20 +359,36 @@ final class TableOps(private[graft] val store: FsStore) {
         .flatMap(f => m.currentSchema.fields.find(_.id == f.sourceId)
           .map(nf => (nf.name, f.direction == "desc")))
     }.filter { case (n, _) => df.columns.contains(n) }
+    // Range-clustering on the RAW column is enough for the
+    // order-preserving transforms (contiguous raw ranges = contiguous
+    // transform cells); bucket fields cluster on their __pt_ column.
     val clusterCols = if (specCols.nonEmpty) specCols else sortCols.map(_._1)
     val shaped = (clusterCols, numFiles) match {
-      case (cols, Some(n)) if cols.nonEmpty => df.repartitionByRange(n, cols.map(df.col): _*)
-      case (cols, None) if cols.nonEmpty => df.repartitionByRange(cols.map(df.col): _*)
-      case (_, Some(n)) => df.repartition(n)
-      case _ => df
+      case (cols, Some(n)) if cols.nonEmpty => dfPt.repartitionByRange(n, cols.map(dfPt.col): _*)
+      case (cols, None) if cols.nonEmpty => dfPt.repartitionByRange(cols.map(dfPt.col): _*)
+      case (_, Some(n)) => dfPt.repartition(n)
+      case _ => dfPt
     }
     val ordered =
       if (sortCols.isEmpty) shaped
       else shaped.sortWithinPartitions(
         sortCols.map { case (n, desc) =>
           if (desc) shaped.col(n).desc else shaped.col(n).asc }: _*)
-    ordered.write.format(metaOpt.map(dataFormat).getOrElse("parquet"))
+    // Timestamps must land as INT64 micros: Spark's default INT96
+    // carries NO footer statistics (parquet-mr refuses the corrupt
+    // INT96 ordering) and no predicate pushdown — which would make
+    // every timestamp column invisible to manifest skipping and C65
+    // temporal transforms.
+    val ss = df.sparkSession
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = ss.conf.getOption(tsKey)
+    ss.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try ordered.write.format(metaOpt.map(dataFormat).getOrElse("parquet"))
       .save(writeDir.toString)
+    finally prevTs match {
+      case Some(v) => ss.conf.set(tsKey, v)
+      case None => ss.conf.unset(tsKey)
+    }
     val files = store.listFilesRec(writeDir)
       .filter(f => isDataFile(f.getName)).map(_.toString)
     commitFiles(tableDir, files, operation)

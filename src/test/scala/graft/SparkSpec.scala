@@ -17,6 +17,9 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
+    // INT64 timestamps so parquet footers carry usable stats
+    // (INT96, the default, has neither stats nor pushdown)
+    .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     .config("spark.sql.sources.v2.bucketing.enabled", "true")
     .config("spark.sql.extensions", "graft.catalog.GraftExtensions")
     .config("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
