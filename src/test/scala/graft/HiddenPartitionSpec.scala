@@ -120,6 +120,32 @@ class HiddenPartitionSpec extends SparkSpec {
     assert(e2.getMessage.contains("not applicable"), e2.getMessage)
   }
 
+  test("spec evolution to a transform layout (C38 ∘ C65): new writes bucket, old files stay readable") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.hp")
+    spark.sql("CREATE TABLE graft.hp.ev2 (k BIGINT, v DOUBLE)")
+    val dir = new Path(s"$warehouse/hp/ev2")
+    import spark.implicits._
+    cat.ops.write(dir, (0L until 1000L).map(i => (i % 50L, i * 1.0)).toDF("k", "v"), "append")
+
+    // evolve the unpartitioned table onto a bucket[4] spec
+    val (_, m) = cat.ops.load(dir).get
+    val kId = m.currentSchema.fields.find(_.name == "k").get.id
+    cat.ops.commit(dir, Seq.empty, Seq(
+      MetadataUpdate.AddSpec(PartitionSpec(1,
+        Seq(PartitionField(kId, 1001, "k", "bucket[4]")))),
+      MetadataUpdate.SetDefaultSpec(1)))
+    cat.ops.write(dir, (1000L until 2000L).map(i => (i % 50L, i * 1.0)).toDF("k", "v"),
+      "append", numFiles = Some(4))
+
+    // post-evolution files carry bucket stats; pre-evolution files don't
+    val entries = cat.ops.snapshotEntries(dir, cat.ops.load(dir).get._2.currentSnapshot.get)
+    assert(entries.exists(_.stats.contains("__pt_k")), "new files have bucket stats")
+    assert(entries.exists(e => !e.stats.contains("__pt_k")), "old files kept without them")
+    // equality predicate: old files conservatively kept, new ones pruned —
+    // and the answer is exact across both layouts
+    assert(spark.sql("SELECT count(*) FROM graft.hp.ev2 WHERE k = 7").collect()(0).getLong(0) == 40L)
+  }
+
   test("SQL INSERT into a day-partitioned table clusters via required ordering") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.hp")
     spark.sql("""CREATE TABLE graft.hp.ins (id BIGINT, ts TIMESTAMP, v DOUBLE)

@@ -437,6 +437,33 @@ class StatsSpec extends SparkSpec {
     assert(joined.forall(_.getLong(1) == 1000L))
   }
 
+  test("C63 end-to-end: a selective dim join injects dynamic pruning and re-plans to fewer files") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stats")
+    spark.sql("CREATE TABLE graft.stats.dppf (k BIGINT, v DOUBLE) PARTITIONED BY (k)")
+    val dir = new Path(s"$warehouse/stats/dppf")
+    import spark.implicits._
+    cat.ops.write(dir,
+      (0L until 80000L).map(i => (i / 10000L, i * 0.5)).toDF("k", "v"),
+      "append", numFiles = Some(8))
+    spark.sql("CREATE TABLE graft.stats.dppd (dk BIGINT, name STRING)")
+    spark.sql("INSERT INTO graft.stats.dppd VALUES (2, 'two'), (5, 'five')")
+
+    val q = spark.sql(
+      "SELECT sum(v) FROM graft.stats.dppf JOIN graft.stats.dppd ON k = dk WHERE name = 'two'")
+    val result = q.collect()(0).getDouble(0)
+    val plan = q.queryExecution.executedPlan.toString
+    // the optimizer chose to inject a dynamic-pruning subquery on the
+    // fact scan (proves filterAttributes + stats made it eligible)...
+    assert(plan.contains("dynamicpruningexpression"), plan.take(1500))
+    // ...and the runtime IN-set re-planned the parquet delegate down
+    // to the matching file(s)
+    val paths = "InMemoryFileIndex\\((\\d+) paths\\)".r
+      .findAllMatchIn(plan).map(_.group(1).toInt).toList
+    assert(paths.nonEmpty && paths.min <= 2,
+      s"fact side must read <=2 of 8 files after runtime pruning: $paths")
+    assert(result == (20000L until 30000L).map(_ * 0.5).sum, s"got $result")
+  }
+
   test("time travel still resolves legacy and stats manifests") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stats")
     spark.sql("CREATE TABLE graft.stats.tt2 (id BIGINT)")
