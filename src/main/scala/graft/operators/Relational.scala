@@ -1893,4 +1893,196 @@ object Relational {
        ) t
        WHERE c_custkey < 200 AND t.n_open > 0
        ORDER BY c_custkey"""
+
+  /** R76 — MAP-typed aggregation state: per customer, the order-status
+    * histogram built as a real `MAP<STRING,BIGINT>` (map_from_entries
+    * over the per-status counts) and then consumed with element_at /
+    * map_keys / map_filter. Two partial-agg shuffles (status level,
+    * then customer level), both map-side combined; the map itself
+    * stays row-local so nothing about the type changes the exchange
+    * shape at scale. Output is scalars only — the map is the working
+    * state, not the interchange format. */
+  def qMapFuncs(s: SparkSession, d: String): DataFrame = {
+    val perStatus = orders(s, d).filter(col("o_custkey") < 200)
+      .groupBy("o_custkey", "o_orderstatus").agg(count(lit(1)).as("cnt"))
+    perStatus.groupBy("o_custkey")
+      .agg(map_from_entries(collect_list(struct(col("o_orderstatus"), col("cnt")))).as("m"))
+      .select(col("o_custkey"),
+        size(col("m")).cast("long").as("n_statuses"),
+        coalesce(element_at(col("m"), "O"), lit(0L)).as("n_open"),
+        coalesce(element_at(col("m"), "F"), lit(0L)).as("n_done"),
+        concat_ws(",", array_sort(map_keys(col("m")))).as("statuses"),
+        size(map_filter(col("m"), (_, v) => v <= 2)).cast("long").as("n_rare"))
+      .orderBy("o_custkey")
+  }
+
+  val qMapFuncsSql: String =
+    """WITH ps AS (SELECT o_custkey, o_orderstatus, COUNT(*) AS cnt
+                   FROM orders WHERE o_custkey < 200 GROUP BY 1, 2)
+       SELECT o_custkey,
+              COUNT(*) AS n_statuses,
+              CAST(COALESCE(SUM(cnt) FILTER (WHERE o_orderstatus = 'O'), 0) AS BIGINT) AS n_open,
+              CAST(COALESCE(SUM(cnt) FILTER (WHERE o_orderstatus = 'F'), 0) AS BIGINT) AS n_done,
+              array_to_string(list_sort(list(o_orderstatus)), ',') AS statuses,
+              CAST(COUNT(*) FILTER (WHERE cnt <= 2) AS BIGINT) AS n_rare
+       FROM ps GROUP BY o_custkey ORDER BY o_custkey"""
+
+  /** R77 — VARIANT semi-structured type (Spark 4): JSON ingested once
+    * via parse_json into the binary VARIANT encoding, then fields read
+    * with typed variant_get path extraction — the open-schema column
+    * pattern (logs, API payloads) that replaces per-query JSON string
+    * re-parsing. At scale the win is decode-once: variant_get is a
+    * codegen'd binary traversal, not a parser, so N path reads cost
+    * one parse. try_variant_get covers the missing-path contract. The
+    * oracle mirrors values (DuckDB has JSON, not VARIANT) — equality
+    * of the extracted results is the cross-engine contract. */
+  def qVariant(s: SparkSession, d: String): DataFrame =
+    orders(s, d).filter(col("o_orderkey") < 400)
+      .withColumn("js", to_json(struct(col("o_orderkey").as("k"),
+        col("o_totalprice").as("price"),
+        struct(col("o_orderstatus").as("s"), col("o_orderpriority").as("pri")).as("meta"))))
+      .withColumn("v", expr("parse_json(js)"))
+      .select(col("o_orderkey"),
+        expr("variant_get(v, '$.price', 'double')").as("price"),
+        expr("variant_get(v, '$.meta.s', 'string')").as("status"),
+        expr("variant_get(v, '$.meta.pri', 'string')").as("pri"),
+        expr("CAST(try_variant_get(v, '$.nope', 'bigint') AS BIGINT)").as("missing"))
+      .orderBy("o_orderkey")
+
+  val qVariantSql: String =
+    """SELECT o_orderkey,
+              CAST(o_totalprice AS DOUBLE) AS price,
+              o_orderstatus AS status,
+              o_orderpriority AS pri,
+              CAST(NULL AS BIGINT) AS missing
+       FROM orders WHERE o_orderkey < 400 ORDER BY o_orderkey"""
+
+  /** R78 — IGNORE NULLS window functions: last/first/nth non-null and
+    * gap-skipping lag over a sparse "big order" marker — the
+    * forward-fill family (sensor gaps, sparse dimension changes).
+    * Same exchange as any window: one shuffle on the partition key;
+    * IGNORE NULLS only changes the frame evaluator. Unique
+    * (date, orderkey) ordering keeps both engines deterministic. */
+  def qWindowIgnoreNulls(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("od"), col("o_orderkey"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, d).filter(col("o_custkey") < 60)
+      .withColumn("od", to_date(col("o_orderdate")))
+      .withColumn("big", when(col("o_totalprice") > 150000.0, col("o_orderkey")))
+      .select(col("o_custkey"), col("o_orderkey"),
+        lag(col("big"), 1, null, true).over(w).as("prev_big"),
+        last(col("big"), ignoreNulls = true).over(wRun).as("last_big"),
+        first(col("big"), ignoreNulls = true).over(wRun).as("first_big"),
+        nth_value(col("big"), 2, ignoreNulls = true).over(wRun).as("second_big"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val qWindowIgnoreNullsSql: String =
+    """SELECT o_custkey, o_orderkey,
+              lag(big IGNORE NULLS) OVER w AS prev_big,
+              last_value(big IGNORE NULLS) OVER wr AS last_big,
+              first_value(big IGNORE NULLS) OVER wr AS first_big,
+              nth_value(big, 2 IGNORE NULLS) OVER wr AS second_big
+       FROM (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od,
+                    CASE WHEN o_totalprice > 150000.0 THEN o_orderkey END AS big
+             FROM orders WHERE o_custkey < 60) t
+       WINDOW w  AS (PARTITION BY o_custkey ORDER BY od, o_orderkey),
+              wr AS (PARTITION BY o_custkey ORDER BY od, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       ORDER BY o_custkey, o_orderkey"""
+
+  /** R79 — error-safe arithmetic (try_divide / try_to_number /
+    * try_element_at): NULL instead of runtime failure on div-zero,
+    * malformed numerics and out-of-range subscripts — what keeps a
+    * 100 TB batch job from dying at hour 3 on one bad row. All
+    * row-local codegen'd expressions; the oracle mirrors the NULL
+    * contract with guards (DuckDB errors on div-zero by design). */
+  def qTryArith(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).filter(col("l_orderkey") < 300)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("ln"),
+        expr("try_divide(l_extendedprice, l_quantity - 17.0)").as("per_unit_adj"),
+        expr("try_divide(CAST(l_orderkey AS DOUBLE), CAST(l_linenumber AS DOUBLE) - 2.0)").as("int_div"),
+        expr("CAST(try_to_number(CASE WHEN l_returnflag = 'A' THEN '123' ELSE 'x9' END, '999') AS BIGINT)").as("flag_num"),
+        expr("try_element_at(array(CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT)), CAST(l_linenumber AS INT) + 1)").as("elem"))
+      .orderBy("l_orderkey", "ln")
+
+  val qTryArithSql: String =
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
+              CASE WHEN l_quantity = 17.0 THEN NULL
+                   ELSE l_extendedprice / (l_quantity - 17.0) END AS per_unit_adj,
+              CASE WHEN l_linenumber = 2 THEN NULL
+                   ELSE CAST(l_orderkey AS DOUBLE) / (CAST(l_linenumber AS DOUBLE) - 2.0) END AS int_div,
+              CASE WHEN l_returnflag = 'A' THEN CAST(123 AS BIGINT) ELSE try_cast('x9' AS BIGINT) END AS flag_num,
+              CAST(([1, 2, 3])[l_linenumber + 1] AS BIGINT) AS elem
+       FROM lineitem WHERE l_orderkey < 300 ORDER BY l_orderkey, ln"""
+
+  /** R80 — generator-built date spine (`sequence()` + explode): the
+    * non-recursive sibling of R57 — a monthly calendar emitted by one
+    * codegen'd generator expression, left-joined to the monthly order
+    * rollup so empty months report zeros. At scale the spine is O(1)
+    * to produce on one task and broadcast; the only real shuffle is
+    * the fact-side month aggregate (map-side combined). Prefer this
+    * over the recursive CTE whenever the spine bounds are known —
+    * no iterative plan, no driver round per step. */
+  def qSeqSpine(s: SparkSession, d: String): DataFrame = {
+    val months = s.range(1).select(explode(expr(
+      "sequence(DATE'1996-01-01', DATE'1997-12-01', interval 1 month)")).as("mstart"))
+    val rev = orders(s, d)
+      .withColumn("mstart", date_trunc("month", to_date(col("o_orderdate"))).cast("date"))
+      .filter(col("mstart") >= lit("1996-01-01") && col("mstart") <= lit("1997-12-01"))
+      .groupBy("mstart")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("rev"))
+    months.join(rev, Seq("mstart"), "left")
+      .select(col("mstart").cast("string").as("month_start"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("rev"), lit(0.0)).as("rev"))
+      .orderBy("month_start")
+  }
+
+  val qSeqSpineSql: String =
+    """WITH spine AS (
+         SELECT CAST(unnest(generate_series(DATE '1996-01-01', DATE '1997-12-01',
+                                            INTERVAL 1 MONTH)) AS DATE) AS mstart),
+       rev AS (
+         SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS mstart,
+                COUNT(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+         FROM orders
+         WHERE CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+               BETWEEN DATE '1996-01-01' AND DATE '1997-12-01'
+         GROUP BY 1)
+       SELECT CAST(s.mstart AS VARCHAR) AS month_start,
+              COALESCE(r.n_orders, 0) AS n_orders,
+              COALESCE(r.rev, 0.0) AS rev
+       FROM spine s LEFT JOIN rev r ON s.mstart = r.mstart
+       ORDER BY month_start"""
+
+  /** R81 — nested struct-array composition: per-document word arrays
+    * zipped with their lengths (arrays_zip → ARRAY<STRUCT>), consumed
+    * with struct-field lambdas (filter on z.lens) and struct-ordered
+    * array_sort. All row-local codegen'd array kernels — the nested
+    * type never crosses an exchange, so the plan is a pure map +
+    * output sort at any scale. */
+  def qStructFuncs(s: SparkSession, d: String): DataFrame =
+    documents(s, d).filter(col("doc_id") < 40)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("lens", transform(col("ws"), w => length(w)))
+      .withColumn("zipped", arrays_zip(col("ws"), col("lens")))
+      .select(col("doc_id"),
+        element_at(col("zipped"), 1).getField("ws").as("first_word"),
+        element_at(col("zipped"), 1).getField("lens").cast("long").as("first_len"),
+        size(filter(col("zipped"), z => z.getField("lens") >= 6)).cast("long").as("n_long"),
+        element_at(array_sort(col("zipped")), 1).getField("ws").as("alpha_first"))
+      .orderBy("doc_id")
+
+  val qStructFuncsSql: String =
+    """SELECT doc_id,
+              ws[1] AS first_word,
+              CAST(len(ws[1]) AS BIGINT) AS first_len,
+              CAST(len(list_filter(ws, w -> len(w) >= 6)) AS BIGINT) AS n_long,
+              list_sort(ws)[1] AS alpha_first
+       FROM (SELECT doc_id, string_split(text, ' ') AS ws
+             FROM documents WHERE doc_id < 40) t
+       ORDER BY doc_id"""
 }

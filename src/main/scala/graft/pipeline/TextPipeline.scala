@@ -1071,4 +1071,111 @@ object TextPipeline {
               CAST(SUM(n) AS BIGINT) AS total_tokens,
               CAST(SUM(bucket - n) AS BIGINT) AS padding_tokens
        FROM b GROUP BY bucket ORDER BY bucket"""
+
+  /** L34 — winnowing fingerprint dedup (the MOSS scheme, Schleimer et
+    * al. SIGMOD'03): per doc, hash every 4-word shingle (cross-engine
+    * md5-prefix 60-bit), slide a window of 5 consecutive shingle
+    * hashes and keep each window's MINIMUM as a fingerprint. The
+    * guarantee position-sampling (L11) lacks: any shared run of ≥ 8
+    * words yields at least one IDENTICAL fingerprint in both docs, so
+    * matches cannot be missed by phase alignment, while only ~2/w of
+    * hashes are retained. Pairs then surface via a fingerprint
+    * equi-join with a shared-count cut.
+    *
+    * Scale: shingle hash + window-min are map-side per doc (one
+    * in-partition window sort per doc, no corpus shuffle); the only
+    * corpus-wide exchange is the fingerprint equi-join — shuffle keyed
+    * on the fingerprint value, never doc×doc, same cardinality shape
+    * as L2's band buckets. */
+  /** Winnowing fingerprint set of a (doc_id, text) frame — the L34
+    * selection stage alone, reusable so the guarantee is property-
+    * testable on planted inputs: k=4-word shingles, w=5 hash windows,
+    * window-min retained. */
+  def winnowFingerprints(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-4, 0)
+    docs.withColumn("ws", split(col("text"), " "))
+      .withColumn("n", size(col("ws")))
+      .filter(col("n") >= 4)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, n - 3), i -> concat_ws(' ', slice(ws, i, 4)))")))
+      .select(col("doc_id"), col("pos"),
+        expr("CAST(conv(substr(md5(col), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .withColumn("fp", min(col("h")).over(w))
+      .filter(col("pos") >= 4)
+      .select("doc_id", "fp").distinct()
+  }
+
+  def winnowDedup(s: SparkSession, d: String): DataFrame = {
+    val fps = winnowFingerprints(documents(s, d).select("doc_id", "text"))
+    fps.select(col("doc_id").as("doc_a"), col("fp"))
+      .join(fps.select(col("doc_id").as("doc_b"), col("fp")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 5)
+      .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
+      .limit(100)
+  }
+
+  val winnowDedupSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+                  WHERE len(string_split(text, ' ')) >= 4),
+       g AS (SELECT doc_id, i - 1 AS pos, array_to_string(ws[i:i+3], ' ') AS gram
+             FROM w, UNNEST(range(1, len(ws) - 2)) t(i)),
+       h AS (SELECT doc_id, pos,
+                    CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS h
+             FROM g),
+       m AS (SELECT doc_id, pos,
+                    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS fp
+             FROM h),
+       fps AS (SELECT DISTINCT doc_id, fp FROM m WHERE pos >= 4),
+       pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+                 FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+       SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 5
+       ORDER BY n_shared DESC, doc_a, doc_b LIMIT 100"""
+
+  /** L37 — token-distribution (Zipf) audit: per source, the top-10
+    * token frequency table with rank, rank·freq product and running
+    * cumulative mass — the corpus-health dashboard a curation run
+    * checks before training (a healthy natural-language source has
+    * rank·freq roughly flat; a constant product collapsing to a few
+    * tokens flags boilerplate or templating). All counts stay in
+    * integer space — no libm log — so both engines agree bitwise.
+    *
+    * Scale: explode → two-phase (source, token) count with map-side
+    * combine, then a per-source top-10 window over the (small)
+    * aggregated table. The corpus-sized shuffle is the token count
+    * agg; the window runs on groups already ≤ distinct-token
+    * cardinality. */
+  def zipfAudit(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = withWords(documents(s, d))
+      .select(col("source"), explode(col("ws")).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy("source").orderBy(col("freq").desc, col("token"))
+    counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .withColumn("rank_freq", (col("rank") * col("freq")).cast("long"))
+      .withColumn("cum_freq", sum(col("freq"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .select("source", "rank", "token", "freq", "rank_freq", "cum_freq")
+      .orderBy("source", "rank")
+  }
+
+  val zipfAuditSql: String =
+    """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+       c AS (SELECT source, token, COUNT(*) AS freq FROM t GROUP BY 1, 2),
+       r AS (SELECT source, token, freq,
+                    ROW_NUMBER() OVER (PARTITION BY source ORDER BY freq DESC, token) AS rank,
+                    SUM(freq) OVER (PARTITION BY source ORDER BY freq DESC, token
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_freq
+             FROM c)
+       SELECT source, CAST(rank AS BIGINT) AS rank, token, freq,
+              CAST(rank * freq AS BIGINT) AS rank_freq,
+              CAST(cum_freq AS BIGINT) AS cum_freq
+       FROM r WHERE rank <= 10 ORDER BY source, rank"""
 }

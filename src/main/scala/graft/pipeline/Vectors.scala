@@ -372,4 +372,81 @@ object Vectors {
                            JOIN embeddings n ON c.neighbor_id = n.vec_id)
        SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, ROUND(sim, 4) AS cos_sim
        FROM rer WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** L35 — random-projection embedding compression (Johnson-
+    * Lindenstrauss): 64-dim float vectors projected to 8 dims with a
+    * deterministic ±1 sign matrix derived from md5("<dim>_<proj>") —
+    * the memory lever BELOW int8 quantization (L19): 8 doubles per
+    * vector instead of 64 floats, with pairwise distances preserved
+    * in expectation, which is all a coarse ANN pre-filter needs.
+    *
+    * Scale: pure map — each projection is one codegen'd
+    * zip_with+aggregate fold over the row's own array; no shuffle at
+    * all until the output sort. Sums fold in DECIMAL so both engines
+    * agree bitwise regardless of accumulation rounding. The sign
+    * matrix is never materialized — it's recomputed from md5 inside
+    * the expression, so there's nothing to broadcast or keep in sync
+    * at 1000 executors. */
+  def embedRandproj(s: SparkSession, d: String): DataFrame = {
+    val projCols = (0 until 8).map { j =>
+      expr(
+        s"""CAST(aggregate(
+             zip_with(embedding, sequence(0, size(embedding) - 1),
+               (x, i) -> CASE WHEN substr(md5(concat(CAST(i AS STRING), '_', '$j')), 1, 1) < '8'
+                         THEN CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9))
+                         ELSE -CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)) END),
+             CAST(0 AS DECIMAL(28,9)),
+             (acc, v) -> CAST(acc + v AS DECIMAL(28,9))) AS DOUBLE)""").as(s"p$j")
+    }
+    embeddings(s, d).filter(col("vec_id") < 200)
+      .select(col("vec_id") +: projCols: _*)
+      .orderBy("vec_id")
+  }
+
+  val embedRandprojSql: String = {
+    val cols = (0 until 8).map { j =>
+      s"""CAST(list_sum(list_transform(embedding, (x, i) ->
+            CASE WHEN substr(md5(CAST(i - 1 AS VARCHAR) || '_' || '$j'), 1, 1) < '8'
+                 THEN CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9))
+                 ELSE -CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)) END)) AS DOUBLE) AS p$j"""
+    }.mkString(",\n            ")
+    s"""SELECT vec_id,
+            $cols
+       FROM embeddings WHERE vec_id < 200 ORDER BY vec_id"""
+  }
+
+  /** L36 — contrastive hard-negative mining: for each query vector,
+    * the top-3 most cosine-similar vectors carrying a DIFFERENT
+    * label — the pairs an embedding model trains against (similar in
+    * representation space, semantically distinct). Exactly L6's
+    * broadcast-scan shape plus the cross-label predicate; at corpus
+    * scale the candidate side routes through the L7/L7b bucketed
+    * paths first so the scan is bucket-local, with the label filter
+    * unchanged as the join residual. */
+  def mineHardneg(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val q = broadcast(e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("label").as("ql")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neg_id"))
+    q.join(e.select(col("vec_id").as("neg_id"), col("embedding").as("nv"),
+        col("label").as("neg_label")),
+        col("ql") =!= col("neg_label"))
+      .withColumn("sim", cosine("qv", "nv"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("neg_id"),
+        col("neg_label").cast("long").as("neg_label"), round(col("sim"), 4).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  val mineHardnegSql: String =
+    """SELECT query_id, CAST(rank AS BIGINT) AS rank, neg_id,
+              CAST(neg_label AS BIGINT) AS neg_label, ROUND(sim, 4) AS cos_sim
+       FROM (SELECT q.vec_id AS query_id, n.vec_id AS neg_id, n.label AS neg_label,
+                    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) AS sim,
+                    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) DESC, n.vec_id) AS rank
+             FROM embeddings q JOIN embeddings n ON q.label != n.label
+             WHERE q.vec_id < 20) t
+       WHERE rank <= 3 ORDER BY query_id, rank"""
 }

@@ -219,6 +219,87 @@ class PipelineSpec extends SparkSpec {
     assert(out.exists(_._3 > 0), "some corpus doc overlaps the eval split exactly")
   }
 
+  test("L34: winnowing guarantees a shared fingerprint for any >=8-word shared run") {
+    import spark.implicits._
+    // Two docs sharing an 8-word run embedded at DIFFERENT offsets
+    // (phase-shifted), plus an unrelated doc. Winnowing's guarantee:
+    // a shared run of t >= w + k - 1 = 8 words always yields at least
+    // one identical selected fingerprint — position-sampling schemes
+    // miss exactly this case.
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"one two three $shared four five six"),
+      (2L, s"red orange $shared yellow green blue purple black white"),
+      (3L, "completely different words with no overlap at all here okay"))
+      .toDF("doc_id", "text")
+    val fps = TextPipeline.winnowFingerprints(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byDoc(1L).intersect(byDoc(2L)).nonEmpty,
+      "shared 8-word run must produce a common fingerprint")
+    assert(byDoc(3L).intersect(byDoc(1L) ++ byDoc(2L)).isEmpty,
+      "unrelated doc shares nothing")
+    // selection actually thins: fewer fingerprints than shingles
+    val nShingles = docs.filter($"doc_id" === 1L)
+      .select(size(split($"text", " "))).as[Int].head() - 3
+    assert(byDoc(1L).size < nShingles)
+  }
+
+  test("L35: random projection preserves norms in expectation (JL)") {
+    val proj = Vectors.embedRandproj(spark, sfDir).collect()
+    assert(proj.length > 0)
+    val orig = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 200)
+      .select(col("vec_id"),
+        expr("aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))").as("sq"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // E[sum_j p_j^2] = m * ||x||^2 for ±1 sign projections (m = 8
+    // retained dims); the per-vector ratio concentrates around m.
+    val ratios = proj.map { r =>
+      val psq = (1 to 8).map(j => math.pow(r.getDouble(j), 2)).sum
+      psq / orig(r.getLong(0))
+    }
+    val mean = ratios.sum / ratios.length
+    assert(mean > 4.0 && mean < 16.0, s"mean norm ratio $mean far from m=8")
+    // determinism: md5-derived signs, so a second run is bit-identical
+    val again = Vectors.embedRandproj(spark, sfDir).collect()
+    assert(proj.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("L36: hard negatives are cross-label, dense, and correctly ranked") {
+    val rows = Vectors.mineHardneg(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val labels = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, rank, neg, negLabel, _) =>
+      assert(labels(neg) == negLabel && labels(q) != negLabel,
+        s"negative $neg of query $q must carry a different label")
+      assert(rank >= 1 && rank <= 3)
+    }
+    // every query found its full top-3 and similarity is non-increasing
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.length == 3, s"query $q has ${rs.length} negatives")
+      val bySim = rs.sortBy(_._2).map(_._5)
+      assert(bySim.zip(bySim.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("L37: Zipf audit ranks are contiguous with consistent running mass") {
+    val rows = TextPipeline.zipfAudit(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq, s"$src ranks contiguous")
+      val freqs = sorted.map(_._3)
+      assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b }, s"$src freqs non-increasing")
+      assert(sorted.map(_._3).scanLeft(0L)(_ + _).tail.toSeq == sorted.map(_._5).toSeq,
+        s"$src cum_freq is the running sum")
+      sorted.foreach { case (_, rank, freq, rf, _) => assert(rf == rank * freq) }
+    }
+  }
+
   test("R25: salted two-phase agg equals direct aggregation") {
     val salted = Relational.qSaltedTopusers(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq

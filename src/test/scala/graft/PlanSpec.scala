@@ -240,4 +240,43 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
            plan.contains("BroadcastHashJoin"), "equi-join expected: " + plan.take(800))
   }
+
+  test("round-7b relational batch: map/variant/ignore-nulls/try/spine/struct shapes") {
+    // R76 maps: two-phase aggs, no extra exchange for the map ops
+    val mapPlan = planOf(Relational.qMapFuncs(spark, sfDir))
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(mapPlan).size >= 2, mapPlan.take(800))
+    assert(!mapPlan.contains("CartesianProduct"))
+    // R77 variant: pure map over the scan — no join, no extra shuffle
+    val vPlan = planOf(Relational.qVariant(spark, sfDir))
+    assert(!vPlan.contains("Join"), vPlan.take(800))
+    assert(vPlan.contains("PushedFilters: [IsNotNull(o_orderkey)"), vPlan.take(800))
+    // R78 ignore-nulls windows: ONE window exchange (both frames share
+    // the same partitioning+ordering)
+    val wPlan = planOf(Relational.qWindowIgnoreNulls(spark, sfDir))
+    assert("Window".r.findAllIn(wPlan).size >= 1)
+    assert("hashpartitioning".r.findAllIn(wPlan).size <= 2, // window + final sort
+      "windows over one key must not re-shuffle: " + wPlan.take(1000))
+    // R80 spine join: the generated calendar never shuffles the fact
+    // side twice, and the join is broadcast (24-row spine)
+    val sPlan = planOf(Relational.qSeqSpine(spark, sfDir))
+    assert(sPlan.contains("BroadcastHashJoin") || sPlan.contains("BroadcastNestedLoopJoin"),
+      sPlan.take(1000))
+    assert(!sPlan.contains("CartesianProduct"))
+    // R81 struct ops: map-only — no exchange before the output sort
+    val stPlan = planOf(Relational.qStructFuncs(spark, sfDir))
+    assert(!stPlan.contains("Join"))
+  }
+
+  test("round-7b pipeline batch: winnow join keyed on fingerprint; hardneg broadcasts") {
+    val wPlan = planOf(graft.pipeline.TextPipeline.winnowDedup(spark, sfDir))
+    assert(!wPlan.contains("CartesianProduct"), wPlan.take(800))
+    assert(wPlan.contains("SortMergeJoin") || wPlan.contains("ShuffledHashJoin") ||
+           wPlan.contains("BroadcastHashJoin"), "fingerprint equi-join expected")
+    val hPlan = planOf(graft.pipeline.Vectors.mineHardneg(spark, sfDir))
+    assert(hPlan.contains("BroadcastNestedLoopJoin") || hPlan.contains("BroadcastHashJoin"),
+      "query side must broadcast: " + hPlan.take(800))
+    val rPlan = planOf(graft.pipeline.Vectors.embedRandproj(spark, sfDir))
+    assert(!rPlan.contains("Exchange") || rPlan.contains("rangepartitioning"),
+      "randproj is map-only up to the output sort: " + rPlan.take(800))
+  }
 }
