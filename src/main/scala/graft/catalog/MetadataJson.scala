@@ -170,6 +170,24 @@ object MetadataJson {
 
   // ---------- manifests (data-file lists + footer stats) ----------
 
+  /** Segmented-manifest list (C66): a manifest that references
+    * immutable entry-list SEGMENT files instead of inlining entries,
+    * so an append commit writes O(added) metadata and sibling
+    * snapshots share unchanged segments. A legacy manifest doubles as
+    * a single segment (same leaf format). */
+  def manifestListToJson(segments: Seq[String]): String = {
+    val o = mapper.createObjectNode()
+    val a = o.putArray("segments")
+    segments.foreach(a.add)
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(o)
+  }
+
+  /** Some(segment names) if `json` is a segmented-manifest list,
+    * None for a leaf entry-list manifest. */
+  def manifestSegments(json: String): Option[Seq[String]] =
+    Option(mapper.readTree(json).get("segments"))
+      .map(_.elements().asScala.map(_.asText()).toSeq)
+
   def manifestToJson(files: Seq[DataFileEntry]): String = {
     val o = mapper.createObjectNode()
     val a = o.putArray("data-files")

@@ -124,15 +124,15 @@ final class TableOps(private[graft] val store: FsStore) {
         .getOrElse(DataFileEntry(f))
       entry.copy(path = relativize(tableDir, f), seq = Some(newSeq))
     }
-    val all = operation match {
-      case "append" => parent.map(rawSnapshotFiles(tableDir, _)).getOrElse(Seq.empty) ++ newRel
-      case "overwrite" => newRel
+    val snapId = newSnapshotId()
+    val (manifestName, total) = operation match {
+      case "append" =>
+        writeManifestFor(tableDir, meta, snapId, parent, Some(newRel),
+          parent.map(rawSnapshotFiles(tableDir, _)).getOrElse(Seq.empty) ++ newRel)
+      case "overwrite" =>
+        writeManifestFor(tableDir, meta, snapId, parent, None, newRel)
       case other => throw new IllegalArgumentException(s"unknown snapshot operation: $other")
     }
-    val snapId = newSnapshotId()
-    val manifestName = s"manifest-$snapId.json"
-    store.writeString(
-      new Path(metadataDir(tableDir), manifestName), MetadataJson.manifestToJson(all))
     val snap = Snapshot(
       snapshotId = snapId,
       parentSnapshotId = parent.map(_.snapshotId),
@@ -142,7 +142,7 @@ final class TableOps(private[graft] val store: FsStore) {
       manifest = manifestName,
       summary = Map(
         "added-data-files" -> newFiles.size.toString,
-        "total-data-files" -> all.size.toString),
+        "total-data-files" -> total.toString),
       schemaId = meta.currentSchemaId)
     Seq(
       MetadataUpdate.AddSnapshot(snap),
@@ -251,15 +251,15 @@ final class TableOps(private[graft] val store: FsStore) {
         .getOrElse(DataFileEntry(f))
       entry.copy(path = relativize(tableDir, f), seq = Some(newSeq))
     }
-    val all = operation match {
-      case "append" => parent.map(rawSnapshotFiles(tableDir, _)).getOrElse(Seq.empty) ++ newRel
-      case "overwrite" => newRel
+    val snapId = newSnapshotId()
+    val (manifestName, total) = operation match {
+      case "append" =>
+        writeManifestFor(tableDir, meta, snapId, parent, Some(newRel),
+          parent.map(rawSnapshotFiles(tableDir, _)).getOrElse(Seq.empty) ++ newRel)
+      case "overwrite" =>
+        writeManifestFor(tableDir, meta, snapId, parent, None, newRel)
       case other => throw new IllegalArgumentException(s"unknown snapshot operation: $other")
     }
-    val snapId = newSnapshotId()
-    val manifestName = s"manifest-$snapId.json"
-    store.writeString(
-      new Path(metadataDir(tableDir), manifestName), MetadataJson.manifestToJson(all))
     val snap = Snapshot(
       snapshotId = snapId,
       parentSnapshotId = parent.map(_.snapshotId),
@@ -269,7 +269,7 @@ final class TableOps(private[graft] val store: FsStore) {
       manifest = manifestName,
       summary = Map(
         "added-data-files" -> newFiles.size.toString,
-        "total-data-files" -> all.size.toString),
+        "total-data-files" -> total.toString),
       schemaId = meta.currentSchemaId)
     // The manifest's cumulative file list was computed from the state
     // read above; assert that state is STILL current at commit time,
@@ -293,21 +293,129 @@ final class TableOps(private[graft] val store: FsStore) {
     * keys; expiration deletes manifests → stale entries are harmless
     * immutable content). Bounds repeated snapshot resolution — every
     * scan, time travel, stream delta and maintenance pass — to one
-    * read per manifest per JVM instead of one per operation. */
+    * read per manifest per JVM instead of one per operation. With
+    * segmented manifests (C66) the leaf SEGMENTS are what's cached
+    * hot: sibling snapshots share unchanged segments, so resolving a
+    * new snapshot re-reads only its one new segment. */
   private val manifestCache =
     new java.util.LinkedHashMap[String, Seq[DataFileEntry]](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Seq[DataFileEntry]]): Boolean = size > 256
+          e: java.util.Map.Entry[String, Seq[DataFileEntry]]): Boolean = size > 1024
+    }
+  // path → Some(segments) for list manifests, None for leaf manifests
+  private val segmentListCache =
+    new java.util.LinkedHashMap[String, Option[Seq[String]]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Option[Seq[String]]]): Boolean = size > 1024
     }
 
-  private def rawSnapshotFiles(tableDir: Path, snap: Snapshot): Seq[DataFileEntry] = {
-    val key = new Path(metadataDir(tableDir), snap.manifest).toString
-    val cached = manifestCache.synchronized(Option(manifestCache.get(key)))
-    cached.getOrElse {
+  // ---------- segmented manifests (C66) ----------
+
+  /** Segmented layout is the default: per-commit metadata cost is
+    * O(added files), the property that keeps a 1M-file table's append
+    * path from rewriting a 1M-entry manifest every commit. Settable
+    * per table for byte-stable legacy layouts. */
+  private def segmentedEnabled(meta: TableMetadata): Boolean =
+    meta.properties.getOrElse("graft.manifest.segments", "true").toBoolean
+  /** Entries per segment when a full manifest (overwrite / rewrite) is
+    * chunked — bounds both single-segment read size and rewrite
+    * parallelism. */
+  private def segmentSize(meta: TableMetadata): Int =
+    meta.properties.getOrElse("graft.manifest.segment-size", "5000").toInt
+  /** Append auto-merge threshold: once a snapshot references this many
+    * segments, the next append folds them into balanced segments
+    * instead of chaining (Iceberg's merge-append). Keeps read
+    * amplification bounded at O(maxSegments) small reads without
+    * requiring explicit maintenance; cost is amortized O(total/max)
+    * per commit. */
+  private def maxSegments(meta: TableMetadata): Int =
+    meta.properties.getOrElse("graft.manifest.max-segments", "64").toInt
+
+  /** Parse a manifest file's segment list (cached): Some for list
+    * manifests, None for leaf entry manifests. */
+  private def segmentsOf(tableDir: Path, name: String): Option[Seq[String]] = {
+    val key = new Path(metadataDir(tableDir), name).toString
+    segmentListCache.synchronized(Option(segmentListCache.get(key))).getOrElse {
+      val parsed = MetadataJson.manifestSegments(
+        store.readString(new Path(metadataDir(tableDir), name)))
+      segmentListCache.synchronized(segmentListCache.put(key, parsed))
+      parsed
+    }
+  }
+
+  /** The leaf segment names a manifest resolves to (itself if leaf) —
+    * public introspection (specs, `$manifests`-style tooling). */
+  def segmentsOrSelf(tableDir: Path, name: String): Seq[String] =
+    segmentsOf(tableDir, name).getOrElse(Seq(name))
+
+  /** Entries of one LEAF manifest/segment file, cached by path. */
+  private def leafEntries(tableDir: Path, name: String): Seq[DataFileEntry] = {
+    val key = new Path(metadataDir(tableDir), name).toString
+    manifestCache.synchronized(Option(manifestCache.get(key))).getOrElse {
       val parsed = MetadataJson.manifestFromJson(
-        store.readString(new Path(metadataDir(tableDir), snap.manifest)))
+        store.readString(new Path(metadataDir(tableDir), name)))
       manifestCache.synchronized(manifestCache.put(key, parsed))
       parsed
+    }
+  }
+
+  private def rawSnapshotFiles(tableDir: Path, snap: Snapshot): Seq[DataFileEntry] =
+    segmentsOrSelf(tableDir, snap.manifest).flatMap(leafEntries(tableDir, _))
+
+  /** Central manifest writer for a new snapshot; returns
+    * (manifestName, totalFiles).
+    *
+    *  - `appendEntries = Some(added)` asserts the new file set is
+    *    exactly the parent's plus `added`: in segmented mode the
+    *    parent's segments are referenced VERBATIM and only `added` is
+    *    written — O(added) metadata, no parent manifest read (total
+    *    comes from the parent summary). Past `max-segments` the chain
+    *    folds into balanced segments instead (merge-append).
+    *  - otherwise `fullList` (lazy) is materialized and written —
+    *    chunked into segments when segmented, one legacy manifest
+    *    when not. */
+  private def writeManifestFor(
+      tableDir: Path,
+      meta: TableMetadata,
+      snapId: Long,
+      parent: Option[Snapshot],
+      appendEntries: Option[Seq[DataFileEntry]],
+      fullList: => Seq[DataFileEntry]): (String, Long) = {
+    val manifestName = s"manifest-$snapId.json"
+    val mPath = new Path(metadataDir(tableDir), manifestName)
+    def writeChunked(list: Seq[DataFileEntry]): (String, Long) = {
+      val segNames = list.grouped(segmentSize(meta)).zipWithIndex.map { case (c, i) =>
+        val n = s"seg-$snapId-$i.json"
+        store.writeString(new Path(metadataDir(tableDir), n), MetadataJson.manifestToJson(c))
+        n
+      }.toSeq
+      store.writeString(mPath, MetadataJson.manifestListToJson(segNames))
+      (manifestName, list.size.toLong)
+    }
+    if (!segmentedEnabled(meta)) {
+      val list = fullList
+      store.writeString(mPath, MetadataJson.manifestToJson(list))
+      (manifestName, list.size.toLong)
+    } else (appendEntries, parent) match {
+      case (Some(added), Some(p)) =>
+        val baseSegs = segmentsOrSelf(tableDir, p.manifest)
+        if (baseSegs.size >= maxSegments(meta)) writeChunked(fullList)
+        else {
+          val segs =
+            if (added.isEmpty) baseSegs
+            else {
+              val segName = s"seg-$snapId.json"
+              store.writeString(new Path(metadataDir(tableDir), segName),
+                MetadataJson.manifestToJson(added))
+              baseSegs :+ segName
+            }
+          store.writeString(mPath, MetadataJson.manifestListToJson(segs))
+          val parentTotal = p.summary.get("total-data-files")
+            .orElse(p.summary.get("total-files")).map(_.toLong)
+            .getOrElse(rawSnapshotFiles(tableDir, p).size.toLong)
+          (manifestName, parentTotal + added.size)
+        }
+      case _ => writeChunked(fullList)
     }
   }
 
@@ -383,8 +491,23 @@ final class TableOps(private[graft] val store: FsStore) {
     val tsKey = "spark.sql.parquet.outputTimestampType"
     val prevTs = ss.conf.getOption(tsKey)
     ss.conf.set(tsKey, "TIMESTAMP_MICROS")
-    try ordered.write.format(metaOpt.map(dataFormat).getOrElse("parquet"))
-      .save(writeDir.toString)
+    // C67: parquet bloom filters on the columns named by the
+    // `graft.bloom.columns` table property — the point-lookup lever
+    // manifest min/max stats DON'T give: high-cardinality identifier
+    // equality (needle-in-haystack id = X) skips row groups through
+    // the bloom even when files aren't clustered on the column, at
+    // ~1 byte/distinct-value of footer. parquet-mr consults blooms
+    // during row-group filtering under Spark's pushed filters, so the
+    // read side needs no changes. Every rewrite (compaction, COW)
+    // funnels through this path, so blooms regenerate with the data.
+    val bloomCols = metaOpt.toSeq.flatMap(_.properties.get("graft.bloom.columns"))
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .filter(df.columns.contains)
+    val writer = bloomCols.foldLeft(
+      ordered.write.format(metaOpt.map(dataFormat).getOrElse("parquet"))) {
+      (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }
+    try writer.save(writeDir.toString)
     finally prevTs match {
       case Some(v) => ss.conf.set(tsKey, v)
       case None => ss.conf.unset(tsKey)
@@ -441,9 +564,8 @@ final class TableOps(private[graft] val store: FsStore) {
     }
     val all = keptRel ++ newRel
     val snapId = newSnapshotId()
-    val manifestName = s"manifest-$snapId.json"
-    store.writeString(
-      new Path(metadataDir(tableDir), manifestName), MetadataJson.manifestToJson(all))
+    val (manifestName, total) =
+      writeManifestFor(tableDir, meta, snapId, parent, None, all)
     val snap = Snapshot(
       snapshotId = snapId,
       parentSnapshotId = parent.map(_.snapshotId),
@@ -454,7 +576,7 @@ final class TableOps(private[graft] val store: FsStore) {
       summary = Map(
         "added-data-files" -> newRel.size.toString,
         "kept-data-files" -> keptRel.size.toString,
-        "total-data-files" -> all.size.toString),
+        "total-data-files" -> total.toString),
       schemaId = meta.currentSchemaId)
     // `keep` was derived from the state read above — same stale-read
     // guard as commitFiles, but NOT retried: a conflicting concurrent
@@ -786,11 +908,16 @@ final class TableOps(private[graft] val store: FsStore) {
         throw new CommitFailedException(s"table does not exist at $tableDir"))
       validate(cur)
       val parent = cur.currentSnapshot
-      val parentEntries = parent.map(rawSnapshotFiles(tableDir, _)).getOrElse(Seq.empty)
       val delRel = mkEntries(cur.lastSequenceNumber + 1)
       try
-        return commitManifest(tableDir, parentEntries ++ delRel, parent, operation,
-          added = delRel.size, expectedSeq = Some(cur.lastSequenceNumber + 1))
+        // delete-file commits are pure appends to the parent's entry
+        // set — the segmented fast path makes them O(delete files) of
+        // metadata (`all` is by-name and only forced in legacy mode)
+        return commitManifest(tableDir,
+          parent.map(rawSnapshotFiles(tableDir, _)).getOrElse(Seq.empty) ++ delRel,
+          parent, operation,
+          added = delRel.size, expectedSeq = Some(cur.lastSequenceNumber + 1),
+          appendEntries = Some(delRel))
       catch {
         case e: CommitFailedException if attempt < 20 &&
             (e.getMessage.contains("concurrent commit") ||
@@ -924,11 +1051,12 @@ final class TableOps(private[graft] val store: FsStore) {
     * restamps on fresh state). */
   private def commitManifest(
       tableDir: Path,
-      all: Seq[DataFileEntry],
+      all: => Seq[DataFileEntry],
       parent: Option[Snapshot],
       operation: String,
       added: Int,
-      expectedSeq: Option[Long] = None): TableMetadata = {
+      expectedSeq: Option[Long] = None,
+      appendEntries: Option[Seq[DataFileEntry]] = None): TableMetadata = {
     val (_, meta) = load(tableDir).getOrElse(
       throw new CommitFailedException(s"table does not exist at $tableDir"))
     expectedSeq.filter(_ != meta.lastSequenceNumber + 1).foreach { want =>
@@ -937,9 +1065,8 @@ final class TableOps(private[graft] val store: FsStore) {
         s"next is ${meta.lastSequenceNumber + 1})")
     }
     val snapId = newSnapshotId()
-    val manifestName = s"manifest-$snapId.json"
-    store.writeString(
-      new Path(metadataDir(tableDir), manifestName), MetadataJson.manifestToJson(all))
+    val (manifestName, total) =
+      writeManifestFor(tableDir, meta, snapId, parent, appendEntries, all)
     val snap = Snapshot(
       snapshotId = snapId,
       parentSnapshotId = parent.map(_.snapshotId),
@@ -949,7 +1076,7 @@ final class TableOps(private[graft] val store: FsStore) {
       manifest = manifestName,
       summary = Map(
         "added-files" -> added.toString,
-        "total-files" -> all.size.toString),
+        "total-files" -> total.toString),
       schemaId = meta.currentSchemaId)
     commit(tableDir,
       Seq(Requirement.AssertRefSnapshotId("main", parent.map(_.snapshotId))),
@@ -1142,8 +1269,62 @@ final class TableOps(private[graft] val store: FsStore) {
     if (expire.isEmpty) return meta
     val updated = commit(tableDir, Seq.empty,
       Seq(MetadataUpdate.RemoveSnapshots(expire.map(_.snapshotId))))
-    expire.foreach(s => store.delete(new Path(metadataDir(tableDir), s.manifest)))
+    // Segments are SHARED across snapshots (C66): resolve the retained
+    // lineage's referenced set first, then delete only the expired
+    // manifests and the segments nothing live still points at. A
+    // legacy manifest reused as a segment of a later snapshot stays.
+    val live = updated.snapshots
+      .flatMap(s => s.manifest +: segmentsOrSelf(tableDir, s.manifest)).toSet
+    expire.foreach { s =>
+      val segs = segmentsOrSelf(tableDir, s.manifest) // read before deleting
+      if (!live.contains(s.manifest))
+        store.delete(new Path(metadataDir(tableDir), s.manifest))
+      segs.filter(x => x != s.manifest && !live.contains(x))
+        .foreach(x => store.delete(new Path(metadataDir(tableDir), x)))
+    }
     updated
+  }
+
+  /** C66 maintenance: fold the current snapshot's manifest chain into
+    * balanced segments of `targetEntries` — metadata only, zero data
+    * I/O, entries preserved verbatim (paths, stats, content kinds and
+    * per-entry sequence numbers, so MOR masking and CDC semantics are
+    * untouched; the identical file set means `changes()` nets the
+    * rewrite to zero). Complements the append-time auto-merge: run it
+    * after churny maintenance windows to restore O(1) planning reads.
+    * Prior snapshots keep their own manifests — time travel unaffected. */
+  def rewriteManifests(tableDir: Path, targetEntries: Int = 5000): TableMetadata = {
+    val (_, meta) = load(tableDir).getOrElse(
+      throw new CommitFailedException(s"table does not exist at $tableDir"))
+    val snap = meta.currentSnapshot.getOrElse(return meta)
+    val entries = rawSnapshotFiles(tableDir, snap) // relative paths, verbatim
+    val before = segmentsOrSelf(tableDir, snap.manifest).size
+    val snapId = newSnapshotId()
+    val segNames = entries.grouped(targetEntries).zipWithIndex.map { case (c, i) =>
+      val n = s"seg-$snapId-$i.json"
+      store.writeString(new Path(metadataDir(tableDir), n), MetadataJson.manifestToJson(c))
+      n
+    }.toSeq
+    val manifestName = s"manifest-$snapId.json"
+    store.writeString(new Path(metadataDir(tableDir), manifestName),
+      MetadataJson.manifestListToJson(segNames))
+    val newSnap = Snapshot(
+      snapshotId = snapId,
+      parentSnapshotId = Some(snap.snapshotId),
+      sequenceNumber = meta.lastSequenceNumber + 1,
+      timestampMs = System.currentTimeMillis(),
+      operation = "rewrite-manifests",
+      manifest = manifestName,
+      summary = Map(
+        "manifests-before" -> before.toString,
+        "manifests-after" -> segNames.size.toString,
+        "total-data-files" -> entries.size.toString),
+      schemaId = meta.currentSchemaId)
+    commit(tableDir,
+      Seq(Requirement.AssertRefSnapshotId("main", Some(snap.snapshotId))),
+      Seq(
+        MetadataUpdate.AddSnapshot(newSnap),
+        MetadataUpdate.SetSnapshotRef("main", snapId, "branch")))
   }
 
   /** Per-partition-value rollup of a snapshot's data files (files

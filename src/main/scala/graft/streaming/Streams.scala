@@ -76,6 +76,20 @@ object Streams {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicates("event_id", "ts")
 
+  /** R82 — `dropDuplicatesWithinWatermark`: dedup on the business key
+    * ALONE. At-least-once sources re-deliver records whose retries
+    * carry DIFFERENT event timestamps; R33's dropDuplicates cannot
+    * drop those (its dedup key must include the timestamp for state to
+    * ever expire). Here the first arrival wins, a later duplicate of
+    * the key is dropped as long as it lands within the watermark
+    * delay, and the key's state expires once the watermark passes its
+    * first-seen time — state stays bounded by key-arrival rate ×
+    * delay, keyed and shuffle-partitioned on the id at any scale. */
+  def dedupRetries(events: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Incremental reads of catalog-table appends: a parquet file-stream
     * source over the table's write directories — each new data file is
     * one unit of discovery, so downstream processing is incremental

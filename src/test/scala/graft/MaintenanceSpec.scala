@@ -210,4 +210,152 @@ class MaintenanceSpec extends SparkSpec {
     assert(refs.contains("side"), "branches are never expired by tag policy")
     assert(refs.contains("main"))
   }
+
+  // ---------- C66: segmented manifests ----------
+
+  test("C66: appends chain shared segments — O(added) metadata per commit") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.maint")
+    spark.sql("CREATE TABLE graft.maint.seg (id BIGINT)")
+    val dir = new Path(s"$warehouse/maint/seg")
+    (1 to 4).foreach(i => spark.sql(s"INSERT INTO graft.maint.seg VALUES ($i)"))
+    val (_, m) = cat.ops.load(dir).get
+    val bySeq = m.snapshots.sortBy(_.sequenceNumber)
+    val segsOf = bySeq.map(s => cat.ops.segmentsOrSelf(dir, s.manifest))
+    // every snapshot is a segment LIST, each append adds exactly one
+    // segment, and the earlier snapshot's segments are shared verbatim
+    assert(segsOf.map(_.size) == Seq(1, 2, 3, 4), segsOf.toString)
+    segsOf.sliding(2).foreach { case Seq(a, b) =>
+      assert(b.startsWith(a), "parent segments must be reused verbatim")
+    }
+    // reads + time travel resolve through the tree
+    assert(spark.sql("SELECT count(*) FROM graft.maint.seg").head.getLong(0) == 4)
+    val second = bySeq(1).snapshotId
+    assert(spark.read.option("snapshot-id", second.toString)
+      .table("graft.maint.seg").count() == 2)
+    // totals come from the parent summary, not a manifest re-read
+    assert(bySeq.last.summary("total-data-files").toLong == 4L)
+  }
+
+  test("C66: MOR delete commits append one delete segment") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.maint")
+    spark.sql("CREATE TABLE graft.maint.segmor (id BIGINT, v STRING)")
+    val dir = new Path(s"$warehouse/maint/segmor")
+    spark.sql("INSERT INTO graft.maint.segmor VALUES (1, 'a'), (2, 'b')")
+    val before = cat.ops.load(dir).get._2.currentSnapshot.get
+    import spark.implicits._
+    cat.ops.mergeOnReadDelete(spark, dir, Seq(1L).toDF("id"))
+    val after = cat.ops.load(dir).get._2.currentSnapshot.get
+    val bSegs = cat.ops.segmentsOrSelf(dir, before.manifest)
+    val aSegs = cat.ops.segmentsOrSelf(dir, after.manifest)
+    assert(aSegs.startsWith(bSegs) && aSegs.size == bSegs.size + 1,
+      s"delete commit must chain one segment: $bSegs -> $aSegs")
+    assert(spark.sql("SELECT count(*) FROM graft.maint.segmor").head.getLong(0) == 1)
+  }
+
+  test("C66: rewriteManifests folds the chain; rows, time travel and CDC unaffected") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.maint")
+    spark.sql("CREATE TABLE graft.maint.segrw (id BIGINT)")
+    val dir = new Path(s"$warehouse/maint/segrw")
+    (1 to 6).foreach(i => spark.sql(s"INSERT INTO graft.maint.segrw VALUES ($i)"))
+    val (_, m0) = cat.ops.load(dir).get
+    val preSeq = m0.lastSequenceNumber
+    assert(cat.ops.segmentsOrSelf(dir, m0.currentSnapshot.get.manifest).size == 6)
+
+    val m1 = cat.ops.rewriteManifests(dir, targetEntries = 2)
+    val head = m1.currentSnapshot.get
+    assert(head.operation == "rewrite-manifests")
+    assert(cat.ops.segmentsOrSelf(dir, head.manifest).size == 3) // 6 files / 2
+    assert(head.summary("manifests-before") == "6")
+    // entries preserved verbatim (incl. per-entry seq for MOR masking)
+    assert(cat.ops.snapshotEntries(dir, head).map(e => (e.path, e.seq)).sorted ==
+           cat.ops.snapshotEntries(dir, m0.currentSnapshot.get).map(e => (e.path, e.seq)).sorted)
+    assert(spark.sql("SELECT sum(id) FROM graft.maint.segrw").head.getLong(0) == 21)
+    // CDC nets the rewrite to zero changes
+    assert(cat.ops.changes(spark, dir, preSeq, m1.lastSequenceNumber).count() == 0)
+    // pre-rewrite snapshots still read through their own manifests
+    val third = m0.snapshots.sortBy(_.sequenceNumber).apply(2).snapshotId
+    assert(spark.read.option("snapshot-id", third.toString)
+      .table("graft.maint.segrw").count() == 3)
+    // appends continue on the folded base
+    spark.sql("INSERT INTO graft.maint.segrw VALUES (7)")
+    val m2 = cat.ops.load(dir).get._2
+    assert(cat.ops.segmentsOrSelf(dir, m2.currentSnapshot.get.manifest).size == 4)
+  }
+
+  test("C66: append auto-merge bounds the segment chain at max-segments") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.maint")
+    spark.sql("""CREATE TABLE graft.maint.segam (id BIGINT)
+                 TBLPROPERTIES ('graft.manifest.max-segments' = '3')""")
+    val dir = new Path(s"$warehouse/maint/segam")
+    (1 to 8).foreach(i => spark.sql(s"INSERT INTO graft.maint.segam VALUES ($i)"))
+    val (_, m) = cat.ops.load(dir).get
+    val sizes = m.snapshots.sortBy(_.sequenceNumber)
+      .map(s => cat.ops.segmentsOrSelf(dir, s.manifest).size)
+    assert(sizes.max <= 3, s"chain must fold at the cap: $sizes")
+    assert(spark.sql("SELECT count(*) FROM graft.maint.segam").head.getLong(0) == 8)
+  }
+
+  test("C66: expiration keeps segments shared with live snapshots") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.maint")
+    spark.sql("CREATE TABLE graft.maint.segexp (id BIGINT)")
+    val dir = new Path(s"$warehouse/maint/segexp")
+    (1 to 3).foreach(i => spark.sql(s"INSERT INTO graft.maint.segexp VALUES ($i)"))
+    val (_, m0) = cat.ops.load(dir).get
+    val oldest = m0.snapshots.minBy(_.sequenceNumber)
+    val oldestManifest = oldest.manifest
+    val sharedSeg = cat.ops.segmentsOrSelf(dir, oldestManifest).head
+    cat.ops.expireSnapshots(dir, olderThanMs = Long.MaxValue, retainLast = 2)
+    val metaDir = new java.io.File(s"$warehouse/maint/segexp/metadata")
+    val names = metaDir.listFiles().map(_.getName).toSet
+    assert(!names.contains(oldestManifest), "expired manifest list deleted")
+    assert(names.contains(sharedSeg),
+      "segment shared with the retained lineage must survive")
+    assert(spark.sql("SELECT count(*) FROM graft.maint.segexp").head.getLong(0) == 3)
+  }
+
+  test("C66: legacy layout still writes and reads plain manifests") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.maint")
+    spark.sql("""CREATE TABLE graft.maint.segleg (id BIGINT)
+                 TBLPROPERTIES ('graft.manifest.segments' = 'false')""")
+    val dir = new Path(s"$warehouse/maint/segleg")
+    (1 to 2).foreach(i => spark.sql(s"INSERT INTO graft.maint.segleg VALUES ($i)"))
+    val (_, m) = cat.ops.load(dir).get
+    val head = m.currentSnapshot.get
+    assert(cat.ops.segmentsOrSelf(dir, head.manifest) == Seq(head.manifest),
+      "legacy manifests are their own single leaf")
+    assert(spark.sql("SELECT count(*) FROM graft.maint.segleg").head.getLong(0) == 2)
+  }
+
+  // ---------- C67: parquet bloom filters ----------
+
+  test("C67: graft.bloom.columns writes parquet blooms; point lookups stay correct") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.maint")
+    spark.sql("""CREATE TABLE graft.maint.bloom (id BIGINT, payload STRING)
+                 TBLPROPERTIES ('graft.bloom.columns' = 'id')""")
+    val dir = new Path(s"$warehouse/maint/bloom")
+    val df = spark.range(0, 10000).selectExpr("id * 7919 AS id", "uuid() AS payload")
+    cat.ops.write(dir, df, "append")
+    val (_, m) = cat.ops.load(dir).get
+    val files = cat.ops.snapshotFiles(dir, m.currentSnapshot.get)
+    assert(files.nonEmpty)
+    val conf = spark.sessionState.newHadoopConf()
+    files.foreach { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
+      try {
+        val cols = r.getFooter.getBlocks.get(0).getColumns.asScala
+        val idCol = cols.find(_.getPath.toDotString == "id").get
+        val plCol = cols.find(_.getPath.toDotString == "payload").get
+        assert(idCol.getBloomFilterOffset >= 0, s"bloom missing on id in $f")
+        assert(plCol.getBloomFilterOffset < 0, "no bloom on unlisted columns")
+      } finally r.close()
+    }
+    // the bloom-eligible equality scan returns exactly the needle
+    assert(spark.sql("SELECT count(*) FROM graft.maint.bloom WHERE id = 7919")
+      .head.getLong(0) == 1)
+    assert(spark.sql("SELECT count(*) FROM graft.maint.bloom WHERE id = 7918")
+      .head.getLong(0) == 0)
+  }
 }

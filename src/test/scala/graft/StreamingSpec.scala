@@ -83,6 +83,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("R82: dropDuplicatesWithinWatermark drops retries with shifted timestamps") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = Streams.dedupRetries(input.toDF())
+      .select("event_id", "value")
+      .writeStream.format("memory").queryName("dedup_retry_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, 1, "click", 1.0, ts(0)),
+        Event(2, 1, "click", 2.0, ts(1)))
+      q.processAllAvailable()
+      // the retry arrives later WITH A DIFFERENT TIMESTAMP — the case
+      // plain dropDuplicates("event_id", "ts") would emit twice
+      input.addData(Event(1, 1, "click", 1.0, ts(2)))
+      input.addData(Event(3, 2, "view", 3.0, ts(3)))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT event_id FROM dedup_retry_out")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
   test("R27: batch and streaming sessionization agree on closed sessions") {
     import spark.implicits._
     // run the stateful function in batch mode over real event data —
