@@ -34,7 +34,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object MetaTables {
 
   val suffixes: Seq[String] =
-    Seq("$snapshots", "$history", "$refs", "$files", "$partitions")
+    Seq("$snapshots", "$history", "$refs", "$files", "$partitions", "$manifests")
 
   def forSuffix(
       suffix: String, name: String, dir: Path, meta: TableMetadata, ops: TableOps): Table =
@@ -44,8 +44,38 @@ object MetaTables {
       case "$refs" => refs(name, meta)
       case "$files" => files(name, dir, meta, ops)
       case "$partitions" => partitions(name, dir, meta, ops)
+      case "$manifests" => manifests(name, dir, meta, ops)
       case other => throw new IllegalArgumentException(s"unknown metadata table $other")
     }
+
+  /** C68 — `t$manifests`: the current snapshot's manifest tree, one
+    * row per SEGMENT (C66) with entry/content/sequence rollups — what
+    * an operator checks before deciding a rewriteManifests pass is
+    * due. Legacy single-manifest snapshots report themselves as one
+    * segment. */
+  private def manifests(
+      name: String, dir: Path, meta: TableMetadata, ops: TableOps): Table = {
+    val schema = StructType(Seq(
+      StructField("segment", StringType, nullable = false),
+      StructField("position", IntegerType, nullable = false),
+      StructField("n_entries", LongType, nullable = false),
+      StructField("n_data_files", LongType, nullable = false),
+      StructField("n_delete_files", LongType, nullable = false),
+      StructField("min_seq", LongType),
+      StructField("max_seq", LongType)))
+    val rows = meta.currentSnapshot.toSeq.flatMap { snap =>
+      ops.segmentsOrSelf(dir, snap.manifest).zipWithIndex.map { case (seg, i) =>
+        val es = ops.segmentEntries(dir, seg)
+        val seqs = es.flatMap(_.seq)
+        new GenericInternalRow(Array[Any](
+          utf(seg), i, es.size.toLong,
+          es.count(_.isData).toLong, es.count(_.isDelete).toLong,
+          seqs.reduceOption(_ min _).map(Long.box).orNull,
+          seqs.reduceOption(_ max _).map(Long.box).orNull)): InternalRow
+      }
+    }
+    new StaticTable(name, schema, rows.toArray)
+  }
 
   private def utf(s: String): UTF8String = UTF8String.fromString(s)
 

@@ -348,6 +348,11 @@ final class TableOps(private[graft] val store: FsStore) {
   def segmentsOrSelf(tableDir: Path, name: String): Seq[String] =
     segmentsOf(tableDir, name).getOrElse(Seq(name))
 
+  /** Entries of one segment, table-relative paths ([[MetaTables]]
+    * `$manifests`, diagnostics). */
+  def segmentEntries(tableDir: Path, name: String): Seq[DataFileEntry] =
+    leafEntries(tableDir, name)
+
   /** Entries of one LEAF manifest/segment file, cached by path. */
   private def leafEntries(tableDir: Path, name: String): Seq[DataFileEntry] = {
     val key = new Path(metadataDir(tableDir), name).toString

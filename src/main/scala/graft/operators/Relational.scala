@@ -2085,4 +2085,60 @@ object Relational {
        FROM (SELECT doc_id, string_split(text, ' ') AS ws
              FROM documents WHERE doc_id < 40) t
        ORDER BY doc_id"""
+
+  /** R83 — collation-aware grouping (Spark 4 collations): mixed-case
+    * variants of the same logical name group as ONE key under
+    * UTF8_LCASE — the engine-level answer to scattering lower() calls
+    * through every comparison. The collated compare runs inside the
+    * hash-agg's key (no normalized copy materialized); exchanges are
+    * the same two-phase agg as any groupBy. The oracle mirrors the
+    * SEMANTICS with lower() (DuckDB's collation support is
+    * per-database, not per-expression), plus a binary-distinct count
+    * inside each group proving the collation actually merged
+    * distinct byte sequences. */
+  def qCollation(s: SparkSession, d: String): DataFrame = {
+    val base = customer(s, d).filter(col("c_custkey") <= 300)
+      .select(col("c_custkey"), col("c_name"))
+    val variants = base.filter(col("c_custkey") % 3 === 0)
+      .select(upper(col("c_name")).as("n"))
+      .unionAll(base.select(lower(col("c_name")).as("n")))
+    variants
+      .groupBy(expr("collate(n, 'UTF8_LCASE')").as("k"))
+      .agg(count(lit(1)).as("n_variants"),
+           countDistinct(col("n")).as("n_forms"))
+      .select(lower(col("k").cast("string")).as("name_key"),
+              col("n_variants"), col("n_forms").cast("long").as("n_forms"))
+      .orderBy("name_key")
+  }
+
+  val qCollationSql: String =
+    """WITH base AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 300),
+       v AS (SELECT upper(c_name) AS n FROM base WHERE c_custkey % 3 = 0
+             UNION ALL SELECT lower(c_name) FROM base)
+       SELECT lower(n) AS name_key, COUNT(*) AS n_variants,
+              CAST(COUNT(DISTINCT n) AS BIGINT) AS n_forms
+       FROM v GROUP BY lower(n) ORDER BY name_key"""
+
+  /** R84 — XML ingestion: an XML payload column decoded two ways —
+    * schema-on-read `from_xml` (struct extraction, the JSON/VARIANT
+    * sibling for XML feeds) and targeted `xpath_*` point extraction.
+    * Both are row-local codegen'd parses; the oracle mirrors the
+    * round-tripped VALUES (DuckDB has no XML type). Map-only plan. */
+  def qXmlFuncs(s: SparkSession, d: String): DataFrame =
+    orders(s, d).filter(col("o_orderkey") < 300)
+      .withColumn("xml", concat(
+        lit("<order><k>"), col("o_orderkey"),
+        lit("</k><status>"), col("o_orderstatus"),
+        lit("</status><price>"), col("o_totalprice"),
+        lit("</price></order>")))
+      .select(col("o_orderkey"),
+        expr("xpath_long(xml, '/order/k/text()')").as("k"),
+        expr("xpath_string(xml, '/order/status/text()')").as("status"),
+        expr("from_xml(xml, 'k BIGINT, status STRING, price DOUBLE').price").as("price"))
+      .orderBy("o_orderkey")
+
+  val qXmlFuncsSql: String =
+    """SELECT o_orderkey, o_orderkey AS k, o_orderstatus AS status,
+              CAST(o_totalprice AS DOUBLE) AS price
+       FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey"""
 }

@@ -1178,4 +1178,49 @@ object TextPipeline {
               CAST(rank * freq AS BIGINT) AS rank_freq,
               CAST(cum_freq AS BIGINT) AS cum_freq
        FROM r WHERE rank <= 10 ORDER BY source, rank"""
+
+  /** L38 — cross-source contamination matrix: for every source pair,
+    * the number of distinct word 3-grams both contain, normalized by
+    * each side's gram vocabulary — the corpus-level complement of the
+    * doc-level dedups: syndication or scraping overlap BETWEEN
+    * sources shows up here even when no single doc pair crosses a
+    * near-dup threshold (and a high ratio says one source is largely
+    * contained in another — drop or down-weight it in L29's mix).
+    *
+    * Scale: distinct (source, gram) is one explode + one hash
+    * aggregation; the pair join shuffles on the gram key and only
+    * source-pair counters come out — never doc×doc, never gram lists
+    * to the driver. Cardinality = shared-gram occurrences ×
+    * source-pair fanout (sources are few by construction). */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val g = withWords(documents(s, d))
+      .select(col("source"),
+        explode(expr("transform(sequence(1, greatest(size(ws) - 2, 0)), i -> concat_ws(' ', slice(ws, i, 3)))")).as("g"))
+      .distinct()
+    val vocab = g.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    g.select(col("source").as("src_a"), col("g"))
+      .join(g.select(col("source").as("src_b"), col("g")), "g")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("shared_grams"))
+      .join(vocab.select(col("source").as("src_a"), col("n_grams").as("grams_a")), "src_a")
+      .join(vocab.select(col("source").as("src_b"), col("n_grams").as("grams_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("shared_grams"), col("grams_a"), col("grams_b"),
+        round(col("shared_grams") / least(col("grams_a"), col("grams_b")), 4).as("containment"))
+      .orderBy(col("shared_grams").desc, col("src_a"), col("src_b"))
+  }
+
+  val sourceOverlapSql: String =
+    """WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+       g AS (SELECT DISTINCT source, array_to_string(ws[i:i+2], ' ') AS g
+             FROM w, UNNEST(range(1, greatest(len(ws) - 1, 1))) t(i)),
+       vocab AS (SELECT source, COUNT(*) AS n_grams FROM g GROUP BY source),
+       p AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared_grams
+             FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+             GROUP BY 1, 2)
+       SELECT src_a, src_b, shared_grams, va.n_grams AS grams_a, vb.n_grams AS grams_b,
+              ROUND(shared_grams / least(va.n_grams, vb.n_grams), 4) AS containment
+       FROM p JOIN vocab va ON p.src_a = va.source
+              JOIN vocab vb ON p.src_b = vb.source
+       ORDER BY shared_grams DESC, src_a, src_b"""
 }

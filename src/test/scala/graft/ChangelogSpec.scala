@@ -53,6 +53,18 @@ class ChangelogSpec extends SparkSpec {
     val plan = spark.sql("SELECT * FROM graft.metat.`t$files`")
       .queryExecution.executedPlan.toString
     assert(plan.contains("LocalTableScan"), plan.take(400))
+
+    // C68: $manifests exposes the segment tree (C66) — one row per
+    // segment in chain order, rollups consistent with $files
+    val mans = spark.sql(
+      """SELECT segment, position, n_entries, n_data_files, n_delete_files, max_seq
+         FROM graft.metat.`t$manifests` ORDER BY position""").collect()
+    assert(mans.length == 2, s"two append segments expected: ${mans.mkString(", ")}")
+    assert(mans.map(_.getLong(2)).sum == files.length,
+      "segment entry rollup must equal the file inventory")
+    assert(mans.forall(_.getLong(4) == 0L))
+    assert(mans.map(_.getLong(5)).toSeq == Seq(1L, 2L),
+      "per-segment max_seq follows the commit order")
   }
 
   test("netChanges collapses intermediate churn to the applyable delta") {
