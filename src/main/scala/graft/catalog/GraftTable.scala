@@ -82,6 +82,7 @@ final class GraftTable(
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+        TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC,
         TableCapability.MICRO_BATCH_READ)
       .asJava
 
@@ -595,9 +596,27 @@ final class GraftTable(
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val writeDir = new Path(ops.dataDir(dir), s"w-${java.util.UUID.randomUUID()}")
     val delegate = dataDelegate(Seq(writeDir.toString)).newWriteBuilder(info)
-    new WriteBuilder with SupportsTruncate {
+    // C69: filter overwrite (INSERT OVERWRITE ... PARTITION / static
+    // mode / writeTo().overwrite(cond)) and dynamic partition
+    // overwrite both land through here; the commit-time classification
+    // (keep verbatim / drop whole / rewrite straddlers) lives in
+    // TableOps.overwriteByFilter / overwriteDynamic.
+    new WriteBuilder with SupportsTruncate
+        with org.apache.spark.sql.connector.write.SupportsOverwrite
+        with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
       private var operation = "append"
+      private var overwriteFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
       override def truncate(): WriteBuilder = { operation = "overwrite"; this }
+      override def overwrite(
+          filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+        if (filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+          operation = "overwrite"
+        else { operation = "overwrite-by-filter"; overwriteFilters = filters }
+        this
+      }
+      override def overwriteDynamicPartitions(): WriteBuilder = {
+        operation = "dynamic-overwrite"; this
+      }
       override def build(): Write = {
         val inner = delegate.build()
         // Identity fields sort as themselves; order-preserving
@@ -622,7 +641,7 @@ final class GraftTable(
         if (clusterCols.isEmpty)
           new Write {
             override def toBatch: BatchWrite =
-              new CommittingBatchWrite(inner.toBatch, writeDir, operation)
+              new CommittingBatchWrite(inner.toBatch, writeDir, operation, overwriteFilters)
           }
         else
           // Partitioned table: require Spark to cluster + sort incoming
@@ -647,7 +666,7 @@ final class GraftTable(
               meta.properties.get("graft.write.target-file-count")
                 .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(0)
             override def toBatch: BatchWrite =
-              new CommittingBatchWrite(inner.toBatch, writeDir, operation)
+              new CommittingBatchWrite(inner.toBatch, writeDir, operation, overwriteFilters)
           }
       }
     }
@@ -1080,7 +1099,9 @@ final class GraftTable(
   /** Wraps the parquet BatchWrite: after the files are durably in the
     * private write dir, lists them and runs the snapshot commit. */
   private final class CommittingBatchWrite(
-      inner: BatchWrite, writeDir: Path, operation: String) extends BatchWrite {
+      inner: BatchWrite, writeDir: Path, operation: String,
+      overwriteFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+      extends BatchWrite {
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
       inner.createBatchWriterFactory(info)
     override def useCommitCoordinator(): Boolean = inner.useCommitCoordinator()
@@ -1088,7 +1109,13 @@ final class GraftTable(
       inner.onDataWriterCommit(message)
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       inner.commit(messages)
-      ops.commitFiles(dir, filesIn(writeDir), operation)
+      operation match {
+        case "overwrite-by-filter" =>
+          ops.overwriteByFilter(spark, dir, filesIn(writeDir), overwriteFilters.toSeq)
+        case "dynamic-overwrite" =>
+          ops.overwriteDynamic(spark, dir, filesIn(writeDir))
+        case op => ops.commitFiles(dir, filesIn(writeDir), op)
+      }
     }
     override def abort(messages: Array[WriterCommitMessage]): Unit = inner.abort(messages)
 

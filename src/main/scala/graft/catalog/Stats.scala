@@ -160,6 +160,106 @@ object Stats {
       case _ => true // StringStartsWith etc. — conservative
     }
 
+  /** STRICT projection (Iceberg's strict-projection role): true only
+    * when EVERY row of the file PROVABLY satisfies `filter` — the
+    * overwrite-by-filter classifier's "replace whole file" test, so a
+    * wrong true here loses rows. Hence: exact arithmetic (BigDecimal,
+    * never the double keys [[mayContain]] can afford), null counts
+    * consulted (a null row never satisfies a comparison), and false
+    * for every shape not provable from min/max alone. */
+  def mustAllMatch(entry: DataFileEntry, schema: StructType, filter: Filter): Boolean = {
+    def noNulls(c: String): Boolean =
+      entry.stats.get(c).flatMap(_.nulls).contains(0L)
+    def dtOf(c: String): Option[DataType] =
+      schema.fields.find(_.name == c).map(_.dataType)
+    // (min, max) as exact comparables; None when stats are absent
+    def bounds(c: String): Option[(Either[BigDecimal, String], Either[BigDecimal, String])] =
+      for {
+        dt <- dtOf(c); cs <- entry.stats.get(c); mnS <- cs.min; mxS <- cs.max
+        mn <- exactStat(dt, mnS); mx <- exactStat(dt, mxS)
+      } yield (mn, mx)
+    def vKey(c: String, v: Any): Option[Either[BigDecimal, String]] =
+      dtOf(c).flatMap(exactVal(_, v))
+    // file is single-valued on c AND that value compares-equal to v
+    def singleValueEq(c: String, v: Any): Boolean =
+      (bounds(c), vKey(c, v)) match {
+        case (Some((mn, mx)), Some(k)) =>
+          exactCmp(mn, mx).contains(0) && exactCmp(mn, k).contains(0)
+        case _ => false
+      }
+    filter match {
+      case And(l, r) => mustAllMatch(entry, schema, l) && mustAllMatch(entry, schema, r)
+      case Or(l, r) => mustAllMatch(entry, schema, l) || mustAllMatch(entry, schema, r)
+      case EqualTo(c, v) => v != null && noNulls(c) && singleValueEq(c, v)
+      case EqualNullSafe(c, v) =>
+        if (v == null) mustAllMatch(entry, schema, IsNull(c))
+        else noNulls(c) && singleValueEq(c, v)
+      case In(c, vs) =>
+        noNulls(c) && vs.nonEmpty && vs.exists(v => v != null && singleValueEq(c, v))
+      case GreaterThan(c, v) =>
+        noNulls(c) && ((bounds(c), vKey(c, v)) match {
+          case (Some((mn, _)), Some(k)) => exactCmp(mn, k).exists(_ > 0)
+          case _ => false
+        })
+      case GreaterThanOrEqual(c, v) =>
+        noNulls(c) && ((bounds(c), vKey(c, v)) match {
+          case (Some((mn, _)), Some(k)) => exactCmp(mn, k).exists(_ >= 0)
+          case _ => false
+        })
+      case LessThan(c, v) =>
+        noNulls(c) && ((bounds(c), vKey(c, v)) match {
+          case (Some((_, mx)), Some(k)) => exactCmp(mx, k).exists(_ < 0)
+          case _ => false
+        })
+      case LessThanOrEqual(c, v) =>
+        noNulls(c) && ((bounds(c), vKey(c, v)) match {
+          case (Some((_, mx)), Some(k)) => exactCmp(mx, k).exists(_ <= 0)
+          case _ => false
+        })
+      case IsNull(c) =>
+        (entry.stats.get(c).flatMap(_.nulls), entry.rows) match {
+          case (Some(n), Some(r)) => n == r
+          case _ => false
+        }
+      case IsNotNull(c) => noNulls(c)
+      case _: AlwaysTrue => true
+      case _ => false // Not, string matches, unknown shapes: not provable
+    }
+  }
+
+  private def exactStat(dt: DataType, s: String): Option[Either[BigDecimal, String]] =
+    dt match {
+      case _: NumericType => Try(Left(BigDecimal(s))).toOption
+      case StringType => Some(Right(s))
+      case DateType => Try(Left(BigDecimal(s))).toOption // days since epoch
+      case TimestampType | TimestampNTZType => Try(Left(BigDecimal(s))).toOption // micros
+      case _ => None
+    }
+
+  private def exactVal(dt: DataType, v: Any): Option[Either[BigDecimal, String]] =
+    (dt, v) match {
+      case (_, null) => None
+      case (_: NumericType, n: java.lang.Number) =>
+        Try(Left(BigDecimal(n.toString))).toOption
+      case (StringType, s: String) => Some(Right(s))
+      case (StringType, s: org.apache.spark.unsafe.types.UTF8String) => Some(Right(s.toString))
+      case (DateType, d: java.sql.Date) => Some(Left(BigDecimal(d.toLocalDate.toEpochDay)))
+      case (DateType, d: java.time.LocalDate) => Some(Left(BigDecimal(d.toEpochDay)))
+      case (TimestampType | TimestampNTZType, t: java.sql.Timestamp) =>
+        Some(Left(BigDecimal(t.getTime) * 1000 + (t.getNanos / 1000) % 1000))
+      case (TimestampType | TimestampNTZType, i: java.time.Instant) =>
+        Some(Left(BigDecimal(i.getEpochSecond) * 1000000 + i.getNano / 1000))
+      case _ => None
+    }
+
+  private def exactCmp(
+      a: Either[BigDecimal, String], b: Either[BigDecimal, String]): Option[Int] =
+    (a, b) match {
+      case (Left(x), Left(y)) => Some(x.compare(y))
+      case (Right(x), Right(y)) => Some(x.compareTo(y))
+      case _ => None
+    }
+
   /** Comparable projection of a filter value / stored stat for the
     * column type; None ⇒ cannot compare ⇒ never skip. */
   private def key(dt: DataType, v: Any): Option[Either[Double, String]] = (dt, v) match {

@@ -935,6 +935,160 @@ final class TableOps(private[graft] val store: FsStore) {
     throw new IllegalStateException("unreachable")
   }
 
+  /** C69 — filter-scoped overwrite (`INSERT OVERWRITE ... PARTITION`,
+    * `df.writeTo(t).overwrite(cond)`): atomically replace exactly the
+    * rows matching `filters` with `newFiles`. File-granular
+    * classification from manifest stats, never a table scan:
+    *
+    *  - provably disjoint files ([[Stats.mayContain]] false, incl.
+    *    bucket-transform predicates derived via [[Transforms.derive]])
+    *    are KEPT verbatim — entries, stats and sequence untouched;
+    *  - provably all-matching files ([[Stats.mustAllMatch]], the
+    *    strict projection) are dropped whole — no read, no write;
+    *  - straddling files are rewritten copy-on-write: one Spark job
+    *    over ONLY those files keeps the rows where the predicate is
+    *    not TRUE (false OR null survives — SQL delete semantics).
+    *
+    * Because writes range-cluster on the partition spec's source
+    * columns, partition-shaped predicates resolve almost entirely to
+    * keep/drop; the rewrite set stays near-empty at any table size.
+    * Commits through [[overwriteWith]]'s parent-snapshot guard: a
+    * concurrent commit fails this operation rather than resurrecting
+    * a stale keep-set. */
+  def overwriteByFilter(
+      spark: SparkSession,
+      tableDir: Path,
+      newFiles: Seq[String],
+      filters: Seq[org.apache.spark.sql.sources.Filter]): TableMetadata = {
+    import org.apache.spark.sql.sources.{And => FAnd, Filter}
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val (_, meta) = load(tableDir).getOrElse(
+      throw new CommitFailedException(s"table does not exist at $tableDir"))
+    requireNoPendingDeletes(tableDir, meta, "overwrite-by-filter")
+    val nonTrivial = filters
+      .filterNot(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+    val cond: Option[Filter] = nonTrivial.reduceOption(FAnd)
+    if (cond.isEmpty) // truncate semantics
+      return commitFiles(tableDir, newFiles, "overwrite")
+    val schema = SchemaBridge.toSpark(meta.currentSchema)
+    val spec = meta.specs.find(_.specId == meta.defaultSpecId)
+      .map(_.fields).getOrElse(Seq.empty)
+    // evaluate against the stats schema incl. hidden bucket columns,
+    // with derived bucket predicates joined in (same machinery as scan
+    // pruning) so bucket-partitioned tables classify exactly too
+    val statsSchema = Transforms.ptSchema(spec, schema)
+    val pruneCond =
+      (nonTrivial ++ nonTrivial.flatMap(Transforms.derive(spec, schema, _)))
+        .reduce(FAnd)
+    val entries = resolveEntries(tableDir, meta)
+    val (touched, kept) =
+      entries.partition(e => Stats.mayContain(e, statsSchema, pruneCond))
+    val (_, partial) =
+      touched.partition(e => Stats.mustAllMatch(e, statsSchema, cond.get))
+    val survivorFiles =
+      if (partial.isEmpty) Seq.empty
+      else {
+        val surv = readEntries(spark, tableDir, meta, partial)
+          .filter(coalesce(not(filterColumn(cond.get)), lit(true)))
+        val writeDir = new Path(dataDir(tableDir), s"w-${UUID.randomUUID()}")
+        surv.write.format(dataFormat(meta)).save(writeDir.toString)
+        store.listFilesRec(writeDir)
+          .filter(f => isDataFile(f.getName)).map(_.toString)
+      }
+    overwriteWith(tableDir, kept, newFiles ++ survivorFiles)
+  }
+
+  /** C69 — dynamic partition overwrite (`INSERT OVERWRITE` under
+    * `spark.sql.sources.partitionOverwriteMode=dynamic`): replace
+    * exactly the identity-partition values present in the incoming
+    * data, keep every other partition verbatim. The incoming tuple
+    * set is read from the new files' spec columns (one column-pruned
+    * scan of the NEW data — O(write), not O(table)); existing files
+    * then classify per tuple through the same keep / drop-whole /
+    * rewrite-straddlers machinery as [[overwriteByFilter]].
+    * Transform specs (bucket/truncate/temporal) are rejected — their
+    * replacement semantics ("the bucket the row hashes to"?) are
+    * ambiguous; use an explicit filter overwrite instead. */
+  def overwriteDynamic(
+      spark: SparkSession, tableDir: Path, newFiles: Seq[String]): TableMetadata = {
+    import org.apache.spark.sql.sources.{And => FAnd, EqualTo, Filter, IsNull, Or => FOr}
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    val (_, meta) = load(tableDir).getOrElse(
+      throw new CommitFailedException(s"table does not exist at $tableDir"))
+    requireNoPendingDeletes(tableDir, meta, "dynamic partition overwrite")
+    val spec = meta.specs.find(_.specId == meta.defaultSpecId)
+      .map(_.fields).getOrElse(Seq.empty)
+    require(spec.nonEmpty && spec.forall(_.transform == "identity"),
+      "dynamic partition overwrite requires an identity-partitioned table " +
+      s"(spec: ${spec.map(f => s"${f.transform}(${f.name})").mkString(", ")})")
+    if (newFiles.isEmpty) return meta
+    val schema = SchemaBridge.toSpark(meta.currentSchema)
+    val cols = spec.map(_.name)
+    val incoming = spark.read.schema(schema).format(dataFormat(meta))
+      .load(newFiles: _*).select(cols.map(col): _*).distinct().collect()
+    // one v1 filter per replaced tuple; null component ⇒ IsNull
+    val tupleFilters: Seq[Filter] = incoming.toSeq.map { row =>
+      cols.zipWithIndex.map { case (c, i) =>
+        if (row.isNullAt(i)) IsNull(c): Filter else EqualTo(c, row.get(i)): Filter
+      }.reduce(FAnd)
+    }
+    val replaced = tupleFilters.reduceOption(FOr)
+    if (replaced.isEmpty) return commitFiles(tableDir, newFiles, "append")
+    val entries = resolveEntries(tableDir, meta)
+    val (touched, kept) =
+      entries.partition(e => Stats.mayContain(e, schema, replaced.get))
+    // a file drops whole when it provably sits inside ONE tuple
+    val (_, partial) = touched.partition(e =>
+      tupleFilters.exists(t => Stats.mustAllMatch(e, schema, t)))
+    val survivorFiles =
+      if (partial.isEmpty) Seq.empty
+      else {
+        // null-safe tuple match: survivors are rows NOT equal to any
+        // replaced tuple (null components match via <=>)
+        val matchAny = incoming.toSeq.map { row =>
+          cols.zipWithIndex.map { case (c, i) =>
+            col(c) <=> lit(row.get(i))
+          }.reduce(_ && _)
+        }.reduce(_ || _)
+        val surv = readEntries(spark, tableDir, meta, partial).filter(not(matchAny))
+        val writeDir = new Path(dataDir(tableDir), s"w-${UUID.randomUUID()}")
+        surv.write.format(dataFormat(meta)).save(writeDir.toString)
+        store.listFilesRec(writeDir)
+          .filter(f => isDataFile(f.getName)).map(_.toString)
+      }
+    overwriteWith(tableDir, kept, newFiles ++ survivorFiles)
+  }
+
+  /** v1 `sources.Filter` → `Column`, for the straddling-file
+    * copy-on-write rewrites (evaluated by codegen'd expressions in the
+    * survivor job, the exact engine semantics of the pushed filter). */
+  private def filterColumn(f: org.apache.spark.sql.sources.Filter)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.functions.{col, lit}
+    f match {
+      case And(l, r) => filterColumn(l) && filterColumn(r)
+      case Or(l, r) => filterColumn(l) || filterColumn(r)
+      case Not(c) => !filterColumn(c)
+      case EqualTo(a, v) => col(a) === lit(v)
+      case EqualNullSafe(a, v) => col(a) <=> lit(v)
+      case GreaterThan(a, v) => col(a) > lit(v)
+      case GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+      case LessThan(a, v) => col(a) < lit(v)
+      case LessThanOrEqual(a, v) => col(a) <= lit(v)
+      case In(a, vs) => col(a).isin(vs.toIndexedSeq: _*)
+      case IsNull(a) => col(a).isNull
+      case IsNotNull(a) => col(a).isNotNull
+      case StringStartsWith(a, v) => col(a).startsWith(v)
+      case StringEndsWith(a, v) => col(a).endsWith(v)
+      case StringContains(a, v) => col(a).contains(v)
+      case _: AlwaysTrue => lit(true)
+      case _: AlwaysFalse => lit(false)
+      case other =>
+        throw new UnsupportedOperationException(s"overwrite filter: $other")
+    }
+  }
+
   /** Rewrite the table with all pending deletes applied (and drop the
     * delete files from the manifest): an overwrite snapshot of the
     * MOR-resolved read. */
