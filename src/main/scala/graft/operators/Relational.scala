@@ -2141,4 +2141,51 @@ object Relational {
     """SELECT o_orderkey, o_orderkey AS k, o_orderstatus AS status,
               CAST(o_totalprice AS DOUBLE) AS price
        FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey"""
+
+  /** R85 — bitmap-index exact distinct counting (Spark 4 bitmap
+    * aggregates): per-group COUNT(DISTINCT key) computed as 32k-bit
+    * bitmap segments — `bitmap_bucket_number` shards the key space,
+    * `bitmap_construct_agg` ORs positions map-side, `bitmap_count`
+    * pops bits. At 100 TB this is the exact-distinct shape that
+    * scales: the shuffle carries (group, bucket, 4 KB bitmap) rows —
+    * thousands of keys collapse into one binary blob before the
+    * exchange — instead of every distinct key riding the wire as its
+    * own row the way a plain count-distinct expand does. The oracle
+    * states the semantics directly (COUNT(DISTINCT)). */
+  def qBitmapDistinct(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"), expr("bitmap_bucket_number(l_orderkey)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(l_orderkey))").as("bm"))
+      .groupBy("l_returnflag")
+      .agg(sum(expr("bitmap_count(bm)")).as("n_orders"))
+      .orderBy("l_returnflag")
+
+  val qBitmapDistinctSql: String =
+    """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** R86 — URL + key-value parsing: `parse_url` host/path/query-param
+    * point extraction and `str_to_map` over a packed kv string — the
+    * clickstream-ingest decode pair. Row-local, codegen'd, map-only
+    * plan; the oracle mirrors the algebra of the constructed URL
+    * (DuckDB has no parse_url). */
+  def qUrlFuncs(s: SparkSession, d: String): DataFrame =
+    orders(s, d).filter(col("o_orderkey") < 400)
+      .withColumn("url", concat(
+        lit("https://shop.example.com/"), col("o_orderstatus"),
+        lit("/detail?k="), col("o_orderkey"), lit("&src=web")))
+      .withColumn("kv", concat(
+        lit("status:"), col("o_orderstatus"), lit(",pri:"), col("o_orderpriority")))
+      .select(col("o_orderkey"),
+        expr("parse_url(url, 'HOST')").as("host"),
+        expr("parse_url(url, 'PATH')").as("path"),
+        expr("CAST(parse_url(url, 'QUERY', 'k') AS BIGINT)").as("qk"),
+        expr("str_to_map(kv, ',', ':')['pri']").as("pri"))
+      .orderBy("o_orderkey")
+
+  val qUrlFuncsSql: String =
+    """SELECT o_orderkey, 'shop.example.com' AS host,
+              '/' || o_orderstatus || '/detail' AS path,
+              o_orderkey AS qk, o_orderpriority AS pri
+       FROM orders WHERE o_orderkey < 400 ORDER BY o_orderkey"""
 }

@@ -1223,4 +1223,59 @@ object TextPipeline {
        FROM p JOIN vocab va ON p.src_a = va.source
               JOIN vocab vb ON p.src_b = vb.source
        ORDER BY shared_grams DESC, src_a, src_b"""
+
+  /** L40 — filter-funnel audit: the curation cascade's per-stage
+    * retention table (rows in → rows out → retention) for a chain of
+    * cumulative quality gates. This is the report that tells you
+    * WHICH filter ate the corpus — the first thing to look at when a
+    * 100 TB run comes back 40% smaller than planned. One scan: all
+    * four gates are integer-only row-local predicates (no float
+    * drift), folded into one aggregate row, then unpivoted to stage
+    * rows with `stack` — the output is 4 rows regardless of corpus
+    * size. */
+  def filterFunnel(s: SparkSession, d: String): DataFrame = {
+    val gated = withWords(documents(s, d))
+      .withColumn("p1", col("n_chars") >= 100)
+      .withColumn("p2", col("p1") && size(col("ws")) >= 20)
+      // mean word length ≤ 8 chars, in exact integer form
+      .withColumn("p3", col("p2") && col("n_chars") <= size(col("ws")) * 8)
+      // vocabulary diversity: ≥ half the words distinct
+      .withColumn("p4", col("p3") && size(array_distinct(col("ws"))) * 2 >= size(col("ws")))
+    gated.agg(
+        count(lit(1)).as("n0"),
+        sum(col("p1").cast("long")).as("n1"),
+        sum(col("p2").cast("long")).as("n2"),
+        sum(col("p3").cast("long")).as("n3"),
+        sum(col("p4").cast("long")).as("n4"))
+      .selectExpr(
+        """stack(4,
+             1L, 'min_chars',     n0, n1,
+             2L, 'min_words',     n1, n2,
+             3L, 'word_length',   n2, n3,
+             4L, 'vocab_diversity', n3, n4)
+           AS (stage, gate, rows_in, rows_out)""")
+      .withColumn("retention", round(col("rows_out") / col("rows_in"), 4))
+      .orderBy("stage")
+  }
+
+  val filterFunnelSql: String =
+    """WITH f AS (SELECT n_chars, string_split(text, ' ') AS ws FROM documents),
+       g AS (SELECT n_chars >= 100 AS p1,
+                    n_chars >= 100 AND len(ws) >= 20 AS p2,
+                    n_chars >= 100 AND len(ws) >= 20 AND n_chars <= len(ws) * 8 AS p3,
+                    n_chars >= 100 AND len(ws) >= 20 AND n_chars <= len(ws) * 8
+                      AND len(list_distinct(ws)) * 2 >= len(ws) AS p4
+             FROM f),
+       a AS (SELECT COUNT(*) AS n0,
+                    COUNT(*) FILTER (p1) AS n1, COUNT(*) FILTER (p2) AS n2,
+                    COUNT(*) FILTER (p3) AS n3, COUNT(*) FILTER (p4) AS n4
+             FROM g)
+       SELECT stage, gate, rows_in, rows_out,
+              ROUND(rows_out / rows_in, 4) AS retention
+       FROM (
+         SELECT CAST(1 AS BIGINT) AS stage, 'min_chars' AS gate, n0 AS rows_in, n1 AS rows_out FROM a
+         UNION ALL SELECT 2, 'min_words', n1, n2 FROM a
+         UNION ALL SELECT 3, 'word_length', n2, n3 FROM a
+         UNION ALL SELECT 4, 'vocab_diversity', n3, n4 FROM a)
+       ORDER BY stage"""
 }

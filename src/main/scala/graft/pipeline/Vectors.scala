@@ -449,4 +449,69 @@ object Vectors {
              FROM embeddings q JOIN embeddings n ON q.label != n.label
              WHERE q.vec_id < 20) t
        WHERE rank <= 3 ORDER BY query_id, rank"""
+
+  /** L39 — embedding outlier detection: squared-euclidean distance of
+    * every vector to its OWN label centroid, z-scored within the
+    * label — the mislabeled/corrupt-vector sweep a curation pass runs
+    * before training. Three shuffles total, all on small keys:
+    * centroid build (label,dim), distance join on label (centroids
+    * are labels×dims — broadcast), label moments. Every aggregate
+    * folds per-term DECIMAL casts so sums are order-independent and
+    * cross-engine exact; z is computed in double from those exact
+    * moments. At corpus scale nothing here is corpus² — the heavy
+    * side is one map over the vectors. */
+  def embedOutliers(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = embeddings(s, d)
+    // per-label centroid as an ARRAY in dim order (exact decimal mean)
+    val cent = e.select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("col").cast("double").cast(DecimalType(18, 9)))
+        .cast("double") / count(lit(1))).as("c"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("centroid"))
+    val dist = e.join(broadcast(cent), "label")
+      .withColumn("dist2", expr(
+        """CAST(aggregate(zip_with(embedding, centroid,
+             (x, c) -> CAST((CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c) AS DECIMAL(28,12))),
+           CAST(0 AS DECIMAL(38,12)), (acc, t) -> CAST(acc + t AS DECIMAL(38,12))) AS DOUBLE)"""))
+    val moments = dist.groupBy(col("label").as("ml"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dist2").cast(DecimalType(30, 12))).cast("double").as("s1"),
+        sum((col("dist2") * col("dist2")).cast(DecimalType(38, 10))).cast("double").as("s2"))
+    dist.join(broadcast(moments), col("label") === col("ml"))
+      .withColumn("mu", col("s1") / col("n"))
+      .withColumn("sigma", sqrt(col("s2") / col("n") - col("mu") * col("mu")))
+      .withColumn("z", (col("dist2") - col("mu")) / col("sigma"))
+      .filter(col("z") > 1.5)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        round(col("dist2"), 4).as("dist2"), round(col("z"), 3).as("z"))
+      .orderBy(col("z").desc, col("vec_id"))
+  }
+
+  val embedOutliersSql: String =
+    """WITH cent AS (
+         SELECT label, i AS dim,
+                CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+                  / COUNT(*) AS c
+         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+         GROUP BY label, i),
+       dist AS (
+         SELECT e.vec_id, e.label,
+                CAST(SUM(CAST((CAST(e.embedding[cent.dim] AS DOUBLE) - cent.c)
+                       * (CAST(e.embedding[cent.dim] AS DOUBLE) - cent.c)
+                     AS DECIMAL(28,12))) AS DOUBLE) AS dist2
+         FROM embeddings e JOIN cent ON e.label = cent.label
+         GROUP BY e.vec_id, e.label),
+       mom AS (
+         SELECT label, COUNT(*) AS n,
+                CAST(SUM(CAST(dist2 AS DECIMAL(30,12))) AS DOUBLE) AS s1,
+                CAST(SUM(CAST(dist2 * dist2 AS DECIMAL(38,10))) AS DOUBLE) AS s2
+         FROM dist GROUP BY label)
+       SELECT d.vec_id, CAST(d.label AS BIGINT) AS label,
+              ROUND(d.dist2, 4) AS dist2,
+              ROUND((d.dist2 - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)), 3) AS z
+       FROM dist d JOIN mom m ON d.label = m.label
+       WHERE (d.dist2 - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)) > 1.5
+       ORDER BY z DESC, vec_id"""
 }
