@@ -63,6 +63,14 @@ final class GraftTable(
         org.apache.spark.sql.types.LongType
       override def isNullable: Boolean = false
       override def comment(): String = "row ordinal within the data file"
+    },
+    new MetadataColumn { // C70 — row lineage
+      override def name(): String = "_row_id"
+      override def dataType: org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = true
+      override def comment(): String =
+        "stable table-unique row id (lineage-enabled tables; null otherwise)"
     })
 
   override lazy val schema: StructType = SchemaBridge.toSpark(meta.currentSchema)
@@ -194,7 +202,8 @@ final class GraftTable(
     private var metaCols: Seq[String] = Seq.empty
 
     override def pruneColumns(requiredSchema: StructType): Unit = {
-      metaCols = requiredSchema.fieldNames.toSeq.filter(n => n == "_file" || n == "_pos")
+      metaCols = requiredSchema.fieldNames.toSeq
+        .filter(n => n == "_file" || n == "_pos" || n == "_row_id")
       val dataSchema =
         StructType(requiredSchema.fields.filterNot(f => metaCols.contains(f.name)))
       requiredState = Some(dataSchema)
@@ -226,14 +235,23 @@ final class GraftTable(
           "compact to rewrite files under the current schema first")
       def norm(p: String): String = new Path(p).toUri.getPath
       val required = requiredState.getOrElse(schema)
-      val needOrdinals =
-        posDeletes.nonEmpty || dvDeletes.nonEmpty || metaCols.contains("_pos")
+      val needOrdinals = posDeletes.nonEmpty || dvDeletes.nonEmpty ||
+        metaCols.contains("_pos") || metaCols.contains("_row_id")
       val allKeyCols = eqDeletes.flatMap(_.equalityColumns).distinct
       val missing = allKeyCols.filterNot(required.fieldNames.contains)
+      // C70: when _row_id is requested, the delegate also projects the
+      // hidden physical `__row_id` column — present in files rewritten
+      // by lineage-preserving maintenance, null-filled everywhere else
+      // (the reader then falls back to firstRowId + ordinal).
+      val wantRowId = metaCols.contains("_row_id")
+      val rowIdField = org.apache.spark.sql.types.StructField(
+        RowLineage.PhysCol, org.apache.spark.sql.types.LongType, nullable = true)
       val extended = StructType(
         required.fields ++ missing.map(c => schema.fields.find(_.name == c).getOrElse(
-          throw new IllegalStateException(s"delete key column $c missing from table schema"))))
-      val b = dataScanBuilder(keptEntries.map(_.path), schema, options)
+          throw new IllegalStateException(s"delete key column $c missing from table schema")))
+        ++ (if (wantRowId) Seq(rowIdField) else Seq.empty))
+      val delegateSchema = if (wantRowId) schema.add(rowIdField) else schema
+      val b = dataScanBuilder(keptEntries.map(_.path), delegateSchema, options)
       if (!needOrdinals && predicateState.nonEmpty) b.pushFilters(predicateState)
       b.pruneColumns(extended)
       val inner = b.build()
@@ -274,13 +292,15 @@ final class GraftTable(
         val p = norm(e.path)
         p -> MorFilter.FileConf(
           keySets.filter(_.deleteSeq > e.dataSeq),
-          posHandle, dir.toString, dvHandle)
+          posHandle, dir.toString, dvHandle, e.firstRowId)
       }.toMap
       val metaFields = metaCols.map {
         case "_file" => org.apache.spark.sql.types.StructField(
           "_file", org.apache.spark.sql.types.StringType, nullable = false)
         case "_pos" => org.apache.spark.sql.types.StructField(
           "_pos", org.apache.spark.sql.types.LongType, nullable = false)
+        case "_row_id" => org.apache.spark.sql.types.StructField(
+          "_row_id", org.apache.spark.sql.types.LongType, nullable = true)
       }
       val (req, mc) = (required, metaCols)
 

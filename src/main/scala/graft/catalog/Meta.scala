@@ -68,7 +68,12 @@ final case class DataFileEntry(
     content: String = "data",
     equalityColumns: Seq[String] = Seq.empty,
     seq: Option[Long] = None,
-    bytes: Option[Long] = None) {
+    bytes: Option[Long] = None,
+    /** C70 row lineage (Iceberg v3 `first-row-id` direction): the
+      * table-unique id of this file's row 0; row N's `_row_id` is
+      * `firstRowId + N` until a rewrite materializes ids physically.
+      * None on non-lineage tables and delete files. */
+    firstRowId: Option[Long] = None) {
   def isData: Boolean = content == "data"
   def isEqDelete: Boolean = content == "eq-deletes"
   def isPosDelete: Boolean = content == "pos-deletes"

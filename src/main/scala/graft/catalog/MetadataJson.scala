@@ -197,6 +197,7 @@ object MetadataJson {
       f.rows.foreach(fo.put("rows", _))
       f.seq.foreach(fo.put("seq", _))
       f.bytes.foreach(fo.put("bytes", _))
+      f.firstRowId.foreach(fo.put("first-row-id", _))
       if (!f.isData) fo.put("content", f.content)
       if (f.equalityColumns.nonEmpty) {
         val ec = fo.putArray("equality-columns")
@@ -233,7 +234,8 @@ object MetadataJson {
           Option(o.get("equality-columns")).map(ec =>
             ec.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty),
           Option(o.get("seq")).map(_.asLong()),
-          Option(o.get("bytes")).map(_.asLong()))
+          Option(o.get("bytes")).map(_.asLong()),
+          Option(o.get("first-row-id")).map(_.asLong()))
     }
 
   // ---------- views ----------

@@ -62,7 +62,10 @@ object MorFilter {
       keySets: Seq[KeySet],
       posHandle: Option[DeleteScanHandle],
       tableDir: String,
-      dvHandle: Option[DeleteScanHandle] = None) extends Serializable {
+      dvHandle: Option[DeleteScanHandle] = None,
+      /** C70 — base row id of this file (`_row_id` = base + ordinal,
+        * unless the file carries a materialized `__row_id` column). */
+      firstRowId: Option[Long] = None) extends Serializable {
     def isEmpty: Boolean = keySets.isEmpty && posHandle.isEmpty && dvHandle.isEmpty
   }
 
@@ -259,9 +262,13 @@ object MorFilter {
           else new GenericInternalRow(metaCols.map {
             case "_file" => UTF8String.fromString(path): Any
             case "_pos" => 0L: Any
+            case "_row_id" => null: Any
             case other => throw new IllegalStateException(s"unknown metadata column $other")
           }.toArray)
         private val posSlot = metaCols.indexOf("_pos")
+        private val rowIdSlot = metaCols.indexOf("_row_id")
+        // materialized __row_id column position in the delegate row
+        private val physRowIdIdx = extended.fieldNames.indexOf(RowLineage.PhysCol)
         private val joined = new JoinedRow
         private var ordinal = -1L
         private var current: InternalRow = _
@@ -287,6 +294,19 @@ object MorFilter {
           if (metaRow == null) out
           else {
             if (posSlot >= 0) metaRow.update(posSlot, currentPos)
+            if (rowIdSlot >= 0) {
+              // materialized id wins (survives rewrites); else the
+              // manifest base + in-file ordinal; else null (lineage
+              // off, or pre-lineage file)
+              val id: Any =
+                if (physRowIdIdx >= 0 && !current.isNullAt(physRowIdIdx))
+                  current.getLong(physRowIdIdx)
+                else conf.firstRowId match {
+                  case Some(base) => base + currentPos
+                  case None => null
+                }
+              metaRow.update(rowIdSlot, id)
+            }
             joined(out, metaRow)
           }
         }

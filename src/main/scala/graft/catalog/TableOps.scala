@@ -119,11 +119,11 @@ final class TableOps(private[graft] val store: FsStore) {
       operation: String): Seq[MetadataUpdate] = {
     val parent = meta.currentSnapshot
     val newSeq = meta.lastSequenceNumber + 1
-    val newRel = newFiles.map { f =>
+    val (newRel, lineageUpd) = stampRowIds(meta, newFiles.map { f =>
       val entry = scala.util.Try(Stats.collect(store.fs(tableDir).getConf, f))
         .getOrElse(DataFileEntry(f))
       entry.copy(path = relativize(tableDir, f), seq = Some(newSeq))
-    }
+    })
     val snapId = newSnapshotId()
     val (manifestName, total) = operation match {
       case "append" =>
@@ -146,7 +146,7 @@ final class TableOps(private[graft] val store: FsStore) {
       schemaId = meta.currentSchemaId)
     Seq(
       MetadataUpdate.AddSnapshot(snap),
-      MetadataUpdate.SetSnapshotRef("main", snapId, "branch"))
+      MetadataUpdate.SetSnapshotRef("main", snapId, "branch")) ++ lineageUpd
   }
 
   // ---------- snapshots ----------
@@ -234,6 +234,60 @@ final class TableOps(private[graft] val store: FsStore) {
       Seq(MetadataUpdate.SetSnapshotRef(toRef, head.snapshotId, "branch")))
   }
 
+  /** C70 — row lineage commit protocol: when the table property
+    * `graft.row-lineage.enabled` is set, every committed data file is
+    * stamped with the table-unique id of its first row, and the SAME
+    * commit advances `graft.row-lineage.next-row-id` past the block —
+    * the CAS parent guard makes the (stamp, advance) pair atomic, and
+    * a lost race restamps from fresh state in the retry loop, so ids
+    * are never reused across concurrent committers. O(new files)
+    * driver work; ids for individual rows are only ever computed
+    * executor-side as `firstRowId + ordinal`. */
+  private def stampRowIds(meta: TableMetadata, entries: Seq[DataFileEntry])
+      : (Seq[DataFileEntry], Seq[MetadataUpdate]) = {
+    if (!lineageEnabled(meta) || !entries.exists(_.isData)) return (entries, Seq.empty)
+    var next = meta.properties.getOrElse(NextRowIdProp, "0").toLong
+    val stamped = entries.map { e =>
+      if (!e.isData) e
+      // a rewritten file carrying the materialized __row_id column
+      // already has its ids — allocating a block would only burn id
+      // space (the physical column wins on read anyway)
+      else if (e.stats.contains(RowLineage.PhysCol)) e
+      else {
+        val rows = e.rows.getOrElse(throw new IllegalStateException(
+          s"row lineage requires a footer row count for ${e.path}"))
+        val s = e.copy(firstRowId = Some(next)); next += rows; s
+      }
+    }
+    if (next == meta.properties.getOrElse(NextRowIdProp, "0").toLong)
+      (stamped, Seq.empty)
+    else
+      (stamped, Seq(MetadataUpdate.SetProperties(Map(NextRowIdProp -> next.toString))))
+  }
+
+  def lineageEnabled(meta: TableMetadata): Boolean =
+    meta.properties.get(RowLineage.EnabledProp).contains("true")
+  private def NextRowIdProp = RowLineage.NextIdProp
+
+  /** C70 — lineage-preserving compaction: rewrites the current
+    * snapshot like [[compact]], but first MATERIALIZES every row's
+    * `_row_id` into the hidden physical [[RowLineage.PhysCol]] column
+    * of the new files, so ids survive the row permutation (and every
+    * later rewrite that keeps physical columns). One distributed read
+    * + one write — the id column adds 8 bytes/row. */
+  def compactLineage(spark: SparkSession, tableDir: Path, numFiles: Int = 0): TableMetadata = {
+    import org.apache.spark.sql.functions.col
+    val (_, meta) = load(tableDir).getOrElse(
+      throw new CommitFailedException(s"table does not exist at $tableDir"))
+    require(lineageEnabled(meta), "compactLineage requires graft.row-lineage.enabled=true")
+    val table = new GraftTable(tableDir.toString, tableDir, meta, this, None)
+    val df = org.apache.spark.sql.execution.datasources.GraftBridge.ofRows(spark, table)
+    val schema = SchemaBridge.toSpark(meta.currentSchema)
+    val withIds = df.select(
+      schema.fieldNames.toIndexedSeq.map(col) :+ col("_row_id").as(RowLineage.PhysCol): _*)
+    write(tableDir, withIds, "overwrite", if (numFiles > 0) Some(numFiles) else None)
+  }
+
   private def commitFilesOnce(
       tableDir: Path,
       newFiles: Seq[String],
@@ -246,11 +300,11 @@ final class TableOps(private[graft] val store: FsStore) {
       if (branch == "main") meta.currentSnapshot
       else meta.snapshotByRef(branch).orElse(meta.currentSnapshot)
     val newSeq = meta.lastSequenceNumber + 1
-    val newRel = newFiles.map { f =>
+    val (newRel, lineageUpd) = stampRowIds(meta, newFiles.map { f =>
       val entry = scala.util.Try(Stats.collect(store.fs(tableDir).getConf, f))
         .getOrElse(DataFileEntry(f))
       entry.copy(path = relativize(tableDir, f), seq = Some(newSeq))
-    }
+    })
     val snapId = newSnapshotId()
     val (manifestName, total) = operation match {
       case "append" =>
@@ -284,7 +338,7 @@ final class TableOps(private[graft] val store: FsStore) {
           meta.refs.get(branch).map(_.snapshotId))
     commit(tableDir, requirements :+ parentGuard, Seq(
       MetadataUpdate.AddSnapshot(snap),
-      MetadataUpdate.SetSnapshotRef(branch, snapId, "branch")))
+      MetadataUpdate.SetSnapshotRef(branch, snapId, "branch")) ++ lineageUpd)
   }
 
   /** Manifest cache: a manifest file is named by its snapshot id and
@@ -562,11 +616,11 @@ final class TableOps(private[graft] val store: FsStore) {
     val parent = meta.currentSnapshot
     val newSeq = meta.lastSequenceNumber + 1
     val keptRel = keep.map(e => e.copy(path = relativize(tableDir, e.path)))
-    val newRel = newFiles.map { f =>
+    val (newRel, lineageUpd) = stampRowIds(meta, newFiles.map { f =>
       val entry = scala.util.Try(Stats.collect(store.fs(tableDir).getConf, f))
         .getOrElse(DataFileEntry(f))
       entry.copy(path = relativize(tableDir, f), seq = Some(newSeq))
-    }
+    })
     val all = keptRel ++ newRel
     val snapId = newSnapshotId()
     val (manifestName, total) =
@@ -591,7 +645,7 @@ final class TableOps(private[graft] val store: FsStore) {
       Seq(Requirement.AssertRefSnapshotId("main", parent.map(_.snapshotId))),
       Seq(
         MetadataUpdate.AddSnapshot(snap),
-        MetadataUpdate.SetSnapshotRef("main", snapId, "branch")))
+        MetadataUpdate.SetSnapshotRef("main", snapId, "branch")) ++ lineageUpd)
   }
 
   /** Rewrite the current snapshot into `numFiles` files (small-file
@@ -961,7 +1015,7 @@ final class TableOps(private[graft] val store: FsStore) {
       newFiles: Seq[String],
       filters: Seq[org.apache.spark.sql.sources.Filter]): TableMetadata = {
     import org.apache.spark.sql.sources.{And => FAnd, Filter}
-    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
     val (_, meta) = load(tableDir).getOrElse(
       throw new CommitFailedException(s"table does not exist at $tableDir"))
     requireNoPendingDeletes(tableDir, meta, "overwrite-by-filter")
@@ -988,7 +1042,7 @@ final class TableOps(private[graft] val store: FsStore) {
     val survivorFiles =
       if (partial.isEmpty) Seq.empty
       else {
-        val surv = readEntries(spark, tableDir, meta, partial)
+        val surv = survivorSource(spark, tableDir, meta, schema, partial)
           .filter(coalesce(not(filterColumn(cond.get)), lit(true)))
         val writeDir = new Path(dataDir(tableDir), s"w-${UUID.randomUUID()}")
         surv.write.format(dataFormat(meta)).save(writeDir.toString)
@@ -996,6 +1050,23 @@ final class TableOps(private[graft] val store: FsStore) {
           .filter(f => isDataFile(f.getName)).map(_.toString)
       }
     overwriteWith(tableDir, kept, newFiles ++ survivorFiles)
+  }
+
+  /** Straddling-file rows for an overwrite's copy-on-write rewrite.
+    * On lineage-enabled tables (C70) the read goes through the DSv2
+    * scan and carries `_row_id` out as the materialized physical
+    * column, so surviving rows KEEP their ids across the rewrite. */
+  private def survivorSource(
+      spark: SparkSession, tableDir: Path, meta: TableMetadata,
+      schema: StructType, partial: Seq[DataFileEntry]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (!lineageEnabled(meta)) readEntries(spark, tableDir, meta, partial)
+    else {
+      val t = new GraftTable(tableDir.toString, tableDir, meta, this, Some(partial))
+      org.apache.spark.sql.execution.datasources.GraftBridge.ofRows(spark, t)
+        .select(schema.fieldNames.toIndexedSeq.map(col)
+          :+ col("_row_id").as(RowLineage.PhysCol): _*)
+    }
   }
 
   /** C69 — dynamic partition overwrite (`INSERT OVERWRITE` under
@@ -1050,7 +1121,7 @@ final class TableOps(private[graft] val store: FsStore) {
             col(c) <=> lit(row.get(i))
           }.reduce(_ && _)
         }.reduce(_ || _)
-        val surv = readEntries(spark, tableDir, meta, partial).filter(not(matchAny))
+        val surv = survivorSource(spark, tableDir, meta, schema, partial).filter(not(matchAny))
         val writeDir = new Path(dataDir(tableDir), s"w-${UUID.randomUUID()}")
         surv.write.format(dataFormat(meta)).save(writeDir.toString)
         store.listFilesRec(writeDir)
@@ -1059,35 +1130,12 @@ final class TableOps(private[graft] val store: FsStore) {
     overwriteWith(tableDir, kept, newFiles ++ survivorFiles)
   }
 
-  /** v1 `sources.Filter` → `Column`, for the straddling-file
-    * copy-on-write rewrites (evaluated by codegen'd expressions in the
-    * survivor job, the exact engine semantics of the pushed filter). */
+  /** v1 `sources.Filter` → `Column` via [[FilterColumns]] (shared with
+    * the COW DELETE path), for the straddling-file survivor rewrites. */
   private def filterColumn(f: org.apache.spark.sql.sources.Filter)
-      : org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.sources._
-    import org.apache.spark.sql.functions.{col, lit}
-    f match {
-      case And(l, r) => filterColumn(l) && filterColumn(r)
-      case Or(l, r) => filterColumn(l) || filterColumn(r)
-      case Not(c) => !filterColumn(c)
-      case EqualTo(a, v) => col(a) === lit(v)
-      case EqualNullSafe(a, v) => col(a) <=> lit(v)
-      case GreaterThan(a, v) => col(a) > lit(v)
-      case GreaterThanOrEqual(a, v) => col(a) >= lit(v)
-      case LessThan(a, v) => col(a) < lit(v)
-      case LessThanOrEqual(a, v) => col(a) <= lit(v)
-      case In(a, vs) => col(a).isin(vs.toIndexedSeq: _*)
-      case IsNull(a) => col(a).isNull
-      case IsNotNull(a) => col(a).isNotNull
-      case StringStartsWith(a, v) => col(a).startsWith(v)
-      case StringEndsWith(a, v) => col(a).endsWith(v)
-      case StringContains(a, v) => col(a).contains(v)
-      case _: AlwaysTrue => lit(true)
-      case _: AlwaysFalse => lit(false)
-      case other =>
-        throw new UnsupportedOperationException(s"overwrite filter: $other")
-    }
-  }
+      : org.apache.spark.sql.Column =
+    FilterColumns.toColumn(f).getOrElse(
+      throw new UnsupportedOperationException(s"overwrite filter: $f"))
 
   /** Rewrite the table with all pending deletes applied (and drop the
     * delete files from the manifest): an overwrite snapshot of the

@@ -2142,6 +2142,57 @@ object Relational {
               CAST(o_totalprice AS DOUBLE) AS price
        FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey"""
 
+  private val rlCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** C70 (gate query) — row-lineage roundtrip: a lineage-enabled
+    * table built from orders (one ordered file, so the id block IS
+    * the key rank), compacted through the materializing rewrite, then
+    * appended again — the final `_row_id` mapping must equal the
+    * dense key rank across BOTH representations (materialized column
+    * for the compacted block, manifest base+ordinal for the fresh
+    * append). The oracle states that rank directly. */
+  def qRowidRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog._
+    import org.apache.hadoop.fs.{Path => HPath}
+    val ops = new TableOps(new FsStore(s.sparkContext.hadoopConfiguration))
+    val wh = rlCache.computeIfAbsent(d, { _ =>
+      val whPath = java.nio.file.Files.createTempDirectory("graft-rl-")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(whPath.toFile)
+      }))
+      val tdir = new HPath(whPath.toString, "orders_rl")
+      def slice(lo: Long, hi: Long) = orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .filter(col("o_orderkey") >= lo && col("o_orderkey") < hi)
+        .orderBy("o_orderkey").coalesce(1)
+      ops.create(tdir, TableMetadata.create(
+        tdir.toString, SchemaBridge.fromSpark(slice(0, 1).schema),
+        PartitionSpec(0, Seq.empty), SortOrder(0, Seq.empty),
+        Map(RowLineage.EnabledProp -> "true")))
+      ops.write(tdir, slice(0, 4000), "append")
+      ops.compactLineage(s, tdir, numFiles = 1)
+      ops.write(tdir, slice(4000, 6000), "append")
+      whPath.toString
+    })
+    val tdir = new HPath(wh, "orders_rl")
+    val (_, meta) = ops.load(tdir).get
+    val t = new GraftTable(tdir.toString, tdir, meta, ops, None)
+    org.apache.spark.sql.execution.datasources.GraftBridge.ofRows(s, t)
+      .select(col("o_orderkey"), col("_row_id").as("row_id"), col("o_totalprice"))
+      .filter(col("o_orderkey") % 3 === 0)
+      .orderBy("o_orderkey")
+  }
+
+  val qRowidRoundtripSql: String =
+    """SELECT o_orderkey, row_id, o_totalprice FROM (
+         SELECT o_orderkey, o_totalprice,
+                ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS row_id
+         FROM orders WHERE o_orderkey < 6000) t
+       WHERE o_orderkey % 3 = 0 ORDER BY o_orderkey"""
+
   /** R85 — bitmap-index exact distinct counting (Spark 4 bitmap
     * aggregates): per-group COUNT(DISTINCT key) computed as 32k-bit
     * bitmap segments — `bitmap_bucket_number` shards the key space,
