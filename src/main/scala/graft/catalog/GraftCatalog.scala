@@ -27,7 +27,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   spark.read.option("snapshot-id", id).table("graft.ns.t") // time travel
   * }}}
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+
+  /** C71 — `CALL graft.system.<proc>(...)` maintenance procedures. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    Procedures.load(this, ident)
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    Procedures.list(namespace)
 
   private var catalogName: String = _
   private var warehouse: Path = _

@@ -1,0 +1,174 @@
+package graft.catalog
+
+import java.util.Collections
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** C71 — SQL maintenance procedures (Spark 4 `ProcedureCatalog`):
+  * `CALL graft.system.compact('ns.t', 4)` etc. — the operational
+  * surface Iceberg exposes as `CALL catalog.system.*`, implemented on
+  * Spark's native procedure API (no parser hacks; analyzer binds
+  * arguments, including named-argument syntax). Each procedure runs
+  * the corresponding [[TableOps]] maintenance op and returns a
+  * one-row summary as a LocalScan.
+  *
+  * Reference: denali has no procedure surface (maintenance is REST
+  * endpoints); this maps those operations onto the engine-side SQL
+  * idiom Spark users expect.
+  */
+object Procedures {
+
+  private val Namespace = Array("system")
+
+  def list(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Namespace))
+      names.map(Identifier.of(Namespace, _)).toArray
+    else Array.empty
+
+  private def names: Seq[String] = Seq(
+    "compact", "expire_snapshots", "remove_orphans", "rewrite_manifests",
+    "apply_deletes", "rollback", "fast_forward", "vacuum",
+    "create_branch", "create_tag", "drop_ref")
+
+  def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.sameElements(Namespace) && names.contains(ident.name),
+      s"unknown procedure: ${ident.namespace.mkString(".")}.${ident.name}")
+    new UnboundProcedure {
+      override def name(): String = ident.name
+      override def description(): String = s"graft maintenance procedure ${ident.name}"
+      override def bind(inputType: StructType): BoundProcedure = bound(cat, ident.name)
+    }
+  }
+
+  private def param(n: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(n, dt).build()
+  private def paramD(n: String, dt: DataType, default: String): ProcedureParameter =
+    ProcedureParameter.in(n, dt).defaultValue(default).build()
+
+  private def bound(cat: GraftCatalog, proc: String): BoundProcedure = new BoundProcedure {
+    override def name(): String = proc
+    override def description(): String = s"graft maintenance procedure $proc"
+    override def isDeterministic: Boolean = false
+
+    override def parameters(): Array[ProcedureParameter] = proc match {
+      case "compact" => Array(param("table", StringType),
+        paramD("num_files", IntegerType, "4"))
+      case "expire_snapshots" => Array(param("table", StringType),
+        paramD("older_than_ms", LongType, "0"), paramD("retain_last", IntegerType, "1"))
+      case "remove_orphans" => Array(param("table", StringType),
+        paramD("grace_ms", LongType, "3600000"))
+      case "rewrite_manifests" => Array(param("table", StringType),
+        paramD("target_entries", IntegerType, "5000"))
+      case "apply_deletes" => Array(param("table", StringType),
+        paramD("num_files", IntegerType, "0"))
+      case "rollback" => Array(param("table", StringType), param("snapshot_id", LongType))
+      case "fast_forward" => Array(param("table", StringType),
+        param("to_ref", StringType), param("from_ref", StringType))
+      case "vacuum" => Array(param("table", StringType),
+        paramD("retain_last", IntegerType, "1"), paramD("grace_ms", LongType, "0"))
+      case "create_branch" | "create_tag" => Array(param("table", StringType),
+        param("name", StringType), paramD("snapshot_id", LongType, "-1"))
+      case "drop_ref" => Array(param("table", StringType), param("name", StringType))
+      case other => throw new IllegalArgumentException(other)
+    }
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val dir = tableDir(cat, input.getUTF8String(0).toString)
+      val ops = cat.ops
+      def filesNow(): Int =
+        ops.load(dir).map { case (_, m) => ops.resolveEntries(dir, m).count(_.isData) }
+          .getOrElse(0)
+      val scan: Scan = proc match {
+        case "compact" =>
+          val before = filesNow()
+          val n = input.getInt(1)
+          val meta =
+            if (ops.lineageEnabled(ops.load(dir).get._2)) ops.compactLineage(spark, dir, n)
+            else ops.compact(spark, dir, n)
+          summary(
+            Seq("snapshot_id" -> LongType, "files_before" -> IntegerType,
+              "files_after" -> IntegerType),
+            Seq[Any](meta.currentSnapshotId.getOrElse(-1L), before, filesNow()))
+        case "expire_snapshots" =>
+          val before = ops.load(dir).get._2.snapshots.size
+          val meta = ops.expireSnapshots(dir, input.getLong(1), input.getInt(2))
+          summary(
+            Seq("expired" -> IntegerType, "remaining" -> IntegerType),
+            Seq[Any](before - meta.snapshots.size, meta.snapshots.size))
+        case "remove_orphans" =>
+          val removed = ops.removeOrphanFiles(dir, input.getLong(1))
+          summary(Seq("removed_files" -> IntegerType), Seq[Any](removed.size))
+        case "rewrite_manifests" =>
+          val meta = ops.rewriteManifests(dir, input.getInt(1))
+          summary(Seq("snapshot_id" -> LongType),
+            Seq[Any](meta.currentSnapshotId.getOrElse(-1L)))
+        case "apply_deletes" =>
+          val meta = ops.applyDeletes(spark, dir, input.getInt(1))
+          summary(Seq("snapshot_id" -> LongType, "files" -> IntegerType),
+            Seq[Any](meta.currentSnapshotId.getOrElse(-1L), filesNow()))
+        case "rollback" =>
+          val meta = ops.rollbackTo(dir, input.getLong(1))
+          summary(Seq("current_snapshot_id" -> LongType),
+            Seq[Any](meta.currentSnapshotId.getOrElse(-1L)))
+        case "fast_forward" =>
+          val meta = ops.fastForward(dir,
+            input.getUTF8String(1).toString, input.getUTF8String(2).toString)
+          summary(Seq("current_snapshot_id" -> LongType),
+            Seq[Any](meta.currentSnapshotId.getOrElse(-1L)))
+        case "vacuum" =>
+          val before = ops.load(dir).get._2.snapshots.size
+          val meta = ops.expireSnapshots(dir, System.currentTimeMillis(), input.getInt(1))
+          val removed = ops.removeOrphanFiles(dir, input.getLong(2))
+          summary(
+            Seq("expired_snapshots" -> IntegerType, "removed_files" -> IntegerType),
+            Seq[Any](before - meta.snapshots.size, removed.size))
+        case "create_branch" | "create_tag" =>
+          val refName = input.getUTF8String(1).toString
+          val meta0 = ops.load(dir).get._2
+          val snapId = input.getLong(2) match {
+            case -1L => meta0.currentSnapshotId.getOrElse(
+              throw new IllegalStateException("table has no snapshot to reference"))
+            case id => id
+          }
+          val refType = if (proc == "create_branch") "branch" else "tag"
+          ops.commit(dir, Seq.empty,
+            Seq(MetadataUpdate.SetSnapshotRef(refName, snapId, refType)))
+          summary(Seq("ref" -> StringType, "snapshot_id" -> LongType),
+            Seq[Any](refName, snapId))
+        case "drop_ref" =>
+          val refName = input.getUTF8String(1).toString
+          ops.commit(dir, Seq.empty, Seq(MetadataUpdate.RemoveSnapshotRef(refName)))
+          summary(Seq("dropped" -> StringType), Seq[Any](refName))
+        case other => throw new IllegalArgumentException(other)
+      }
+      Collections.singletonList(scan).iterator()
+    }
+  }
+
+  private def tableDir(cat: GraftCatalog, name: String): Path = {
+    val parts = name.split('.').toSeq
+    require(parts.size >= 2, s"table name must be namespace-qualified: $name")
+    cat.tablePath(Identifier.of(parts.init.toArray, parts.last))
+  }
+
+  private def summary(cols: Seq[(String, DataType)], values: Seq[Any]): Scan = {
+    val schema = StructType(cols.map { case (n, dt) => StructField(n, dt, nullable = false) })
+    val row = new GenericInternalRow(values.map {
+      case s: String => UTF8String.fromString(s): Any
+      case other => other: Any
+    }.toArray)
+    new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] = Array(row)
+    }
+  }
+}

@@ -2193,6 +2193,130 @@ object Relational {
          FROM orders WHERE o_orderkey < 6000) t
        WHERE o_orderkey % 3 = 0 ORDER BY o_orderkey"""
 
+  /** R88 — ordered funnel analysis: how many users did view → click
+    * → purchase IN THAT ORDER (a later stage only counts after the
+    * earlier one has occurred) — the product-analytics staple.
+    * Cascaded seen-so-far window maxima over one (user, ts) sort:
+    * stage-k's flag conditions on stage-(k-1)'s running flag, so the
+    * whole funnel is ONE shuffle on user_id plus in-partition sorts —
+    * never a per-stage self-join. Ties broken by event_id for
+    * cross-engine determinism. */
+  def qFunnel(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val e = events(s, d).select("user_id", "ts", "event_id", "event_type")
+    val staged = e
+      .withColumn("sv", max(when(col("event_type") === "view", 1).otherwise(0)).over(w))
+      .withColumn("sc", max(when(col("event_type") === "click" && col("sv") === 1, 1)
+        .otherwise(0)).over(w))
+      .withColumn("sp", max(when(col("event_type") === "purchase" && col("sc") === 1, 1)
+        .otherwise(0)).over(w))
+    staged.groupBy("user_id")
+      .agg(max("sv").as("v"), max("sc").as("c"), max("sp").as("p"))
+      .agg(count(lit(1)).as("n0"),
+        sum("v").cast("long").as("n1"),
+        sum("c").cast("long").as("n2"),
+        sum("p").cast("long").as("n3"))
+      .selectExpr(
+        """stack(4,
+             1L, 'any', n0,
+             2L, 'view', n1,
+             3L, 'view_click', n2,
+             4L, 'view_click_purchase', n3) AS (stage, label, n_users)""")
+      .orderBy("stage")
+  }
+
+  val qFunnelSql: String =
+    """WITH s1 AS (
+         SELECT user_id, ts, event_id, event_type,
+                MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sv
+         FROM events),
+       s2 AS (
+         SELECT *, MAX(CASE WHEN event_type = 'click' AND sv = 1 THEN 1 ELSE 0 END) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sc
+         FROM s1),
+       s3 AS (
+         SELECT *, MAX(CASE WHEN event_type = 'purchase' AND sc = 1 THEN 1 ELSE 0 END) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sp
+         FROM s2),
+       per AS (SELECT user_id, MAX(sv) AS v, MAX(sc) AS c, MAX(sp) AS p
+               FROM s3 GROUP BY user_id),
+       a AS (SELECT COUNT(*) AS n0, CAST(SUM(v) AS BIGINT) AS n1,
+                    CAST(SUM(c) AS BIGINT) AS n2, CAST(SUM(p) AS BIGINT) AS n3
+             FROM per)
+       SELECT stage, label, n_users FROM (
+         SELECT CAST(1 AS BIGINT) AS stage, 'any' AS label, n0 AS n_users FROM a
+         UNION ALL SELECT 2, 'view', n1 FROM a
+         UNION ALL SELECT 3, 'view_click', n2 FROM a
+         UNION ALL SELECT 4, 'view_click_purchase', n3 FROM a)
+       ORDER BY stage"""
+
+  /** R87 — time-series linear interpolation over a gap-filled date
+    * spine: daily revenue with missing days filled by the straight
+    * line between surviving neighbors (edges clamp to the nearest
+    * value) — the standard sensor/metric repair step before any
+    * rolling-window model. last/first with IGNORE NULLS over
+    * unbounded frames find each gap's bracketing observations in one
+    * pass; no self-join, no per-gap loop. The single unpartitioned
+    * window is the per-series shape — at scale the same plan runs
+    * under `partitionBy(series_key)`. */
+  def qInterpolate(s: SparkSession, d: String): DataFrame = {
+    val day = to_date(col("o_orderdate"))
+    val agg = orders(s, d)
+      .filter(day >= lit("1997-03-01") && day <= lit("1997-03-31"))
+      .groupBy(day.as("day")).agg(dsum(col("o_totalprice")).as("v"))
+    val spine = s.range(0, 31)
+      .select(date_add(lit("1997-03-01").cast("date"), col("id").cast("int")).as("day"))
+    val wPrev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.orderBy("day").rowsBetween(0, Window.unboundedFollowing)
+    spine.join(agg, Seq("day"), "left")
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("pd", last(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("nd", first(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(wNext))
+      .withColumn("filled", when(col("v").isNotNull, col("v"))
+        .when(col("pv").isNull, col("nv"))
+        .when(col("nv").isNull, col("pv"))
+        .otherwise(col("pv") + (col("nv") - col("pv"))
+          * datediff(col("day"), col("pd")) / datediff(col("nd"), col("pd"))))
+      .select(col("day").cast("string").as("day"), col("v").isNotNull.as("observed"),
+        round(col("filled"), 4).as("filled"))
+      .orderBy("day")
+  }
+
+  val qInterpolateSql: String =
+    s"""WITH agg AS (
+         SELECT CAST(o_orderdate AS DATE) AS day,
+                ${sqlSum("o_totalprice")} AS v
+         FROM orders
+         WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1997-03-01' AND DATE '1997-03-31'
+         GROUP BY 1),
+       spine AS (
+         SELECT DATE '1997-03-01' + CAST(i AS INTEGER) AS day
+         FROM UNNEST(range(0, 31)) t(i)),
+       j AS (SELECT spine.day AS day, v FROM spine LEFT JOIN agg USING (day)),
+       w AS (
+         SELECT day, v,
+           last_value(v IGNORE NULLS) OVER
+             (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+           last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER
+             (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+           first_value(v IGNORE NULLS) OVER
+             (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+           first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER
+             (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+         FROM j)
+       SELECT CAST(day AS VARCHAR) AS day, v IS NOT NULL AS observed,
+              ROUND(CASE WHEN v IS NOT NULL THEN v
+                         WHEN pv IS NULL THEN nv
+                         WHEN nv IS NULL THEN pv
+                         ELSE pv + (nv - pv) * (day - pd) / (nd - pd) END, 4) AS filled
+       FROM w ORDER BY day"""
+
   /** R85 — bitmap-index exact distinct counting (Spark 4 bitmap
     * aggregates): per-group COUNT(DISTINCT key) computed as 32k-bit
     * bitmap segments — `bitmap_bucket_number` shards the key space,

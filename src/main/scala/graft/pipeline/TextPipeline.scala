@@ -1224,6 +1224,41 @@ object TextPipeline {
               JOIN vocab vb ON p.src_b = vb.source
        ORDER BY shared_grams DESC, src_a, src_b"""
 
+  /** L41 — BPE merge-candidate mining: corpus-wide counts of adjacent
+    * character pairs inside words — the statistic the first byte-pair
+    * -encoding merge is chosen from (and re-run per round, the whole
+    * tokenizer-training inner loop; here surfaced as the top-25
+    * table). One explode to O(corpus chars) pair rows, map-side
+    * combine into the pair counter; integer-exact, no driver state. */
+  def bpePairs(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("pair"))
+    withWords(documents(s, d))
+      .select(explode(col("ws")).as("w"))
+      // slice-to-(len-1) guards 0/1-char words: Spark's sequence(1,0)
+      // would DESCEND, not empty out like the oracle's range(1,1)
+      .select(explode(expr(
+        """slice(transform(sequence(1, greatest(char_length(w) - 1, 1)), i -> substr(w, i, 2)),
+                 1, greatest(char_length(w) - 1, 0))""")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 25)
+      .select(col("rank"), col("pair"), col("n"))
+      .orderBy("rank")
+  }
+
+  val bpePairsSql: String =
+    """WITH words AS (
+         SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       pairs AS (
+         SELECT unnest(list_transform(range(1, greatest(len(w), 1)),
+                  i -> substr(w, CAST(i AS INTEGER), 2))) AS pair
+         FROM words),
+       c AS (SELECT pair, COUNT(*) AS n FROM pairs GROUP BY pair),
+       r AS (SELECT pair, n,
+                    ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rank
+             FROM c)
+       SELECT rank, pair, n FROM r WHERE rank <= 25 ORDER BY rank"""
+
   /** L40 — filter-funnel audit: the curation cascade's per-stage
     * retention table (rows in → rows out → retention) for a chain of
     * cumulative quality gates. This is the report that tells you

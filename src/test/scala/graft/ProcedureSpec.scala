@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+
+import graft.catalog._
+
+/** C71 — SQL maintenance procedures (`CALL graft.system.*`) on
+  * Spark 4's native ProcedureCatalog API. */
+class ProcedureSpec extends SparkSpec {
+
+  private def cat: GraftCatalog =
+    spark.sessionState.catalogManager.catalog("graft").asInstanceOf[GraftCatalog]
+
+  test("CALL compact reduces the file count, preserves data, returns a summary row") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.proc")
+    spark.sql("CREATE TABLE graft.proc.c (id BIGINT)")
+    (0 until 5).foreach(i =>
+      spark.range(i * 10, (i + 1) * 10).write.mode("append").saveAsTable("graft.proc.c"))
+    val dir = new Path(s"$warehouse/proc/c")
+    val before = cat.ops.resolveEntries(dir, cat.ops.load(dir).get._2).size
+    assert(before >= 5)
+
+    val out = spark.sql("CALL graft.system.compact('proc.c', 2)").collect()
+    assert(out.length == 1)
+    assert(out.head.getInt(1) == before, "files_before")
+    assert(out.head.getInt(2) <= 2, "files_after")
+    assert(spark.table("graft.proc.c").count() == 50)
+  }
+
+  test("named arguments and defaults bind through the analyzer") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.proc")
+    spark.sql("CREATE TABLE graft.proc.n (id BIGINT)")
+    (0 until 3).foreach(_ =>
+      spark.range(0, 5).write.mode("append").saveAsTable("graft.proc.n"))
+    // num_files omitted → default 4; table passed by name
+    spark.sql("CALL graft.system.compact(table => 'proc.n')").collect()
+    val dir = new Path(s"$warehouse/proc/n")
+    assert(cat.ops.resolveEntries(dir, cat.ops.load(dir).get._2).count(_.isData) <= 4)
+    assert(spark.table("graft.proc.n").count() == 15)
+  }
+
+  test("CALL vacuum expires history and removes orphans") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.proc")
+    spark.sql("CREATE TABLE graft.proc.v (id BIGINT)")
+    (0 until 4).foreach(i =>
+      spark.range(i, i + 1).write.mode("append").saveAsTable("graft.proc.v"))
+    val dir = new Path(s"$warehouse/proc/v")
+    assert(cat.ops.load(dir).get._2.snapshots.size == 4)
+
+    val out = spark.sql("CALL graft.system.vacuum('proc.v')").collect()
+    assert(out.head.getInt(0) == 3, s"expired: ${out.head}")
+    assert(cat.ops.load(dir).get._2.snapshots.size == 1)
+    assert(spark.table("graft.proc.v").count() == 4)
+  }
+
+  test("CALL rollback moves the current snapshot; data time-travels back") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.proc")
+    spark.sql("CREATE TABLE graft.proc.r (id BIGINT)")
+    spark.range(0, 10).write.mode("append").saveAsTable("graft.proc.r")
+    val dir = new Path(s"$warehouse/proc/r")
+    val firstSnap = cat.ops.load(dir).get._2.currentSnapshotId.get
+    spark.range(10, 30).write.mode("append").saveAsTable("graft.proc.r")
+    assert(spark.table("graft.proc.r").count() == 30)
+
+    spark.sql(s"CALL graft.system.rollback('proc.r', ${firstSnap}L)").collect()
+    assert(spark.table("graft.proc.r").count() == 10)
+  }
+
+  test("CALL apply_deletes rewrites pending MOR state") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.proc")
+    spark.sql("CREATE TABLE graft.proc.m (id BIGINT)")
+    spark.range(0, 100).write.mode("append").saveAsTable("graft.proc.m")
+    val dir = new Path(s"$warehouse/proc/m")
+    cat.ops.mergeOnReadDelete(spark, dir, spark.range(0, 40).toDF("id"))
+    assert(spark.table("graft.proc.m").count() == 60)
+
+    spark.sql("CALL graft.system.apply_deletes('proc.m')").collect()
+    val entries = cat.ops.resolveEntries(dir, cat.ops.load(dir).get._2)
+    assert(!entries.exists(_.isDelete), "delete files purged")
+    assert(spark.table("graft.proc.m").count() == 60)
+  }
+
+  test("CALL create_branch / create_tag / drop_ref manage refs; branch reads resolve") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.proc")
+    spark.sql("CREATE TABLE graft.proc.b (id BIGINT)")
+    spark.range(0, 10).write.mode("append").saveAsTable("graft.proc.b")
+    val dir = new Path(s"$warehouse/proc/b")
+
+    spark.sql("CALL graft.system.create_branch('proc.b', 'audit')").collect()
+    spark.sql("CALL graft.system.create_tag('proc.b', 'v1')").collect()
+    val refs = cat.ops.load(dir).get._2.refs
+    assert(refs("audit").refType == "branch" && refs("v1").refType == "tag")
+
+    // the branch pins the 10-row snapshot even as main moves on
+    spark.range(10, 25).write.mode("append").saveAsTable("graft.proc.b")
+    assert(cat.ops.read(spark, dir, ref = Some("audit")).count() == 10)
+    assert(spark.table("graft.proc.b").count() == 25)
+
+    spark.sql("CALL graft.system.drop_ref('proc.b', 'audit')").collect()
+    assert(!cat.ops.load(dir).get._2.refs.contains("audit"))
+  }
+
+  test("listProcedures exposes the system namespace") {
+    val ids = cat.listProcedures(Array("system"))
+    assert(ids.map(_.name()).toSet.contains("compact"))
+    assert(ids.forall(_.namespace().sameElements(Array("system"))))
+  }
+}
