@@ -279,4 +279,32 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!rPlan.contains("Exchange") || rPlan.contains("rangepartitioning"),
       "randproj is map-only up to the output sort: " + rPlan.take(800))
   }
+
+  test("round-7c batch: bitmap partial aggs, funnel single shuffle, outlier broadcasts") {
+    // R85 bitmap distinct: two-level agg, the inner one map-side
+    // partial — the shuffle carries (group, bucket, bitmap) rows
+    val bPlan = planOf(Relational.qBitmapDistinct(spark, sfDir))
+    assert("HashAggregate|ObjectHashAggregate".r.findAllIn(bPlan).size >= 3, bPlan.take(1000))
+    assert(!bPlan.contains("expand"), "bitmap path must not use the count-distinct Expand")
+    // R88 funnel: all three cascaded windows share ONE user_id
+    // partitioning — a single exchange feeds them
+    val fPlan = planOf(Relational.qFunnel(spark, sfDir))
+    val userParts = "hashpartitioning\\(user_id".r.findAllIn(fPlan).size
+    assert(userParts >= 1 && !fPlan.contains("CartesianProduct"), fPlan.take(1000))
+    // AQE prints final+initial plans, so each physical exchange
+    // appears twice in the string — <=2 means ONE real exchange
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(fPlan).size <= 2,
+      "cascaded funnel windows must reuse one user_id exchange: " + fPlan.take(1200))
+    // L39 outliers: centroids and moments broadcast; the corpus is
+    // never on the build side of a shuffle join
+    val oPlan = planOf(graft.pipeline.Vectors.embedOutliers(spark, sfDir))
+    assert("BroadcastHashJoin".r.findAllIn(oPlan).size >= 2,
+      "centroid + moment joins must broadcast: " + oPlan.take(1000))
+    // R87 interpolation: spine joins fact buckets without a cartesian
+    val iPlan = planOf(Relational.qInterpolate(spark, sfDir))
+    assert(!iPlan.contains("CartesianProduct"), iPlan.take(800))
+    // L41 bpe pairs: explode feeds a two-phase count (map-side combine)
+    val pPlan = planOf(graft.pipeline.TextPipeline.bpePairs(spark, sfDir))
+    assert(pPlan.contains("partial_count"), "map-side combine expected: " + pPlan.take(800))
+  }
 }
