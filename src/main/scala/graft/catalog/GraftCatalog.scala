@@ -28,7 +28,18 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * }}}
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+
+  /** C72 — transform functions (`bucket`) for write distributions and
+    * key-grouped scans. */
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    GraftFunctions.load(ident)
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    GraftFunctions.list(namespace)
+  override def functionExists(ident: Identifier): Boolean =
+    scala.util.Try(GraftFunctions.load(ident)).isSuccess
 
   /** C71 — `CALL graft.system.<proc>(...)` maintenance procedures. */
   override def loadProcedure(ident: Identifier)

@@ -615,7 +615,37 @@ final class GraftTable(
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val writeDir = new Path(ops.dataDir(dir), s"w-${java.util.UUID.randomUUID()}")
-    val delegate = dataDelegate(Seq(writeDir.toString)).newWriteBuilder(info)
+    // C72: SQL inserts into bucket-partitioned tables materialize the
+    // hidden `__pt_` column exactly like TableOps.write — the delegate
+    // writes an augmented schema and a per-task extender appends the
+    // murmur3 bucket value to every row, so SQL-inserted files carry
+    // the same footer stats the scan-side pruning reads. The required
+    // ordering sorts by the catalog-resolved `bucket()` function
+    // (GraftFunctions), which computes the identical value.
+    val specFieldsAll = meta.specs.find(_.specId == meta.defaultSpecId).toSeq
+      .flatMap(_.fields).filter(f => info.schema().fieldNames.contains(f.name))
+    val bucketFields = Transforms.materialized(specFieldsAll)
+    val ptStructFields = bucketFields.map(f => org.apache.spark.sql.types.StructField(
+      Transforms.ptColName(f), org.apache.spark.sql.types.IntegerType, nullable = false))
+    val writeInfo: LogicalWriteInfo =
+      if (bucketFields.isEmpty) info
+      else new LogicalWriteInfo {
+        override def queryId(): String = info.queryId()
+        override def options(): CaseInsensitiveStringMap = info.options()
+        override def schema(): StructType =
+          StructType(info.schema().fields ++ ptStructFields)
+        override def rowIdSchema(): java.util.Optional[StructType] = info.rowIdSchema()
+        override def metadataSchema(): java.util.Optional[StructType] = info.metadataSchema()
+      }
+    val delegateTable =
+      if (bucketFields.isEmpty) dataDelegate(Seq(writeDir.toString))
+      else dataDelegate(Seq(writeDir.toString), StructType(schema.fields ++ ptStructFields))
+    val bucketDescs: Seq[(Int, org.apache.spark.sql.types.DataType, Int)] =
+      bucketFields.map { f =>
+        val idx = info.schema().fieldIndex(f.name)
+        (idx, info.schema()(idx).dataType, Transforms.parse(f.transform).arg)
+      }
+    val delegate = delegateTable.newWriteBuilder(writeInfo)
     // C69: filter overwrite (INSERT OVERWRITE ... PARTITION / static
     // mode / writeTo().overwrite(cond)) and dynamic partition
     // overwrite both land through here; the commit-time classification
@@ -639,29 +669,35 @@ final class GraftTable(
       }
       override def build(): Write = {
         val inner = delegate.build()
+        def committing: BatchWrite = {
+          val base = inner.toBatch
+          val extended =
+            if (bucketDescs.isEmpty) base
+            else new PtExtendingBatchWrite(base, bucketDescs)
+          new CommittingBatchWrite(extended, writeDir, operation, overwriteFilters)
+        }
         // Identity fields sort as themselves; order-preserving
         // transforms (truncate/temporal) sort by their SOURCE column
         // (equivalent clustering — contiguous raw ranges ARE
-        // contiguous transform cells). Bucket fields are skipped here:
-        // expressing a hash distribution needs a FunctionCatalog
-        // binding, so bucket organization rides the TableOps.write
-        // path (incl. every compaction/rewrite); SQL-inserted files
-        // simply carry no bucket stats and are never mis-pruned.
-        val specCols = meta.specs.find(_.specId == meta.defaultSpecId).toSeq
-          .flatMap(_.fields.filterNot(f =>
-            Transforms.parse(f.transform).kind == "bucket").map(_.name))
+        // contiguous transform cells); bucket fields sort by the
+        // catalog-resolved bucket() function (C72), clustering rows of
+        // one bucket into contiguous file ranges for tight `__pt_`
+        // stats.
+        val specSorts = specFieldsAll.map(f =>
+          Transforms.parse(f.transform) match {
+            case Transforms.Parsed("bucket", n) => Left((f.name, n))
+            case _ => Right(f.name)
+          })
         // default sort order appended after the spec columns (same
         // policy as TableOps.write): clusters files AND orders rows
         val orderCols = meta.sortOrders.find(_.orderId == meta.defaultSortOrderId)
           .toSeq.flatMap(_.fields)
           .flatMap(f => meta.currentSchema.fields.find(_.id == f.sourceId)
             .map(nf => (nf.name, f.direction == "desc")))
-          .filterNot { case (n, _) => specCols.contains(n) }
-        val clusterCols = specCols.map(n => (n, false)) ++ orderCols
-        if (clusterCols.isEmpty)
+          .filterNot { case (n, _) => specSorts.contains(Right(n)) }
+        if (specSorts.isEmpty && orderCols.isEmpty)
           new Write {
-            override def toBatch: BatchWrite =
-              new CommittingBatchWrite(inner.toBatch, writeDir, operation, overwriteFilters)
+            override def toBatch: BatchWrite = committing
           }
         else
           // Partitioned table: require Spark to cluster + sort incoming
@@ -670,10 +706,18 @@ final class GraftTable(
           new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
             import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
             import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder => V2SortOrder}
-            private def sortOrders: Array[V2SortOrder] =
-              clusterCols.map { case (c, desc) => Expressions.sort(
+            private def sortOrders: Array[V2SortOrder] = {
+              val spec = specSorts.map {
+                case Left((c, n)) => Expressions.sort(
+                  Expressions.bucket(n, c), SortDirection.ASCENDING)
+                case Right(c) => Expressions.sort(
+                  Expressions.identity(c), SortDirection.ASCENDING)
+              }
+              val order = orderCols.map { case (c, desc) => Expressions.sort(
                 Expressions.identity(c),
-                if (desc) SortDirection.DESCENDING else SortDirection.ASCENDING) }.toArray
+                if (desc) SortDirection.DESCENDING else SortDirection.ASCENDING) }
+              (spec ++ order).toArray
+            }
             // ordered (RANGE) distribution, not hash-clustered: each
             // output file then covers a contiguous value range, which
             // is what makes min/max skipping effective.
@@ -685,8 +729,7 @@ final class GraftTable(
             override def requiredNumPartitions(): Int =
               meta.properties.get("graft.write.target-file-count")
                 .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(0)
-            override def toBatch: BatchWrite =
-              new CommittingBatchWrite(inner.toBatch, writeDir, operation, overwriteFilters)
+            override def toBatch: BatchWrite = committing
           }
       }
     }
@@ -1118,6 +1161,23 @@ final class GraftTable(
 
   /** Wraps the parquet BatchWrite: after the files are durably in the
     * private write dir, lists them and runs the snapshot commit. */
+  /** C72 — appends the materialized `__pt_` bucket columns to every
+    * incoming row before the file writer sees it (executor-side,
+    * per-task): `descs` = (source ordinal, source type, n) per bucket
+    * field, values = `pmod(murmur3(col, 42), n)` — identical to
+    * [[Transforms.clusterExpr]] and [[GraftFunctions.BucketBound]]. */
+  private final class PtExtendingBatchWrite(
+      inner: BatchWrite,
+      descs: Seq[(Int, org.apache.spark.sql.types.DataType, Int)]) extends BatchWrite {
+    override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+      GraftTable.PtExtendingWriterFactory(inner.createBatchWriterFactory(info), descs)
+    override def useCommitCoordinator(): Boolean = inner.useCommitCoordinator()
+    override def onDataWriterCommit(message: WriterCommitMessage): Unit =
+      inner.onDataWriterCommit(message)
+    override def commit(messages: Array[WriterCommitMessage]): Unit = inner.commit(messages)
+    override def abort(messages: Array[WriterCommitMessage]): Unit = inner.abort(messages)
+  }
+
   private final class CommittingBatchWrite(
       inner: BatchWrite, writeDir: Path, operation: String,
       overwriteFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
@@ -1157,6 +1217,39 @@ object GraftTable {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
   import org.apache.spark.sql.connector.write.DataWriter
+
+  /** Executor-side `__pt_` appender (C72); serializable, stateless up
+    * to the per-writer scratch row. */
+  private[catalog] final case class PtExtendingWriterFactory(
+      inner: org.apache.spark.sql.connector.write.DataWriterFactory,
+      descs: Seq[(Int, org.apache.spark.sql.types.DataType, Int)])
+      extends org.apache.spark.sql.connector.write.DataWriterFactory {
+    override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+      val delegate = inner.createWriter(partitionId, taskId)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      val extra = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(descs.length)
+      val ds = descs.toArray
+      new DataWriter[InternalRow] {
+        override def write(row: InternalRow): Unit = {
+          var i = 0
+          while (i < ds.length) {
+            val (idx, dt, n) = ds(i)
+            val h =
+              if (row.isNullAt(idx)) 42
+              else org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+                .hash(row.get(idx, dt), dt, 42).toInt
+            extra.update(i, ((h % n) + n) % n)
+            i += 1
+          }
+          delegate.write(joined(row, extra))
+        }
+        override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage =
+          delegate.commit()
+        override def abort(): Unit = delegate.abort()
+        override def close(): Unit = delegate.close()
+      }
+    }
+  }
 
   private[catalog] val scanMetrics
       : Array[org.apache.spark.sql.connector.metric.CustomMetric] = Array(

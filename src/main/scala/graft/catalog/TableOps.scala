@@ -123,7 +123,7 @@ final class TableOps(private[graft] val store: FsStore) {
       val entry = scala.util.Try(Stats.collect(store.fs(tableDir).getConf, f))
         .getOrElse(DataFileEntry(f))
       entry.copy(path = relativize(tableDir, f), seq = Some(newSeq))
-    })
+    }.filterNot(_.rows.contains(0L))) // empty range partitions write 0-row files: pure metadata waste
     val snapId = newSnapshotId()
     val (manifestName, total) = operation match {
       case "append" =>
@@ -304,7 +304,7 @@ final class TableOps(private[graft] val store: FsStore) {
       val entry = scala.util.Try(Stats.collect(store.fs(tableDir).getConf, f))
         .getOrElse(DataFileEntry(f))
       entry.copy(path = relativize(tableDir, f), seq = Some(newSeq))
-    })
+    }.filterNot(_.rows.contains(0L))) // empty range partitions write 0-row files: pure metadata waste
     val snapId = newSnapshotId()
     val (manifestName, total) = operation match {
       case "append" =>
@@ -620,7 +620,7 @@ final class TableOps(private[graft] val store: FsStore) {
       val entry = scala.util.Try(Stats.collect(store.fs(tableDir).getConf, f))
         .getOrElse(DataFileEntry(f))
       entry.copy(path = relativize(tableDir, f), seq = Some(newSeq))
-    })
+    }.filterNot(_.rows.contains(0L))) // empty range partitions write 0-row files: pure metadata waste
     val all = keptRel ++ newRel
     val snapId = newSnapshotId()
     val (manifestName, total) =

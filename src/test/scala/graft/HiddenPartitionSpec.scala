@@ -164,4 +164,35 @@ class HiddenPartitionSpec extends SparkSpec {
          WHERE ts >= TIMESTAMP '2026-04-03 00:00:00' AND ts < TIMESTAMP '2026-04-04 00:00:00'""")
       .collect()(0).getLong(0) == 100L)
   }
+
+  test("C72: SQL INSERT into a bucket table materializes __pt_ stats and prunes") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.hp")
+    spark.sql("""CREATE TABLE graft.hp.sqlbk (k BIGINT, v DOUBLE)
+                 PARTITIONED BY (bucket(8, k))
+                 TBLPROPERTIES ('graft.write.target-file-count'='8')""")
+    spark.sql("""INSERT INTO graft.hp.sqlbk
+                 SELECT CAST(id % 200 AS BIGINT), id * 0.25 FROM range(4000) t(id)""")
+    val dir = new Path(s"$warehouse/hp/sqlbk")
+
+    // SQL-inserted files carry the hidden bucket column's footer stats
+    val entries = cat.ops.resolveEntries(dir, cat.ops.load(dir).get._2)
+    assert(entries.nonEmpty && entries.forall(_.stats.contains("__pt_k")),
+      s"SQL-inserted files must carry __pt_k stats: ${entries.map(_.stats.keySet)}")
+    // the hidden column never surfaces in reads
+    assert(spark.table("graft.hp.sqlbk").columns.toSeq == Seq("k", "v"))
+
+    // bucket()-sorted distribution gives single-bucket-range files →
+    // equality prunes through the hash exactly like the API write path
+    val all = scannedPaths(spark.sql("SELECT sum(v) FROM graft.hp.sqlbk"))
+    val one = scannedPaths(spark.sql("SELECT sum(v) FROM graft.hp.sqlbk WHERE k = 7"))
+    assert(all >= 4, s"got $all")
+    assert(one <= 2, s"equality must prune to ~1 bucket file of $all, got $one")
+    assert(spark.sql("SELECT count(*) FROM graft.hp.sqlbk WHERE k = 7")
+      .collect()(0).getLong(0) == 20L)
+    // the materialized value agrees with the catalog bucket() function
+    // (= the pruning hash): rows of one k land in one bucket file set
+    assert(spark.sql("SELECT sum(v) FROM graft.hp.sqlbk WHERE k IN (7, 11, 42)")
+      .collect()(0).getDouble(0) ==
+      (0L until 4000L).filter(i => Set(7L, 11L, 42L)(i % 200L)).map(_ * 0.25).sum)
+  }
 }
