@@ -476,7 +476,7 @@ final class GraftTable(
                 b.build().toBatch
               }
             override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
-              GraftTable.manifestStatistics(runtimeKept)
+              GraftTable.manifestStatistics(runtimeKept, schema, meta.properties)
             // Scan observability (the REST surface's metrics-report
             // endpoint, Spark-native): manifest-pruning counters land
             // in the SQL UI as driver metrics for every query; after a
@@ -531,7 +531,7 @@ final class GraftTable(
       override def description(): String =
         s"graft parquet multi-schema (${groups.size} rename groups)"
       override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
-        GraftTable.manifestStatistics(groups.flatMap(_._2))
+        GraftTable.manifestStatistics(groups.flatMap(_._2), schema, meta.properties)
       override def toMicroBatchStream(checkpointLocation: String)
           : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
         require(pinnedFiles.isEmpty, "cannot stream a time-travel-pinned table")
@@ -578,7 +578,7 @@ final class GraftTable(
     override def readSchema(): StructType = batchScan.readSchema()
     override def description(): String = s"${batchScan.description()} keyGrouped=$specCols"
     override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
-      GraftTable.manifestStatistics(statEntries)
+      GraftTable.manifestStatistics(statEntries, schema, meta.properties)
 
     private lazy val grouped: Array[InputPartition] = {
       val inner = batchScan.toBatch.planInputPartitions()
@@ -1327,7 +1327,10 @@ object GraftTable {
     * the difference between a broadcast and a full shuffle. Partial
     * manifests (any file missing a count) report unknown rather than
     * an underestimate. */
-  private[catalog] def manifestStatistics(entries: Seq[DataFileEntry])
+  private[catalog] def manifestStatistics(
+      entries: Seq[DataFileEntry],
+      schema: StructType = StructType(Seq.empty),
+      properties: Map[String, String] = Map.empty)
       : org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
@@ -1338,7 +1341,82 @@ object GraftTable {
         if (entries.forall(_.rows.isDefined))
           java.util.OptionalLong.of(entries.flatMap(_.rows).sum)
         else java.util.OptionalLong.empty()
+      /** C73 — CBO column statistics: NDV from the last ANALYZE
+        * (table properties), min/max/null-count folded from the
+        * manifest entry stats of exactly the planned (post-pruning)
+        * file set. Only types whose stat strings convert losslessly
+        * to Catalyst values report min/max. */
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        import org.apache.spark.sql.connector.expressions.Expressions
+        import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+        val out = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference, ColumnStatistics]()
+        schema.fields.foreach { f =>
+          val ndv = properties.get(s"graft.stats.ndv.${f.name}")
+            .flatMap(s => scala.util.Try(s.toLong).toOption)
+          val cs = entries.map(_.stats.get(f.name))
+          val nulls =
+            if (entries.nonEmpty && cs.forall(_.exists(_.nulls.isDefined)))
+              Some(cs.flatten.flatMap(_.nulls).sum)
+            else None
+          def fold(pick: Seq[String] => Option[String], side: ColumnStats => Option[String])
+              : Option[Any] =
+            if (entries.isEmpty || !cs.forall(_.exists(side(_).isDefined))) None
+            else pick(cs.flatten.flatMap(side(_))).flatMap(statValue(f.dataType, _))
+          val minV = fold(vs => minByType(f.dataType, vs), _.min)
+          val maxV = fold(vs => maxByType(f.dataType, vs), _.max)
+          if (ndv.isDefined || nulls.isDefined || minV.isDefined || maxV.isDefined)
+            out.put(Expressions.column(f.name), new ColumnStatistics {
+              override def distinctCount(): java.util.OptionalLong =
+                ndv.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
+              override def nullCount(): java.util.OptionalLong =
+                nulls.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
+              override def min(): java.util.Optional[Object] =
+                minV.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+                  .getOrElse(java.util.Optional.empty())
+              override def max(): java.util.Optional[Object] =
+                maxV.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+                  .getOrElse(java.util.Optional.empty())
+            })
+        }
+        out
+      }
     }
+
+  /** Stat string → Catalyst value for CBO min/max (numerics and the
+    * epoch-encoded temporals only — lossless conversions). */
+  private def statValue(dt: org.apache.spark.sql.types.DataType, s: String): Option[Any] = {
+    import org.apache.spark.sql.types._
+    scala.util.Try[Any] {
+      dt match {
+        case ByteType | ShortType | IntegerType => s.toDouble.toInt
+        case LongType => s.toDouble.toLong
+        case FloatType => s.toFloat
+        case DoubleType => s.toDouble
+        case DateType => s.toDouble.toInt // days
+        case TimestampType | TimestampNTZType => s.toDouble.toLong // micros
+        case _ => throw new IllegalArgumentException(dt.toString)
+      }
+    }.toOption
+  }
+  private def minByType(dt: org.apache.spark.sql.types.DataType, vs: Seq[String])
+      : Option[String] =
+    vs.flatMap(v => statValue(dt, v).map(x => (v, x))) match {
+      case Seq() => None
+      case ps => Some(ps.minBy { case (_, x) => numKey(x) }._1)
+    }
+  private def maxByType(dt: org.apache.spark.sql.types.DataType, vs: Seq[String])
+      : Option[String] =
+    vs.flatMap(v => statValue(dt, v).map(x => (v, x))) match {
+      case Seq() => None
+      case ps => Some(ps.maxBy { case (_, x) => numKey(x) }._1)
+    }
+  private def numKey(x: Any): Double = x match {
+    case n: java.lang.Number => n.doubleValue()
+    case other => throw new IllegalArgumentException(other.toString)
+  }
 
   /** Executor-side: drops `incoming.numFields - schema.size` LEADING
     * fields via a codegen'd unsafe projection (built lazily once the

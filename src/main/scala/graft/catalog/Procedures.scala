@@ -36,7 +36,7 @@ object Procedures {
   private def names: Seq[String] = Seq(
     "compact", "expire_snapshots", "remove_orphans", "rewrite_manifests",
     "apply_deletes", "rollback", "fast_forward", "vacuum",
-    "create_branch", "create_tag", "drop_ref")
+    "create_branch", "create_tag", "drop_ref", "analyze")
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.sameElements(Namespace) && names.contains(ident.name),
@@ -77,6 +77,7 @@ object Procedures {
       case "create_branch" | "create_tag" => Array(param("table", StringType),
         param("name", StringType), paramD("snapshot_id", LongType, "-1"))
       case "drop_ref" => Array(param("table", StringType), param("name", StringType))
+      case "analyze" => Array(param("table", StringType))
       case other => throw new IllegalArgumentException(other)
     }
 
@@ -148,6 +149,10 @@ object Procedures {
           val refName = input.getUTF8String(1).toString
           ops.commit(dir, Seq.empty, Seq(MetadataUpdate.RemoveSnapshotRef(refName)))
           summary(Seq("dropped" -> StringType), Seq[Any](refName))
+        case "analyze" =>
+          val meta = ops.analyze(spark, dir)
+          summary(Seq("analyzed_columns" -> IntegerType),
+            Seq[Any](meta.properties.keys.count(_.startsWith("graft.stats.ndv."))))
         case other => throw new IllegalArgumentException(other)
       }
       Collections.singletonList(scan).iterator()

@@ -1137,6 +1137,31 @@ final class TableOps(private[graft] val store: FsStore) {
     FilterColumns.toColumn(f).getOrElse(
       throw new UnsupportedOperationException(s"overwrite filter: $f"))
 
+  /** C73 — ANALYZE: one distributed aggregation computing per-column
+    * NDV (HLL approx_count_distinct, ±2%) over the current snapshot,
+    * committed as `graft.stats.ndv.<col>` table properties (stamped
+    * with the analyzed snapshot id). Scans then surface these through
+    * DSv2 `Statistics.columnStats()` alongside manifest-derived
+    * min/max/null-counts, which is what Spark's CBO needs for join
+    * reordering and build-side choice — the piece a 100-TB star join
+    * cannot infer from sizeInBytes alone. O(1 scan) to refresh,
+    * metadata-only to serve. */
+  def analyze(spark: SparkSession, tableDir: Path): TableMetadata = {
+    import org.apache.spark.sql.functions.{approx_count_distinct, col}
+    val (_, meta) = load(tableDir).getOrElse(
+      throw new CommitFailedException(s"table does not exist at $tableDir"))
+    val schema = SchemaBridge.toSpark(meta.currentSchema)
+    if (meta.currentSnapshot.isEmpty || schema.isEmpty) return meta
+    val df = read(spark, tableDir)
+    val aggs = schema.fields.map(f => approx_count_distinct(col(f.name)).as(f.name))
+    val row = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect().head
+    val props = schema.fields.zipWithIndex.map { case (f, i) =>
+      s"graft.stats.ndv.${f.name}" -> row.getLong(i).toString
+    }.toMap + ("graft.stats.analyzed-snapshot" ->
+      meta.currentSnapshot.get.snapshotId.toString)
+    commit(tableDir, Seq.empty, Seq(MetadataUpdate.SetProperties(props)))
+  }
+
   /** Rewrite the table with all pending deletes applied (and drop the
     * delete files from the manifest): an overwrite snapshot of the
     * MOR-resolved read. */

@@ -100,6 +100,43 @@ class ProcedureSpec extends SparkSpec {
     assert(!cat.ops.load(dir).get._2.refs.contains("audit"))
   }
 
+  test("CALL analyze computes NDVs; scans surface CBO column statistics") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.proc")
+    spark.sql("CREATE TABLE graft.proc.an (k BIGINT, grp BIGINT, s STRING)")
+    spark.range(0, 1000)
+      .selectExpr("id AS k", "id % 10 AS grp", "concat('v', id % 50) AS s")
+      .write.mode("append").saveAsTable("graft.proc.an")
+
+    val out = spark.sql("CALL graft.system.analyze('proc.an')").collect()
+    assert(out.head.getInt(0) == 3, "three columns analyzed")
+    val dir = new Path(s"$warehouse/proc/an")
+    val props = cat.ops.load(dir).get._2.properties
+    // HLL NDVs within 2% of exact
+    assert(math.abs(props("graft.stats.ndv.grp").toLong - 10L) <= 1)
+    assert(math.abs(props("graft.stats.ndv.k").toLong - 1000L) <= 30)
+
+    // the DSv2 scan reports column statistics for the CBO
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val table = cat.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("proc"), "an"))
+    val scan = table.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(new CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
+      .build()
+    val stats = scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(stats.numRows().getAsLong == 1000L)
+    val cs = stats.columnStats()
+    val byName = cs.keySet().toArray.map(_.toString).toSet
+    assert(byName.contains("grp") && byName.contains("k"), byName.toString)
+    val grpStats = cs.entrySet().toArray
+      .map(_.asInstanceOf[java.util.Map.Entry[_, org.apache.spark.sql.connector.read.colstats.ColumnStatistics]])
+      .find(_.getKey.toString == "grp").get.getValue
+    assert(math.abs(grpStats.distinctCount().getAsLong - 10L) <= 1)
+    assert(grpStats.nullCount().getAsLong == 0L)
+    assert(grpStats.min().get() == 0L && grpStats.max().get() == 9L,
+      s"${grpStats.min()} .. ${grpStats.max()}")
+  }
+
   test("listProcedures exposes the system namespace") {
     val ids = cat.listProcedures(Array("system"))
     assert(ids.map(_.name()).toSet.contains("compact"))
