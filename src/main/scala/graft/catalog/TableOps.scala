@@ -1055,17 +1055,29 @@ final class TableOps(private[graft] val store: FsStore) {
   /** Straddling-file rows for an overwrite's copy-on-write rewrite.
     * On lineage-enabled tables (C70) the read goes through the DSv2
     * scan and carries `_row_id` out as the materialized physical
-    * column, so surviving rows KEEP their ids across the rewrite. */
+    * column, so surviving rows KEEP their ids across the rewrite.
+    * Bucket-partitioned tables (C65/C72) re-materialize the hidden
+    * `__pt_` columns so the rewritten survivor files keep the same
+    * footer stats the originals had — pruning parity across the
+    * rewrite. */
   private def survivorSource(
       spark: SparkSession, tableDir: Path, meta: TableMetadata,
       schema: StructType, partial: Seq[DataFileEntry]): DataFrame = {
     import org.apache.spark.sql.functions.col
-    if (!lineageEnabled(meta)) readEntries(spark, tableDir, meta, partial)
-    else {
-      val t = new GraftTable(tableDir.toString, tableDir, meta, this, Some(partial))
-      org.apache.spark.sql.execution.datasources.GraftBridge.ofRows(spark, t)
-        .select(schema.fieldNames.toIndexedSeq.map(col)
-          :+ col("_row_id").as(RowLineage.PhysCol): _*)
+    val base =
+      if (!lineageEnabled(meta)) readEntries(spark, tableDir, meta, partial)
+      else {
+        val t = new GraftTable(tableDir.toString, tableDir, meta, this, Some(partial))
+        org.apache.spark.sql.execution.datasources.GraftBridge.ofRows(spark, t)
+          .select(schema.fieldNames.toIndexedSeq.map(col)
+            :+ col("_row_id").as(RowLineage.PhysCol): _*)
+      }
+    val bucketFields = meta.specs.find(_.specId == meta.defaultSpecId).toSeq
+      .flatMap(s => Transforms.materialized(s.fields))
+      .filter(f => schema.fieldNames.contains(f.name))
+    bucketFields.foldLeft(base) { (d, f) =>
+      d.withColumn(Transforms.ptColName(f),
+        Transforms.clusterExpr(f.transform, f.name, schema(f.name).dataType))
     }
   }
 

@@ -132,6 +132,26 @@ class OverwriteSpec extends SparkSpec {
     assert(spark.table("graft.ow.full").count() == 5)
   }
 
+  test("survivor rewrites on bucket tables keep __pt_ stats (pruning parity)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ow")
+    spark.sql("""CREATE TABLE graft.ow.bk (k BIGINT, v BIGINT)
+                 PARTITIONED BY (bucket(4, k))""")
+    spark.sql("INSERT INTO graft.ow.bk SELECT CAST(id % 50 AS BIGINT), id FROM range(1000)")
+    val dir = new Path(s"$warehouse/ow/bk")
+    assert(entries(dir).forall(_.stats.contains("__pt_k")))
+
+    import org.apache.spark.sql.functions.col
+    // straddles every bucket file (v range cuts across all buckets)
+    spark.range(5000, 5003).selectExpr("CAST(id AS BIGINT) AS k", "id AS v")
+      .writeTo("graft.ow.bk").overwrite(col("v") >= 500L)
+
+    val after = entries(dir)
+    assert(after.filter(_.isData).forall(_.stats.contains("__pt_k")),
+      s"survivor files must keep bucket stats: ${after.map(_.stats.keySet)}")
+    assert(spark.sql("SELECT count(*) FROM graft.ow.bk WHERE v < 500").collect()
+      .head.getLong(0) == 500)
+  }
+
   test("overwrite aborts cleanly when MOR deletes are pending") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ow")
     spark.sql("CREATE TABLE graft.ow.mor (id BIGINT, day BIGINT) PARTITIONED BY (day)")
