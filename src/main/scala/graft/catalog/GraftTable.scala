@@ -337,11 +337,10 @@ final class GraftTable(
               import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
               override def readSchema(): StructType = req
               override def description(): String =
-                s"${inner.description()} morEq=${eqDeletes.size} morPos=${posDeletes.size} morDv=${dvDeletes.size} keyGrouped=$specCols"
+                s"${inner.description()} morEq=${eqDeletes.size} morPos=${posDeletes.size} morDv=${dvDeletes.size} keyGrouped=${specCols.map(_.name)}"
               override def outputPartitioning(): Partitioning =
                 new KeyGroupedPartitioning(
-                  specCols.map(c => Expressions.identity(c)
-                    : org.apache.spark.sql.connector.expressions.Expression).toArray,
+                  specCols.map(KeyGrouping.partitionExpr).toArray,
                   grouped.length)
               override def toBatch: org.apache.spark.sql.connector.read.Batch =
                 new org.apache.spark.sql.connector.read.Batch {
@@ -562,7 +561,7 @@ final class GraftTable(
     * local zip of matching partitions. */
   private final class KeyGroupedScan(
       batchScan: org.apache.spark.sql.connector.read.Scan,
-      specCols: Seq[String],
+      specCols: Seq[PartitionField],
       keyByPath: Map[String, (Seq[Any], org.apache.spark.sql.catalyst.InternalRow)],
       options: CaseInsensitiveStringMap,
       predicateState: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
@@ -576,7 +575,8 @@ final class GraftTable(
     import org.apache.spark.sql.execution.datasources.FilePartition
 
     override def readSchema(): StructType = batchScan.readSchema()
-    override def description(): String = s"${batchScan.description()} keyGrouped=$specCols"
+    override def description(): String =
+      s"${batchScan.description()} keyGrouped=${specCols.map(_.name)}"
     override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
       GraftTable.manifestStatistics(statEntries, schema, meta.properties)
 
@@ -596,8 +596,7 @@ final class GraftTable(
 
     override def outputPartitioning(): Partitioning =
       new KeyGroupedPartitioning(
-        specCols.map(c =>
-          Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray,
+        specCols.map(KeyGrouping.partitionExpr).toArray,
         grouped.length)
 
     override def toBatch: Batch = new Batch {

@@ -15,22 +15,33 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object KeyGrouping {
 
-  /** Spec columns + per-file key (grouping tuple, reported InternalRow)
-    * when EVERY file is single-valued on EVERY identity spec column of
-    * a supported type; None disables key-grouped reporting. */
+  /** Spec fields + per-file key (grouping tuple, reported InternalRow)
+    * when EVERY file is single-valued on EVERY spec dimension; None
+    * disables key-grouped reporting. Identity fields key on the source
+    * column's stats; bucket fields (C74) key on the hidden `__pt_`
+    * column's stats — the reported partitioning then carries the
+    * `bucket(n, col)` transform, which Spark resolves through the
+    * catalog's V2 function (GraftFunctions) and aligns across join
+    * sides: two co-bucketed tables join with ZERO shuffle even though
+    * their raw key values never appear in any directory layout. */
   def keysFor(meta: TableMetadata, schema: StructType, entries: Seq[DataFileEntry])
-      : Option[(Seq[String], Map[String, (Seq[Any], InternalRow)])] = {
+      : Option[(Seq[PartitionField], Map[String, (Seq[Any], InternalRow)])] = {
     val spec = meta.specs.find(_.specId == meta.defaultSpecId)
       .map(_.fields).getOrElse(Seq.empty)
-    if (spec.isEmpty || !spec.forall(_.transform == "identity") || entries.isEmpty)
+    def kind(f: PartitionField): String = Transforms.parse(f.transform).kind
+    if (spec.isEmpty || entries.isEmpty ||
+        !spec.forall(f => kind(f) == "identity" || kind(f) == "bucket"))
       return None
-    val cols = spec.map(_.name)
-    val types = cols.map(c => schema.fields.find(_.name == c).map(_.dataType))
-    if (types.exists(t => t.isEmpty || !supported(t.get))) return None
-    val dts = types.map(_.get)
+    // (stat column to read, value type) per spec dimension
+    val dims = spec.map { f =>
+      if (kind(f) == "bucket") Some((Transforms.ptColName(f), IntegerType: DataType))
+      else schema.fields.find(_.name == f.name)
+        .filter(sf => supported(sf.dataType)).map(sf => (f.name, sf.dataType))
+    }
+    if (dims.exists(_.isEmpty)) return None
 
     val perFile = entries.map { e =>
-      val vals = cols.zip(dts).map { case (c, dt) =>
+      val vals = dims.flatten.map { case (c, dt) =>
         e.stats.get(c) match {
           case Some(ColumnStats(Some(mn), Some(mx), _)) if mn == mx => parse(dt, mn)
           case _ => None
@@ -40,8 +51,17 @@ object KeyGrouping {
       val key = vals.map(_.get)
       new Path(e.path).toUri.getPath -> (key, new GenericInternalRow(key.toArray): InternalRow)
     }.toMap
-    Some((cols, perFile))
+    Some((spec, perFile))
   }
+
+  /** The reported partitioning expression for one spec dimension. */
+  def partitionExpr(f: PartitionField)
+      : org.apache.spark.sql.connector.expressions.Expression =
+    Transforms.parse(f.transform) match {
+      case Transforms.Parsed("bucket", n) =>
+        org.apache.spark.sql.connector.expressions.Expressions.bucket(n, f.name)
+      case _ => org.apache.spark.sql.connector.expressions.Expressions.identity(f.name)
+    }
 
   private def supported(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | BooleanType |

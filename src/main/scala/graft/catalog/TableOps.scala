@@ -587,15 +587,31 @@ final class TableOps(private[graft] val store: FsStore) {
     * through graft's path-list reads). */
   def writeValuePartitioned(tableDir: Path, df: DataFrame,
       operation: String = "append"): TableMetadata = {
-    val specCols = load(tableDir).toSeq.flatMap { case (_, m) =>
-      m.specs.find(_.specId == m.defaultSpecId).toSeq
-        .flatMap(_.fields.filter(_.transform == "identity").map(_.name))
-    }.filter(df.columns.contains)
-    require(specCols.nonEmpty,
-      s"writeValuePartitioned needs identity partition columns present in the frame")
+    val specFields = load(tableDir).toSeq.flatMap { case (_, m) =>
+      m.specs.find(_.specId == m.defaultSpecId).toSeq.flatMap(_.fields)
+    }.filter(f => df.columns.contains(f.name))
+      .filter(f => Seq("identity", "bucket").contains(Transforms.parse(f.transform).kind))
+    require(specFields.nonEmpty,
+      s"writeValuePartitioned needs identity/bucket partition columns present in the frame")
     val writeDir = new Path(dataDir(tableDir), s"w-${UUID.randomUUID()}")
-    val dup = specCols.foldLeft(df)((f, c) => f.withColumn(s"__p_$c", f.col(c)))
-    dup.write.partitionBy(specCols.map("__p_" + _): _*)
+    // identity fields duplicate the raw value; bucket fields (C74)
+    // FIRST materialize the hidden __pt_ column (so the files carry
+    // its footer stats) and partition on its value — one file set per
+    // bucket, which is exactly what activates bucket-transform SPJ
+    val dup = specFields.foldLeft(df) { (d, f) =>
+      if (Transforms.parse(f.transform).kind == "bucket") {
+        val pt = Transforms.ptColName(f)
+        val d2 = d.withColumn(pt,
+          Transforms.clusterExpr(f.transform, f.name, d.schema(f.name).dataType))
+        d2.withColumn(s"__p_$pt", d2.col(pt))
+      } else d.withColumn(s"__p_${f.name}", d.col(f.name))
+    }
+    val dirCols = specFields.map { f =>
+      if (Transforms.parse(f.transform).kind == "bucket")
+        s"__p_${Transforms.ptColName(f)}"
+      else s"__p_${f.name}"
+    }
+    dup.write.partitionBy(dirCols: _*)
       .format(dataFormat(tableDir)).save(writeDir.toString)
     val files = store.listFilesRec(writeDir)
       .filter(f => isDataFile(f.getName)).map(_.toString)

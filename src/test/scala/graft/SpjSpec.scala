@@ -169,4 +169,32 @@ class SpjSpec extends SparkSpec {
       assert(hashShuffles(joined) > 0, "straddling files must fall back to shuffling")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("C74: co-bucketed tables join with zero shuffles through the bucket transform") {
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spj")
+    spark.sql("CREATE TABLE graft.spj.bka (k BIGINT, x DOUBLE) PARTITIONED BY (bucket(4, k))")
+    spark.sql("CREATE TABLE graft.spj.bkb (k BIGINT, y DOUBLE) PARTITIONED BY (bucket(4, k))")
+    val a = spark.range(0, 400).selectExpr("id % 100 AS k", "id * 1.0 AS x")
+    val b = spark.range(0, 300).selectExpr("id % 100 AS k", "id * 2.0 AS y")
+    cat.ops.writeValuePartitioned(new org.apache.hadoop.fs.Path(s"$warehouse/spj/bka"), a)
+    cat.ops.writeValuePartitioned(new org.apache.hadoop.fs.Path(s"$warehouse/spj/bkb"), b)
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.sql(
+        """SELECT a.k, count(*) AS n
+          FROM graft.spj.bka a JOIN graft.spj.bkb b ON a.k = b.k
+          GROUP BY a.k ORDER BY a.k""")
+      // oracle: per-key counts of the two modulo ranges
+      val expected = (0L until 100L).map(k => (k, 4L * 3L)).toMap
+      assert(joined.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == expected)
+      // the join aligns on bucket(4, k) across both sides — no
+      // exchange for join OR aggregation
+      assert(hashShuffles(joined) == 0,
+        s"expected bucket-transform SPJ, got:\n${joined.queryExecution.executedPlan}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
