@@ -31,6 +31,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog
     with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
+  /** C75 — declare column-default support so `CREATE TABLE (... x INT
+    * DEFAULT 7)` / `ALTER TABLE ADD COLUMN ... DEFAULT` / `ALTER
+    * COLUMN ... SET DEFAULT` pass analysis and reach us as column
+    * metadata / TableChanges. */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   /** C72 — transform functions (`bucket`) for write distributions and
     * key-grouped scans. */
   override def loadFunction(ident: Identifier)
@@ -282,8 +289,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       case rm: TableChange.RemoveProperty => rmProps :+= rm.property
       case add: TableChange.AddColumn =>
         nextId += 1
+        // C75: DEFAULT on ADD COLUMN — the SQL text becomes BOTH the
+        // frozen initial-default (fills rows in files that predate the
+        // column, applied by the readers via EXISTS_DEFAULT metadata)
+        // and the current write-default (INSERTs that omit the column).
+        val dv = Option(add.defaultValue()).map(_.getSql)
         fields = fields :+ NestedField(
-          nextId, add.fieldNames.mkString("."), add.dataType.sql, !add.isNullable)
+          nextId, add.fieldNames.mkString("."), add.dataType.sql, !add.isNullable,
+          initialDefault = dv, writeDefault = dv)
+        schemaChanged = true
+      case upd: TableChange.UpdateColumnDefaultValue =>
+        // C75: SET DEFAULT changes only the write-default; the
+        // initial-default stays frozen (Iceberg v3 semantics) so
+        // existing files keep reading the value that was promised
+        // when the column was added.
+        val nd = Option(upd.newCurrentDefault()).map(_.getSql).filter(_.nonEmpty)
+        fields = fields.map(f =>
+          if (f.name == upd.fieldNames.mkString(".")) f.copy(writeDefault = nd) else f)
         schemaChanged = true
       case del: TableChange.DeleteColumn =>
         fields = fields.filterNot(_.name == del.fieldNames.mkString("."))

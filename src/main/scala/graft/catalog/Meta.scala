@@ -15,7 +15,13 @@ import java.util.UUID
   *     rather than an Avro manifest-list tree; same role, Spark reads
   *     the listed parquet files directly.
   */
-final case class NestedField(id: Int, name: String, dataType: String, required: Boolean)
+/** C75: `initialDefault`/`writeDefault` are SQL literal texts (Iceberg
+  * v3 `initial-default` / `write-default`): initial is FROZEN at the
+  * ALTER that added the column and fills rows written before it
+  * existed; write is the current DEFAULT applied to new INSERTs that
+  * omit the column (may be changed later without touching initial). */
+final case class NestedField(id: Int, name: String, dataType: String, required: Boolean,
+    initialDefault: Option[String] = None, writeDefault: Option[String] = None)
 
 final case class TableSchema(schemaId: Int, fields: Seq[NestedField]) {
   def highestFieldId: Int = if (fields.isEmpty) 0 else fields.map(_.id).max

@@ -23,6 +23,8 @@ object MetadataJson {
       val fo = fs.addObject()
       fo.put("id", f.id); fo.put("name", f.name)
       fo.put("required", f.required); fo.put("type", f.dataType)
+      f.initialDefault.foreach(fo.put("initial-default", _))
+      f.writeDefault.foreach(fo.put("write-default", _))
     }
   }
 
@@ -111,7 +113,9 @@ object MetadataJson {
       n.get("schema-id").asInt(),
       arr(n, "fields").map(f =>
         NestedField(f.get("id").asInt(), f.get("name").asText(),
-          f.get("type").asText(), f.get("required").asBoolean())))
+          f.get("type").asText(), f.get("required").asBoolean(),
+          Option(f.get("initial-default")).map(_.asText()),
+          Option(f.get("write-default")).map(_.asText()))))
 
   def fromJson(json: String): TableMetadata = {
     val n = mapper.readTree(json)

@@ -36,7 +36,7 @@ object Procedures {
   private def names: Seq[String] = Seq(
     "compact", "expire_snapshots", "remove_orphans", "rewrite_manifests",
     "apply_deletes", "rollback", "fast_forward", "vacuum",
-    "create_branch", "create_tag", "drop_ref", "analyze")
+    "create_branch", "create_tag", "drop_ref", "analyze", "maintenance_plan")
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.sameElements(Namespace) && names.contains(ident.name),
@@ -78,6 +78,8 @@ object Procedures {
         param("name", StringType), paramD("snapshot_id", LongType, "-1"))
       case "drop_ref" => Array(param("table", StringType), param("name", StringType))
       case "analyze" => Array(param("table", StringType))
+      case "maintenance_plan" => Array(param("table", StringType),
+        paramD("small_file_mb", IntegerType, "32"), paramD("retain_snapshots", IntegerType, "20"))
       case other => throw new IllegalArgumentException(other)
     }
 
@@ -153,6 +155,39 @@ object Procedures {
           val meta = ops.analyze(spark, dir)
           summary(Seq("analyzed_columns" -> IntegerType),
             Seq[Any](meta.properties.keys.count(_.startsWith("graft.stats.ndv."))))
+        case "maintenance_plan" =>
+          // C78 — the advisor: reads ONLY metadata (manifest entries +
+          // snapshot log, no data files) and reports which maintenance
+          // procedures are worth running, with the metric that triggered
+          // each. The decision inputs are the same ones the maintenance
+          // ops act on, so the advice is directly actionable.
+          val meta = ops.load(dir).get._2
+          val entries = ops.resolveEntries(dir, meta)
+          val smallBytes = input.getInt(1).toLong * 1024 * 1024
+          val retain = input.getInt(2)
+          val data = entries.filter(_.isData)
+          val small = data.filter(_.bytes.exists(_ < smallBytes))
+          val dels = entries.count(e => e.isEqDelete || e.isPosDelete || e.isDvDelete)
+          val segs = meta.currentSnapshot.toSeq
+            .flatMap(sn => ops.segmentsOrSelf(dir, sn.manifest)).size
+          val plan = Seq.newBuilder[(String, String, Long)]
+          if (small.size >= 4) plan += (("compact",
+            s"${small.size} of ${data.size} data files under ${input.getInt(1)} MB",
+            small.size.toLong))
+          if (dels > 0) plan += (("apply_deletes",
+            s"$dels pending delete files force merge-on-read resolution on every scan",
+            dels.toLong))
+          if (segs > 4) plan += (("rewrite_manifests",
+            s"manifest chain has $segs segments; folding bounds per-scan metadata reads",
+            segs.toLong))
+          if (meta.snapshots.size > retain) plan += (("expire_snapshots",
+            s"${meta.snapshots.size} snapshots retained (> $retain); expiring enables orphan cleanup",
+            meta.snapshots.size.toLong))
+          val rows = plan.result()
+          table(
+            Seq("action" -> StringType, "reason" -> StringType, "metric" -> LongType),
+            if (rows.isEmpty) Seq(Seq[Any]("none", "table is healthy", 0L))
+            else rows.map(r => Seq[Any](r._1, r._2, r._3)))
         case other => throw new IllegalArgumentException(other)
       }
       Collections.singletonList(scan).iterator()
@@ -163,6 +198,19 @@ object Procedures {
     val parts = name.split('.').toSeq
     require(parts.size >= 2, s"table name must be namespace-qualified: $name")
     cat.tablePath(Identifier.of(parts.init.toArray, parts.last))
+  }
+
+  /** Multi-row LocalScan (the advisor's output shape). */
+  private def table(cols: Seq[(String, DataType)], rows: Seq[Seq[Any]]): Scan = {
+    val schema = StructType(cols.map { case (n, dt) => StructField(n, dt, nullable = false) })
+    val data = rows.map(vs => new GenericInternalRow(vs.map {
+      case s: String => UTF8String.fromString(s): Any
+      case other => other: Any
+    }.toArray): InternalRow).toArray
+    new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] = data
+    }
   }
 
   private def summary(cols: Seq[(String, DataType)], values: Seq[Any]): Scan = {

@@ -4,7 +4,7 @@ import java.util.UUID
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, MetadataBuilder, StructField, StructType}
 
 /** Table-level operations over the [[FsStore]]: create / load / commit
   * / snapshot append & overwrite / time-travel resolution.
@@ -530,10 +530,27 @@ final class TableOps(private[graft] val store: FsStore) {
     // order-preserving transforms (contiguous raw ranges = contiguous
     // transform cells); bucket fields cluster on their __pt_ column.
     val clusterCols = if (specCols.nonEmpty) specCols else sortCols.map(_._1)
-    val shaped = (clusterCols, numFiles) match {
-      case (cols, Some(n)) if cols.nonEmpty => dfPt.repartitionByRange(n, cols.map(dfPt.col): _*)
-      case (cols, None) if cols.nonEmpty => dfPt.repartitionByRange(cols.map(dfPt.col): _*)
-      case (_, Some(n)) => dfPt.repartition(n)
+    // C77 — write distribution mode (`graft.write.distribution-mode`,
+    // Iceberg's write.distribution-mode): `range` (default) gives each
+    // file a tight value range — best pruning, but costs a sampling
+    // pass over the input to compute range bounds; `hash` co-locates
+    // each key's rows in one shuffle with NO sampling pass — the right
+    // call for high-frequency writers (streaming micro-batches) where
+    // the extra job per commit dominates; `none` writes the incoming
+    // partitioning as-is, zero shuffle — for inputs already shaped
+    // upstream (a shuffle-bearing agg/join directly before the write).
+    val distMode = metaOpt.flatMap(_.properties.get("graft.write.distribution-mode"))
+      .getOrElse("range")
+    val shaped = (distMode, clusterCols, numFiles) match {
+      // an explicit file-count request (compaction) still binds under
+      // `none`, via a shuffle-free coalesce
+      case ("none", _, Some(n)) => dfPt.coalesce(n)
+      case ("none", _, None) => dfPt
+      case ("hash", cols, Some(n)) if cols.nonEmpty => dfPt.repartition(n, cols.map(dfPt.col): _*)
+      case ("hash", cols, None) if cols.nonEmpty => dfPt.repartition(cols.map(dfPt.col): _*)
+      case (_, cols, Some(n)) if cols.nonEmpty => dfPt.repartitionByRange(n, cols.map(dfPt.col): _*)
+      case (_, cols, None) if cols.nonEmpty => dfPt.repartitionByRange(cols.map(dfPt.col): _*)
+      case (_, _, Some(n)) => dfPt.repartition(n)
       case _ => dfPt
     }
     val ordered =
@@ -1850,12 +1867,30 @@ final class TableOps(private[graft] val store: FsStore) {
   * get ids above lastColumnId, as the reference's HighestFieldID
   * bookkeeping does). */
 object SchemaBridge {
+  /** Spark's column-default metadata keys (C75): CURRENT_DEFAULT is
+    * the SQL text the analyzer substitutes for omitted INSERT columns;
+    * EXISTS_DEFAULT is the constant-folded literal the parquet/ORC
+    * readers fill into files that PREDATE the column — exactly
+    * Iceberg v3's write-default / initial-default split. */
+  val CurrentDefaultKey = "CURRENT_DEFAULT"
+  val ExistsDefaultKey = "EXISTS_DEFAULT"
+
   def fromSpark(st: StructType, firstId: Int = 1): TableSchema =
     TableSchema(0, st.fields.zipWithIndex.toSeq.map { case (f, i) =>
-      NestedField(firstId + i, f.name, f.dataType.sql, required = !f.nullable)
+      val cur = if (f.metadata.contains(CurrentDefaultKey))
+        Some(f.metadata.getString(CurrentDefaultKey)) else None
+      val init = if (f.metadata.contains(ExistsDefaultKey))
+        Some(f.metadata.getString(ExistsDefaultKey)) else None
+      NestedField(firstId + i, f.name, f.dataType.sql, required = !f.nullable,
+        initialDefault = init, writeDefault = cur)
     })
 
   def toSpark(s: TableSchema): StructType =
-    StructType(s.fields.map(f =>
-      StructField(f.name, DataType.fromDDL(f.dataType), nullable = !f.required)))
+    StructType(s.fields.map { f =>
+      val mb = new MetadataBuilder()
+      f.writeDefault.foreach(mb.putString(CurrentDefaultKey, _))
+      f.initialDefault.foreach(mb.putString(ExistsDefaultKey, _))
+      StructField(f.name, DataType.fromDDL(f.dataType), nullable = !f.required,
+        metadata = mb.build())
+    })
 }

@@ -1429,6 +1429,60 @@ object Relational {
        GROUP BY o_orderstatus
        ORDER BY o_orderstatus"""
 
+  /** C75 under the oracle gate — default-value roundtrip: a catalog
+    * table gains a column via ADD COLUMN ... DEFAULT after its first
+    * append; files that predate the column fill the frozen
+    * initial-default at read (no rewrite), later appends carry real
+    * values — and the final mapping is hash-compared against DuckDB
+    * stating the era split directly over raw parquet. */
+  private val defCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def qDefaultRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog._
+    import org.apache.hadoop.fs.{Path => HPath}
+    val ops = new TableOps(new FsStore(s.sparkContext.hadoopConfiguration))
+    val wh = defCache.computeIfAbsent(d, { _ =>
+      val whPath = java.nio.file.Files.createTempDirectory("graft-def-")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(whPath.toFile)
+      }))
+      val tdir = new HPath(whPath.toString, "orders_def")
+      def slice(lo: Long, hi: Long) = orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+        .filter(col("o_orderkey") >= lo && col("o_orderkey") < hi)
+      ops.create(tdir, TableMetadata.create(
+        tdir.toString, SchemaBridge.fromSpark(slice(0, 1).schema),
+        PartitionSpec(0, Seq.empty), SortOrder(0, Seq.empty), Map.empty))
+      ops.write(tdir, slice(0, 3000), "append")
+      // ADD COLUMN segment STRING DEFAULT 'legacy': the file above
+      // predates the column and must read it back filled — zero rewrite
+      val meta = ops.load(tdir).get._2
+      val sch = TableSchema(meta.schemas.map(_.schemaId).max + 1,
+        meta.currentSchema.fields :+ NestedField(
+          meta.lastColumnId + 1, "segment", "STRING", required = false,
+          initialDefault = Some("'legacy'"), writeDefault = Some("'legacy'")))
+      ops.commit(tdir, Seq.empty,
+        Seq(MetadataUpdate.AddSchema(sch), MetadataUpdate.SetCurrentSchema(sch.schemaId)))
+      ops.write(tdir, slice(3000, 6000).withColumn("segment", lit("fresh")), "append")
+      whPath.toString
+    })
+    ops.read(s, new HPath(wh, "orders_def"))
+      .filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), col("segment"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  val qDefaultRoundtripSql: String =
+    """SELECT o_orderkey,
+              CASE WHEN o_orderkey < 3000 THEN 'legacy' ELSE 'fresh' END AS segment,
+              o_totalprice
+       FROM orders
+       WHERE o_orderkey < 6000 AND o_orderkey % 3 = 0
+       ORDER BY o_orderkey"""
+
   /** R70 — latest-row-per-key dedup (the CDC-compaction / SCD-1
     * pattern): one row_number window per key, keep rank 1. One
     * shuffle on the key; at 100 TB this is THE idiom for collapsing

@@ -178,4 +178,56 @@ class EvolveSpec extends SparkSpec {
       .filter(e => e.stats.get("user").exists(_.min.contains("900")))
     assert(latest.nonEmpty)
   }
+
+  test("C75 default column values: initial-default fills pre-column files, write-default fills omitted INSERT columns") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ev")
+    spark.sql("CREATE TABLE graft.ev.defs (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.ev.defs VALUES (1, 1.5), (2, 2.5)")
+
+    // ADD COLUMN ... DEFAULT: rows in files that PREDATE the column
+    // must read back the default (Iceberg v3 initial-default), not null
+    spark.sql("ALTER TABLE graft.ev.defs ADD COLUMN flag INT DEFAULT 7")
+    spark.sql("ALTER TABLE graft.ev.defs ADD COLUMN tag STRING DEFAULT 'none'")
+    val old = spark.sql("SELECT id, flag, tag FROM graft.ev.defs ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(old.toSeq == Seq((1L, 7, "none"), (2L, 7, "none")), old.mkString(", "))
+
+    // INSERT omitting the defaulted columns → write-default
+    spark.sql("INSERT INTO graft.ev.defs (id, v) VALUES (3, 3.5)")
+    // explicit values win
+    spark.sql("INSERT INTO graft.ev.defs VALUES (4, 4.5, 40, 'x')")
+    // SET DEFAULT changes the write-default only; initial stays frozen
+    spark.sql("ALTER TABLE graft.ev.defs ALTER COLUMN flag SET DEFAULT 9")
+    spark.sql("INSERT INTO graft.ev.defs (id, v) VALUES (5, 5.5)")
+    // the DEFAULT keyword resolves per-column
+    spark.sql("INSERT INTO graft.ev.defs VALUES (6, 6.5, DEFAULT, DEFAULT)")
+
+    val rows = spark.sql("SELECT id, flag, tag FROM graft.ev.defs ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(rows.toSeq == Seq(
+      (1L, 7, "none"), (2L, 7, "none"), (3L, 7, "none"),
+      (4L, 40, "x"), (5L, 9, "none"), (6L, 9, "none")), rows.mkString(", "))
+
+    // predicates evaluate the filled default across eras (and the
+    // absent-stats files are conservatively kept, never mis-pruned)
+    assert(spark.sql("SELECT count(*) FROM graft.ev.defs WHERE flag = 7")
+      .collect().head.getLong(0) == 3)
+    assert(spark.sql("SELECT count(*) FROM graft.ev.defs WHERE tag = 'none'")
+      .collect().head.getLong(0) == 5)
+
+    // metadata round-trip: defaults survive a reload (v3 vocabulary)
+    val dir = new Path(s"$warehouse/ev/defs")
+    val meta = cat.ops.load(dir).get._2
+    val flagField = meta.currentSchema.fields.find(_.name == "flag").get
+    assert(flagField.initialDefault.contains("7"), flagField)
+    assert(flagField.writeDefault.contains("9"), flagField)
+
+    // a COW rewrite (compaction) materializes defaults into the data;
+    // results unchanged after
+    cat.ops.compact(spark, dir, numFiles = 1)
+    val after = spark.sql("SELECT id, flag FROM graft.ev.defs ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(after.toSeq == Seq((1L, 7), (2L, 7), (3L, 7), (4L, 40), (5L, 9), (6L, 9)),
+      after.mkString(", "))
+  }
 }

@@ -137,6 +137,36 @@ class ProcedureSpec extends SparkSpec {
       s"${grpStats.min()} .. ${grpStats.max()}")
   }
 
+  test("C78 CALL maintenance_plan advises from metadata only, and following the advice heals the table") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.proc")
+    spark.sql("CREATE TABLE graft.proc.mp (id BIGINT, v DOUBLE)")
+    val dir = new Path(s"$warehouse/proc/mp")
+    // 6 tiny appends → small-file debt + snapshot history; one MOR
+    // delete → pending delete file
+    (0 until 6).foreach(i =>
+      spark.sql(s"INSERT INTO graft.proc.mp VALUES ($i, $i.5)"))
+    cat.ops.mergeOnReadDelete(spark, dir,
+      spark.sql("SELECT CAST(3 AS BIGINT) AS id"))
+
+    val plan = spark.sql("CALL graft.system.maintenance_plan('proc.mp', retain_snapshots => 3)")
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(plan.contains("compact"), s"small-file advice missing: $plan")
+    assert(plan("compact") == 6L)
+    assert(plan.contains("apply_deletes") && plan("apply_deletes") == 1L, plan.toString)
+    assert(plan.contains("expire_snapshots"), plan.toString)
+
+    // follow the advice → the advisor reports healthy
+    spark.sql("CALL graft.system.apply_deletes('proc.mp')").collect()
+    spark.sql("CALL graft.system.compact('proc.mp', 1)").collect()
+    spark.sql("CALL graft.system.vacuum('proc.mp')").collect()
+    val after = spark.sql("CALL graft.system.maintenance_plan('proc.mp', retain_snapshots => 3)")
+      .collect().map(_.getString(0)).toSet
+    assert(after == Set("none"), after.toString)
+    // data intact through the whole cycle
+    assert(spark.table("graft.proc.mp").collect().map(_.getLong(0)).toSet ==
+      Set(0L, 1L, 2L, 4L, 5L))
+  }
+
   test("listProcedures exposes the system namespace") {
     val ids = cat.listProcedures(Array("system"))
     assert(ids.map(_.name()).toSet.contains("compact"))

@@ -475,4 +475,40 @@ class StatsSpec extends SparkSpec {
     assert(spark.sql(s"SELECT * FROM graft.stats.tt2 VERSION AS OF ${first.snapshotId}")
       .collect().map(_.getLong(0)).toSet == Set(1L))
   }
+
+  test("C77 write distribution modes: hash co-locates keys without a sampling pass, none writes as-is") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stats")
+
+    // hash mode: every partition value lands WHOLE in exactly one file
+    // (no range-sampling job per commit — the streaming-writer trade)
+    spark.sql("CREATE TABLE graft.stats.dmh (id BIGINT, grp BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (grp) TBLPROPERTIES ('graft.write.distribution-mode' = 'hash')")
+    val dirH = new Path(s"$warehouse/stats/dmh")
+    val df = (0L until 4000L).map(i => (i, i % 8, i * 0.5)).toDF("id", "grp", "v")
+    cat.ops.write(dirH, df, "append", numFiles = Some(4))
+    val split = spark.sql(
+      "SELECT grp, count(DISTINCT _file) AS nf FROM graft.stats.dmh GROUP BY grp")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(split.length == 8 && split.forall(_._2 == 1L),
+      s"hash mode must not split a key across files: ${split.mkString(", ")}")
+    assert(spark.sql("SELECT sum(v) FROM graft.stats.dmh WHERE grp = 3")
+      .collect().head.getDouble(0) ==
+      (0L until 4000L).filter(_ % 8 == 3).map(_ * 0.5).sum)
+
+    // none mode: the incoming partitioning IS the file layout (no
+    // shuffle at all); an explicit compaction file count still binds
+    spark.sql("CREATE TABLE graft.stats.dmn (id BIGINT, grp BIGINT) " +
+      "PARTITIONED BY (grp) TBLPROPERTIES ('graft.write.distribution-mode' = 'none')")
+    val dirN = new Path(s"$warehouse/stats/dmn")
+    val pre = (0L until 900L).map(i => (i, i % 3)).toDF("id", "grp").repartition(3)
+    cat.ops.write(dirN, pre, "append")
+    val entries = cat.ops.resolveEntries(dirN, cat.ops.load(dirN).get._2)
+    assert(entries.count(_.isData) == 3,
+      s"none mode must write the incoming 3 partitions as 3 files, got ${entries.size}")
+    assert(spark.sql("SELECT count(*) FROM graft.stats.dmn").collect().head.getLong(0) == 900L)
+    cat.ops.compact(spark, dirN, numFiles = 1)
+    assert(cat.ops.resolveEntries(dirN, cat.ops.load(dirN).get._2).count(_.isData) == 1)
+    assert(spark.sql("SELECT count(*) FROM graft.stats.dmn").collect().head.getLong(0) == 900L)
+  }
 }
