@@ -2417,4 +2417,134 @@ object Relational {
               '/' || o_orderstatus || '/detail' AS path,
               o_orderkey AS qk, o_orderpriority AS pri
        FROM orders WHERE o_orderkey < 400 ORDER BY o_orderkey"""
+
+  /** R89 — inverse-distribution aggregates: deterministic MODE
+    * (most-frequent value, ties to the smallest — arg-max over a
+    * (count, -value) struct so the answer is engine-independent),
+    * PERCENTILE_DISC (smallest value whose cumulative count reaches
+    * p·n — integer arithmetic only, `4·run ≥ tot` instead of a float
+    * cume_dist) and the native interpolating `median`. The frequency
+    * table is ONE shuffle on (group, value); the windows and the
+    * final agg then run per group, so at 100 TB the shuffled payload
+    * is the distinct-value histogram, never the raw rows. */
+  def qInverseDist(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select(col("l_returnflag").as("flag"),
+      col("l_quantity").cast("bigint").as("qty"))
+    val counts = li.groupBy("flag", "qty").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("flag").orderBy("qty")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val disc = counts
+      .withColumn("run", sum("cnt").over(w))
+      .withColumn("tot", sum("cnt").over(Window.partitionBy("flag")))
+      .groupBy("flag")
+      .agg(
+        max_by(col("qty"), struct(col("cnt"), col("qty") * -1)).as("mode_qty"),
+        min(when(col("run") * 4 >= col("tot"), col("qty"))).as("p25_qty"),
+        min(when(col("run") * 2 >= col("tot"), col("qty"))).as("median_disc_qty"),
+        min(when(col("run") * 4 >= col("tot") * 3, col("qty"))).as("p75_qty"))
+    val med = li.groupBy("flag").agg(round(median(col("qty")), 4).as("median_cont"))
+    disc.join(broadcast(med), "flag")
+      .select("flag", "mode_qty", "p25_qty", "median_disc_qty", "p75_qty", "median_cont")
+      .orderBy("flag")
+  }
+
+  val qInverseDistSql: String =
+    """WITH li AS (SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS qty
+                   FROM lineitem),
+       c AS (SELECT flag, qty, COUNT(*) AS cnt FROM li GROUP BY flag, qty),
+       w AS (SELECT flag, qty, cnt,
+               SUM(cnt) OVER (PARTITION BY flag ORDER BY qty) AS run,
+               SUM(cnt) OVER (PARTITION BY flag) AS tot FROM c),
+       d AS (SELECT flag,
+               MIN(qty) FILTER (WHERE run * 4 >= tot) AS p25_qty,
+               MIN(qty) FILTER (WHERE run * 2 >= tot) AS median_disc_qty,
+               MIN(qty) FILTER (WHERE run * 4 >= tot * 3) AS p75_qty
+             FROM w GROUP BY flag),
+       mo AS (SELECT flag, qty AS mode_qty FROM c
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY flag ORDER BY cnt DESC, qty) = 1),
+       me AS (SELECT flag, ROUND(median(qty), 4) AS median_cont FROM li GROUP BY flag)
+       SELECT flag, mode_qty, p25_qty, median_disc_qty, p75_qty, median_cont
+       FROM d JOIN mo USING (flag) JOIN me USING (flag)
+       ORDER BY flag"""
+
+  /** R90 — schema-flexible set union: `unionByName` with
+    * allowMissingColumns (columns matched by NAME, absent ones
+    * null-filled — the heterogeneous-source append that positional
+    * UNION silently corrupts) + SQL `GROUP BY ALL` over the merged
+    * frame. Map-only until the final one-shuffle aggregate. */
+  def qUnionByName(s: SparkSession, d: String): DataFrame = {
+    val a = orders(s, d).filter(col("o_orderkey") < 2000)
+      .select(col("o_orderkey").as("id"), col("o_totalprice").as("amount"),
+        lit("order").as("src"))
+    val b = lineitem(s, d).filter(col("l_orderkey") < 2000)
+      .select(col("l_orderkey").as("id"), col("l_extendedprice").as("amount"),
+        col("l_quantity").cast("bigint").as("items"), lit("line").as("src"))
+    a.unionByName(b, allowMissingColumns = true).createOrReplaceTempView("graft_ubn")
+    s.sql(s"""SELECT src, COUNT(*) AS n_rows, COUNT(items) AS n_with_items,
+              ${sqlSum("amount")} AS total_amount
+              FROM graft_ubn GROUP BY ALL ORDER BY src""")
+  }
+
+  val qUnionByNameSql: String =
+    s"""WITH u AS (
+         SELECT o_orderkey AS id, o_totalprice AS amount, 'order' AS src
+         FROM orders WHERE o_orderkey < 2000
+         UNION ALL BY NAME
+         SELECT l_orderkey AS id, l_extendedprice AS amount,
+                CAST(l_quantity AS BIGINT) AS items, 'line' AS src
+         FROM lineitem WHERE l_orderkey < 2000)
+       SELECT src, COUNT(*) AS n_rows, COUNT(items) AS n_with_items,
+              ${sqlSum("amount")} AS total_amount
+       FROM u GROUP BY ALL ORDER BY src"""
+
+  /** R91 — native batch `session_window` (gap-merged event sessions as
+    * a first-class grouping column, vs R21's hand-rolled lag/flag
+    * cascade): one shuffle on (user, session assignment), sessions
+    * merge while consecutive events are < 30 min apart, window end =
+    * last event + gap (exclusive). The oracle restates the merge rule
+    * with integer epoch-micros arithmetic. */
+  def qSessionWindowBatch(s: SparkSession, d: String): DataFrame =
+    events(s, d).filter(col("user_id") < 30)
+      .withColumn("t", expr("timestamp_micros(ts div 1000)"))
+      .groupBy(col("user_id"), session_window(col("t"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        expr("unix_micros(sw.start)").as("start_us"),
+        expr("unix_micros(sw.end)").as("end_us"),
+        col("n_events"))
+      .orderBy("user_id", "start_us")
+
+  val qSessionWindowBatchSql: String =
+    """WITH e AS (SELECT user_id, event_id,
+                         CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us
+                  FROM events WHERE user_id < 30),
+       g AS (SELECT user_id, event_id, us,
+               LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS pus
+             FROM e),
+       t AS (SELECT user_id, us,
+               SUM(CASE WHEN pus IS NULL OR us - pus >= 1800000000 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             FROM g)
+       SELECT user_id, MIN(us) AS start_us,
+              MAX(us) + 1800000000 AS end_us, COUNT(*) AS n_events
+       FROM t GROUP BY user_id, sid ORDER BY user_id, start_us"""
+
+  /** R92 — mergeable quantile sketch (`approx_percentile`): the
+    * streaming/distributed percentile estimator whose state merges
+    * across partitions — the shape exact percentiles (R30) can't take
+    * at 100 TB because they shuffle every raw value. Sketch contents
+    * are engine-specific, so this is a rows-only gate entry; the
+    * rank-error bound vs the exact quantiles is property-tested in
+    * PlanSpec. */
+  def qApproxQuantile(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 1000)").as("qs"),
+        count(lit(1)).as("n"))
+      .select(col("status"), col("n"),
+        round(element_at(col("qs"), 1), 4).as("p25"),
+        round(element_at(col("qs"), 2), 4).as("p50"),
+        round(element_at(col("qs"), 3), 4).as("p75"))
+      .orderBy("status")
 }

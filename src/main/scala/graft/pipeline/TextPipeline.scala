@@ -1313,4 +1313,121 @@ object TextPipeline {
          UNION ALL SELECT 3, 'word_length', n2, n3 FROM a
          UNION ALL SELECT 4, 'vocab_diversity', n3, n4 FROM a)
        ORDER BY stage"""
+
+  /** L42 — quantized character-bigram LM scoring (the CCNet/KenLM
+    * perplexity-filter shape, self-trained): ONE pass counts every
+    * word-internal character pair, conditional probabilities
+    * P(c₂|c₁) = cnt/prefix-total become an integer MILLIBIT cost table
+    * (round(-1000·ln p) — quantized once per DISTINCT bigram, so the
+    * only cross-engine float op runs over the ~1k-row model, never the
+    * corpus), and each document's cost is an integer sum + one exact
+    * division. High avg cost = character sequences the corpus finds
+    * improbable = gibberish candidates.
+    *
+    * Scale: pair explode is O(corpus chars) map-side; the model is a
+    * two-level count agg (map-side combine); scoring is a broadcast
+    * join of the tiny cost table onto the exploded pairs — at 100 TB
+    * the model still fits in KBs (alphabet², not vocabulary). */
+  def bigramLm(s: SparkSession, d: String): DataFrame = {
+    val pairExpr =
+      """slice(transform(sequence(1, greatest(char_length(w) - 1, 1)), i -> substr(w, i, 2)),
+               1, greatest(char_length(w) - 1, 0))"""
+    val docPairs = withWords(documents(s, d))
+      .select(col("doc_id"), explode(col("ws")).as("w"))
+      .select(col("doc_id"), explode(expr(pairExpr)).as("pair"))
+    val pairCnt = docPairs.groupBy("pair").agg(count(lit(1)).as("cnt"))
+    val prefixCnt = pairCnt.groupBy(substring(col("pair"), 1, 1).as("pfx"))
+      .agg(sum("cnt").as("ct"))
+    val costs = pairCnt
+      .join(prefixCnt, substring(col("pair"), 1, 1) === col("pfx"))
+      .select(col("pair"),
+        round(lit(-1000.0) * log(col("cnt").cast("double") / col("ct"))).cast("long").as("mb"))
+    docPairs.join(broadcast(costs), "pair")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"), sum("mb").as("total_mb"))
+      .withColumn("avg_mb", round(col("total_mb").cast("double") / col("n_pairs"), 4))
+      .filter(col("doc_id") < 300)
+      .select("doc_id", "n_pairs", "total_mb", "avg_mb")
+      .orderBy("doc_id")
+  }
+
+  val bigramLmSql: String =
+    """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       dp AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w), 1)),
+                i -> substr(w, CAST(i AS INTEGER), 2))) AS pair FROM words),
+       pc AS (SELECT pair, COUNT(*) AS cnt FROM dp GROUP BY pair),
+       px AS (SELECT substr(pair, 1, 1) AS pfx, SUM(cnt) AS ct FROM pc GROUP BY pfx),
+       cost AS (SELECT pair,
+                       CAST(round(-1000.0 * ln(CAST(cnt AS DOUBLE) / ct)) AS BIGINT) AS mb
+                FROM pc JOIN px ON substr(pair, 1, 1) = pfx),
+       sc AS (SELECT doc_id, COUNT(*) AS n_pairs, SUM(mb) AS total_mb
+              FROM dp JOIN cost USING (pair) GROUP BY doc_id)
+       SELECT doc_id, n_pairs, CAST(total_mb AS BIGINT) AS total_mb,
+              ROUND(CAST(total_mb AS DOUBLE) / n_pairs, 4) AS avg_mb
+       FROM sc WHERE doc_id < 300 ORDER BY doc_id"""
+
+  /** L43 — quality-aware canonical dedup: near-dup clusters (L14's
+    * connected components) resolved to ONE survivor each by arg-max
+    * quality (L9's score, ties to the smallest doc_id) — the keeper
+    * policy that makes dedup actually DROP something without throwing
+    * away the best copy. One window over the clustered docs; cluster
+    * frames are tiny (near-dup groups), so the window never skews. */
+  def canonicalDedup(s: SparkSession, d: String): DataFrame = {
+    val comp = dedupComponents(s, d)
+    val q = textQuality(s, d).select(col("doc_id"), col("quality_score"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    comp.join(q, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_docs",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("component")))
+      .filter(col("rk") === 1)
+      .select(col("component"), col("n_docs"), col("doc_id").as("keep_doc"),
+        col("quality_score").as("keep_quality"),
+        (col("n_docs") - 1).as("n_dropped"))
+      .orderBy("component")
+  }
+
+  val canonicalDedupSql: String = {
+    val list = stops("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH RECURSIVE
+       w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+              FROM w, UNNEST(range(1, GREATEST(len(ws) - 1, 1))) AS t(i)),
+       sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS shared
+             FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+             GROUP BY 1, 2),
+       top AS (SELECT doc_a, doc_b,
+                      CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
+               FROM p JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+               ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50),
+       pairs AS (SELECT doc_a, doc_b FROM top WHERE jaccard >= 0.5),
+       edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                 UNION ALL SELECT doc_b, doc_a FROM pairs),
+       nodes AS (SELECT DISTINCT src AS id FROM edges),
+       reach(id, lbl) AS (
+         SELECT id, id FROM nodes
+         UNION
+         SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.id = e.src
+       ),
+       comp AS (SELECT id AS doc_id, MIN(lbl) AS component FROM reach GROUP BY id),
+       qf AS (SELECT doc_id, string_split(text, ' ') AS ws, text FROM documents),
+       q AS (SELECT doc_id,
+                    ROUND(0.4 * ln(CAST(len(ws) AS DOUBLE)) +
+                          0.4 * (CAST(len(list_filter(ws, w -> w IN ($list))) AS DOUBLE) / len(ws)) -
+                          0.2 * (CAST(len(regexp_extract_all(text, '[.,!?]')) AS DOUBLE) / len(ws)), 4)
+                      AS quality_score
+             FROM qf),
+       j AS (SELECT component, comp.doc_id, quality_score
+             FROM comp JOIN q ON comp.doc_id = q.doc_id),
+       r AS (SELECT component, doc_id, quality_score,
+                    ROW_NUMBER() OVER (PARTITION BY component
+                                       ORDER BY quality_score DESC, doc_id) AS rk,
+                    COUNT(*) OVER (PARTITION BY component) AS n_docs
+             FROM j)
+       SELECT component, n_docs, doc_id AS keep_doc, quality_score AS keep_quality,
+              n_docs - 1 AS n_dropped
+       FROM r WHERE rk = 1 ORDER BY component"""
+  }
 }

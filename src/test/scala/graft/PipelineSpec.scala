@@ -311,4 +311,42 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
     assert(salted == direct)
   }
+
+  test("L42 bigram LM: cost is calibrated — high scorers use corpus-rarer bigrams than low scorers") {
+    val scored = TextPipeline.bigramLm(spark, sfDir).collect()
+    assert(scored.length > 50)
+    // millibit costs are positive (every P(c2|c1) < 1 in a real corpus)
+    assert(scored.forall(_.getLong(2) > 0L), "total millibits must be positive")
+    // the top-cost decile must average rarer transitions than the
+    // bottom decile — the property that makes the score a quality gate
+    val byCost = scored.sortBy(_.getDouble(3))
+    val low = byCost.take(scored.length / 10).map(_.getDouble(3))
+    val high = byCost.takeRight(scored.length / 10).map(_.getDouble(3))
+    assert(high.min > low.max, s"decile separation expected: low max ${low.max}, high min ${high.min}")
+    // score is an exact integer sum / count: avg * n == total within fp
+    scored.foreach { r =>
+      val recomputed = r.getLong(2).toDouble / r.getLong(1)
+      assert(math.abs(recomputed - r.getDouble(3)) < 1e-4, r.toString)
+    }
+  }
+
+  test("L43 canonical dedup: one survivor per cluster, and it is the best-quality member") {
+    val comp = TextPipeline.dedupComponents(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val quality = TextPipeline.textQuality(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(4))).toMap
+    val canon = TextPipeline.canonicalDedup(spark, sfDir).collect()
+    assert(canon.nonEmpty)
+    val clusters = comp.groupBy(_._2)
+    assert(canon.length == clusters.size, "exactly one survivor row per cluster")
+    canon.foreach { r =>
+      val (component, nDocs, keepDoc, keepQ, nDropped) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))
+      val members = clusters(component).map(_._1)
+      assert(members.contains(keepDoc), s"survivor $keepDoc not in cluster $component")
+      assert(nDocs == members.length && nDropped == nDocs - 1)
+      val bestQ = members.map(quality).max
+      assert(keepQ == bestQ, s"cluster $component kept quality $keepQ, best is $bestQ")
+    }
+  }
 }

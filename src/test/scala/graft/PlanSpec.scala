@@ -307,4 +307,34 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val pPlan = planOf(graft.pipeline.TextPipeline.bpePairs(spark, sfDir))
     assert(pPlan.contains("partial_count"), "map-side combine expected: " + pPlan.take(800))
   }
+
+  test("R92 approx_percentile stays within the sketch's rank-error bound of the exact quantiles") {
+    import org.apache.spark.sql.functions._
+    // accuracy 1000 ⇒ rank error ≤ n/1000 per the GK-sketch contract;
+    // translate rank tolerance to a VALUE window via the sorted data
+    val prices = graft.Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_totalprice").cast("double")).as[Double](org.apache.spark.sql.Encoders.scalaDouble)
+      .collect().sorted
+    val n = prices.length
+    assert(n > 100, s"need data, got $n rows")
+    val approx = Relational.qApproxQuantile(spark, sfDir)
+      .filter(col("status") === "F").collect().head
+    for ((p, idx) <- Seq(0.25 -> 2, 0.5 -> 3, 0.75 -> 4)) {
+      val got = approx.getDouble(idx)
+      val lo = prices(math.max(0, (p * n).toInt - n / 1000 - 1))
+      val hi = prices(math.min(n - 1, (p * n).toInt + n / 1000 + 1))
+      assert(got >= lo && got <= hi,
+        s"p=$p estimate $got outside rank-error window [$lo, $hi] (n=$n)")
+    }
+  }
+
+  test("R89 inverse distribution: the shuffle payload is the value histogram, not raw rows") {
+    val plan = planOf(Relational.qInverseDist(spark, sfDir))
+    // frequency-table agg is two-phase: partial on (flag, qty) map-side
+    assert(plan.contains("partial_count"), "map-side combine expected: " + plan.take(800))
+    assert(!plan.contains("CartesianProduct"))
+    // the median frame joins back via broadcast, not a shuffle join
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+  }
 }
