@@ -36,7 +36,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     * COLUMN ... SET DEFAULT` pass analysis and reach us as column
     * metadata / TableChanges. */
   override def capabilities(): util.Set[TableCatalogCapability] =
-    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+    util.EnumSet.of(
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      // C79 — CHECK constraints (ANSI constraint syntax on DSv2)
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   /** C72 — transform functions (`bucket`) for write distributions and
     * key-grouped scans. */
@@ -318,6 +321,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
         fields = fields.map(f =>
           if (f.name == upd.fieldNames.mkString(".")) f.copy(dataType = upd.newDataType.sql) else f)
         schemaChanged = true
+      case ac: TableChange.AddConstraint =>
+        // C79: CHECK constraints. ADD CONSTRAINT validates EXISTING
+        // rows first (one distributed anti-predicate scan — the Delta/
+        // ANSI semantic: a constraint you could never have satisfied
+        // is rejected, not silently recorded), then persists the
+        // predicate SQL as a table property; the commit protocol is
+        // untouched (constraints ride set-properties, the reference's
+        // own extension point for engine metadata).
+        ac.constraint() match {
+          case ck: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            val spark = SparkSession.active
+            val violations = ops.read(spark, dir)
+              .filter(s"NOT (${ck.predicateSql()})").limit(1).count()
+            if (violations > 0)
+              throw new IllegalArgumentException(
+                s"cannot add CHECK constraint ${ck.name}: existing rows violate (${ck.predicateSql()})")
+            setProps += s"graft.constraint.check.${ck.name}" -> ck.predicateSql()
+          case other =>
+            throw new UnsupportedOperationException(
+              s"only CHECK constraints are supported, got: ${other.toDDL}")
+        }
+      case dc: TableChange.DropConstraint =>
+        val key = s"graft.constraint.check.${dc.name}"
+        if (!meta.properties.contains(key) && !dc.ifExists)
+          throw new IllegalArgumentException(s"no such constraint: ${dc.name}")
+        if (meta.properties.contains(key)) rmProps :+= key
       case other =>
         throw new UnsupportedOperationException(s"table change $other not supported")
     }

@@ -94,6 +94,22 @@ final class GraftTable(
         TableCapability.MICRO_BATCH_READ)
       .asJava
 
+  /** C79 — CHECK constraints, reported as ENFORCED + VALID: ADD
+    * CONSTRAINT validated the existing rows, and Spark's write
+    * planning injects the predicate validation into every INSERT so
+    * violating rows fail the write, never land in a file. */
+  override def constraints(): Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    meta.properties.toSeq.sortBy(_._1).collect {
+      case (k, sql) if k.startsWith("graft.constraint.check.") =>
+        org.apache.spark.sql.connector.catalog.constraints.Constraint
+          .check(k.stripPrefix("graft.constraint.check."))
+          .predicateSql(sql)
+          .enforced(true)
+          .validationStatus(
+            org.apache.spark.sql.connector.catalog.constraints.Constraint.ValidationStatus.VALID)
+          .build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
+
   /** Data-file format of this table: `graft.format` property, parquet
     * by default, `orc` supported (C58). Delete files are ALWAYS
     * parquet — they are graft-internal state, not user data. */

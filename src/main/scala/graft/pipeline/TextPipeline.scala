@@ -1366,6 +1366,50 @@ object TextPipeline {
               ROUND(CAST(total_mb AS DOUBLE) / n_pairs, 4) AS avg_mb
        FROM sc WHERE doc_id < 300 ORDER BY doc_id"""
 
+  /** L44 — temperature-based source mixing (α = 0.5): sampling
+    * weights ∝ tokens^α instead of L29's uniform target — the
+    * standard up-weighting of small high-quality sources (α < 1
+    * flattens the source distribution, α = 1 is proportional). Float
+    * discipline: sqrt is IEEE-correctly-rounded (bit-identical in
+    * both engines), each weight is then frozen as DECIMAL(28,10) so
+    * the cross-source SUM is order-independent, and the share is one
+    * exact-decimal→double division. Same shapes as L29: per-source
+    * agg + a broadcast one-row total. */
+  def mixTemperature(s: SparkSession, d: String): DataFrame = {
+    val perSrc = withWords(documents(s, d))
+      .groupBy("source").agg(sum(size(col("ws")).cast("long")).as("tokens"))
+      .withColumn("w", sqrt(col("tokens").cast("double"))
+        .cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+    val tot = perSrc.agg(sum(col("w")).as("tw"), sum(col("tokens")).as("total"))
+    perSrc.join(broadcast(tot))
+      .withColumn("share", col("w").cast("double") / col("tw").cast("double"))
+      .withColumn("target_tokens",
+        floor(expr("(total div 2)").cast("double") * col("share")).cast("long"))
+      .select(col("source"), col("tokens"),
+        round(col("share"), 6).as("mix_weight"),
+        col("target_tokens"),
+        round(least(lit(1.0),
+          col("target_tokens").cast("double") / col("tokens")), 6).as("sample_rate"))
+      .orderBy("source")
+  }
+
+  val mixTemperatureSql: String =
+    """WITH s AS (SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+                  FROM documents GROUP BY source),
+       w AS (SELECT source, tokens,
+                    CAST(sqrt(CAST(tokens AS DOUBLE)) AS DECIMAL(28,10)) AS w
+             FROM s),
+       t AS (SELECT SUM(w) AS tw, CAST(SUM(tokens) AS BIGINT) AS total FROM w)
+       SELECT source, tokens,
+              ROUND(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS mix_weight,
+              CAST(FLOOR(CAST(total // 2 AS DOUBLE) *
+                   (CAST(w AS DOUBLE) / CAST(tw AS DOUBLE))) AS BIGINT) AS target_tokens,
+              ROUND(LEAST(1.0,
+                CAST(FLOOR(CAST(total // 2 AS DOUBLE) *
+                     (CAST(w AS DOUBLE) / CAST(tw AS DOUBLE))) AS DOUBLE) / tokens), 6)
+                AS sample_rate
+       FROM w, t ORDER BY source"""
+
   /** L43 — quality-aware canonical dedup: near-dup clusters (L14's
     * connected components) resolved to ONE survivor each by arg-max
     * quality (L9's score, ties to the smallest doc_id) — the keeper

@@ -66,6 +66,37 @@ object Streams {
       .start()
   }
 
+  /** R93 — stream-static enrichment with per-batch dim refresh: each
+    * micro-batch joins against the CURRENT state of a graft catalog
+    * dim table (re-resolved through the metadata pointer inside
+    * foreachBatch, so upserts/MOR deletes to the dim between batches
+    * are visible to the next batch — the slowly-changing-dimension
+    * pattern a plan-pinned static join cannot express), then commits
+    * exactly-once through the same batch-id-keyed snapshot protocol
+    * as [[writeToCatalogTable]].
+    *
+    * Scale: the dim read is a fresh snapshot resolution (metadata
+    * only) + broadcast per batch; the stream side never shuffles for
+    * the join. */
+  def enrichAgainstTable(
+      events: DataFrame,
+      ops: graft.catalog.TableOps,
+      dimDir: org.apache.hadoop.fs.Path,
+      joinCols: Seq[String],
+      sinkDir: org.apache.hadoop.fs.Path,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val sinkKey =
+      s"graft.stream.${Integer.toHexString(checkpoint.hashCode)}.last-batch"
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val dim = ops.read(batch.sparkSession, dimDir)
+        val enriched = batch.join(broadcast(dim), joinCols, "left")
+        ops.commitStreamBatch(sinkDir, enriched, sinkKey, batchId)
+      }
+      .start()
+  }
+
   /** Streaming exact deduplication — the streaming face of the dedup
     * family (§2.3 L1): drop events already seen, with state bounded by
     * the watermark (an event older than the watermark can no longer

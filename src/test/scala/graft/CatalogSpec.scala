@@ -355,4 +355,42 @@ class CatalogSpec extends SparkSpec {
     val back = MetadataJson.fromJson(MetadataJson.toJson(full))
     assert(back == full)
   }
+
+  test("C79 CHECK constraints: validated at ADD, enforced on every INSERT, droppable") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ck")
+    spark.sql("CREATE TABLE graft.ck.t (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.ck.t VALUES (1, 1.5), (2, 2.5)")
+
+    // existing rows satisfy the predicate → constraint accepted
+    spark.sql("ALTER TABLE graft.ck.t ADD CONSTRAINT v_positive CHECK (v > 0)")
+
+    // violating INSERT fails at write and lands NOTHING
+    intercept[Exception] {
+      spark.sql("INSERT INTO graft.ck.t VALUES (3, -1.0)")
+    }
+    assert(spark.table("graft.ck.t").count() == 2,
+      "failed insert must not commit any rows")
+
+    // conforming INSERT passes
+    spark.sql("INSERT INTO graft.ck.t VALUES (3, 3.5)")
+    assert(spark.table("graft.ck.t").count() == 3)
+
+    // a constraint the EXISTING rows violate is rejected at ADD
+    val ex = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.ck.t ADD CONSTRAINT unreachable CHECK (v > 100)")
+    }
+    assert(ex.getMessage.contains("unreachable") || ex.getMessage.contains("violate"),
+      ex.getMessage)
+
+    // DROP CONSTRAINT re-opens the gate
+    spark.sql("ALTER TABLE graft.ck.t DROP CONSTRAINT v_positive")
+    spark.sql("INSERT INTO graft.ck.t VALUES (4, -4.5)")
+    assert(spark.table("graft.ck.t").count() == 4)
+
+    // dropping an unknown constraint errors unless IF EXISTS
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.ck.t DROP CONSTRAINT nope")
+    }
+    spark.sql("ALTER TABLE graft.ck.t DROP CONSTRAINT IF EXISTS nope")
+  }
 }

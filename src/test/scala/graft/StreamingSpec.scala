@@ -185,4 +185,41 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("R93: stream-static enrichment re-reads the dim per batch, so dim upserts apply to later batches") {
+    import org.apache.hadoop.fs.Path
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.str")
+    spark.sql("CREATE TABLE graft.str.dim (user_id BIGINT, segment STRING)")
+    spark.sql("INSERT INTO graft.str.dim VALUES (1, 'bronze'), (2, 'silver')")
+    spark.sql("CREATE TABLE graft.str.enriched " +
+      "(event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, ts TIMESTAMP, segment STRING)")
+    val dimDir = new Path(s"$warehouse/str/dim")
+    val sinkDir = new Path(s"$warehouse/str/enriched")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-enrich-ckpt-").toString
+
+    val input = MemoryStream[Event]
+    val q = Streams.enrichAgainstTable(
+      input.toDF(), cat.ops, dimDir, Seq("user_id"), sinkDir, ckpt)
+    try {
+      input.addData(Event(1, 1, "click", 1.0, ts(0)), Event(2, 2, "view", 2.0, ts(1)))
+      q.processAllAvailable()
+      // dim upsert BETWEEN batches: user 1 promoted, user 3 appears
+      cat.ops.upsert(spark,
+        dimDir, Seq((1L, "gold"), (3L, "bronze")).toDF("user_id", "segment"),
+        Seq("user_id"))
+      input.addData(Event(3, 1, "click", 3.0, ts(2)), Event(4, 3, "view", 4.0, ts(3)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.sql(
+      "SELECT event_id, segment FROM graft.str.enriched ORDER BY event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // batch 1 saw the original dim; batch 2 sees the upserted one
+    assert(out.toSeq == Seq(
+      (1L, "bronze"), (2L, "silver"), (3L, "gold"), (4L, "bronze")), out.mkString(", "))
+  }
 }
