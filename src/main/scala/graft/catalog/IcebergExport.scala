@@ -253,8 +253,27 @@ object IcebergExport {
         case str: String => fo.put("type", str)
         case n: ObjectNode => fo.set[ObjectNode]("type", n)
       }
+      // C75 → Iceberg v3 defaults: the spec stores JSON literals, our
+      // metadata stores SQL literal text — convert; a non-literal
+      // default (no v3 representation) is omitted rather than mangled
+      f.initialDefault.flatMap(defaultJson).foreach(fo.set[ObjectNode]("initial-default", _))
+      f.writeDefault.flatMap(defaultJson).foreach(fo.set[ObjectNode]("write-default", _))
     }
     o
+  }
+
+  /** SQL literal text → Iceberg JSON literal (v3 default-value form). */
+  private def defaultJson(sql: String): Option[com.fasterxml.jackson.databind.JsonNode] = {
+    val nf = mapper.getNodeFactory
+    val t = sql.trim
+    if (t.length >= 2 && t.startsWith("'") && t.endsWith("'"))
+      Some(nf.textNode(t.substring(1, t.length - 1).replace("''", "'")))
+    else if (t.equalsIgnoreCase("true") || t.equalsIgnoreCase("false"))
+      Some(nf.booleanNode(t.toBoolean))
+    else scala.util.Try(BigDecimal(t)).toOption.map { n =>
+      if (n.isWhole && n.isValidLong) nf.numberNode(n.longValue)
+      else nf.numberNode(n.bigDecimal)
+    }
   }
 
   // ---------- Avro manifests ----------

@@ -52,13 +52,22 @@ object IcebergImport {
     else throw new UnsupportedOperationException(
       s"no Spark mapping for Iceberg type ${t}")
 
+  /** Iceberg v3 JSON default literal → SQL literal text (C75). */
+  private def defaultSql(n: JsonNode): Option[String] =
+    if (n == null || n.isNull) None
+    else if (n.isTextual) Some("'" + n.asText().replace("'", "''") + "'")
+    else if (n.isBoolean || n.isNumber) Some(n.asText())
+    else None
+
   private def readSchema(n: JsonNode): TableSchema =
     TableSchema(
       Option(n.get("schema-id")).map(_.asInt()).getOrElse(0),
       Option(n.get("fields")).map(_.elements().asScala.toSeq).getOrElse(Seq.empty).map { f =>
         NestedField(f.get("id").asInt(), f.get("name").asText(),
           sparkType(f.get("type")),
-          Option(f.get("required")).exists(_.asBoolean()))
+          Option(f.get("required")).exists(_.asBoolean()),
+          initialDefault = Option(f.get("initial-default")).flatMap(defaultSql),
+          writeDefault = Option(f.get("write-default")).flatMap(defaultSql))
       })
 
   /** One live file of a source snapshot: content 0 = data, 1 =

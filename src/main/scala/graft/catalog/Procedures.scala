@@ -36,7 +36,8 @@ object Procedures {
   private def names: Seq[String] = Seq(
     "compact", "expire_snapshots", "remove_orphans", "rewrite_manifests",
     "apply_deletes", "rollback", "fast_forward", "vacuum",
-    "create_branch", "create_tag", "drop_ref", "analyze", "maintenance_plan")
+    "create_branch", "create_tag", "drop_ref", "analyze", "maintenance_plan",
+    "compact_where")
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.sameElements(Namespace) && names.contains(ident.name),
@@ -80,6 +81,8 @@ object Procedures {
       case "analyze" => Array(param("table", StringType))
       case "maintenance_plan" => Array(param("table", StringType),
         paramD("small_file_mb", IntegerType, "32"), paramD("retain_snapshots", IntegerType, "20"))
+      case "compact_where" => Array(param("table", StringType),
+        param("predicate", StringType), paramD("num_files", IntegerType, "1"))
       case other => throw new IllegalArgumentException(other)
     }
 
@@ -155,6 +158,16 @@ object Procedures {
           val meta = ops.analyze(spark, dir)
           summary(Seq("analyzed_columns" -> IntegerType),
             Seq[Any](meta.properties.keys.count(_.startsWith("graft.stats.ndv."))))
+        case "compact_where" =>
+          // C80 — targeted compaction: only files whose stats overlap
+          // the predicate are rewritten; the rest keep verbatim
+          val before = filesNow()
+          val meta = ops.compactWhere(spark, dir,
+            input.getUTF8String(1).toString, input.getInt(2))
+          summary(
+            Seq("snapshot_id" -> LongType, "files_before" -> IntegerType,
+              "files_after" -> IntegerType),
+            Seq[Any](meta.currentSnapshotId.getOrElse(-1L), before, filesNow()))
         case "maintenance_plan" =>
           // C78 — the advisor: reads ONLY metadata (manifest entries +
           // snapshot log, no data files) and reports which maintenance

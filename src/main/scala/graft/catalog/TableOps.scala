@@ -776,6 +776,58 @@ final class TableOps(private[graft] val store: FsStore) {
     overwriteWith(tableDir, big, newFiles, operation = "compact-files")
   }
 
+  /** C80 — targeted compaction (Iceberg's `rewrite_data_files` with a
+    * where clause): rewrite ONLY the data files whose manifest stats
+    * OVERLAP `predicateSql`; provably-disjoint files are kept verbatim
+    * with their stats. Row-preserving — selected files are read whole
+    * (through the evolution-aware path) and re-clustered, never
+    * filtered — so this is the hot-partition maintenance move: a
+    * streaming table's freshest day compacts without paying a
+    * full-table rewrite. Lineage-enabled tables must use
+    * [[compactLineage]] (id blocks don't survive a row-permuting
+    * partial rewrite). */
+  def compactWhere(
+      spark: SparkSession,
+      tableDir: Path,
+      predicateSql: String,
+      numFiles: Int): TableMetadata = {
+    val (_, meta) = load(tableDir).getOrElse(
+      throw new CommitFailedException(s"table does not exist at $tableDir"))
+    requireNoPendingDeletes(tableDir, meta, "compactWhere")
+    if (lineageEnabled(meta))
+      throw new UnsupportedOperationException(
+        "compactWhere on a row-lineage table would reassign ids — use compactLineage")
+    val entries = resolveEntries(tableDir, meta)
+    val schema = SchemaBridge.toSpark(meta.currentSchema)
+    // parse + resolve the predicate against the table schema, then
+    // translate to the sources.Filter vocabulary the stats pruner speaks
+    // ConstantFolding over the analyzed plan: implicit literal casts
+    // (`id >= CAST(3000 AS BIGINT)`) must collapse to literals before
+    // the sources.Filter translation will accept them — but the full
+    // optimizer would erase the Filter over an empty relation entirely
+    val analyzedPlan = spark
+      .createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      .filter(org.apache.spark.sql.functions.expr(predicateSql))
+      .queryExecution.analyzed
+    val cond = org.apache.spark.sql.catalyst.optimizer.ConstantFolding(analyzedPlan)
+      .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
+      .getOrElse(throw new IllegalArgumentException(s"cannot parse predicate: $predicateSql"))
+    val filter = org.apache.spark.sql.execution.datasources.GraftBridge.translateFilter(cond)
+      .getOrElse(throw new IllegalArgumentException(
+        s"predicate not stats-translatable: $predicateSql"))
+    // no pending deletes (guarded above) ⇒ every entry is a data file
+    val (hit, keep) = entries.partition(e =>
+      Stats.mayContain(SchemaEvolution.statsToCurrent(meta, e), schema, filter))
+    if (hit.size < 2) return meta
+    val writeDir = new Path(dataDir(tableDir), s"w-${UUID.randomUUID()}")
+    readEntries(spark, tableDir, meta, hit)
+      .repartition(numFiles)
+      .write.format(dataFormat(meta)).save(writeDir.toString)
+    val newFiles = store.listFilesRec(writeDir)
+      .filter(f => isDataFile(f.getName)).map(_.toString)
+    overwriteWith(tableDir, keep, newFiles, operation = "compact-where")
+  }
+
   /** MERGE-lite upsert: rows of `source` replace current rows with the
     * same key tuple; unmatched source rows append. File-granular
     * copy-on-write like DELETE — files whose key-column stats don't

@@ -145,6 +145,37 @@ class IcebergExportSpec extends SparkSpec {
     assert(imported.currentSchema.fields.find(_.name == "id").get.dataType == "bigint")
   }
 
+  test("C75 round-trip: column defaults export as v3 JSON literals and survive import") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ice")
+    spark.sql("CREATE TABLE graft.ice.defs (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.ice.defs VALUES (1, 1.5), (2, 2.5)")
+    // add defaulted columns AFTER the first file exists
+    spark.sql("ALTER TABLE graft.ice.defs ADD COLUMN flag INT DEFAULT 7")
+    spark.sql("ALTER TABLE graft.ice.defs ADD COLUMN tag STRING DEFAULT 'none'")
+    spark.sql("INSERT INTO graft.ice.defs VALUES (3, 3.5, 30, 'x')")
+    val dir = new Path(s"$warehouse/ice/defs")
+
+    val metaFile = IcebergExport.export(cat.ops, dir, Some(spark))
+    // the exported metadata carries the v3 keys as JSON literals
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(metaFile.toString)), "UTF-8")
+    val compact = json.replaceAll("\\s", "")
+    assert(compact.contains("\"initial-default\":7"), json.take(2000))
+    assert(compact.contains("\"initial-default\":\"none\""), json.take(2000))
+
+    val target = new Path(s"$warehouse/ice/defs_imported")
+    val imported = IcebergImport.importTable(cat.ops, metaFile, target)
+    val flag = imported.currentSchema.fields.find(_.name == "flag").get
+    assert(flag.initialDefault.contains("7") && flag.writeDefault.contains("7"), flag)
+    val tag = imported.currentSchema.fields.find(_.name == "tag").get
+    assert(tag.initialDefault.contains("'none'"), tag)
+
+    // pre-column files in the IMPORTED table fill the default at read
+    val got = cat.ops.read(spark, target).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getString(3))).toSeq
+    assert(got == Seq((1L, 7, "none"), (2L, 7, "none"), (3L, 30, "x")), got.toString)
+  }
+
   test("export refuses pending merge-on-read deletes; re-export after new commits") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ice")
     spark.sql("CREATE TABLE graft.ice.m (id BIGINT, v STRING)")

@@ -167,6 +167,39 @@ class ProcedureSpec extends SparkSpec {
       Set(0L, 1L, 2L, 4L, 5L))
   }
 
+  test("C80 CALL compact_where rewrites only stat-overlapping files, keeps the rest verbatim") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.proc")
+    spark.sql("CREATE TABLE graft.proc.cw (id BIGINT, v DOUBLE) PARTITIONED BY (id)")
+    val dir = new Path(s"$warehouse/proc/cw")
+    // 4 range-clustered files over id 0..4000, then fragment the hot
+    // range [3000, 4000) with 4 tiny appends
+    cat.ops.write(dir, (0L until 4000L).map(i => (i, i * 0.5)).toDF("id", "v"),
+      "append", numFiles = Some(4))
+    (0 until 4).foreach(k =>
+      cat.ops.write(dir,
+        Seq((3000L + k, -1.0 * k)).toDF("id", "v"), "append"))
+    val before = cat.ops.resolveEntries(dir, cat.ops.load(dir).get._2)
+    assert(before.count(_.isData) == 8)
+    val coldPaths = before.filter(_.stats.get("id").exists(_.max.exists(_.toDouble < 3000)))
+      .map(_.path).toSet
+    assert(coldPaths.size == 3, s"expected 3 provably-cold files, got ${coldPaths.size}")
+
+    val out = spark.sql(
+      "CALL graft.system.compact_where('proc.cw', 'id >= 3000', 1)").collect()
+    assert(out.head.getInt(1) == 8 && out.head.getInt(2) == 4,
+      s"8 files -> 3 kept + 1 rewritten, got ${out.head}")
+
+    // cold files survive IDENTICALLY (same paths, stats untouched)
+    val after = cat.ops.resolveEntries(dir, cat.ops.load(dir).get._2)
+    assert(coldPaths.subsetOf(after.map(_.path).toSet),
+      "disjoint files must be kept verbatim")
+    // all rows intact, including the fragment rows
+    assert(spark.table("graft.proc.cw").count() == 4004)
+    assert(spark.sql("SELECT count(*) FROM graft.proc.cw WHERE v < 0").collect()
+      .head.getLong(0) == 3, "fragment rows (one v=0 row excluded) survive the rewrite")
+  }
+
   test("listProcedures exposes the system namespace") {
     val ids = cat.listProcedures(Array("system"))
     assert(ids.map(_.name()).toSet.contains("compact"))
