@@ -992,6 +992,72 @@ final class TableOps(private[graft] val store: FsStore) {
       cond: org.apache.spark.sql.Column): TableMetadata =
     positionalDelete(spark, tableDir, cond, asVectors = true)
 
+  /** C81 — merge-on-read UPDATE: matched rows die via a deletion
+    * vector and their updated images append as new data files, BOTH in
+    * ONE commit — O(changed rows) work, zero data-file rewrite (the
+    * COW row-level path rewrites whole files; at 100 TB a 0.1%-
+    * selectivity UPDATE should not rewrite 100% of the bytes it
+    * touches). Positional masking is path-keyed, so the new files are
+    * untouched by the vector that kills their predecessors; CDC
+    * resolves the commit as row-level delete+insert pairs. Concurrent
+    * rewrites of the referenced files abort the commit (coordinates
+    * would dangle). Row-lineage tables must use the copy-on-write
+    * UPDATE (id carry-over across an update is a rewrite concern). */
+  def morUpdate(
+      spark: SparkSession,
+      tableDir: Path,
+      cond: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column]): TableMetadata = {
+    import org.apache.spark.sql.execution.datasources.GraftBridge
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    val (_, meta) = load(tableDir).getOrElse(
+      throw new CommitFailedException(s"table does not exist at $tableDir"))
+    if (lineageEnabled(meta))
+      throw new UnsupportedOperationException(
+        "morUpdate on a row-lineage table — use the copy-on-write UPDATE (ids must carry over)")
+    val schema = SchemaBridge.toSpark(meta.currentSchema)
+    assignments.keys.foreach(c => require(schema.fieldNames.contains(c),
+      s"assignment targets unknown column $c"))
+    val namedFiles = resolveEntries(tableDir, meta).filter(_.isData).map(_.path).toSet
+    val df = GraftBridge.ofRows(spark,
+      new GraftTable(tableDir.toString, tableDir, meta, this))
+    // one scan feeds both the coordinate set and the new row images
+    val matched = df.filter(cond).persist()
+    try {
+      val baseNorm = java.util.regex.Pattern.quote(tableDir.toUri.getPath + "/")
+      val coords = matched
+        .select(regexp_replace(col("_file"), s"^.*$baseNorm", "").as("_file"), col("_pos"))
+      val dvDir = new Path(dataDir(tableDir), s"w-${UUID.randomUUID()}")
+      DeletionVectors.fromPairs(spark, coords).write.parquet(dvDir.toString)
+      val dvFiles = store.listFilesRec(dvDir)
+        .filter(_.getName.endsWith(".parquet")).map(_.toString)
+      val updated = assignments.foldLeft(
+        matched.select(schema.fieldNames.map(col).toIndexedSeq: _*)) {
+        case (d, (c, e)) => d.withColumn(c, e)
+      }.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      val dataW = new Path(dataDir(tableDir), s"w-${UUID.randomUUID()}")
+      updated.write.format(dataFormat(meta)).save(dataW.toString)
+      val dataFiles = store.listFilesRec(dataW)
+        .filter(f => isDataFile(f.getName)).map(_.toString)
+      commitDeleteEntries(tableDir, seq =>
+        dvFiles.map(f => DataFileEntry(
+          relativize(tableDir, f), content = "dv-deletes", seq = Some(seq))) ++
+        dataFiles.map { f =>
+          val e = scala.util.Try(Stats.collect(store.fs(tableDir).getConf, f))
+            .getOrElse(DataFileEntry(f))
+          e.copy(path = relativize(tableDir, f), seq = Some(seq))
+        }.filterNot(_.rows.contains(0L)),
+        "mor-update",
+        validate = cur => {
+          val present = resolveEntries(tableDir, cur).filter(_.isData).map(_.path).toSet
+          if (!namedFiles.subsetOf(present))
+            throw new CommitFailedException(
+              "mor-update aborted: a concurrent rewrite replaced files the update " +
+              "coordinates reference — recompute against fresh state")
+        })
+    } finally { matched.unpersist(); () }
+  }
+
   /** Compact every pending positional delete (row-coordinate parquet
     * AND existing vectors) into ONE deletion vector per referenced
     * data file. Positional application is path-keyed and
@@ -1491,12 +1557,15 @@ final class TableOps(private[graft] val store: FsStore) {
               .getOrElse(readEntries(spark, tableDir, meta, Seq.empty))
               .withColumn("_change_type", lit("delete"))
               .withColumn("_commit_seq", lit(snap.sequenceNumber))
-          case "pos-delete" | "dv-delete" =>
+          case op @ ("pos-delete" | "dv-delete" | "mor-update") =>
             // Row-level change = parent-state rows at the newly
             // deleted (file, ordinal) coordinates. Both sides of the
             // join carry scan-produced path strings, so raw equality
             // matches. Deletion vectors resolve through the same path:
-            // bitmaps stream back out as coordinate pairs.
+            // bitmaps stream back out as coordinate pairs. mor-update
+            // additionally appended the updated row images as NEW data
+            // files — those surface as inserts below, so the commit
+            // reads as row-level delete+insert pairs.
             val prevDel = prev.filter(_.isDelete).map(_.path).toSet
             val newDels = cur.filter(e => e.isPosDelete || e.isDvDelete)
               .filterNot(e => prevDel.contains(e.path))
@@ -1532,10 +1601,19 @@ final class TableOps(private[graft] val store: FsStore) {
                 new GraftTable(tableDir.toString, tableDir, meta, this, Some(prev)))
               .select((schema.fieldNames.map(col) :+ col("_file") :+ col("_pos")).toSeq: _*)
               .withColumn("_file", regexp_replace(col("_file"), "^file:/+", "/"))
-            parentWithPos.join(pairs, Seq("_file", "_pos"), "left_semi")
+            val coordDeletes = parentWithPos.join(pairs, Seq("_file", "_pos"), "left_semi")
               .select(schema.fieldNames.map(col).toSeq: _*)
               .withColumn("_change_type", lit("delete"))
               .withColumn("_commit_seq", lit(snap.sequenceNumber))
+            if (op != "mor-update") coordDeletes
+            else {
+              val curData = cur.filter(_.isData).map(_.path).toSet
+              val prevData = prev.filter(_.isData).map(_.path).toSet
+              val inserts = resolved(cur, curData -- prevData)
+                .withColumn("_change_type", lit("insert"))
+                .withColumn("_commit_seq", lit(snap.sequenceNumber))
+              coordDeletes.unionAll(inserts)
+            }
           case _ =>
             val curData = cur.filter(_.isData).map(_.path).toSet
             val prevData = prev.filter(_.isData).map(_.path).toSet

@@ -2530,6 +2530,66 @@ object Relational {
               MAX(us) + 1800000000 AS end_us, COUNT(*) AS n_events
        FROM t GROUP BY user_id, sid ORDER BY user_id, start_us"""
 
+  /** R94 — SCD-2 point-in-time reconstruction: build validity
+    * intervals from a change history (`lead` over each customer's
+    * order dates → [from, next) periods carrying the attribute then
+    * in effect) and join facts AT THEIR EVENT TIME — the
+    * slowly-changing-dimension type-2 lookup every warehouse needs.
+    * The interval join is an equi-join on the customer key with the
+    * range condition as a post-join filter (one shuffle on the key;
+    * each key's periods are few, so the per-key nested check is
+    * bounded). Zero-length periods from same-day changes resolve
+    * deterministically: [d, d) matches nothing, the successor takes
+    * the day. */
+  def qScd2AsOf(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("cust").orderBy(col("from_d"), col("o_orderkey"))
+    val periods = orders(s, d).filter(col("o_custkey") < 10)
+      .select(col("o_custkey").as("cust"), to_date(col("o_orderdate")).as("from_d"),
+        col("o_orderkey"), col("o_orderpriority").as("prio"))
+      .withColumn("to_d", lead(col("from_d"), 1).over(w))
+      .withColumn("ver", row_number().over(w).cast("long"))
+      .select("cust", "from_d", "to_d", "ver", "prio")
+    val facts = lineitem(s, d)
+      .join(orders(s, d).filter(col("o_custkey") < 10),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("fcust"), col("l_orderkey"), col("l_linenumber"),
+        to_date(col("l_shipdate")).as("ship_d"))
+    facts.join(periods,
+        col("fcust") === col("cust") && col("from_d") <= col("ship_d") &&
+          (col("to_d").isNull || col("ship_d") < col("to_d")))
+      .select(col("cust"), col("l_orderkey"), col("l_linenumber"),
+        col("ship_d").cast("string").as("ship_day"),
+        col("ver"), col("prio").as("prio_in_effect"))
+      // ship_day in the sort: the synthetic lineitem repeats
+      // (orderkey, linenumber) with different ship dates
+      .orderBy("cust", "l_orderkey", "l_linenumber", "ship_day")
+  }
+
+  val qScd2AsOfSql: String =
+    """WITH p AS (
+         SELECT o_custkey AS cust, CAST(o_orderdate AS DATE) AS from_d,
+                o_orderkey, o_orderpriority AS prio
+         FROM orders WHERE o_custkey < 10),
+       periods AS (
+         SELECT cust, from_d,
+                LEAD(from_d) OVER (PARTITION BY cust ORDER BY from_d, o_orderkey) AS to_d,
+                CAST(ROW_NUMBER() OVER (PARTITION BY cust ORDER BY from_d, o_orderkey)
+                     AS BIGINT) AS ver,
+                prio
+         FROM p),
+       facts AS (
+         SELECT o_custkey AS cust, l_orderkey, l_linenumber,
+                CAST(l_shipdate AS DATE) AS ship_d
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_custkey < 10)
+       SELECT f.cust, f.l_orderkey, f.l_linenumber,
+              CAST(f.ship_d AS VARCHAR) AS ship_day,
+              pr.ver, pr.prio AS prio_in_effect
+       FROM facts f JOIN periods pr
+         ON f.cust = pr.cust AND pr.from_d <= f.ship_d
+        AND (pr.to_d IS NULL OR f.ship_d < pr.to_d)
+       ORDER BY f.cust, f.l_orderkey, f.l_linenumber, ship_day"""
+
   /** R92 — mergeable quantile sketch (`approx_percentile`): the
     * streaming/distributed percentile estimator whose state merges
     * across partitions — the shape exact percentiles (R30) can't take

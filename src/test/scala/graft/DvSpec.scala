@@ -285,4 +285,52 @@ class DvSpec extends SparkSpec {
       .map(t => (t._1, t._2)).toMap
     assert(cards == Map("f1" -> 3L, "f2" -> 2L))
   }
+
+  test("C81 merge-on-read UPDATE: DV + new images in one commit, zero data-file rewrite, CDC pairs") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dv")
+    spark.sql("CREATE TABLE graft.dv.upd (id BIGINT, status STRING, amount DOUBLE)")
+    spark.sql("INSERT INTO graft.dv.upd VALUES (1,'open',10.0), (2,'open',20.0)")
+    spark.sql("INSERT INTO graft.dv.upd VALUES (3,'open',30.0), (4,'done',40.0)")
+    val dir = new Path(s"$warehouse/dv/upd")
+    val beforeData = entries(dir).filter(_.isData).map(_.path).toSet
+    val beforeSeq = cat.ops.load(dir).get._2.lastSequenceNumber
+
+    import org.apache.spark.sql.functions.{col => c, lit}
+    cat.ops.morUpdate(spark, dir, c("status") === "open" && c("id") >= 2,
+      Map("status" -> lit("closed"), "amount" -> (c("amount") + 5.0)))
+
+    // semantics: matched rows updated, rest untouched
+    val rows = spark.sql("SELECT id, status, amount FROM graft.dv.upd ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq(
+      (1L, "open", 10.0), (2L, "closed", 25.0),
+      (3L, "closed", 35.0), (4L, "done", 40.0)), rows.mkString(", "))
+
+    // zero rewrite: every pre-update data file survives verbatim; the
+    // commit added only DV file(s) + new image file(s)
+    val after = entries(dir)
+    assert(beforeData.subsetOf(after.filter(_.isData).map(_.path).toSet),
+      "MOR update must not rewrite existing data files")
+    assert(after.exists(_.isDvDelete), "expected a deletion vector")
+
+    // CDC: the commit reads as row-level delete+insert pairs
+    val feed = cat.ops.changes(spark, dir, beforeSeq, Long.MaxValue)
+    val dels = feed.filter("_change_type = 'delete'")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val ins = feed.filter("_change_type = 'insert'")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(dels == Set((2L, "open"), (3L, "open")), dels.toString)
+    assert(ins == Set((2L, "closed"), (3L, "closed")), ins.toString)
+
+    // a second MOR update composes (vectors union), then apply_deletes
+    // materializes everything and the rowset is unchanged
+    cat.ops.morUpdate(spark, dir, c("id") === 1L, Map("status" -> lit("closed")))
+    cat.ops.applyDeletes(spark, dir)
+    val finalRows = spark.sql("SELECT id, status, amount FROM graft.dv.upd ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(finalRows.toSeq == Seq(
+      (1L, "closed", 10.0), (2L, "closed", 25.0),
+      (3L, "closed", 35.0), (4L, "done", 40.0)), finalRows.mkString(", "))
+    assert(entries(dir).forall(_.isData), "applyDeletes purges the vectors")
+  }
 }
