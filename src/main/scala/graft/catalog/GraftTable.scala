@@ -175,7 +175,8 @@ final class GraftTable(
       entries: Seq[DataFileEntry], options: CaseInsensitiveStringMap)
       extends ScanBuilder
       with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
-      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+      with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
     import org.apache.spark.sql.catalyst.expressions.Expression
     import org.apache.spark.sql.execution.datasources.GraftBridge
@@ -218,12 +219,142 @@ final class GraftTable(
     private var metaCols: Seq[String] = Seq.empty
 
     override def pruneColumns(requiredSchema: StructType): Unit = {
+      if (aggResult.isDefined) {
+        // complete aggregate pushdown: the "required schema" is the
+        // aggregation's OUTPUT (MIN(v), count(*), ...) — nothing to
+        // forward to the parquet delegate, the answer is already known
+        requiredState = Some(requiredSchema)
+        return
+      }
       metaCols = requiredSchema.fieldNames.toSeq
         .filter(n => n == "_file" || n == "_pos" || n == "_row_id")
       val dataSchema =
         StructType(requiredSchema.fields.filterNot(f => metaCols.contains(f.name)))
       requiredState = Some(dataSchema)
       delegate.pruneColumns(dataSchema)
+    }
+
+    /** C82 — aggregate pushdown to MANIFEST STATS: `COUNT(*)`,
+      * `COUNT(col)`, `MIN(col)`, `MAX(col)` with no filters, no
+      * grouping and no pending deletes are answered from per-file
+      * row counts and min/max/null-counts alone — the scan plans as a
+      * driver-side LocalScan and reads ZERO data files. At 100 TB
+      * this turns the most common sanity queries from cluster jobs
+      * into metadata lookups. Strictly conservative: any entry
+      * missing the needed stat (all-null files, pre-evolution files,
+      * stat-less types, possibly-truncated long strings) refuses the
+      * pushdown and the normal scan runs. */
+    private var aggResult: Option[(Array[Any], StructType)] = None
+
+    override def supportCompletePushDown(
+        agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+      computeAgg(agg).isDefined
+
+    override def pushAggregation(
+        agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+      computeAgg(agg) match {
+        case Some(values) =>
+          aggResult = Some((values, aggOutputSchema(agg)))
+          true
+        case None => false
+      }
+
+    /** The scan's contract under complete pushdown: readSchema IS the
+      * aggregation's output row shape (positional). */
+    private def aggOutputSchema(
+        agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): StructType = {
+      import org.apache.spark.sql.connector.expressions.NamedReference
+      import org.apache.spark.sql.connector.expressions.aggregate._
+      import org.apache.spark.sql.types._
+      StructType(agg.aggregateExpressions().toIndexedSeq.map {
+        case _: CountStar =>
+          org.apache.spark.sql.types.StructField("count(*)", LongType, nullable = false)
+        case c: Count =>
+          org.apache.spark.sql.types.StructField(c.toString, LongType, nullable = false)
+        case m: Min =>
+          val n = m.column().asInstanceOf[NamedReference].fieldNames.head
+          org.apache.spark.sql.types.StructField(m.toString, schema(n).dataType, nullable = true)
+        case m: Max =>
+          val n = m.column().asInstanceOf[NamedReference].fieldNames.head
+          org.apache.spark.sql.types.StructField(m.toString, schema(n).dataType, nullable = true)
+        case other => throw new IllegalStateException(s"unpushable aggregate $other")
+      })
+    }
+
+    private def computeAgg(
+        agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+        : Option[Array[Any]] = {
+      import org.apache.spark.sql.connector.expressions.NamedReference
+      import org.apache.spark.sql.connector.expressions.aggregate._
+      import org.apache.spark.sql.types._
+      if (agg.groupByExpressions().nonEmpty || predicateState.nonEmpty) return None
+      if (eqDeletes.nonEmpty || posDeletes.nonEmpty || dvDeletes.nonEmpty) return None
+      val entries = dataEntries.map(e => SchemaEvolution.statsToCurrent(meta, e))
+      if (entries.exists(_.rows.isEmpty)) return None
+      def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+        e match {
+          case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames.head)
+          case _ => None
+        }
+      // parquet-mr may truncate long binary stats (bound-preserving,
+      // value-destroying) — refuse strings long enough to be suspect
+      def statVal(s: String, dt: DataType): Option[Any] = dt match {
+        case IntegerType => scala.util.Try(s.toInt).toOption
+        case LongType => scala.util.Try(s.toLong).toOption
+        case DoubleType => scala.util.Try(s.toDouble).toOption
+        case FloatType => scala.util.Try(s.toFloat).toOption
+        case StringType if s.length <= 48 =>
+          Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        case DateType => scala.util.Try(s.toInt).toOption
+        case TimestampType | TimestampNTZType => scala.util.Try(s.toLong).toOption
+        case _ => None
+      }
+      def cmp(a: Any, b: Any, dt: DataType): Int = dt match {
+        case IntegerType | DateType => Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+        case LongType | TimestampType | TimestampNTZType =>
+          java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+        case DoubleType => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+        case FloatType => java.lang.Float.compare(a.asInstanceOf[Float], b.asInstanceOf[Float])
+        case StringType => a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+          .compareTo(b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+        case _ => 0
+      }
+      def extremum(n: String, wantMin: Boolean): Option[Any] = {
+        val dt = schema.fields.find(_.name == n).map(_.dataType).getOrElse(return None)
+        val per = entries.flatMap { e =>
+          e.stats.get(n) match {
+            case Some(cs) if cs.min.isDefined && cs.max.isDefined =>
+              val s = (if (wantMin) cs.min else cs.max).get
+              Some(statVal(s, dt).getOrElse(return None))
+            // a provably all-null file contributes nothing to MIN/MAX
+            case Some(cs) if cs.nulls.isDefined && e.rows == cs.nulls => None
+            case _ => return None
+          }
+        }
+        // no contributing file (empty table / every row null) ⇒ NULL
+        if (per.isEmpty) Some(null) else
+          Some(per.reduce((a, b) => if (cmp(a, b, dt) < 0 == wantMin) a else b))
+      }
+      val out = agg.aggregateExpressions().map {
+        case _: CountStar =>
+          entries.map(_.rows.get).sum: Any
+        case c: Count if !c.isDistinct =>
+          val n = colName(c.column()).getOrElse(return None)
+          val per = entries.map { e =>
+            val cs = e.stats.get(n).getOrElse(return None)
+            val nulls = cs.nulls.getOrElse(return None)
+            e.rows.get - nulls
+          }
+          per.sum: Any
+        case m: Min =>
+          extremum(colName(m.column()).getOrElse(return None), wantMin = true)
+            .getOrElse(return None)
+        case m: Max =>
+          extremum(colName(m.column()).getOrElse(return None), wantMin = false)
+            .getOrElse(return None)
+        case _ => return None
+      }
+      Some(out)
     }
 
     /** Merge-on-read / metadata-column scan: partitions are re-planned
@@ -387,6 +518,19 @@ final class GraftTable(
     }
 
     override def build(): org.apache.spark.sql.connector.read.Scan = {
+      aggResult match {
+        case Some((values, out)) =>
+          // C82: the aggregation was answered from manifest stats —
+          // plan as a LocalScan (zero files listed, opened, scheduled)
+          return new org.apache.spark.sql.connector.read.LocalScan {
+            override def readSchema(): StructType = out
+            override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+              Array(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values))
+            override def description(): String =
+              s"GraftManifestAggScan${out.fieldNames.mkString("[", ", ", "]")}"
+          }
+        case None => ()
+      }
       if (eqDeletes.nonEmpty || posDeletes.nonEmpty || dvDeletes.nonEmpty ||
           metaCols.nonEmpty)
         return buildMorOrMeta()

@@ -81,11 +81,18 @@ object Stats {
       val mins = scala.collection.mutable.Map[String, String]()
       val maxs = scala.collection.mutable.Map[String, String]()
       val nulls = scala.collection.mutable.Map[String, Long]()
-      var unusable = Set.empty[String]
+      var unusable = Set.empty[String] // min/max unusable; null counts may still be
+      var nullsUnknown = Set.empty[String]
       blocks.foreach { b =>
         b.getColumns.asScala.foreach { c =>
           val name = c.getPath.toDotString
           val st = c.getStatistics
+          // null counts accumulate independently of min/max usability:
+          // an all-null chunk has no min/max but a definite null count,
+          // which IsNull pruning and COUNT(col) pushdown (C82) can use
+          if (st != null && st.isNumNullsSet && st.getNumNulls >= 0)
+            nulls(name) = nulls.getOrElse(name, 0L) + st.getNumNulls
+          else nullsUnknown += name
           if (st == null || !st.hasNonNullValue || unusable.contains(name)) {
             unusable += name
           } else {
@@ -93,7 +100,6 @@ object Stats {
             (render(st.genericGetMin.asInstanceOf[AnyRef], logical),
              render(st.genericGetMax.asInstanceOf[AnyRef], logical)) match {
               case (Some(mn), Some(mx)) =>
-                nulls(name) = nulls.getOrElse(name, 0L) + st.getNumNulls
                 mins(name) = mins.get(name).map(old => minOf(old, mn, logical)).getOrElse(mn)
                 maxs(name) = maxs.get(name).map(old => maxOf(old, mx, logical)).getOrElse(mx)
               case _ => unusable += name
@@ -101,9 +107,17 @@ object Stats {
           }
         }
       }
-      val cols = (mins.keySet -- unusable).map { name =>
-        name -> ColumnStats(Some(mins(name)), Some(maxs(name)), nulls.get(name))
+      def knownNulls(name: String): Option[Long] =
+        if (nullsUnknown.contains(name)) None else nulls.get(name)
+      val withMinMax = (mins.keySet -- unusable).map { name =>
+        name -> ColumnStats(Some(mins(name)), Some(maxs(name)), knownNulls(name))
       }.toMap
+      // null-count-only entries (all-null columns, or min/max-unusable
+      // types with known null counts) — same shape the ORC path keeps
+      val nullOnly = (nulls.keySet -- withMinMax.keySet -- nullsUnknown).map { name =>
+        name -> ColumnStats(None, None, Some(nulls(name)))
+      }.toMap
+      val cols = withMinMax ++ nullOnly
       val bytes = Try(new Path(file).getFileSystem(conf)
         .getFileStatus(new Path(file)).getLen).toOption
       DataFileEntry(file, Some(rows), cols, bytes = bytes)

@@ -65,7 +65,9 @@ class StatsSpec extends SparkSpec {
     val (_, meta) = cat.ops.load(dir).get
     val entries = cat.ops.snapshotEntries(dir, meta.currentSnapshot.get)
     assert(entries.size >= 2)
-    val all = scannedPaths(spark.sql("SELECT count(*) FROM graft.stats.ins"))
+    // sum() is not stat-answerable, so this still scans (count(*)
+    // would now plan as a C82 metadata-only LocalScan — no file index)
+    val all = scannedPaths(spark.sql("SELECT sum(id) FROM graft.stats.ins"))
     val one = scannedPaths(spark.sql("SELECT count(*) FROM graft.stats.ins WHERE grp = 5"))
     assert(one < all, s"expected file skipping through DSv2 write: $one vs $all")
     assert(spark.sql("SELECT count(*) FROM graft.stats.ins WHERE grp = 5")
@@ -474,6 +476,53 @@ class StatsSpec extends SparkSpec {
     val first = meta.snapshots.minBy(_.sequenceNumber)
     assert(spark.sql(s"SELECT * FROM graft.stats.tt2 VERSION AS OF ${first.snapshotId}")
       .collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
+  test("C82 aggregate pushdown: COUNT/MIN/MAX answered from manifest stats, zero file reads") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stats")
+    spark.sql("CREATE TABLE graft.stats.agg (id BIGINT, v DOUBLE, s STRING, d DATE, t TIMESTAMP)")
+    spark.sql("INSERT INTO graft.stats.agg VALUES " +
+      "(1, 1.5, 'aa', DATE '2026-01-05', TIMESTAMP '2026-01-05 10:00:00'), " +
+      "(2, 2.5, 'bb', DATE '2026-02-01', TIMESTAMP '2026-02-01 09:30:00')")
+    spark.sql("INSERT INTO graft.stats.agg VALUES " +
+      "(3, NULL, 'cc', DATE '2025-12-31', TIMESTAMP '2025-12-31 23:59:59'), " +
+      "(4, 4.5, 'zz', DATE '2026-03-01', TIMESTAMP '2026-03-01 00:00:01')")
+
+    val df = spark.sql(
+      "SELECT count(*), count(v), min(id), max(id), min(v), max(v), min(s), max(s), " +
+      "min(d), max(d), min(t) FROM graft.stats.agg")
+    val row = df.collect().head
+    assert(row.getLong(0) == 4 && row.getLong(1) == 3)
+    assert(row.getLong(2) == 1 && row.getLong(3) == 4)
+    assert(row.getDouble(4) == 1.5 && row.getDouble(5) == 4.5)
+    assert(row.getString(6) == "aa" && row.getString(7) == "zz")
+    assert(row.getDate(8).toString == "2025-12-31" && row.getDate(9).toString == "2026-03-01")
+    assert(row.getTimestamp(10).toString.startsWith("2025-12-31 23:59:59"))
+    // the whole aggregation planned as a LocalTableScan — no file scan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"), plan.take(800))
+    assert(!plan.contains("BatchScan") && !plan.contains("FileScan"),
+      "no data files may be read: " + plan.take(800))
+
+    // a filter refuses the pushdown (stats can't answer residual rows)
+    // and the normal scan gives the same truth
+    val filtered = spark.sql("SELECT count(*) FROM graft.stats.agg WHERE id > 2")
+    assert(filtered.queryExecution.executedPlan.toString.contains("Scan"))
+    assert(filtered.collect().head.getLong(0) == 2)
+
+    // pending MOR deletes refuse the pushdown — counts stay truthful
+    import spark.implicits._
+    val dir = new Path(s"$warehouse/stats/agg")
+    cat.ops.mergeOnReadDelete(spark, dir, Seq(1L).toDF("id"))
+    val afterDelete = spark.sql("SELECT count(*), max(id) FROM graft.stats.agg")
+    assert(afterDelete.collect().head.getLong(0) == 3)
+    assert(!afterDelete.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "pushdown must refuse while deletes are pending")
+    cat.ops.applyDeletes(spark, dir)
+    // back to metadata-only after the purge
+    val healed = spark.sql("SELECT count(*) FROM graft.stats.agg")
+    assert(healed.collect().head.getLong(0) == 3)
+    assert(healed.queryExecution.executedPlan.toString.contains("LocalTableScan"))
   }
 
   test("C77 write distribution modes: hash co-locates keys without a sampling pass, none writes as-is") {
