@@ -176,7 +176,8 @@ final class GraftTable(
       extends ScanBuilder
       with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
       with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
-      with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+      with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+      with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
     import org.apache.spark.sql.catalyst.expressions.Expression
     import org.apache.spark.sql.execution.datasources.GraftBridge
@@ -232,6 +233,28 @@ final class GraftTable(
         StructType(requiredSchema.fields.filterNot(f => metaCols.contains(f.name)))
       requiredState = Some(dataSchema)
       delegate.pruneColumns(dataSchema)
+    }
+
+    /** C83 — LIMIT pushdown to the FILE LIST: with no filters and no
+      * pending deletes, every manifest row is a result row, so `LIMIT
+      * n` needs only the first files whose cumulative row count
+      * reaches n — a `SELECT * FROM t LIMIT 10` on a million-file
+      * table plans ONE file instead of a full scan. Partial-push
+      * contract: Spark keeps the limit operator, so returning
+      * whole-file granularity (≥ n rows) is always correct. */
+    override def pushLimit(limit: Int): Boolean = {
+      if (predicateState.nonEmpty) return false
+      if (eqDeletes.nonEmpty || posDeletes.nonEmpty || dvDeletes.nonEmpty) return false
+      if (keptEntries.exists(_.rows.isEmpty)) return false
+      var acc = 0L
+      val kept = keptEntries.takeWhile { e =>
+        val before = acc; acc += e.rows.get; before < limit
+      }
+      if (kept.size == keptEntries.size) return false // nothing saved
+      keptEntries = kept
+      delegate = dataScanBuilder(kept.map(_.path), schema, options)
+      requiredState.foreach(delegate.pruneColumns)
+      true
     }
 
     /** C82 — aggregate pushdown to MANIFEST STATS: `COUNT(*)`,

@@ -525,6 +525,31 @@ class StatsSpec extends SparkSpec {
     assert(healed.queryExecution.executedPlan.toString.contains("LocalTableScan"))
   }
 
+  test("C83 LIMIT pushdown bounds the file list by manifest row counts") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stats")
+    spark.sql("CREATE TABLE graft.stats.lim (id BIGINT)")
+    (0 until 6).foreach(i =>
+      spark.range(i * 100, (i + 1) * 100).write.mode("append").saveAsTable("graft.stats.lim"))
+
+    // LIMIT 150 needs only the first files covering 150 manifest rows
+    val total = cat.ops.resolveEntries(
+      new Path(s"$warehouse/stats/lim"), cat.ops.load(new Path(s"$warehouse/stats/lim")).get._2)
+      .count(_.isData)
+    val df = spark.sql("SELECT id FROM graft.stats.lim LIMIT 150")
+    assert(df.collect().length == 150)
+    val plan = df.queryExecution.executedPlan.toString
+    val scanned = "InMemoryFileIndex\\((\\d+) paths\\)".r
+      .findFirstMatchIn(plan).map(_.group(1).toInt)
+      .getOrElse(fail("no file index in plan: " + plan.take(600)))
+    assert(scanned < total,
+      s"limit must bound the file list: scanned $scanned of $total files")
+
+    // a filter refuses the file-list cut (residual rows unknown) and
+    // truth is preserved
+    val filtered = spark.sql("SELECT id FROM graft.stats.lim WHERE id >= 550 LIMIT 10")
+    assert(filtered.collect().map(_.getLong(0)).forall(_ >= 550))
+  }
+
   test("C77 write distribution modes: hash co-locates keys without a sampling pass, none writes as-is") {
     import spark.implicits._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stats")
