@@ -645,7 +645,11 @@ object TextPipeline {
       .withColumn("tok", size(col("ws")).cast("long"))
       .withColumn("cum_before", coalesce(sum(col("tok")).over(
         w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("shard", (col("cum_before") / 5000).cast("long"))
+      // integer division on BOTH sides: Spark `/` is double division
+      // and DuckDB CAST(double AS BIGINT) ROUNDS where Spark's cast
+      // truncates — at corpus sizes where cum/5000 crosses x.5 the
+      // engines would disagree on the shard id (bit at sf0.1)
+      .withColumn("shard", expr("cum_before div 5000"))
       .groupBy("source", "shard")
       .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("shard_tokens"))
       .orderBy("source", "shard")
@@ -659,7 +663,7 @@ object TextPipeline {
                     COALESCE(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
              FROM t)
-       SELECT source, CAST(cum_before / 5000 AS BIGINT) AS shard,
+       SELECT source, CAST(cum_before // 5000 AS BIGINT) AS shard,
               COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS shard_tokens
        FROM c GROUP BY source, shard ORDER BY source, shard"""
 

@@ -43,14 +43,20 @@ object Vectors {
     embeddings(s, d)
       .select(col("label"), posexplode(col("embedding")))
       .groupBy(col("label"), col("pos").cast("long").as("dim_idx"))
-      .agg((sum(col("col").cast("double").cast(org.apache.spark.sql.types.DecimalType(18, 9)))
-        .cast("double") / count(lit(1))).as("centroid"))
+      // tie-free 1e-9 quantization: floor(x·1e9) has no rounding
+      // boundary (unlike a decimal cast, whose half-up tie at the 9th
+      // decimal CAN fire — float32 values are dyadic rationals whose
+      // decimal expansions land exactly on ...5; bit at sf0.1), the
+      // long sum is exact/order-free, and the two closing divisions
+      // are correctly-rounded doubles — identical in both engines.
+      .agg((sum(floor(col("col").cast("double") * 1e9).cast("long"))
+        .cast("double") / 1e9 / count(lit(1))).as("centroid"))
       .orderBy("label", "dim_idx")
 
   val embedCentroidsSql: String =
     """SELECT label, i - 1 AS dim_idx,
-              CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
-                / COUNT(*) AS centroid
+              CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000000) AS BIGINT))
+                   AS DOUBLE) / 1000000000 / COUNT(*) AS centroid
        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
        GROUP BY label, i ORDER BY label, dim_idx"""
 
