@@ -34,7 +34,8 @@ import org.apache.spark.unsafe.types.UTF8String
 object MetaTables {
 
   val suffixes: Seq[String] =
-    Seq("$snapshots", "$history", "$refs", "$files", "$partitions", "$manifests")
+    Seq("$snapshots", "$history", "$refs", "$files", "$partitions", "$manifests",
+      "$properties", "$constraints")
 
   def forSuffix(
       suffix: String, name: String, dir: Path, meta: TableMetadata, ops: TableOps): Table =
@@ -45,8 +46,41 @@ object MetaTables {
       case "$files" => files(name, dir, meta, ops)
       case "$partitions" => partitions(name, dir, meta, ops)
       case "$manifests" => manifests(name, dir, meta, ops)
+      case "$properties" => properties(name, meta)
+      case "$constraints" => constraints(name, meta)
       case other => throw new IllegalArgumentException(s"unknown metadata table $other")
     }
+
+  /** C84 — `t$properties`: the table's property map as rows (Iceberg's
+    * properties metadata table). Engine-reserved keys (constraints,
+    * stream watermarks, stats) surface too — they ARE properties. */
+  private def properties(name: String, meta: TableMetadata): Table = {
+    val schema = StructType(Seq(
+      StructField("key", StringType, nullable = false),
+      StructField("value", StringType, nullable = false)))
+    val rows = meta.properties.toSeq.sortBy(_._1).map { case (k, v) =>
+      new GenericInternalRow(Array[Any](utf(k), utf(v))): InternalRow
+    }
+    new StaticTable(name, schema, rows.toArray)
+  }
+
+  /** C84 — `t$constraints`: the C79 CHECK constraints with their
+    * predicate SQL and enforcement status. */
+  private def constraints(name: String, meta: TableMetadata): Table = {
+    val prefix = "graft.constraint.check."
+    val schema = StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("type", StringType, nullable = false),
+      StructField("predicate", StringType, nullable = false),
+      StructField("enforced", BooleanType, nullable = false),
+      StructField("validation_status", StringType, nullable = false)))
+    val rows = meta.properties.toSeq.filter(_._1.startsWith(prefix)).sortBy(_._1)
+      .map { case (k, sql) =>
+        new GenericInternalRow(Array[Any](
+          utf(k.stripPrefix(prefix)), utf("CHECK"), utf(sql), true, utf("VALID"))): InternalRow
+      }
+    new StaticTable(name, schema, rows.toArray)
+  }
 
   /** C68 — `t$manifests`: the current snapshot's manifest tree, one
     * row per SEGMENT (C66) with entry/content/sequence rollups — what

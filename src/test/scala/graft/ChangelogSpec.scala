@@ -164,4 +164,26 @@ class ChangelogSpec extends SparkSpec {
       assert(dels.contains(1L), s"rewrite must surface deletes, got $dels")
     } finally q.stop()
   }
+
+  test("C84 $properties and $constraints inspection tables") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cl")
+    spark.sql("CREATE TABLE graft.cl.pc (id BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.bloom.columns' = 'id', 'team' = 'data-eng')")
+    spark.sql("INSERT INTO graft.cl.pc VALUES (1, 1.0)")
+    spark.sql("ALTER TABLE graft.cl.pc ADD CONSTRAINT v_pos CHECK (v > 0)")
+
+    val props = spark.sql("SELECT key, value FROM graft.cl.`pc$properties`")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(props("team") == "data-eng" && props("graft.bloom.columns") == "id", props.toString)
+
+    val cons = spark.sql(
+      "SELECT name, type, predicate, enforced, validation_status FROM graft.cl.`pc$constraints`")
+      .collect()
+    assert(cons.length == 1)
+    assert(cons.head.getString(0) == "v_pos" && cons.head.getString(1) == "CHECK")
+    assert(cons.head.getString(2).contains("v > 0") && cons.head.getBoolean(3))
+
+    spark.sql("ALTER TABLE graft.cl.pc DROP CONSTRAINT v_pos")
+    assert(spark.sql("SELECT * FROM graft.cl.`pc$constraints`").count() == 0)
+  }
 }
