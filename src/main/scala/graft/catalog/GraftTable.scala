@@ -770,7 +770,7 @@ final class GraftTable(
         case other => throw new IllegalStateException(s"unexpected partition: $other")
       }
       files.groupBy(f => keyByPath(new Path(f.urlEncodedPath).toUri.getPath)._1)
-        .toSeq.sortBy(_._1.mkString(" "))
+        .toSeq.sortBy(_._1.mkString("\u0000"))
         .zipWithIndex.map { case ((k, fs), i) =>
           val row = keyByPath(new Path(fs.head.urlEncodedPath).toUri.getPath)._2
           KeyGrouping.KeyedFilePartition(FilePartition(i, fs), row): InputPartition

@@ -230,11 +230,15 @@ object IcebergImport {
           // keeping each surviving file's first-assigned sequence
           val meta0 = ops.load(targetDir).get._2
           val next = meta0.lastSequenceNumber + 1
+          // footer stats via the shared cached/distributed collector
+          // (an imported snapshot can reference 10⁴+ files — same
+          // driver-serialization concern as a regular commit)
+          val collected = ops.collectStats(targetDir, dataF.map(_.path))
           val entries =
-            dataF.map { f =>
-              val e = scala.util.Try(Stats.collect(conf, f.path))
-                .getOrElse(DataFileEntry(f.path, rows = Some(f.rows)))
-              e.copy(path = f.path, seq = Some(seqOf.getOrElse(f.path, next)))
+            dataF.zip(collected).map { case (f, e) =>
+              e.copy(path = f.path,
+                rows = e.rows.orElse(Some(f.rows)), // footer unreadable: keep manifest count
+                seq = Some(seqOf.getOrElse(f.path, next)))
             } ++ deleteEntries(dels, f => seqOf.getOrElse(f.path, next))
           ops.commitReplay(targetDir, entries, "overwrite", newPaths.size)
           newPaths.foreach(p => seqOf += p -> next)

@@ -27,11 +27,20 @@ import org.apache.spark.sql.types._
   */
 object Stats {
 
+  /** Footer opens performed by [[collect]] since JVM start — spec
+    * instrumentation proving that commit CAS retries and repeated
+    * commits of the same files never re-open an already-collected
+    * footer (local-mode executors share this JVM, so the distributed
+    * collection path counts here too). */
+  val footerReads = new java.util.concurrent.atomic.AtomicLong
+
   /** Read footer metadata for one file: row count + per-column
     * min/max/null-count aggregated across row groups. Dispatches on
     * extension: parquet footers or ORC file-tail statistics (C58). */
-  def collect(conf: Configuration, file: String): DataFileEntry =
+  def collect(conf: Configuration, file: String): DataFileEntry = {
+    footerReads.incrementAndGet()
     if (file.endsWith(".orc")) collectOrc(conf, file) else collectParquet(conf, file)
+  }
 
   /** ORC file-tail statistics → the same manifest stats shape the
     * parquet path produces. Numeric/string/boolean columns get
@@ -136,12 +145,23 @@ object Stats {
     case _ => None
   }
 
+  /** String stats compare in UTF-8 BYTE order everywhere in this
+    * file — parquet's unsigned-byte stat ordering and Spark's
+    * UTF8String ordering agree on it, while Java String (UTF-16
+    * code units) disagrees for strings mixing U+E000–U+FFFF with
+    * supplementary-plane characters; aggregating or pruning in the
+    * Java order could return a wrong pushed-down MIN/MAX (C82) or
+    * mis-prune a file. */
+  private def utf8Cmp(a: String, b: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
   private def minOf(a: String, b: String, logical: LogicalTypeAnnotation): String =
-    if (isString(logical)) { if (a <= b) a else b }
+    if (isString(logical)) { if (utf8Cmp(a, b) <= 0) a else b }
     else if (Try(a.toDouble).isSuccess) { if (a.toDouble <= b.toDouble) a else b }
     else a
   private def maxOf(a: String, b: String, logical: LogicalTypeAnnotation): String =
-    if (isString(logical)) { if (a >= b) a else b }
+    if (isString(logical)) { if (utf8Cmp(a, b) >= 0) a else b }
     else if (Try(a.toDouble).isSuccess) { if (a.toDouble >= b.toDouble) a else b }
     else a
 
@@ -270,7 +290,7 @@ object Stats {
       a: Either[BigDecimal, String], b: Either[BigDecimal, String]): Option[Int] =
     (a, b) match {
       case (Left(x), Left(y)) => Some(x.compare(y))
-      case (Right(x), Right(y)) => Some(x.compareTo(y))
+      case (Right(x), Right(y)) => Some(utf8Cmp(x, y))
       case _ => None
     }
 
@@ -315,7 +335,7 @@ object Stats {
   private def cmp(a: Either[Double, String], b: Either[Double, String]): Option[Int] =
     (a, b) match {
       case (Left(x), Left(y)) => Some(java.lang.Double.compare(x, y))
-      case (Right(x), Right(y)) => Some(x.compareTo(y))
+      case (Right(x), Right(y)) => Some(utf8Cmp(x, y))
       case _ => None
     }
 
@@ -354,4 +374,21 @@ object Stats {
         }
       case None => true
     }
+}
+
+/** Minimal serializable wrapper for a Hadoop `Configuration` (the
+  * standard Spark closure pattern: `Configuration` is Writable but not
+  * Serializable) — lets [[TableOps]] ship the filesystem conf to
+  * executors for the distributed footer-stat job. */
+final class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
 }

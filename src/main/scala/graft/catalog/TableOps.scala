@@ -119,11 +119,9 @@ final class TableOps(private[graft] val store: FsStore) {
       operation: String): Seq[MetadataUpdate] = {
     val parent = meta.currentSnapshot
     val newSeq = meta.lastSequenceNumber + 1
-    val (newRel, lineageUpd) = stampRowIds(meta, newFiles.map { f =>
-      val entry = scala.util.Try(Stats.collect(store.fs(tableDir).getConf, f))
-        .getOrElse(DataFileEntry(f))
-      entry.copy(path = relativize(tableDir, f), seq = Some(newSeq))
-    }.filterNot(_.rows.contains(0L))) // empty range partitions write 0-row files: pure metadata waste
+    val (newRel, lineageUpd) = stampRowIds(meta, collectStats(tableDir, newFiles)
+      .map(e => e.copy(path = relativize(tableDir, e.path), seq = Some(newSeq)))
+      .filterNot(_.rows.contains(0L))) // empty range partitions write 0-row files: pure metadata waste
     val snapId = newSnapshotId()
     val (manifestName, total) = operation match {
       case "append" =>
@@ -300,11 +298,9 @@ final class TableOps(private[graft] val store: FsStore) {
       if (branch == "main") meta.currentSnapshot
       else meta.snapshotByRef(branch).orElse(meta.currentSnapshot)
     val newSeq = meta.lastSequenceNumber + 1
-    val (newRel, lineageUpd) = stampRowIds(meta, newFiles.map { f =>
-      val entry = scala.util.Try(Stats.collect(store.fs(tableDir).getConf, f))
-        .getOrElse(DataFileEntry(f))
-      entry.copy(path = relativize(tableDir, f), seq = Some(newSeq))
-    }.filterNot(_.rows.contains(0L))) // empty range partitions write 0-row files: pure metadata waste
+    val (newRel, lineageUpd) = stampRowIds(meta, collectStats(tableDir, newFiles)
+      .map(e => e.copy(path = relativize(tableDir, e.path), seq = Some(newSeq)))
+      .filterNot(_.rows.contains(0L))) // empty range partitions write 0-row files: pure metadata waste
     val snapId = newSnapshotId()
     val (manifestName, total) = operation match {
       case "append" =>
@@ -362,6 +358,60 @@ final class TableOps(private[graft] val store: FsStore) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[String, Option[Seq[String]]]): Boolean = size > 1024
     }
+
+  // ---------- commit-time footer stats ----------
+
+  /** Footer-stat cache keyed by absolute file path. Every write lands
+    * in a unique `w-<uuid>` directory and data files are NEVER
+    * mutated after that, so path-keyed caching is sound for the
+    * table's lifetime — and it is what makes a lost CAS race cheap: a
+    * commit retry re-checks requirements against fresh state but
+    * never re-opens a footer it already read. */
+  private val statsCache =
+    new java.util.LinkedHashMap[String, DataFileEntry](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, DataFileEntry]): Boolean = size > 65536
+    }
+
+  /** File-count threshold above which footer stats are collected by a
+    * distributed Spark job instead of a driver loop. Below it the job
+    * overhead (task scheduling, closure ship) exceeds the footer
+    * reads themselves. */
+  private val distributedStatsThreshold = 16
+
+  /** Collect footer stats for `files` (absolute paths), each footer
+    * read AT MOST ONCE per process: cached entries are reused; misses
+    * are read by ONE distributed Spark job over the file list when a
+    * session is active and the miss set is large (a 100-TB commit
+    * adds 10⁴–10⁵ files; at 10–100 ms per object-store footer open, a
+    * sequential driver loop would serialize minutes-to-hours into
+    * EVERY commit — the scrape belongs on the executors, the way
+    * Iceberg writers return DataFile stats from tasks), else read
+    * sequentially on the driver (metadata-only and small commits).
+    * Unreadable files degrade to stat-less entries, never fail the
+    * commit. Returned entries carry absolute paths and no seq. */
+  private[catalog] def collectStats(tableDir: Path, files: Seq[String]): Seq[DataFileEntry] = {
+    val cached: Map[String, Option[DataFileEntry]] =
+      statsCache.synchronized(files.map(f => f -> Option(statsCache.get(f))).toMap)
+    val misses = files.filter(f => cached(f).isEmpty)
+    val conf = store.fs(tableDir).getConf
+    val fresh: Map[String, DataFileEntry] =
+      if (misses.isEmpty) Map.empty
+      else SparkSession.getActiveSession match {
+        case Some(spark) if misses.size >= distributedStatsThreshold =>
+          val sconf = new SerializableHadoopConf(conf)
+          val slices = math.min(misses.size, spark.sparkContext.defaultParallelism)
+          spark.sparkContext.parallelize(misses, slices)
+            .map(f => f -> scala.util.Try(Stats.collect(sconf.value, f))
+              .getOrElse(DataFileEntry(f)))
+            .collect().toMap
+        case _ =>
+          misses.map(f => f -> scala.util.Try(Stats.collect(conf, f))
+            .getOrElse(DataFileEntry(f))).toMap
+      }
+    statsCache.synchronized(fresh.foreach { case (k, v) => statsCache.put(k, v) })
+    files.map(f => cached(f).getOrElse(fresh(f)))
+  }
 
   // ---------- segmented manifests (C66) ----------
 
@@ -649,11 +699,9 @@ final class TableOps(private[graft] val store: FsStore) {
     val parent = meta.currentSnapshot
     val newSeq = meta.lastSequenceNumber + 1
     val keptRel = keep.map(e => e.copy(path = relativize(tableDir, e.path)))
-    val (newRel, lineageUpd) = stampRowIds(meta, newFiles.map { f =>
-      val entry = scala.util.Try(Stats.collect(store.fs(tableDir).getConf, f))
-        .getOrElse(DataFileEntry(f))
-      entry.copy(path = relativize(tableDir, f), seq = Some(newSeq))
-    }.filterNot(_.rows.contains(0L))) // empty range partitions write 0-row files: pure metadata waste
+    val (newRel, lineageUpd) = stampRowIds(meta, collectStats(tableDir, newFiles)
+      .map(e => e.copy(path = relativize(tableDir, e.path), seq = Some(newSeq)))
+      .filterNot(_.rows.contains(0L))) // empty range partitions write 0-row files: pure metadata waste
     val all = keptRel ++ newRel
     val snapId = newSnapshotId()
     val (manifestName, total) =
@@ -1024,6 +1072,11 @@ final class TableOps(private[graft] val store: FsStore) {
     // one scan feeds both the coordinate set and the new row images
     val matched = df.filter(cond).persist()
     try {
+      // zero matched rows: committing would still add a (empty) DV
+      // entry, and ANY pending delete entry forces merge-on-read
+      // scanning and disables the C82/C83 metadata pushdowns on every
+      // subsequent query — so a no-op UPDATE must be a no-op commit
+      if (matched.isEmpty) return meta
       val baseNorm = java.util.regex.Pattern.quote(tableDir.toUri.getPath + "/")
       val coords = matched
         .select(regexp_replace(col("_file"), s"^.*$baseNorm", "").as("_file"), col("_pos"))
@@ -1042,11 +1095,9 @@ final class TableOps(private[graft] val store: FsStore) {
       commitDeleteEntries(tableDir, seq =>
         dvFiles.map(f => DataFileEntry(
           relativize(tableDir, f), content = "dv-deletes", seq = Some(seq))) ++
-        dataFiles.map { f =>
-          val e = scala.util.Try(Stats.collect(store.fs(tableDir).getConf, f))
-            .getOrElse(DataFileEntry(f))
-          e.copy(path = relativize(tableDir, f), seq = Some(seq))
-        }.filterNot(_.rows.contains(0L)),
+        collectStats(tableDir, dataFiles)
+          .map(e => e.copy(path = relativize(tableDir, e.path), seq = Some(seq)))
+          .filterNot(_.rows.contains(0L)),
         "mor-update",
         validate = cur => {
           val present = resolveEntries(tableDir, cur).filter(_.isData).map(_.path).toSet
