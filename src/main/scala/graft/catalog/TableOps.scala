@@ -395,21 +395,40 @@ final class TableOps(private[graft] val store: FsStore) {
       statsCache.synchronized(files.map(f => f -> Option(statsCache.get(f))).toMap)
     val misses = files.filter(f => cached(f).isEmpty)
     val conf = store.fs(tableDir).getConf
+    def sequential(): Map[String, DataFileEntry] =
+      misses.map(f => f -> scala.util.Try(Stats.collect(conf, f))
+        .getOrElse(DataFileEntry(f))).toMap
     val fresh: Map[String, DataFileEntry] =
       if (misses.isEmpty) Map.empty
-      else SparkSession.getActiveSession match {
+      // getActiveSession is thread-local; fall through to the
+      // process-wide default so commits issued from pool threads
+      // still take the distributed path.
+      else SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
         case Some(spark) if misses.size >= distributedStatsThreshold =>
           val sconf = new SerializableHadoopConf(conf)
           val slices = math.min(misses.size, spark.sparkContext.defaultParallelism)
-          spark.sparkContext.parallelize(misses, slices)
-            .map(f => f -> scala.util.Try(Stats.collect(sconf.value, f))
-              .getOrElse(DataFileEntry(f)))
-            .collect().toMap
-        case _ =>
-          misses.map(f => f -> scala.util.Try(Stats.collect(conf, f))
-            .getOrElse(DataFileEntry(f))).toMap
+          // Per-file read failures degrade to stat-less entries inside
+          // the task; a JOB-level failure (stage abort, executor loss)
+          // must not fail the commit either — retry on the driver.
+          scala.util.Try {
+            spark.sparkContext.parallelize(misses, slices)
+              .map(f => f -> scala.util.Try(Stats.collect(sconf.value, f))
+                .getOrElse(DataFileEntry(f)))
+              .collect().toMap
+          }.getOrElse(sequential())
+        case other =>
+          if (other.isEmpty && misses.size >= distributedStatsThreshold)
+            System.err.println(s"[graft] collectStats: no SparkSession visible from " +
+              s"this thread; reading ${misses.size} footers sequentially on the driver")
+          sequential()
       }
-    statsCache.synchronized(fresh.foreach { case (k, v) => statsCache.put(k, v) })
+    // Cache only successful reads (rows populated): a transiently
+    // unreadable footer must be retried by the NEXT commit, not pinned
+    // stat-less for the process lifetime (that would silently disable
+    // C82/C83 metadata pushdown for the file forever).
+    statsCache.synchronized(fresh.foreach { case (k, v) =>
+      if (v.rows.isDefined) statsCache.put(k, v)
+    })
     files.map(f => cached(f).getOrElse(fresh(f)))
   }
 

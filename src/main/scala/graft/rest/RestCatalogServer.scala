@@ -38,12 +38,14 @@ final class RestCatalogServer(
     warehouse: Path,
     conf: Configuration,
     port: Int = 0,
-    store0: Option[FsStore] = None) {
+    store0: Option[FsStore] = None,
+    host: String = "127.0.0.1",
+    accessLog: Boolean = false) {
 
   private val store = store0.getOrElse(new FsStore(conf))
   private val ops = new TableOps(store)
   private val mapper = new ObjectMapper()
-  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
 
   private val NsMarker = ".graft-ns.json" // same layout as GraftCatalog
   private val ViewsDir = ".graft-views"
@@ -64,7 +66,14 @@ final class RestCatalogServer(
 
   private def handle(ex: HttpExchange): Unit = {
     val method = ex.getRequestMethod
-    val segs = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty).toSeq
+    val path = ex.getRequestURI.getPath
+    // Docs routes (reference routes/config.go:44-75) serve non-JSON
+    // payloads, so they bypass the JSON envelope below.
+    if (method == "GET" && path == "/openapi-file.yaml")
+      return respondRaw(ex, 200, "text/plain", RestCatalogServer.OpenApiYaml)
+    if (method == "GET" && path == "/docs")
+      return respondRaw(ex, 200, "text/html", RestCatalogServer.DocsHtml)
+    val segs = path.split("/").filter(_.nonEmpty).toSeq
       .map(s => java.net.URLDecoder.decode(s, "UTF-8"))
     val out: Either[RestError, Option[JsonNode]] =
       try Right(route(method, segs, ex))
@@ -103,7 +112,27 @@ final class RestCatalogServer(
           ex.getResponseBody.write(bytes)
         }
     }
+    logAccess(ex, code)
     ex.close()
+  }
+
+  private def respondRaw(
+      ex: HttpExchange, code: Int, contentType: String, body: String): Unit = {
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+    logAccess(ex, code)
+    ex.close()
+  }
+
+  /** One CLF-style line per request to stdout when enabled — the
+    * reference wraps its mux in a logging handler (main.go:47). */
+  private def logAccess(ex: HttpExchange, code: Int): Unit = if (accessLog) {
+    val ts = java.time.ZonedDateTime.now().format(
+      java.time.format.DateTimeFormatter.ofPattern("dd/MMM/yyyy:HH:mm:ss Z"))
+    println(s"${ex.getRemoteAddress.getAddress.getHostAddress} - - [$ts] " +
+      s""""${ex.getRequestMethod} ${ex.getRequestURI}" $code""")
   }
 
   /** `%1F`-separated multipart namespace (reference common/funcs.go). */
@@ -669,4 +698,161 @@ final class RestCatalogServer(
       throw RestError(500, "InternalError", s"rename view $from -> $to failed")
     None
   }
+}
+
+/** Embedded docs payloads for the two documentation routes the
+  * reference serves (routes/config.go:44-75: `GET /openapi-file.yaml`
+  * from a go:embed'd spec, `GET /docs` as a small HTML shell that
+  * renders it). The YAML here describes the surface THIS server
+  * implements — including `/v1/transactions/commit`, which the
+  * reference 501s — rather than re-shipping a foreign spec file. */
+object RestCatalogServer {
+
+  private[rest] val OpenApiYaml: String =
+    """openapi: 3.0.3
+      |info:
+      |  title: Graft REST Catalog
+      |  description: >-
+      |    Iceberg-REST-protocol catalog over a graft warehouse. State lives
+      |    in CAS-versioned metadata files (or a JDBC ledger); the server is
+      |    stateless and any number of replicas can front one warehouse.
+      |  version: "1.0"
+      |paths:
+      |  /status:
+      |    get:
+      |      summary: Liveness probe
+      |      responses: {"204": {description: Server is up}}
+      |  /openapi-file.yaml:
+      |    get:
+      |      summary: This document
+      |      responses: {"200": {description: OpenAPI YAML}}
+      |  /docs:
+      |    get:
+      |      summary: Human-readable API reference
+      |      responses: {"200": {description: HTML shell}}
+      |  /v1/config:
+      |    get:
+      |      summary: Catalog configuration (defaults/overrides)
+      |      parameters:
+      |        - {name: warehouse, in: query, required: false, schema: {type: string}}
+      |      responses:
+      |        "200": {description: "{defaults: {warehouse}, overrides: {}}"}
+      |        "400": {description: Requested warehouse does not match server}
+      |  /v1/namespaces:
+      |    get:
+      |      summary: List namespaces (optionally under `parent`; paged)
+      |      parameters:
+      |        - {name: parent, in: query, required: false, schema: {type: string}}
+      |        - {name: pageToken, in: query, required: false, schema: {type: string}}
+      |        - {name: pageSize, in: query, required: false, schema: {type: integer}}
+      |      responses: {"200": {description: namespaces list}}
+      |    post:
+      |      summary: Create a namespace with properties
+      |      responses: {"200": {description: created}, "409": {description: exists}}
+      |  /v1/namespaces/{ns}:
+      |    get:
+      |      summary: Load a namespace and its properties
+      |      responses: {"200": {description: namespace}, "404": {description: not found}}
+      |    head:
+      |      summary: Namespace existence check
+      |      responses: {"204": {description: exists}, "404": {description: not found}}
+      |    delete:
+      |      summary: Drop an empty namespace
+      |      responses: {"204": {description: dropped}, "404": {description: not found}}
+      |  /v1/namespaces/{ns}/properties:
+      |    post:
+      |      summary: Set/remove namespace properties
+      |      responses: {"200": {description: updated/removed/missing keys}}
+      |  /v1/namespaces/{ns}/tables:
+      |    get:
+      |      summary: List table identifiers (paged)
+      |      responses: {"200": {description: identifiers}}
+      |    post:
+      |      summary: Create a table (schema, partition spec, sort order, props)
+      |      responses: {"200": {description: metadata}, "409": {description: exists}}
+      |  /v1/namespaces/{ns}/register:
+      |    post:
+      |      summary: Register an existing table by metadata location (no copy)
+      |      responses: {"200": {description: metadata}}
+      |  /v1/namespaces/{ns}/tables/{table}:
+      |    get:
+      |      summary: Load table metadata
+      |      responses: {"200": {description: metadata}, "404": {description: not found}}
+      |    head:
+      |      summary: Table existence check
+      |      responses: {"204": {description: exists}, "404": {description: not found}}
+      |    post:
+      |      summary: Commit table updates under requirements (optimistic)
+      |      responses: {"200": {description: new metadata}, "409": {description: requirement failed}}
+      |    delete:
+      |      summary: Drop a table (optional `purgeRequested`)
+      |      responses: {"204": {description: dropped}, "404": {description: not found}}
+      |  /v1/namespaces/{ns}/tables/{table}/metrics:
+      |    post:
+      |      summary: Accept scan metrics reports
+      |      responses: {"204": {description: accepted}}
+      |  /v1/tables/rename:
+      |    post:
+      |      summary: Rename/move a table between namespaces
+      |      responses: {"204": {description: renamed}}
+      |  /v1/transactions/commit:
+      |    post:
+      |      summary: Atomic multi-table commit
+      |      responses: {"204": {description: committed}, "409": {description: conflict}}
+      |  /v1/namespaces/{ns}/views:
+      |    get:
+      |      summary: List view identifiers (paged)
+      |      responses: {"200": {description: identifiers}}
+      |    post:
+      |      summary: Create a view
+      |      responses: {"200": {description: view metadata}}
+      |  /v1/namespaces/{ns}/views/{view}:
+      |    get:
+      |      summary: Load view metadata (version history)
+      |      responses: {"200": {description: view metadata}, "404": {description: not found}}
+      |    head:
+      |      summary: View existence check
+      |      responses: {"204": {description: exists}, "404": {description: not found}}
+      |    post:
+      |      summary: Replace a view (appends a version)
+      |      responses: {"200": {description: new view metadata}}
+      |    delete:
+      |      summary: Drop a view
+      |      responses: {"204": {description: dropped}, "404": {description: not found}}
+      |  /v1/views/rename:
+      |    post:
+      |      summary: Rename/move a view between namespaces
+      |      responses: {"204": {description: renamed}}
+      |""".stripMargin
+
+  /** Self-contained shell (no CDN fetch — this server may run
+    * air-gapped): renders the endpoint list from the YAML inline. */
+  private[rest] val DocsHtml: String =
+    """<!doctype html>
+      |<html>
+      |  <head>
+      |    <title>Graft Catalog — API Reference</title>
+      |    <meta charset="utf-8" />
+      |    <meta name="viewport" content="width=device-width, initial-scale=1" />
+      |    <style>
+      |      body { font-family: system-ui, sans-serif; margin: 2rem auto; max-width: 52rem; }
+      |      pre { background: #f6f6f6; padding: 1rem; overflow-x: auto; }
+      |      code { background: #f0f0f0; padding: 0 .2rem; }
+      |    </style>
+      |  </head>
+      |  <body>
+      |    <h1>Graft REST Catalog</h1>
+      |    <p>The full machine-readable surface is at
+      |       <a href="/openapi-file.yaml"><code>/openapi-file.yaml</code></a>;
+      |       liveness at <code>GET /status</code>; Spark connects via
+      |       <code>spark.sql.catalog.&lt;name&gt;.type=rest</code> with
+      |       <code>uri=http://host:port</code>.</p>
+      |    <pre id="spec">loading…</pre>
+      |    <script>
+      |      fetch('/openapi-file.yaml').then(r => r.text())
+      |        .then(t => { document.getElementById('spec').textContent = t; });
+      |    </script>
+      |  </body>
+      |</html>
+      |""".stripMargin
 }

@@ -47,7 +47,14 @@ class CommitStatsSpec extends SparkSpec {
     // every CAS loser re-runs commitFilesOnce — without memoization
     // this would be reads ≈ files × attempts; the cache pins it at
     // exactly one footer open per distinct file
-    assert(reads == 24, s"expected 24 footer reads (one per file), got $reads")
+    // the exact-count assertion requires every footer read to hit THIS
+    // JVM's counter — true in local mode (executors share the driver
+    // JVM); in cluster mode distributed reads land in executor JVMs, so
+    // assert only the memoization upper bound there
+    if (spark.sparkContext.master.startsWith("local"))
+      assert(reads == 24, s"expected 24 footer reads (one per file), got $reads")
+    else
+      assert(reads <= 24, s"driver-side footer reads exceeded the file count: $reads")
     val (_, meta) = cat.ops.load(dir).get
     assert(meta.snapshots.size == 8, "all eight contenders committed")
     assert(spark.sql("SELECT count(*) FROM graft.cstats.race")

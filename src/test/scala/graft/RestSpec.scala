@@ -338,4 +338,74 @@ class RestSpec extends SparkSpec {
       }
     } finally srv2.stop()
   }
+
+  test("RestCatalogMain boots the real entrypoint: --temp, docs routes, status") {
+    import graft.rest.RestCatalogMain
+    val booted = RestCatalogMain.run(
+      Array("start", "--temp", "--host", "127.0.0.1"), block = false)
+    assert(booted.isRight, booted.left.getOrElse(""))
+    val (srv, port) = booted.toOption.get
+    try {
+      def get(path: String): HttpResponse[String] =
+        client.send(
+          HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+      assert(get("/status").statusCode() == 204)
+      val yaml = get("/openapi-file.yaml")
+      assert(yaml.statusCode() == 200)
+      assert(yaml.body().contains("openapi: 3.0.3"))
+      assert(yaml.body().contains("/v1/transactions/commit"))
+      val docs = get("/docs")
+      assert(docs.statusCode() == 200)
+      assert(docs.headers().firstValue("Content-Type").orElse("").startsWith("text/html"))
+      assert(docs.body().contains("openapi-file.yaml"))
+      // temp mode boots a usable catalog, not just a listener
+      val mk = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/v1/namespaces"))
+          .POST(HttpRequest.BodyPublishers.ofString("""{"namespace": ["boot"]}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(mk.statusCode() == 200)
+      assert(get("/v1/namespaces/boot").statusCode() == 200)
+    } finally srv.stop()
+  }
+
+  test("RestCatalogMain config precedence: flags > env > config file") {
+    import graft.rest.RestCatalogMain
+    // bad args are rejected, help/usage short-circuits
+    assert(RestCatalogMain.parseArgs(List("start", "--port", "nope")).isLeft)
+    assert(RestCatalogMain.parseArgs(List("start", "--bogus")).isLeft)
+    assert(RestCatalogMain.parseArgs(List("--help")).isLeft)
+    assert(RestCatalogMain.parseArgs(Nil).isLeft) // no `start` command
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-cfg-")
+    val cfgPath = dir.resolve("config.toml")
+    java.nio.file.Files.writeString(cfgPath,
+      """# template.config.toml shape
+        |[api]
+        |port = 4242
+        |[warehouse]
+        |path = "/from/file"
+        |[database]
+        |url = "jdbc:derby:memory:cfg;create=true"
+        |dialect = "derby"
+        |""".stripMargin)
+    // file alone
+    val fromFile = RestCatalogMain.parseArgs(
+      List("--config", cfgPath.toString, "start")).toOption.get
+    assert(fromFile.port == 4242)
+    assert(fromFile.warehouse.contains("/from/file"))
+    assert(fromFile.jdbcUrl.exists(_.startsWith("jdbc:derby")))
+    // flags override the file
+    val flagged = RestCatalogMain.parseArgs(
+      List("-c", cfgPath.toString, "start", "-p", "0",
+        "--warehouse", "/from/flag")).toOption.get
+    assert(flagged.port == 0 && flagged.warehouse.contains("/from/flag"))
+    assert(flagged.jdbcUrl.exists(_.startsWith("jdbc:derby"))) // untouched by flags
+    // unparseable config line is a loud error
+    val badPath = dir.resolve("bad.toml")
+    java.nio.file.Files.writeString(badPath, "not a toml line\n")
+    assert(RestCatalogMain.parseArgs(
+      List("--config", badPath.toString, "start")).isLeft)
+  }
 }
