@@ -807,8 +807,9 @@ final class GraftTable(
     val specFieldsAll = meta.specs.find(_.specId == meta.defaultSpecId).toSeq
       .flatMap(_.fields).filter(f => info.schema().fieldNames.contains(f.name))
     val bucketFields = Transforms.materialized(specFieldsAll)
+    // nullable: bucket(null) = null (Iceberg spec)
     val ptStructFields = bucketFields.map(f => org.apache.spark.sql.types.StructField(
-      Transforms.ptColName(f), org.apache.spark.sql.types.IntegerType, nullable = false))
+      Transforms.ptColName(f), org.apache.spark.sql.types.IntegerType, nullable = true))
     val writeInfo: LogicalWriteInfo =
       if (bucketFields.isEmpty) info
       else new LogicalWriteInfo {
@@ -1346,7 +1347,8 @@ final class GraftTable(
   /** C72 — appends the materialized `__pt_` bucket columns to every
     * incoming row before the file writer sees it (executor-side,
     * per-task): `descs` = (source ordinal, source type, n) per bucket
-    * field, values = `pmod(murmur3(col, 42), n)` — identical to
+    * field, values = the Iceberg-spec bucket hash
+    * ([[graft.functions.IcebergBucket]]) — identical to
     * [[Transforms.clusterExpr]] and [[GraftFunctions.BucketBound]]. */
   private final class PtExtendingBatchWrite(
       inner: BatchWrite,
@@ -1416,11 +1418,25 @@ object GraftTable {
           var i = 0
           while (i < ds.length) {
             val (idx, dt, n) = ds(i)
-            val h =
-              if (row.isNullAt(idx)) 42
-              else org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
-                .hash(row.get(idx, dt), dt, 42).toInt
-            extra.update(i, ((h % n) + n) % n)
+            if (row.isNullAt(idx)) extra.update(i, null) // bucket(null) = null (spec)
+            else {
+              import org.apache.spark.sql.types._
+              val h = dt match {
+                case ByteType => graft.functions.IcebergBucket.hashLong(row.getByte(idx).toLong)
+                case ShortType => graft.functions.IcebergBucket.hashLong(row.getShort(idx).toLong)
+                case IntegerType | DateType =>
+                  graft.functions.IcebergBucket.hashLong(row.getInt(idx).toLong)
+                case LongType | TimestampType | TimestampNTZType =>
+                  graft.functions.IcebergBucket.hashLong(row.getLong(idx))
+                case StringType =>
+                  graft.functions.IcebergBucket.hashBytes(row.getUTF8String(idx).getBytes)
+                case BinaryType => graft.functions.IcebergBucket.hashBytes(row.getBinary(idx))
+                case d: DecimalType => graft.functions.IcebergBucket.hashDecimal(
+                  row.getDecimal(idx, d.precision, d.scale).toJavaBigDecimal.unscaledValue())
+                case other => throw new IllegalStateException(s"unsupported bucket type: $other")
+              }
+              extra.update(i, graft.functions.IcebergBucket.bucket(h, n))
+            }
             i += 1
           }
           delegate.write(joined(row, extra))

@@ -99,23 +99,52 @@ object IcebergExport {
       deleteCache.getOrElseUpdate(e.path,
         materializeDelete(ops, spark.get, tableDir, dataDir, meta, e))
 
-    // one data manifest (+ one delete manifest when pending deletes
+    // C65 faithful transform export: when the default spec's transforms
+    // are reconstructible per-file from manifest stats, data files that
+    // are provably single-valued under EVERY spec dimension export in a
+    // spec-1 manifest with real partition tuples (bucket values are the
+    // Iceberg-spec hash — external engines compute the same buckets);
+    // straddler files export under spec-0 (unpartitioned) — less
+    // pruning, never a wrong tuple. Snapshots with pending deletes stay
+    // entirely under spec-0: a spec-0 delete file is not reliably
+    // applied to spec-1 data files by external engines' delete indexes.
+    val realSpec = exportableSpec(meta)
+
+    // 1-2 data manifests (+ one delete manifest when pending deletes
     // exist) + one manifest list per snapshot
     val manifestLists = entriesBySnap.map { case (snap, entries) =>
       val schemaJson = schemaJsons.find(_._1 == snap.schemaId)
         .getOrElse(schemaJsons.head)._2
-      val manifestPath = new Path(metaDir, s"m-${snap.snapshotId}.avro")
-      val (length, rows) = writeManifest(ops, manifestPath, snap, entries, schemaJson)
-      val dels = entries.filter(_.isDelete).map(e => e -> materialized(e))
-      val delManifest = if (dels.isEmpty) None else {
+      val dataE = entries.filter(_.isData)
+      val delE = entries.filter(_.isDelete)
+      val (specE, plainE) = realSpec match {
+        case Some(se) if delE.isEmpty =>
+          dataE.partition(e => partitionTuple(se, e).isDefined)
+        case _ => (Seq.empty[DataFileEntry], dataE)
+      }
+      val refs = Seq.newBuilder[ManifestRef]
+      if (specE.nonEmpty) {
+        val p = new Path(metaDir, s"m-${snap.snapshotId}-p.avro")
+        val (len, rows) = writeManifest(ops, p, snap, specE, schemaJson, realSpec)
+        refs += ManifestRef(p.toString, len, specId = 1, content = 0,
+          files = specE.size, rows = rows, minSeq = 0L)
+      }
+      if (plainE.nonEmpty || specE.isEmpty) {
+        val p = new Path(metaDir, s"m-${snap.snapshotId}.avro")
+        val (len, rows) = writeManifest(ops, p, snap, plainE, schemaJson, None)
+        refs += ManifestRef(p.toString, len, specId = 0, content = 0,
+          files = plainE.size, rows = rows, minSeq = 0L)
+      }
+      val dels = delE.map(e => e -> materialized(e))
+      if (dels.nonEmpty) {
         val dPath = new Path(metaDir, s"m-${snap.snapshotId}-deletes.avro")
         val (dLen, dRows) = writeDeleteManifest(ops, dPath, snap, dels, schemaJson)
-        Some((dPath, dLen, dels.size, dRows,
-          dels.map { case (e, _) => e.seq.getOrElse(snap.sequenceNumber) }.min))
+        refs += ManifestRef(dPath.toString, dLen, specId = 0, content = 1,
+          files = dels.size, rows = dRows,
+          minSeq = dels.map { case (e, _) => e.seq.getOrElse(snap.sequenceNumber) }.min)
       }
       val listPath = new Path(metaDir, s"snap-${snap.snapshotId}.avro")
-      writeManifestList(ops, listPath, snap, manifestPath, length,
-        entries.count(_.isData), rows, delManifest)
+      writeManifestList(ops, listPath, snap, refs.result())
       snap.snapshotId -> listPath.toString
     }.toMap
 
@@ -127,7 +156,7 @@ object IcebergExport {
         new Path(metaDir, s"stats-${snap.snapshotId}.puffin"))
     }
 
-    val json = metadataJson(meta, exportDir, schemaJsons, manifestLists, puffin)
+    val json = metadataJson(meta, exportDir, schemaJsons, manifestLists, puffin, realSpec)
     val metaFile = new Path(metaDir, s"v$version.metadata.json")
     store.writeString(metaFile, json)
     store.writeString(new Path(metaDir, "version-hint.text"), version.toString)
@@ -276,12 +305,176 @@ object IcebergExport {
     }
   }
 
+  // ---------- partition-spec export ----------
+
+  /** One exportable spec dimension: the graft partition field, its
+    * parsed transform, and the manifest-stat column its per-file value
+    * reconstructs from (`__pt_<name>` for bucket — the materialized
+    * Iceberg-spec hash — the source column otherwise). */
+  private[catalog] final case class SpecCol(
+      field: PartitionField, kind: String, arg: Int, sourceDdl: String) {
+    def statCol: String =
+      if (kind == "bucket") Transforms.ptColName(field) else field.name
+  }
+
+  private[catalog] final case class SpecExport(cols: Seq[SpecCol])
+
+  /** One manifest referenced from a snapshot's manifest list. */
+  private final case class ManifestRef(
+      path: String, length: Long, specId: Int, content: Int,
+      files: Int, rows: Long, minSeq: Long)
+
+  /** The default spec as an exportable view — None (export everything
+    * unpartitioned, as before) when the spec is empty, a source field
+    * is gone, a transform/source-type combination is not
+    * reconstructible from stats, or a field name is not a plain
+    * identifier (Avro record field names). */
+  private[catalog] def exportableSpec(meta: TableMetadata): Option[SpecExport] = {
+    val fields = meta.specs.find(_.specId == meta.defaultSpecId)
+      .map(_.fields).getOrElse(Seq.empty)
+    if (fields.isEmpty) return None
+    val byId = meta.currentSchema.fields.map(f => f.id -> f).toMap
+    val intLike = Set("tinyint", "smallint", "int", "integer", "bigint", "long")
+    val cols = fields.map { f =>
+      val src = byId.getOrElse(f.sourceId, return None)
+      val p = scala.util.Try(Transforms.parse(f.transform)).getOrElse(return None)
+      if (!f.name.matches("[A-Za-z_][A-Za-z0-9_]*")) return None
+      val ddl = src.dataType.toLowerCase
+      val ok = p.kind match {
+        case "identity" => (intLike ++ Set(
+          "string", "varchar", "date", "timestamp", "timestamp_ntz")).contains(ddl)
+        case "bucket" => true // value reads from __pt_ stats
+        case "truncate" => (intLike ++ Set("string", "varchar")).contains(ddl)
+        case _ => Set("date", "timestamp", "timestamp_ntz").contains(ddl) // temporal
+      }
+      if (!ok) return None
+      SpecCol(f, p.kind, p.arg, ddl)
+    }
+    Some(SpecExport(cols))
+  }
+
+  /** Iceberg result type of one spec dimension (spec: "Partition
+    * Transforms" result types). */
+  private def resultIcebergType(c: SpecCol): String = c.kind match {
+    case "identity" | "truncate" => c.sourceDdl match {
+      case "tinyint" | "smallint" | "int" | "integer" => "int"
+      case "bigint" | "long" => "long"
+      case "string" | "varchar" => "string"
+      case "date" => "date"
+      case "timestamp" => "timestamptz"
+      case "timestamp_ntz" => "timestamp"
+      case other => throw new IllegalStateException(other)
+    }
+    case "bucket" => "int"
+    case "day" => "date"
+    case _ => "int" // year / month / hour ordinals from 1970
+  }
+
+  private def partitionAvroType(iceT: String): String = iceT match {
+    case "int" => "\"int\""
+    case "long" => "\"long\""
+    case "string" => "\"string\""
+    case "date" => """{"type": "int", "logicalType": "date"}"""
+    case "timestamptz" =>
+      """{"type": "long", "logicalType": "timestamp-micros", "adjust-to-utc": true}"""
+    case "timestamp" =>
+      """{"type": "long", "logicalType": "timestamp-micros", "adjust-to-utc": false}"""
+    case other => throw new IllegalStateException(other)
+  }
+
+  /** The spec's `fields` JSON (metadata.json partition-specs entry and
+    * the manifest `partition-spec` file-meta both use this form). */
+  private[catalog] def specFieldsJson(se: SpecExport): String = {
+    val arr = mapper.createArrayNode()
+    se.cols.foreach { c =>
+      val fo = arr.addObject()
+      fo.put("name", c.field.name)
+      fo.put("transform", c.field.transform)
+      fo.put("source-id", c.field.sourceId)
+      fo.put("field-id", c.field.fieldId)
+    }
+    arr.toString
+  }
+
+  /** Partition tuple for a data file, PROVABLE from its manifest
+    * stats: Some(values) when the file is single-valued under every
+    * spec dimension (an all-null source column gives a null value —
+    * bucket(null)/identity(null) are null partitions); None when any
+    * dimension is multi-valued or indeterminate — the file then
+    * exports under the unpartitioned spec rather than risk a wrong
+    * tuple misleading external pruning. Order-preserving transforms
+    * prove single-valuedness from transform(min) == transform(max);
+    * bucket proves it from the materialized `__pt_` column's stats. */
+  private[catalog] def partitionTuple(se: SpecExport, e: DataFileEntry): Option[Seq[Any]] = {
+    val rows = e.rows.getOrElse(return None)
+    val vals = se.cols.map { c =>
+      val cs = e.stats.getOrElse(c.statCol, return None)
+      val nulls = cs.nulls.getOrElse(return None)
+      if (rows > 0 && nulls == rows) null // single-valued: all null
+      else if (nulls != 0L) return None // mixed null/non-null: not single-valued
+      else {
+        val mn = cs.min.getOrElse(return None)
+        val mx = cs.max.getOrElse(return None)
+        transformValue(c, mn, mx).getOrElse(return None)
+      }
+    }
+    Some(vals)
+  }
+
+  /** Apply `c`'s transform to a file's (min, max) stat strings; Some
+    * (Avro-ready value) iff both map to the same transform cell. */
+  private def transformValue(c: SpecCol, mnS: String, mxS: String): Option[Any] = {
+    def long(s: String): Option[Long] = s.toLongOption
+    val longResult = Set("bigint", "long", "timestamp", "timestamp_ntz")
+    c.kind match {
+      case "bucket" =>
+        for (a <- long(mnS); b <- long(mxS) if a == b) yield Int.box(a.toInt)
+      case "identity" => c.sourceDdl match {
+        case "string" | "varchar" => if (mnS == mxS) Some(mnS) else None
+        case t if longResult.contains(t) =>
+          for (a <- long(mnS); b <- long(mxS) if a == b) yield Long.box(a)
+        case _ => // int family, date
+          for (a <- long(mnS); b <- long(mxS) if a == b) yield Int.box(a.toInt)
+      }
+      case "truncate" => c.sourceDdl match {
+        case "string" | "varchar" =>
+          val (a, b) = (mnS.take(c.arg), mxS.take(c.arg))
+          if (a == b) Some(a) else None
+        case t =>
+          def trunc(v: Long): Long = v - java.lang.Math.floorMod(v, c.arg.toLong)
+          for (a <- long(mnS); b <- long(mxS) if trunc(a) == trunc(b)) yield {
+            if (longResult.contains(t)) Long.box(trunc(a)) else Int.box(trunc(a).toInt)
+          }
+      }
+      case temporal =>
+        // stat value space: day ordinals for a date source, micros for
+        // timestamps (TableOps.write forces INT64 micros)
+        def days(v: Long): Long =
+          if (c.sourceDdl == "date") v else Math.floorDiv(v, 86400000000L)
+        def cell(v: Long): Long = temporal match {
+          case "day" => days(v)
+          case "hour" =>
+            if (c.sourceDdl == "date") days(v) * 24L
+            else Math.floorDiv(v, 3600000000L)
+          case "month" =>
+            val d = java.time.LocalDate.ofEpochDay(days(v))
+            (d.getYear - 1970).toLong * 12L + (d.getMonthValue - 1)
+          case "year" =>
+            (java.time.LocalDate.ofEpochDay(days(v)).getYear - 1970).toLong
+          case other => throw new IllegalStateException(other)
+        }
+        for (a <- long(mnS); b <- long(mxS) if cell(a) == cell(b)) yield
+          Int.box(cell(a).toInt)
+    }
+  }
+
   // ---------- Avro manifests ----------
 
-  /** manifest_entry schema with the spec's field ids (data_file is the
-    * 100-series; entry fields 0-4). Unpartitioned spec ⇒ empty r102. */
-  private val manifestEntrySchema: Schema = new Schema.Parser().parse(
-    """{"type": "record", "name": "manifest_entry", "fields": [
+  /** manifest_entry schema JSON with the spec's field ids (data_file
+    * is the 100-series; entry fields 0-4); `partitionFields` fills the
+    * r102 partition struct (empty ⇒ unpartitioned). */
+  private def entrySchemaJson(partitionFields: String): String =
+    s"""{"type": "record", "name": "manifest_entry", "fields": [
         {"name": "status", "type": "int", "field-id": 0},
         {"name": "snapshot_id", "type": ["null", "long"], "default": null, "field-id": 1},
         {"name": "sequence_number", "type": ["null", "long"], "default": null, "field-id": 3},
@@ -292,13 +485,27 @@ object IcebergExport {
             {"name": "file_path", "type": "string", "field-id": 100},
             {"name": "file_format", "type": "string", "field-id": 101},
             {"name": "partition", "field-id": 102,
-             "type": {"type": "record", "name": "r102", "fields": []}},
+             "type": {"type": "record", "name": "r102", "fields": [$partitionFields]}},
             {"name": "record_count", "type": "long", "field-id": 103},
             {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
             {"name": "equality_ids", "field-id": 135, "default": null,
              "type": ["null", {"type": "array", "items": "int", "element-id": 136}]}
         ]}}
-    ]}""")
+    ]}"""
+
+  private val manifestEntrySchema: Schema =
+    new Schema.Parser().parse(entrySchemaJson(""))
+
+  /** Entry schema with a typed partition struct for `spec` (all fields
+    * optional — null partition values are legal). */
+  private def entrySchemaFor(spec: Option[SpecExport]): Schema = spec match {
+    case None => manifestEntrySchema
+    case Some(se) =>
+      val fields = se.cols.map(c =>
+        s"""{"name": "${c.field.name}", "type": ["null", ${partitionAvroType(resultIcebergType(c))}], "default": null, "field-id": ${c.field.fieldId}}""")
+        .mkString(",")
+      new Schema.Parser().parse(entrySchemaJson(fields))
+  }
 
   /** manifest_file (manifest-list entry) schema, 500-series ids. */
   private val manifestFileSchema: Schema = new Schema.Parser().parse(
@@ -346,28 +553,39 @@ object IcebergExport {
     bytes.length.toLong
   }
 
-  /** One manifest for a snapshot's live files; returns (fileLength,
-    * totalRows). */
+  /** One manifest for (a subset of) a snapshot's live data files;
+    * returns (fileLength, totalRows). With `spec`, every entry carries
+    * its real partition tuple (caller guarantees [[partitionTuple]] is
+    * defined for each entry) under spec-id 1; without, the entries
+    * declare the unpartitioned spec 0. */
   private def writeManifest(
       ops: TableOps,
       target: Path,
       snap: Snapshot,
       entries: Seq[DataFileEntry],
-      schemaJson: ObjectNode): (Long, Long) = {
+      schemaJson: ObjectNode,
+      spec: Option[SpecExport]): (Long, Long) = {
+    val entrySchema = entrySchemaFor(spec)
+    val dfSchema = entrySchema.getField("data_file").schema()
+    val pSchema = dfSchema.getField("partition").schema()
     var totalRows = 0L
-    val records = entries.filter(_.isData).map { e =>
-      val rec = new GenericData.Record(manifestEntrySchema)
+    val records = entries.map { e =>
+      val rec = new GenericData.Record(entrySchema)
       rec.put("status", 1) // ADDED (explicit sequence numbers follow)
       rec.put("snapshot_id", snap.snapshotId)
       rec.put("sequence_number", e.dataSeq)
       rec.put("file_sequence_number", e.dataSeq)
-      val df = new GenericData.Record(manifestEntrySchema.getField("data_file").schema())
+      val df = new GenericData.Record(dfSchema)
       df.put("content", 0)
       df.put("file_path", e.path)
       df.put("file_format", "PARQUET")
-      df.put("partition", new GenericData.Record(
-        manifestEntrySchema.getField("data_file").schema()
-          .getField("partition").schema()))
+      val part = new GenericData.Record(pSchema)
+      spec.foreach { se =>
+        se.cols.zip(partitionTuple(se, e).get).foreach { case (c, v) =>
+          part.put(c.field.name, v)
+        }
+      }
+      df.put("partition", part)
       val rows = recordCount(ops, e)
       totalRows += rows
       df.put("record_count", rows)
@@ -376,11 +594,11 @@ object IcebergExport {
       rec.put("data_file", df)
       rec
     }
-    val len = writeAvro(ops, target, manifestEntrySchema, Map(
+    val len = writeAvro(ops, target, entrySchema, Map(
       "schema" -> schemaJson.toString,
       "schema-id" -> snap.schemaId.toString,
-      "partition-spec" -> "[]", // export declares unpartitioned layout
-      "partition-spec-id" -> "0",
+      "partition-spec" -> spec.map(specFieldsJson).getOrElse("[]"),
+      "partition-spec-id" -> spec.map(_ => "1").getOrElse("0"),
       "format-version" -> "2",
       "content" -> "data"), records)
     (len, totalRows)
@@ -437,39 +655,22 @@ object IcebergExport {
       ops: TableOps,
       target: Path,
       snap: Snapshot,
-      manifestPath: Path,
-      manifestLength: Long,
-      fileCount: Int,
-      rowCount: Long,
-      deleteManifest: Option[(Path, Long, Int, Long, Long)] = None): Unit = {
-    val rec = new GenericData.Record(manifestFileSchema)
-    rec.put("manifest_path", manifestPath.toString)
-    rec.put("manifest_length", manifestLength)
-    rec.put("partition_spec_id", 0)
-    rec.put("content", 0)
-    rec.put("sequence_number", snap.sequenceNumber)
-    rec.put("min_sequence_number", 0L)
-    rec.put("added_snapshot_id", snap.snapshotId)
-    rec.put("added_files_count", fileCount)
-    rec.put("existing_files_count", 0)
-    rec.put("deleted_files_count", 0)
-    rec.put("added_rows_count", rowCount)
-    rec.put("existing_rows_count", 0L)
-    rec.put("deleted_rows_count", 0L)
-    val delRec = deleteManifest.map { case (dPath, dLen, dFiles, dRows, minSeq) =>
+      refs: Seq[ManifestRef]): Unit = {
+    val records = refs.map { m =>
       val r = new GenericData.Record(manifestFileSchema)
-      r.put("manifest_path", dPath.toString)
-      r.put("manifest_length", dLen)
-      r.put("partition_spec_id", 0)
-      r.put("content", 1) // delete manifest
+      r.put("manifest_path", m.path)
+      r.put("manifest_length", m.length)
+      r.put("partition_spec_id", m.specId)
+      r.put("content", m.content)
       r.put("sequence_number", snap.sequenceNumber)
-      // pruning floor: the oldest delete-file sequence in the manifest
-      r.put("min_sequence_number", minSeq)
+      // pruning floor: 0 for data manifests, the oldest delete-file
+      // sequence for delete manifests
+      r.put("min_sequence_number", m.minSeq)
       r.put("added_snapshot_id", snap.snapshotId)
-      r.put("added_files_count", dFiles)
+      r.put("added_files_count", m.files)
       r.put("existing_files_count", 0)
       r.put("deleted_files_count", 0)
-      r.put("added_rows_count", dRows)
+      r.put("added_rows_count", m.rows)
       r.put("existing_rows_count", 0L)
       r.put("deleted_rows_count", 0L)
       r
@@ -478,7 +679,7 @@ object IcebergExport {
       "snapshot-id" -> snap.snapshotId.toString,
       "parent-snapshot-id" -> snap.parentSnapshotId.map(_.toString).getOrElse("null"),
       "sequence-number" -> snap.sequenceNumber.toString,
-      "format-version" -> "2"), Seq(rec) ++ delRec)
+      "format-version" -> "2"), records)
     ()
   }
 
@@ -489,7 +690,8 @@ object IcebergExport {
       exportDir: Path,
       schemaJsons: Seq[(Int, ObjectNode)],
       manifestLists: Map[Long, String],
-      puffin: Option[(Snapshot, PuffinStats.Written)] = None): String = {
+      puffin: Option[(Snapshot, PuffinStats.Written)] = None,
+      realSpec: Option[SpecExport] = None): String = {
     val o = mapper.createObjectNode()
     o.put("format-version", 2)
     o.put("table-uuid", m.tableUuid)
@@ -500,11 +702,24 @@ object IcebergExport {
     o.put("current-schema-id", m.currentSchemaId)
     val schemas = o.putArray("schemas")
     schemaJsons.foreach { case (_, s) => schemas.add(s) }
+    // spec 0 stays the unpartitioned spec (straddler files and delete
+    // manifests declare it); the real default spec, when exportable,
+    // is spec 1
     val specs = o.putArray("partition-specs")
     val spec0 = specs.addObject()
     spec0.put("spec-id", 0); spec0.putArray("fields")
-    o.put("default-spec-id", 0)
-    o.put("last-partition-id", 999)
+    realSpec match {
+      case Some(se) =>
+        val s1 = specs.addObject()
+        s1.put("spec-id", 1)
+        s1.set[ObjectNode]("fields", mapper.readTree(specFieldsJson(se)))
+        o.put("default-spec-id", 1)
+        o.put("last-partition-id",
+          math.max(999, se.cols.map(_.field.fieldId).max))
+      case None =>
+        o.put("default-spec-id", 0)
+        o.put("last-partition-id", 999)
+    }
     val orders = o.putArray("sort-orders")
     val order0 = orders.addObject()
     order0.put("order-id", 0); order0.putArray("fields")

@@ -164,9 +164,37 @@ object IcebergImport {
       .getOrElse(Map.empty[String, String]) +
       ("graft.imported-from" -> metadataJson.toString)
 
+    // Partition spec (write direction of IcebergExport's spec export):
+    // the source's DEFAULT spec imports when every field's transform is
+    // one graft knows and its source column exists — field names rebase
+    // to the SOURCE column name (graft's partition fields are named by
+    // source column; Transforms resolves them by name). A spec with any
+    // unknown transform imports as unpartitioned rather than half a
+    // spec. Foreign bucket-partitioned files carry no materialized
+    // `__pt_` stats, so bucket pruning/SPJ simply stays off for them
+    // (conservative), while graft-written files re-imported from an
+    // export keep both.
+    val defaultSpecId = Option(n.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+    val importedSpec = Option(n.get("partition-specs"))
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+      .find(s => Option(s.get("spec-id")).exists(_.asInt() == defaultSpecId))
+      .map { s =>
+        Option(s.get("fields")).map(_.elements().asScala.toSeq).getOrElse(Seq.empty).map { f =>
+          val srcId = f.get("source-id").asInt()
+          for {
+            srcName <- idToName.get(srcId)
+            t = f.get("transform").asText()
+            _ <- scala.util.Try(Transforms.parse(t)).toOption
+          } yield PartitionField(srcId, f.get("field-id").asInt(), srcName, t)
+        }
+      }
+      .filter(fs => fs.nonEmpty && fs.forall(_.isDefined))
+      .map(fs => PartitionSpec(0, fs.map(_.get)))
+      .getOrElse(PartitionSpec(0, Seq.empty))
+
     ops.create(targetDir, TableMetadata.create(
       targetDir.toString, schema.copy(schemaId = 0),
-      PartitionSpec(0, Seq.empty), SortOrder(0, Seq.empty), props))
+      importedSpec, SortOrder(0, Seq.empty), props))
     val conf = ops.store.fs(targetDir).getConf
 
     // replay lineage in sequence order
@@ -181,6 +209,9 @@ object IcebergImport {
     // deletes apply only to strictly-older data sequences)
     var seqOf = Map.empty[String, Long]
     var prevLive = Set.empty[String]
+    // source snapshot id -> graft snapshot id holding the same state
+    // (a metadata-only source snapshot maps to the last committed one)
+    var snapMap = Map.empty[Long, Long]
     snaps.foreach { s =>
       val files = snapshotFiles(ops, new Path(s.get("manifest-list").asText()))
       val live = files.map(_.path).toSet
@@ -244,8 +275,24 @@ object IcebergImport {
           newPaths.foreach(p => seqOf += p -> next)
         }
       } // identical set (metadata-only source snapshot): no graft commit
+      ops.load(targetDir).get._2.currentSnapshotId.foreach { gid =>
+        snapMap += s.get("snapshot-id").asLong() -> gid
+      }
       prevLive = live
     }
+    // Statistics files (Puffin): re-register the source's stats files
+    // for replayed snapshots under their graft snapshot ids, so
+    // NDV/rollup statistics travel through export→import without a
+    // re-analyze (set-statistics, the same update ANALYZE publishes).
+    Option(n.get("statistics")).map(_.elements().asScala.toSeq)
+      .getOrElse(Seq.empty).foreach { st =>
+        for {
+          src <- Option(st.get("snapshot-id")).map(_.asLong())
+          gid <- snapMap.get(src)
+          p <- Option(st.get("statistics-path")).map(_.asText())
+        } ops.commit(targetDir, Seq.empty,
+          Seq(MetadataUpdate.SetStatistics(gid, p)))
+      }
     ops.load(targetDir).get._2
   }
 }

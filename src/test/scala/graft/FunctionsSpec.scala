@@ -4,7 +4,8 @@ import org.apache.spark.sql.functions._
 
 /** Native CosineSimilarity expression: interpreted vs codegen paths,
   * SQL registration, type checking, and equivalence with the
-  * higher-order-function formulation. */
+  * higher-order-function formulation. Plus the Iceberg-spec bucket
+  * hash pinned to the spec's own Appendix-B test vectors. */
 class FunctionsSpec extends SparkSpec {
 
   import spark.implicits._
@@ -101,5 +102,65 @@ class FunctionsSpec extends SparkSpec {
     // oracle mode restored bit-for-bit (memo caches flushed on switch)
     val (shA3, _, mhA3, _) = sims()
     assert(shA3 == shA1 && mhA3.sameElements(mhA1))
+  }
+
+  test("IcebergBucket matches the Iceberg spec's Appendix-B hash test vectors") {
+    import graft.functions.IcebergBucket._
+    import java.nio.charset.StandardCharsets.UTF_8
+    // int and long hash identically (ints hash AS longs)
+    assert(hashLong(34L) == 2017239379)
+    // string: UTF-8 bytes
+    assert(hashBytes("iceberg".getBytes(UTF_8)) == 1210000089)
+    // decimal 14.20: unscaled 1420, minimal two's-complement BE bytes
+    assert(hashDecimal(java.math.BigInteger.valueOf(1420)) == -500754589)
+    // date 2017-11-16 = 17486 days from epoch
+    assert(hashLong(17486L) == -653330422)
+    // time 22:31:08 = 81068000000 micros
+    assert(hashLong(81068000000L) == -662762989)
+    // timestamp 2017-11-16T22:31:08 = 1510871468000000 micros
+    assert(hashLong(1510871468000000L) == -2047944441)
+    // fixed/binary 0x00010203
+    assert(hashBytes(Array[Byte](0, 1, 2, 3)) == -188683207)
+    // uuid f79c3e09-677c-4bbd-a479-3f349cb785e7 (16 BE bytes)
+    assert(hashUuid(java.util.UUID.fromString(
+      "f79c3e09-677c-4bbd-a479-3f349cb785e7")) == 1488055340)
+    // bucket projection: (hash & MaxInt) % N, always in [0, N)
+    assert(bucket(hashLong(34L), 16) == 2017239379 % 16)
+    assert(bucket(-500754589, 8) == ((-500754589 & Int.MaxValue) % 8))
+    assert((0 until 1000).forall(i => (0 until 8).contains(bucket(hashLong(i.toLong), 8))))
+  }
+
+  test("bucket value agrees across expression eval, codegen, V2 function, and driver literal") {
+    import org.apache.spark.sql.types._
+    import graft.functions.{IcebergBucket, IcebergBucketExpr}
+    import graft.catalog.Transforms
+    val n = 8
+    // distributed column path (whole-stage codegen)
+    val viaCol = Tables.orders(spark, sfDir).limit(64)
+      .select($"o_orderkey",
+        org.apache.spark.sql.execution.datasources.GraftBridge.column(
+          IcebergBucketExpr(
+            org.apache.spark.sql.execution.datasources.GraftBridge.expression($"o_orderkey"),
+            n)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    viaCol.foreach { case (k, b) =>
+      // driver literal path (scan-pruning derive)
+      assert(Transforms.bucketOf(k, n).contains(b), s"bucketOf($k) != column $b")
+      // V2 FunctionCatalog path (SQL bucket())
+      val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](n, k))
+      val f = new graft.catalog.GraftFunctions.BucketBound(LongType)
+      assert(f.produceResult(row) == b)
+      // raw spec formula
+      assert(IcebergBucket.bucket(IcebergBucket.hashLong(k), n) == b)
+    }
+    // strings: external String and UTF8String agree
+    assert(Transforms.bucketOf("iceberg", 32) ==
+      Some(IcebergBucket.bucket(1210000089, 32)))
+    // null never buckets
+    assert(Transforms.bucketOf(null, 8).isEmpty)
+    val nullRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](8, null))
+    assert(new graft.catalog.GraftFunctions.BucketBound(LongType).produceResult(nullRow) == null)
   }
 }

@@ -379,4 +379,97 @@ class IcebergExportSpec extends SparkSpec {
     assert(cat.ops.read(spark, target,
       snapshotId = Some(firstTwo.last.snapshotId)).count() == 5L)
   }
+
+  test("C65 round-trip: bucket(8,id) + days(ts) export the real spec, values = spec hash") {
+    import org.apache.spark.sql.functions.{col, expr}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ice")
+    spark.sql("""CREATE TABLE graft.ice.pt (id BIGINT, ts TIMESTAMP, v DOUBLE)
+                 PARTITIONED BY (bucket(8, id), days(ts))""")
+    val dir = new Path(s"$warehouse/ice/pt")
+    // 16 rows over 3 days; one file per row ⇒ every file single-valued
+    val df = spark.range(1, 17).toDF("id")
+      .withColumn("ts", expr("timestamp'2024-03-10 00:00:00' + make_interval(0,0,0,CAST(id % 3 AS INT),0,0,0)"))
+      .withColumn("v", col("id").cast("double") * 1.5)
+    cat.ops.write(dir, df, "append", numFiles = Some(16))
+    cat.ops.analyze(spark, dir) // NDV properties + Puffin carry-through below
+
+    val metaFile = IcebergExport.export(cat.ops, dir)
+    val n = mapper.readTree(cat.ops.store.readString(metaFile))
+
+    // ---- metadata.json declares the REAL spec as the default ----
+    assert(n.get("default-spec-id").asInt() == 1)
+    val specs = n.get("partition-specs").elements().asScala.toSeq
+      .map(s => s.get("spec-id").asInt() -> s).toMap
+    assert(specs(0).get("fields").size() == 0, "spec 0 stays unpartitioned")
+    val sf = specs(1).get("fields").elements().asScala.toSeq
+    assert(sf.map(_.get("transform").asText()) == Seq("bucket[8]", "day"))
+    assert(sf.map(_.get("name").asText()) == Seq("id", "ts"))
+    assert(sf.forall(_.get("field-id").asInt() >= 1000))
+    assert(n.get("last-partition-id").asInt() >= sf.map(_.get("field-id").asInt()).max)
+
+    // ---- manifests: spec-1 entries carry real tuples; union covers all ----
+    val current = n.get("snapshots").elements().asScala.toSeq
+      .find(_.get("snapshot-id").asLong() == n.get("current-snapshot-id").asLong()).get
+    val (mlRecs, _, _) =
+      IcebergExport.readAvro(cat.ops, new Path(current.get("manifest-list").asText()))
+    val bySpec = mlRecs.groupBy(_.get("partition_spec_id").asInstanceOf[Int])
+    assert(bySpec.contains(1), "at least one spec-1 manifest must exist")
+    var seen = Set.empty[String]
+    var checkedTuples = 0
+    bySpec.toSeq.flatMap(_._2).foreach { ml =>
+      val specId = ml.get("partition_spec_id").asInstanceOf[Int]
+      val (recs, mMeta, mSchema) =
+        IcebergExport.readAvro(cat.ops, new Path(ml.get("manifest_path").toString))
+      assert(mMeta("partition-spec-id") == specId.toString)
+      if (specId == 1)
+        assert(mapper.readTree(mMeta("partition-spec")).size() == 2)
+      recs.foreach { r =>
+        val dfr = r.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+        val path = dfr.get("file_path").toString
+        assert(!seen.contains(path), s"file exported twice: $path")
+        seen += path
+        if (specId == 1) {
+          val part = dfr.get("partition").asInstanceOf[org.apache.avro.generic.GenericRecord]
+          // ground truth from the data file itself
+          val rows = spark.read.parquet(path)
+            .select(col("id"), expr("CAST(floor(unix_micros(ts) / 86400000000) AS INT)").as("d"))
+            .collect()
+          val ids = rows.map(_.getLong(0)).distinct
+          val ds = rows.map(_.getInt(1)).distinct
+          assert(ids.length == 1 && ds.length == 1, s"spec-1 file must be single-valued: $path")
+          val expectBucket = graft.functions.IcebergBucket.bucket(
+            graft.functions.IcebergBucket.hashLong(ids.head), 8)
+          assert(part.get("id") == expectBucket,
+            s"bucket tuple must equal the Iceberg-spec hash: ${part.get("id")} vs $expectBucket")
+          assert(part.get("ts") == ds.head,
+            s"day tuple must be the epoch-day ordinal: ${part.get("ts")} vs ${ds.head}")
+          // avro schema carries the spec field-ids + date logical type
+          val pSchema = mSchema.getField("data_file").schema().getField("partition").schema()
+          assert(pSchema.getField("id").getObjectProp("field-id")
+            .asInstanceOf[Number].intValue() >= 1000)
+          checkedTuples += 1
+        }
+      }
+    }
+    assert(checkedTuples > 0)
+    val allLive = cat.ops.snapshotEntries(dir,
+      cat.ops.load(dir).get._2.currentSnapshot.get).filter(_.isData).map(_.path).toSet
+    assert(seen == allLive, "spec-1 + spec-0 manifests must cover every live file exactly once")
+
+    // ---- import back: spec intact, stats registered, NDV carried ----
+    val target = new Path(s"$warehouse/ice/pt_imported")
+    val imported = IcebergImport.importTable(cat.ops, metaFile, target)
+    val gotSpec = imported.specs.find(_.specId == imported.defaultSpecId).get.fields
+    assert(gotSpec.map(_.transform) == Seq("bucket[8]", "day"), "spec survives the round-trip")
+    assert(gotSpec.map(_.name) == Seq("id", "ts"))
+    assert(imported.statistics.nonEmpty, "Puffin statistics file re-registered on import")
+    assert(cat.ops.store.exists(new Path(imported.statistics.head.statistics)))
+    assert(imported.properties.keys.exists(_.startsWith("graft.stats.ndv.")),
+      "ANALYZE NDV properties carry through without re-analyze")
+    // data still correct, and bucket pruning works on the re-import
+    // (graft-written files carry __pt_ stats in their footers)
+    assert(cat.ops.read(spark, target).count() == 16)
+    val one = cat.ops.read(spark, target).filter(col("id") === 7L).collect()
+    assert(one.length == 1 && one.head.getLong(0) == 7L)
+  }
 }
