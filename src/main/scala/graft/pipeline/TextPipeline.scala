@@ -31,6 +31,26 @@ object TextPipeline {
         explode(expr("transform(sequence(1, greatest(size(ws) - 2, 0)), i -> concat_ws(' ', slice(ws, i, 3)))")).as("s"))
       .distinct()
 
+  /** Document-frequency ceiling for gram pair joins (L4, L32): a gram
+    * present in more than this many documents is dropped BEFORE any
+    * pair join. Per-gram pair fanout is df², so without a ceiling one
+    * stopword-class gram ("of the and") in 90% of a 100-TB corpus
+    * makes the shuffle quadratic in corpus size; with it, fanout per
+    * gram is bounded at CEILING² regardless of scale — the standard
+    * prefix/df-filtering move from the set-similarity-join literature
+    * (Bayardo et al. WWW'07). Stopword grams carry no near-dup signal,
+    * so the audit loses nothing it cares about. Both the Spark plans
+    * and the DuckDB oracles apply the identical ceiling. */
+  val GramDfCeiling = 64
+
+  /** Keep only grams whose document frequency is within
+    * [[GramDfCeiling]]. Input must be distinct (doc_id, s) rows. */
+  private def dfCapped(sh: DataFrame): DataFrame = {
+    val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > GramDfCeiling)
+    sh.join(hot, Seq("s"), "left_anti")
+  }
+
   /** L1 — exact dedup accounting by content hash (md5). */
   def dedupExact(s: SparkSession, d: String): DataFrame =
     documents(s, d).groupBy("source")
@@ -44,9 +64,13 @@ object TextPipeline {
 
   /** L4 — n-gram Jaccard similarity: top-50 most similar doc pairs.
     * Shared-shingle equi-join (shuffle on shingle) — never a cross
-    * join; at scale, add prefix filtering or go through L2 MinHash. */
+    * join — over the [[GramDfCeiling]]-capped gram universe, so a hot
+    * gram's df² fanout is bounded regardless of corpus size. Jaccard
+    * is computed consistently over the capped universe (both the
+    * shared counts and the per-doc sizes), mirrored exactly in the
+    * DuckDB oracle. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(documents(s, d)).cache()
+    val sh = dfCapped(shingles(documents(s, d))).cache()
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.as("x")
       .join(sh.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
@@ -63,8 +87,10 @@ object TextPipeline {
 
   val ngramJaccardSql: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-       sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
-              FROM w, UNNEST(range(1, GREATEST(len(ws) - 1, 1))) AS t(i)),
+       sh0 AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+               FROM w, UNNEST(range(1, GREATEST(len(ws) - 1, 1))) AS t(i)),
+       sh AS (SELECT * FROM sh0 WHERE s NOT IN
+                (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > 64)),
        sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
        p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS shared
              FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
@@ -253,8 +279,10 @@ object TextPipeline {
   val dedupComponentsSql: String =
     """WITH RECURSIVE
        w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-       sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
-              FROM w, UNNEST(range(1, GREATEST(len(ws) - 1, 1))) AS t(i)),
+       sh0 AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+               FROM w, UNNEST(range(1, GREATEST(len(ws) - 1, 1))) AS t(i)),
+       sh AS (SELECT * FROM sh0 WHERE s NOT IN
+                (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > 64)),
        sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
        p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS shared
              FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
@@ -1009,13 +1037,15 @@ object TextPipeline {
     *
     * Scale: the pair search is the L4 shingle equi-join restricted
     * across the split boundary (shuffle on the shingle key, never
-    * doc×doc). At 100 TB the same audit runs on L2's MinHash bands
-    * instead of raw shingles; the split assignment itself is map-only
-    * either way. */
+    * doc×doc), over the [[GramDfCeiling]]-capped gram universe so a
+    * stopword-class gram cannot make the per-gram match set
+    * 0.9·N × 0.1·N. At 100 TB the same audit runs on L2's MinHash
+    * bands instead of raw shingles; the split assignment itself is
+    * map-only either way. */
   def splitLeakage(s: SparkSession, d: String): DataFrame = {
     val split = documents(s, d).select(col("doc_id"),
       (expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)") % 10 < 9).as("is_train"))
-    val sh = shingles(documents(s, d)).join(split, "doc_id")
+    val sh = dfCapped(shingles(documents(s, d))).join(split, "doc_id")
     val train = sh.filter(col("is_train")).select(col("doc_id").as("train_doc"), col("s"))
     val eval_ = sh.filter(!col("is_train")).select(col("doc_id").as("eval_doc"), col("s"))
     train.join(eval_, "s")
@@ -1028,9 +1058,11 @@ object TextPipeline {
 
   val splitLeakageSql: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-       sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
-              FROM w, (SELECT unnest(generate_series(1, len(ws) - 2)) AS i)
-              WHERE len(ws) >= 3),
+       sh0 AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+               FROM w, (SELECT unnest(generate_series(1, len(ws) - 2)) AS i)
+               WHERE len(ws) >= 3),
+       sh AS (SELECT * FROM sh0 WHERE s NOT IN
+                (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > 64)),
        sp AS (SELECT doc_id,
                      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 9 AS is_train
               FROM documents),
@@ -1440,8 +1472,10 @@ object TextPipeline {
     val list = stops("en").map(w => s"'$w'").mkString(", ")
     s"""WITH RECURSIVE
        w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-       sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
-              FROM w, UNNEST(range(1, GREATEST(len(ws) - 1, 1))) AS t(i)),
+       sh0 AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+               FROM w, UNNEST(range(1, GREATEST(len(ws) - 1, 1))) AS t(i)),
+       sh AS (SELECT * FROM sh0 WHERE s NOT IN
+                (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > 64)),
        sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
        p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS shared
              FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id

@@ -434,15 +434,21 @@ class IcebergExportSpec extends SparkSpec {
           val rows = spark.read.parquet(path)
             .select(col("id"), expr("CAST(floor(unix_micros(ts) / 86400000000) AS INT)").as("d"))
             .collect()
-          val ids = rows.map(_.getLong(0)).distinct
-          val ds = rows.map(_.getInt(1)).distinct
-          assert(ids.length == 1 && ds.length == 1, s"spec-1 file must be single-valued: $path")
-          val expectBucket = graft.functions.IcebergBucket.bucket(
-            graft.functions.IcebergBucket.hashLong(ids.head), 8)
+          // Single-valued per TRANSFORM TUPLE, not per raw source column:
+          // the writer clusters by partition tuple, so distinct ids that
+          // bucket+day to the same tuple legitimately share a file
+          // (e.g. ids 1/10 both hash to bucket 4 and share day 2024-03-11).
+          val tuples = rows.map { r =>
+            (graft.functions.IcebergBucket.bucket(
+              graft.functions.IcebergBucket.hashLong(r.getLong(0)), 8), r.getInt(1))
+          }.distinct
+          assert(tuples.length == 1,
+            s"spec-1 file must be single-valued per transform tuple: $path -> ${tuples.toSeq}")
+          val (expectBucket, expectDay) = tuples.head
           assert(part.get("id") == expectBucket,
             s"bucket tuple must equal the Iceberg-spec hash: ${part.get("id")} vs $expectBucket")
-          assert(part.get("ts") == ds.head,
-            s"day tuple must be the epoch-day ordinal: ${part.get("ts")} vs ${ds.head}")
+          assert(part.get("ts") == expectDay,
+            s"day tuple must be the epoch-day ordinal: ${part.get("ts")} vs $expectDay")
           // avro schema carries the spec field-ids + date logical type
           val pSchema = mSchema.getField("data_file").schema().getField("partition").schema()
           assert(pSchema.getField("id").getObjectProp("field-id")

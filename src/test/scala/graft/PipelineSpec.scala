@@ -28,6 +28,47 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.8, s"LSH recall $recall too low (${exact.size} true pairs)")
   }
 
+  test("L4/L32: gram df-ceiling bounds hot-gram pair fanout (join-row linearity)") {
+    import spark.implicits._
+    // 90 filler docs all share ONE stopword-class 3-gram; the only true
+    // near-dups are two planted identical docs chosen to straddle the
+    // train/eval split. Without the df ceiling the hot gram alone would
+    // contribute C(92,2) ≈ 4186 pair-join rows (quadratic in corpus
+    // size); with it, the only surviving pair is the planted one.
+    val assign = spark.range(1000, 2000).select(col("id"),
+      (expr("CAST(conv(substr(md5(CAST(id AS STRING)), 1, 8), 16, 10) AS BIGINT)") % 10 < 9)
+        .as("is_train"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val trainId = (1000L until 2000L).find(assign(_)).get
+    val evalId = (1000L until 2000L).find(!assign(_)).get
+    val hot = "hot1 hot2 hot3"
+    val planted = s"p1 p2 p3 p4 p5 p6 p7 $hot"
+    val docs = ((0 until 90).map(i => (i.toLong, s"u${i}a u${i}b u${i}c $hot")) ++
+        Seq((trainId, planted), (evalId, planted)))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-dfcap-").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // L4: hot-gram pairs are gone; the planted pair survives with the
+    // hot gram excluded from both shared count and doc sizes
+    // (10 words → 8 grams, 1 over the ceiling → shared = 7, j = 1.0).
+    val pairs = TextPipeline.ngramJaccard(spark, dir).collect()
+    assert(pairs.length == 1, s"only the planted pair must survive: ${pairs.toSeq}")
+    assert(pairs.head.getLong(0) == math.min(trainId, evalId) &&
+           pairs.head.getLong(1) == math.max(trainId, evalId))
+    assert(pairs.head.getLong(2) == 7L)
+    assert(math.abs(pairs.head.getDouble(3) - 1.0) < 1e-12)
+
+    // L32: same corpus — the cross-split audit reports exactly the
+    // planted leak, never a hot-gram row explosion.
+    val leaks = TextPipeline.splitLeakage(spark, dir).collect()
+    assert(leaks.length == 1, s"only the planted leak must be reported: ${leaks.toSeq}")
+    assert(leaks.head.getLong(0) == trainId && leaks.head.getLong(1) == evalId)
+    assert(leaks.head.getLong(2) == 7L)
+  }
+
   test("L3: SimHash pairs are symmetric-free, ordered, within threshold") {
     val rows = TextPipeline.simhash(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
