@@ -206,7 +206,13 @@ final class GraftTable(
       // stats and are conservatively kept.
       val specFields = meta.specs.find(_.specId == meta.defaultSpecId)
         .map(_.fields).getOrElse(Seq.empty)
-      val derived = translated.flatMap(f => Transforms.derive(specFields, schema, f))
+      // derived bucket predicates only against current-hash __pt_
+      // stats — an unmarked (old-hash) table must not be pruned by
+      // values a different hash produced (Transforms.BucketHashProp)
+      val derived =
+        if (Transforms.hashCurrent(meta))
+          translated.flatMap(f => Transforms.derive(specFields, schema, f))
+        else Seq.empty
       val ptSchema = Transforms.ptSchema(specFields, schema)
       val kept = dataEntries.filter(e =>
         (translated ++ derived).forall(f => Stats.mayContain(e, ptSchema, f)))
@@ -616,8 +622,12 @@ final class GraftTable(
               predicates.foreach(p => toSourceFilter(p).foreach { f =>
                 // runtime join keys also prune through bucket
                 // transforms (C65) — a DPP IN-set on the source
-                // column derives the bucket IN-set
-                val fs = f +: Transforms.derive(specFields, schema, f)
+                // column derives the bucket IN-set (current-hash
+                // tables only, same guard as the static path)
+                val fs =
+                  if (Transforms.hashCurrent(meta))
+                    f +: Transforms.derive(specFields, schema, f)
+                  else Seq(f)
                 runtimeKept = runtimeKept.filter(e =>
                   fs.forall(Stats.mayContain(e, ptSchema, _)))
               })
@@ -948,10 +958,35 @@ final class GraftTable(
     * ([[TableOps.overwriteWith]]'s parent guard), so a concurrent
     * commit fails this operation instead of resurrecting stale kept
     * files. */
+  /** Row-level operation mode for a command — the Iceberg-parity table
+    * properties `write.delete.mode` / `write.update.mode` /
+    * `write.merge.mode` (graft.-prefixed aliases accepted):
+    * `copy-on-write` (default) rewrites affected files whole;
+    * `merge-on-read` masks matched rows with deletion vectors and
+    * appends the new images — O(changed rows) instead of O(affected
+    * bytes), the difference between minutes and hours for a low-
+    * selectivity UPDATE on a 100-TB table. Row-lineage tables always
+    * use copy-on-write (row ids must carry over, a rewrite concern —
+    * same stance as [[TableOps.morUpdate]]). */
+  private def rowLevelMode(
+      cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command): String = {
+    import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+    val key = cmd match {
+      case Command.DELETE => "write.delete.mode"
+      case Command.UPDATE => "write.update.mode"
+      case _              => "write.merge.mode"
+    }
+    if (ops.lineageEnabled(meta)) "copy-on-write"
+    else meta.properties.getOrElse(s"graft.$key",
+      meta.properties.getOrElse(key, "copy-on-write"))
+  }
+
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     import org.apache.spark.sql.connector.write.{LogicalWriteInfo => LWI, RowLevelOperation => RLO}
+    if (rowLevelMode(info.command()) == "merge-on-read")
+      return () => new MorDeltaOperation(info)
     () => new RLO {
       // Snapshot pinned once per operation: scan and commit agree on
       // the file set even if the table moves underneath (the commit's
@@ -1093,6 +1128,128 @@ final class GraftTable(
     }
   }
 
+  /** SQL merge-on-read row-level operation (`SupportsDelta`): Spark's
+    * UPDATE/MERGE/DELETE rewrite plans stream per-row deltas instead
+    * of whole replacement groups — matched rows die via deletion
+    * vectors keyed by the `(_file, _pos)` row identity (the C61 form)
+    * and new row images append as ordinary data files, BOTH in one
+    * commit. ZERO data-file rewriting: the group-based copy-on-write
+    * path above rewrites every affected file, which at 100 TB turns a
+    * 0.1%-selectivity UPDATE into a rewrite of 100% of the bytes it
+    * touches. Engaged by `write.update.mode` / `write.merge.mode` /
+    * `write.delete.mode` = `merge-on-read` ([[rowLevelMode]]).
+    *
+    * Updates are represented as delete+insert
+    * (`representUpdateAsDeleteAndInsert`): the DV masks the old row,
+    * the image appends — exactly the row-level pairs CDC emits for
+    * `mor-update` commits, so `$changes` works unchanged. The scan is
+    * the table's REGULAR read path over a snapshot pinned at operation
+    * creation (existing deletes apply, so dead rows can't re-match);
+    * the commit re-validates that no concurrent rewrite replaced a
+    * referenced file (coordinates would dangle) and retries through
+    * concurrent appends.
+    *
+    * Reference surface: the denali catalog stores delete-file pointers
+    * and leaves delete semantics to engines (logic/table.go); this is
+    * the Spark-engine half, reusing the stock rewrite planner. */
+  private final class MorDeltaOperation(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      extends org.apache.spark.sql.connector.write.SupportsDelta {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.write.{DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriterFactory, LogicalWriteInfo => LWI, RowLevelOperation => RLO}
+
+    // snapshot pinned once per operation: scan and commit agree on the
+    // file set; the commit's validate rejects a racing rewrite
+    private lazy val pinnedMeta: TableMetadata = reload()
+    private lazy val pinnedEntries: Seq[DataFileEntry] = ops.resolveEntries(dir, pinnedMeta)
+
+    override def command(): RLO.Command = info.command()
+    override def description(): String = s"graft mor ${info.command()}"
+    override def rowId(): Array[NamedReference] =
+      Array(Expressions.column("_file"), Expressions.column("_pos"))
+    override def representUpdateAsDeleteAndInsert(): Boolean = true
+    override def requiredMetadataAttributes(): Array[NamedReference] = Array.empty
+
+    /** The regular snapshot scan — full pushdown/pruning, existing
+      * deletes applied, `_file`/`_pos` served as metadata columns. */
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      new GraftScanBuilder(pinnedEntries, options)
+
+    override def newWriteBuilder(winfo: LWI): DeltaWriteBuilder = new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new DeltaWrite {
+        override def toBatch: DeltaBatchWrite = new MorDeltaBatchWrite(winfo)
+      }
+    }
+
+    private final class MorDeltaBatchWrite(winfo: LWI) extends DeltaBatchWrite {
+      private val writeDir = new Path(ops.dataDir(dir), s"w-${java.util.UUID.randomUUID()}")
+      // delegate over the TABLE schema, not winfo's: a delete-only
+      // plan carries no row-image columns, inserts always carry full
+      // rows in table-column order
+      private lazy val delegateWrite: BatchWrite = {
+        val lwi = new LWI {
+          override def queryId(): String = winfo.queryId()
+          override def schema(): StructType = GraftTable.this.schema
+          override def options(): CaseInsensitiveStringMap = winfo.options()
+          override def rowIdSchema(): java.util.Optional[StructType] =
+            java.util.Optional.empty()
+          override def metadataSchema(): java.util.Optional[StructType] =
+            java.util.Optional.empty()
+        }
+        dataDelegate(Seq(writeDir.toString)).newWriteBuilder(lwi).build().toBatch
+      }
+
+      override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DeltaWriterFactory =
+        MorDelta.Factory(delegateWrite.createBatchWriterFactory(pinfo),
+          dir.toUri.getPath + "/")
+
+      // the inner file write runs the hadoop commit protocol (its
+      // useCommitCoordinator is false); claiming the partition with the
+      // V2 coordinator too would make the inner task commit get denied
+      override def useCommitCoordinator(): Boolean = delegateWrite.useCommitCoordinator()
+
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        val msgs = messages.toSeq.collect { case m: MorDelta.TaskCommit => m }
+        delegateWrite.commit(msgs.flatMap(m => Option(m.inner)).toArray)
+        // merge task bitmaps per file (OR: re-deletes collapse)
+        val merged = scala.collection.mutable.HashMap
+          .empty[String, org.roaringbitmap.longlong.Roaring64NavigableMap]
+        msgs.foreach(_.dvs.foreach { case (f, bytes) =>
+          val bm = DeletionVectors.deserialize(bytes)
+          merged.get(f) match {
+            case Some(acc) => acc.or(bm)
+            case None      => merged.update(f, bm)
+          }
+        })
+        val fs = writeDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val files =
+          if (!fs.exists(writeDir)) Seq.empty[String]
+          else {
+            val it = fs.listFiles(writeDir, true)
+            val buf = Seq.newBuilder[String]
+            while (it.hasNext) {
+              val f = it.next().getPath
+              if (f.getName.endsWith(".parquet") || f.getName.endsWith(".orc"))
+                buf += f.toString
+            }
+            buf.result()
+          }
+        if (merged.isEmpty && files.isEmpty) return // no-op command, no-op commit
+        val opName = info.command() match {
+          case RLO.Command.DELETE => "dv-delete"
+          case _                  => "mor-update" // UPDATE and MERGE: CDC delete+insert pairs
+        }
+        ops.commitMorDelta(spark, dir, merged.toSeq, files, opName,
+          pinnedEntries.filter(_.isData).map(_.path).toSet)
+      }
+
+      override def abort(messages: Array[WriterCommitMessage]): Unit =
+        delegateWrite.abort(messages.toSeq.collect {
+          case m: MorDelta.TaskCommit if m.inner != null => m.inner
+        }.toArray)
+    }
+  }
+
   /** Commit for row-level rewrites: written files + the scan's
     * provably-unmatched keep-set become the new snapshot (keep-set
     * evaluated at commit time, after scan planning fixed it). */
@@ -1131,6 +1288,10 @@ final class GraftTable(
     * to the survivors, and rewritten. The commit is an overwrite
     * snapshot, so the pre-delete state stays time-travelable. */
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    // merge-on-read delete mode opts out of the metadata/COW shortcut so
+    // Spark keeps the row-level plan and the delta (DV) path handles it
+    rowLevelMode(org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE) !=
+      "merge-on-read" &&
     filters.forall(FilterColumns.convertible)
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {

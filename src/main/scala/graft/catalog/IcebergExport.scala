@@ -105,9 +105,13 @@ object IcebergExport {
     // spec-1 manifest with real partition tuples (bucket values are the
     // Iceberg-spec hash — external engines compute the same buckets);
     // straddler files export under spec-0 (unpartitioned) — less
-    // pruning, never a wrong tuple. Snapshots with pending deletes stay
-    // entirely under spec-0: a spec-0 delete file is not reliably
-    // applied to spec-1 data files by external engines' delete indexes.
+    // pruning, never a wrong tuple. Delete files always export under
+    // spec-0, which the Iceberg spec defines as GLOBAL application:
+    // a position/equality delete file whose partition spec is
+    // unpartitioned applies to data files of EVERY partition (spec
+    // "Scan Planning" application rules), so spec-1 data manifests and
+    // spec-0 delete manifests compose correctly in external engines —
+    // pending deletes no longer force the whole snapshot to spec-0.
     val realSpec = exportableSpec(meta)
 
     // 1-2 data manifests (+ one delete manifest when pending deletes
@@ -118,9 +122,8 @@ object IcebergExport {
       val dataE = entries.filter(_.isData)
       val delE = entries.filter(_.isDelete)
       val (specE, plainE) = realSpec match {
-        case Some(se) if delE.isEmpty =>
-          dataE.partition(e => partitionTuple(se, e).isDefined)
-        case _ => (Seq.empty[DataFileEntry], dataE)
+        case Some(se) => dataE.partition(e => partitionTuple(se, e).isDefined)
+        case _        => (Seq.empty[DataFileEntry], dataE)
       }
       val refs = Seq.newBuilder[ManifestRef]
       if (specE.nonEmpty) {
@@ -343,8 +346,14 @@ object IcebergExport {
       val ok = p.kind match {
         case "identity" => (intLike ++ Set(
           "string", "varchar", "date", "timestamp", "timestamp_ntz")).contains(ddl)
-        case "bucket" => true // value reads from __pt_ stats
+        // __pt_ stats are only the spec hash when the table carries the
+        // current-hash marker (Transforms.BucketHashProp) — old-hash
+        // tuples would mislead external engines' pruning
+        case "bucket" => Transforms.hashCurrent(meta)
         case "truncate" => (intLike ++ Set("string", "varchar")).contains(ddl)
+        // Iceberg defines hour only on timestamps — hour(date) is not
+        // a spec transform, so such a spec never exports
+        case "hour" => Set("timestamp", "timestamp_ntz").contains(ddl)
         case _ => Set("date", "timestamp", "timestamp_ntz").contains(ddl) // temporal
       }
       if (!ok) return None
@@ -438,8 +447,15 @@ object IcebergExport {
       }
       case "truncate" => c.sourceDdl match {
         case "string" | "varchar" =>
-          val (a, b) = (mnS.take(c.arg), mxS.take(c.arg))
-          if (a == b) Some(a) else None
+          // Iceberg truncates strings by CODE POINTS; a UTF-16 take
+          // could split a surrogate pair (wrong cell + invalid UTF-8
+          // in Avro). Stat strings holding a lone surrogate are not
+          // trustworthy cells — export those files under spec-0.
+          def cp(s: String): Option[String] = {
+            if (s.codePointCount(0, s.length) <= c.arg) Some(s)
+            else Some(s.substring(0, s.offsetByCodePoints(0, c.arg)))
+          }.filterNot(t => t.nonEmpty && Character.isHighSurrogate(t.last))
+          for (a <- cp(mnS); b <- cp(mxS) if a == b) yield a
         case t =>
           def trunc(v: Long): Long = v - java.lang.Math.floorMod(v, c.arg.toLong)
           for (a <- long(mnS); b <- long(mxS) if trunc(a) == trunc(b)) yield {
@@ -453,9 +469,9 @@ object IcebergExport {
           if (c.sourceDdl == "date") v else Math.floorDiv(v, 86400000000L)
         def cell(v: Long): Long = temporal match {
           case "day" => days(v)
-          case "hour" =>
-            if (c.sourceDdl == "date") days(v) * 24L
-            else Math.floorDiv(v, 3600000000L)
+          // exportableSpec restricts hour to timestamp sources (Iceberg
+          // defines no hour(date)), so the stat space here is micros
+          case "hour" => Math.floorDiv(v, 3600000000L)
           case "month" =>
             val d = java.time.LocalDate.ofEpochDay(days(v))
             (d.getYear - 1970).toLong * 12L + (d.getMonthValue - 1)

@@ -137,6 +137,38 @@ class JdbcStore(conf: Configuration, val jdbcUrl: String) extends FsStore(conf) 
 object JdbcStore {
   private val initialized = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Latest ledger schema version this build knows. A database stamped
+    * with a HIGHER version was created by a newer build: refuse to run
+    * rather than write through a schema we don't understand. */
+  val SchemaVersion: Int = 2
+
+  /** Stepwise schema migrations, goose-style (the reference versions
+    * its DB schema the same way: logic/state.go imports
+    * pressly/goose/v3 over models/pg + models/sqlite). Each entry is
+    * (version, DDL steps); steps of one version apply in ONE
+    * transaction together with the version stamp, so a crash mid-
+    * migration leaves the ledger at the previous version, not torn.
+    * Append-only: NEVER edit a shipped version's steps — long-lived
+    * databases (Postgres) replay only versions above their stamp. */
+  private val migrations: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq(
+      "CREATE TABLE graft_versions(" +
+        "dir VARCHAR(1024) NOT NULL, " +
+        "version INT NOT NULL, " +
+        "content CLOB NOT NULL, " +
+        "PRIMARY KEY (dir, version))"),
+    2 -> Seq(
+      // commit audit: when each metadata version landed (expiry
+      // tooling and ops inspection; DEFAULT keeps tryInsert's explicit
+      // column list working unchanged)
+      "ALTER TABLE graft_versions ADD COLUMN committed_at TIMESTAMP " +
+        "DEFAULT CURRENT_TIMESTAMP"))
+
+  private def tableExists(c: Connection, name: String): Boolean = {
+    val rs = c.getMetaData.getTables(null, null, name, null)
+    try rs.next() finally rs.close()
+  }
+
   private def ensureSchema(url: String): Unit = {
     if (!initialized.add(url)) return
     if (sys.props.get("derby.stream.error.file").isEmpty)
@@ -146,14 +178,49 @@ object JdbcStore {
     scala.util.Try(Class.forName("org.apache.derby.jdbc.EmbeddedDriver"))
     val c = DriverManager.getConnection(url)
     try {
+      c.setAutoCommit(false)
       val st = c.createStatement()
       try st.executeUpdate(
-        "CREATE TABLE graft_versions(" +
-        "dir VARCHAR(1024) NOT NULL, " +
-        "version INT NOT NULL, " +
-        "content CLOB NOT NULL, " +
-        "PRIMARY KEY (dir, version))")
-      catch { case e: SQLException if e.getSQLState == "X0Y32" => () } // exists
-    } finally c.close()
+        "CREATE TABLE graft_schema_version(" +
+        "version INT NOT NULL PRIMARY KEY, applied_at TIMESTAMP NOT NULL)")
+      catch { case e: SQLException if e.getSQLState == "X0Y32" => c.rollback() }
+      c.commit()
+      def current(): Int = {
+        val rs = st.executeQuery("SELECT MAX(version) FROM graft_schema_version")
+        try { if (rs.next()) rs.getInt(1) else 0 } finally rs.close()
+      }
+      var cur = current()
+      // a pre-versioning ledger (graft_versions exists, no stamp) IS
+      // schema v1: baseline it in place, then replay the rest
+      if (cur == 0 && tableExists(c, "GRAFT_VERSIONS")) {
+        st.executeUpdate(
+          "INSERT INTO graft_schema_version VALUES (1, CURRENT_TIMESTAMP)")
+        c.commit()
+        cur = 1
+      }
+      if (cur > SchemaVersion) {
+        initialized.remove(url)
+        throw new IllegalStateException(
+          s"ledger at $url has schema v$cur, newer than this build's v$SchemaVersion — " +
+          "refusing to run against a future schema (upgrade graft instead)")
+      }
+      migrations.filter(_._1 > cur).foreach { case (v, steps) =>
+        try {
+          steps.foreach(st.executeUpdate)
+          st.executeUpdate(
+            s"INSERT INTO graft_schema_version VALUES ($v, CURRENT_TIMESTAMP)")
+          c.commit()
+        } catch {
+          // duplicate version stamp = a concurrent bootstrapper won
+          // this migration — roll back ours and continue from theirs
+          case e: SQLException if e.getSQLState == "23505" => c.rollback()
+        }
+      }
+    } finally {
+      // roll back any open read transaction first: closing an active
+      // non-autocommit connection throws and would mask the real error
+      scala.util.Try(c.rollback())
+      scala.util.Try(c.close())
+    }
   }
 }

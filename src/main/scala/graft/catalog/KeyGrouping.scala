@@ -32,6 +32,13 @@ object KeyGrouping {
     if (spec.isEmpty || entries.isEmpty ||
         !spec.forall(f => kind(f) == "identity" || kind(f) == "bucket"))
       return None
+    // bucket SPJ aligns stored __pt_ values with partition keys Spark
+    // computes through the catalog's bucket() function — an unmarked
+    // (old-hash) table could split one join key across groups, so
+    // bucket dims require the current-hash marker (identity dims are
+    // value-based and safe either way)
+    if (spec.exists(f => kind(f) == "bucket") && !Transforms.hashCurrent(meta))
+      return None
     // (stat column to read, value type) per spec dimension
     val dims = spec.map { f =>
       if (kind(f) == "bucket") Some((Transforms.ptColName(f), IntegerType: DataType))

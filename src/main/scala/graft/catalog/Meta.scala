@@ -304,9 +304,19 @@ object MetadataUpdate {
     val name = "add-spec"
     def apply(m: TableMetadata): TableMetadata = {
       if (m.specs.exists(_.specId == spec.specId)) fail(s"spec id ${spec.specId} already exists")
+      // first bucket field on a table with NO prior bucket spec: no
+      // old-hash __pt_ data can exist, so stamp the current hash
+      // marker (tables with prior bucket specs keep their state —
+      // they may hold old-hash values)
+      val props =
+        if (Transforms.anyBucket(Seq(spec)) && !Transforms.anyBucket(m.specs) &&
+            !m.properties.contains(Transforms.BucketHashProp))
+          m.properties + (Transforms.BucketHashProp -> Transforms.BucketHashCurrent)
+        else m.properties
       m.copy(
         specs = m.specs :+ spec,
-        lastPartitionId = (m.lastPartitionId +: spec.fields.map(_.fieldId)).max)
+        lastPartitionId = (m.lastPartitionId +: spec.fields.map(_.fieldId)).max,
+        properties = props)
     }
   }
 

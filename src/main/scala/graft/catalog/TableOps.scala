@@ -46,9 +46,19 @@ final class TableOps(private[graft] val store: FsStore) {
   def create(tableDir: Path, meta: TableMetadata): TableMetadata = {
     if (exists(tableDir))
       throw new CommitFailedException(s"table already exists at $tableDir")
-    if (!store.publish(metadataDir(tableDir), 0, MetadataJson.toJson(meta)))
+    // bucket-hash version marker: every __pt_ value this table will
+    // hold comes from the current Iceberg-spec hash; unmarked tables
+    // (created by older builds) keep hash-dependent optimizations off
+    // — see Transforms.BucketHashProp
+    val stamped =
+      if (Transforms.anyBucket(meta.specs) &&
+          !meta.properties.contains(Transforms.BucketHashProp))
+        meta.copy(properties =
+          meta.properties + (Transforms.BucketHashProp -> Transforms.BucketHashCurrent))
+      else meta
+    if (!store.publish(metadataDir(tableDir), 0, MetadataJson.toJson(stamped)))
       throw new CommitFailedException(s"concurrent create of table at $tableDir")
-    meta
+    stamped
   }
 
   /** The commit protocol (reference: denali routes/tables.go updateTable
@@ -1128,6 +1138,54 @@ final class TableOps(private[graft] val store: FsStore) {
     } finally { matched.unpersist(); () }
   }
 
+  /** Commit one SQL merge-on-read delta write (the `SupportsDelta`
+    * row-level path in [[GraftTable]], C81's commit shape fed by
+    * Spark's own UPDATE/MERGE/DELETE rewrite plans): the executors'
+    * merged deletion vectors — one bitmap per referenced data file,
+    * TABLE-RELATIVE paths — plus the appended row-image files, in ONE
+    * snapshot. The driver holds only the bitmaps (the exact bytes of
+    * the on-disk artifact, compressed Roaring), so the single-task DV
+    * write is metadata-sized at any table scale. Aborts if a
+    * concurrent rewrite replaced any file the coordinates reference
+    * (they would dangle); concurrent appends commute and retry. */
+  def commitMorDelta(
+      spark: SparkSession,
+      tableDir: Path,
+      dvBitmaps: Seq[(String, org.roaringbitmap.longlong.Roaring64NavigableMap)],
+      dataFiles: Seq[String],
+      operation: String,
+      namedFiles: Set[String]): TableMetadata = {
+    val (_, meta) = load(tableDir).getOrElse(
+      throw new CommitFailedException(s"table does not exist at $tableDir"))
+    if (dvBitmaps.isEmpty && dataFiles.isEmpty) return meta
+    val dvFiles =
+      if (dvBitmaps.isEmpty) Seq.empty[String]
+      else {
+        val dvDir = new Path(dataDir(tableDir), s"w-${UUID.randomUUID()}")
+        val rows = dvBitmaps.sortBy(_._1).map { case (f, bm) =>
+          org.apache.spark.sql.Row(f, bm.getLongCardinality, DeletionVectors.serialize(bm))
+        }
+        import scala.jdk.CollectionConverters._
+        spark.createDataFrame(rows.asJava, DeletionVectors.schema)
+          .coalesce(1).write.parquet(dvDir.toString)
+        store.listFilesRec(dvDir).filter(_.getName.endsWith(".parquet")).map(_.toString)
+      }
+    commitDeleteEntries(tableDir, seq =>
+      dvFiles.map(f => DataFileEntry(
+        relativize(tableDir, f), content = "dv-deletes", seq = Some(seq))) ++
+      collectStats(tableDir, dataFiles)
+        .map(e => e.copy(path = relativize(tableDir, e.path), seq = Some(seq)))
+        .filterNot(_.rows.contains(0L)),
+      operation,
+      validate = cur => {
+        val present = resolveEntries(tableDir, cur).filter(_.isData).map(_.path).toSet
+        if (!namedFiles.subsetOf(present))
+          throw new CommitFailedException(
+            s"$operation aborted: a concurrent rewrite replaced files the delete " +
+            "coordinates reference — recompute against fresh state")
+      })
+  }
+
   /** Compact every pending positional delete (row-coordinate parquet
     * AND existing vectors) into ONE deletion vector per referenced
     * data file. Positional application is path-keyed and
@@ -1253,7 +1311,8 @@ final class TableOps(private[graft] val store: FsStore) {
     // pruning) so bucket-partitioned tables classify exactly too
     val statsSchema = Transforms.ptSchema(spec, schema)
     val pruneCond =
-      (nonTrivial ++ nonTrivial.flatMap(Transforms.derive(spec, schema, _)))
+      (nonTrivial ++ (if (Transforms.hashCurrent(meta))
+        nonTrivial.flatMap(Transforms.derive(spec, schema, _)) else Seq.empty))
         .reduce(FAnd)
     val entries = resolveEntries(tableDir, meta)
     val (touched, kept) =

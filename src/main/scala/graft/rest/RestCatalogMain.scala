@@ -33,7 +33,10 @@ object RestCatalogMain {
   final case class ServerConfig(
       warehouse: Option[String] = None,
       port: Int = 0,
-      host: String = "0.0.0.0",
+      // loopback by default: the server is unauthenticated (including
+      // DROP with purge) — exposing it on all interfaces is an explicit
+      // `--host 0.0.0.0` / config opt-in, never the default
+      host: String = "127.0.0.1",
       jdbcUrl: Option[String] = None,
       temp: Boolean = false)
 
@@ -92,7 +95,8 @@ object RestCatalogMain {
       |                          local warehouse)
       |       --warehouse path   Warehouse directory (overrides config file)
       |       --jdbc-url string  JDBC URL for the version ledger (overrides config)
-      |       --host string      Bind address (default: 0.0.0.0)
+      |       --host string      Bind address (default: 127.0.0.1; the server is
+      |                          unauthenticated — bind 0.0.0.0 only on purpose)
       |
       |Global Flags:
       |   -c, --config path      Path to the configuration file [$GRAFT_CONFIG]
@@ -159,12 +163,17 @@ object RestCatalogMain {
     var cfg = ServerConfig()
     val SectionRe = """\[\s*([A-Za-z0-9_.-]+)\s*\]""".r
     val PairRe = """([A-Za-z0-9_.-]+)\s*=\s*(.+)""".r
-    def unquote(v0: String): String = {
-      val v = v0.split("#", 2).head.trim match {
-        case s if s.length >= 2 && s.head == '"' && s.last == '"' => s.substring(1, s.length - 1)
-        case s => s
-      }
-      v
+    // Inline comments are stripped only OUTSIDE quoted strings: a
+    // quoted value may legitimately contain '#' (paths, JDBC URL
+    // fragments), so a leading quote wins and the value ends at the
+    // closing quote, whatever follows.
+    def unquote(v0: String): Either[String, String] = {
+      val t = v0.trim
+      if (t.startsWith("\"")) {
+        val close = t.indexOf('"', 1)
+        if (close < 0) Left(s"config: unterminated string `$v0`")
+        else Right(t.substring(1, close))
+      } else Right(t.split("#", 2).head.trim)
     }
     for (raw <- scala.jdk.CollectionConverters.ListHasAsScala(
         Files.readAllLines(path)).asScala) {
@@ -173,7 +182,10 @@ object RestCatalogMain {
         case l if l.startsWith("#") => ()
         case SectionRe(s) => section = s
         case PairRe(k, v0) =>
-          val v = unquote(v0)
+          val v = unquote(v0) match {
+            case Left(err) => return Left(err)
+            case Right(s)  => s
+          }
           (section, k) match {
             case ("api", "port") if v.nonEmpty =>
               v.toIntOption match {

@@ -44,6 +44,58 @@ class DbSpec extends SparkSpec {
     assert(dbCat.ops.load(dir).get._2.snapshots.size == 2)
   }
 
+  test("schema versioning: a pre-versioning v1 ledger upgrades in place") {
+    import java.sql.DriverManager
+    val root = java.nio.file.Files.createTempDirectory("graft-dbv1-")
+    val url = s"jdbc:derby:$root/ledger;create=true"
+    // hand-build the v1-era database: ONLY graft_versions, no stamp
+    scala.util.Try(Class.forName("org.apache.derby.jdbc.EmbeddedDriver"))
+    val c = DriverManager.getConnection(url)
+    c.createStatement().executeUpdate(
+      "CREATE TABLE graft_versions(dir VARCHAR(1024) NOT NULL, " +
+      "version INT NOT NULL, content CLOB NOT NULL, PRIMARY KEY (dir, version))")
+    c.createStatement().executeUpdate(
+      "INSERT INTO graft_versions VALUES ('/old/table', 1, '{\"legacy\":true}')")
+    c.close()
+
+    // mounting the store migrates: baseline stamp 1, then replay 2+
+    val s = new JdbcStore(spark.sparkContext.hadoopConfiguration, url)
+    val c2 = DriverManager.getConnection(url)
+    val vs = {
+      val rs = c2.createStatement()
+        .executeQuery("SELECT version FROM graft_schema_version ORDER BY version")
+      Iterator.continually(rs).takeWhile(_.next()).map(_.getInt(1)).toList
+    }
+    assert(vs == (1 to JdbcStore.SchemaVersion).toList, s"stamps: $vs")
+    // v2's column exists and pre-existing rows survived the upgrade
+    val rs2 = c2.createStatement().executeQuery(
+      "SELECT content, committed_at FROM graft_versions WHERE dir = '/old/table'")
+    assert(rs2.next() && rs2.getString(1).contains("legacy"))
+    c2.close()
+    // and the upgraded ledger serves reads/writes through the store API
+    assert(s.currentVersion(new Path("/old/table")).contains((1, "{\"legacy\":true}")))
+    assert(s.publish(new Path("/old/table"), 2, "{}"))
+    assert(s.currentVersion(new Path("/old/table")).map(_._1).contains(2))
+  }
+
+  test("schema versioning: a FUTURE schema fails loudly instead of corrupting") {
+    import java.sql.DriverManager
+    val root = java.nio.file.Files.createTempDirectory("graft-dbv9-")
+    val url = s"jdbc:derby:$root/ledger;create=true"
+    scala.util.Try(Class.forName("org.apache.derby.jdbc.EmbeddedDriver"))
+    val c = DriverManager.getConnection(url)
+    c.createStatement().executeUpdate(
+      "CREATE TABLE graft_schema_version(version INT NOT NULL PRIMARY KEY, " +
+      "applied_at TIMESTAMP NOT NULL)")
+    c.createStatement().executeUpdate(
+      s"INSERT INTO graft_schema_version VALUES (${JdbcStore.SchemaVersion + 97}, CURRENT_TIMESTAMP)")
+    c.close()
+    val e = intercept[IllegalStateException] {
+      new JdbcStore(spark.sparkContext.hadoopConfiguration, url)
+    }
+    assert(e.getMessage.contains("newer than this build"))
+  }
+
   test("publish is a DB CAS: 8 racing committers serialize to exactly one winner per version") {
     dbWarehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_db.db")

@@ -260,6 +260,80 @@ class DmlSpec extends SparkSpec {
       == Seq(3L, 4L))
   }
 
+  test("SQL UPDATE/MERGE/DELETE route merge-on-read when the table property asks") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
+    spark.sql("""CREATE TABLE graft.dml.morsql (id BIGINT, day BIGINT, v STRING)
+                 TBLPROPERTIES ('write.update.mode'='merge-on-read',
+                                'write.merge.mode'='merge-on-read',
+                                'write.delete.mode'='merge-on-read',
+                                'graft.write.target-file-count'='4')""")
+    spark.range(0, 4000).selectExpr("id", "id % 4 AS day", "CAST(id AS STRING) AS v")
+      .write.mode("append").saveAsTable("graft.dml.morsql")
+    val dir = new Path(s"$warehouse/dml/morsql")
+    val dataBefore = cat.ops.resolveEntries(dir, cat.ops.load(dir).get._2)
+      .filter(_.isData).map(_.path).toSet
+    val seqBefore = cat.ops.load(dir).get._2.lastSequenceNumber
+
+    // ---- UPDATE: DV + appended images, ZERO data-file rewrite ----
+    spark.sql("UPDATE graft.dml.morsql SET v = 'HIT' WHERE day = 2 AND id < 1000")
+    assert(spark.sql("SELECT count(*) FROM graft.dml.morsql").collect().head.getLong(0) == 4000)
+    assert(spark.sql("SELECT count(*) FROM graft.dml.morsql WHERE v = 'HIT'")
+      .collect().head.getLong(0) == 250)
+    assert(spark.sql("SELECT v FROM graft.dml.morsql WHERE id = 3")
+      .collect().head.getString(0) == "3")
+    val m2 = cat.ops.load(dir).get._2
+    val after = cat.ops.resolveEntries(dir, m2)
+    // every pre-update data file still referenced — nothing was rewritten
+    assert(dataBefore.subsetOf(after.filter(_.isData).map(_.path).toSet),
+      "merge-on-read UPDATE must not rewrite data files")
+    assert(after.exists(_.isDvDelete), "a deletion-vector entry must be pending")
+    assert(m2.snapshots.maxBy(_.sequenceNumber).operation == "mor-update")
+    // CDC: the commit reads as row-level delete+insert pairs
+    val feed = cat.ops.changes(spark, dir, seqBefore, Long.MaxValue).collect()
+    val dels = feed.filter(_.getAs[String]("_change_type") == "delete")
+    val ins = feed.filter(_.getAs[String]("_change_type") == "insert")
+    assert(dels.length == 250 && ins.length == 250, s"got ${dels.length}/${ins.length}")
+    assert(ins.forall(_.getAs[String]("v") == "HIT"))
+    assert(dels.forall(_.getAs[String]("v") != "HIT"))
+    // pre-update snapshot still readable without the DV
+    val first = m2.snapshots.minBy(_.sequenceNumber)
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.dml.morsql VERSION AS OF ${first.snapshotId} WHERE v = 'HIT'")
+      .collect().head.getLong(0) == 0)
+
+    // ---- MERGE: matched update + not-matched insert, one MOR commit ----
+    spark.sql("CREATE TABLE graft.dml.morsql_src (id BIGINT, day BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.dml.morsql_src VALUES (1, 1, 'M'), (9999, 3, 'NEW')")
+    spark.sql("""MERGE INTO graft.dml.morsql t USING graft.dml.morsql_src s ON t.id = s.id
+                 WHEN MATCHED THEN UPDATE SET v = s.v
+                 WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.sql("SELECT v FROM graft.dml.morsql WHERE id = 1")
+      .collect().head.getString(0) == "M")
+    assert(spark.sql("SELECT v FROM graft.dml.morsql WHERE id = 9999")
+      .collect().head.getString(0) == "NEW")
+    assert(spark.sql("SELECT count(*) FROM graft.dml.morsql").collect().head.getLong(0) == 4001)
+    val m3 = cat.ops.load(dir).get._2
+    assert(m3.snapshots.maxBy(_.sequenceNumber).operation == "mor-update")
+    assert(dataBefore.subsetOf(cat.ops.resolveEntries(dir, m3)
+      .filter(_.isData).map(_.path).toSet), "merge-on-read MERGE must not rewrite data files")
+
+    // ---- DELETE: DV-only commit, no rewrite ----
+    spark.sql("DELETE FROM graft.dml.morsql WHERE id = 5")
+    assert(spark.sql("SELECT count(*) FROM graft.dml.morsql").collect().head.getLong(0) == 4000)
+    assert(spark.sql("SELECT count(*) FROM graft.dml.morsql WHERE id = 5")
+      .collect().head.getLong(0) == 0)
+    val m4 = cat.ops.load(dir).get._2
+    assert(m4.snapshots.maxBy(_.sequenceNumber).operation == "dv-delete")
+    assert(dataBefore.subsetOf(cat.ops.resolveEntries(dir, m4)
+      .filter(_.isData).map(_.path).toSet), "merge-on-read DELETE must not rewrite data files")
+
+    // vectorize-compaction composes: pending DVs collapse to one per file
+    cat.ops.vectorizeDeletes(spark, dir)
+    assert(spark.sql("SELECT count(*) FROM graft.dml.morsql").collect().head.getLong(0) == 4000)
+    assert(spark.sql("SELECT count(*) FROM graft.dml.morsql WHERE v = 'HIT'")
+      .collect().head.getLong(0) == 250)
+  }
+
   test("UPDATE rewrites only possibly-affected files (file-granular COW)") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
     spark.sql("CREATE TABLE graft.dml.upd (id BIGINT, day BIGINT, v STRING) PARTITIONED BY (day) " +

@@ -90,6 +90,52 @@ class HiddenPartitionSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graft.hp.bk WHERE k = 7").collect()(0).getLong(0) == 20L)
   }
 
+  test("bucket-hash marker: stamped at create; unmarked (old-hash) tables disable derived pruning") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.hp")
+    spark.sql("""CREATE TABLE graft.hp.bkold (k BIGINT, v DOUBLE)
+                 PARTITIONED BY (bucket(8, k))""")
+    val dir = new Path(s"$warehouse/hp/bkold")
+    // creation stamps the hash version the table's __pt_ data will use
+    assert(cat.ops.load(dir).get._2.properties.get(Transforms.BucketHashProp)
+      .contains(Transforms.BucketHashCurrent))
+
+    import spark.implicits._
+    val rows = (0L until 4000L).map(i => (i % 200L, i * 0.25)).toDF("k", "v")
+    cat.ops.write(dir, rows, "append", numFiles = Some(8))
+    val all = scannedPaths(spark.sql("SELECT sum(v) FROM graft.hp.bkold"))
+    assert(scannedPaths(spark.sql("SELECT sum(v) FROM graft.hp.bkold WHERE k = 7")) <= 2)
+
+    // simulate a pre-marker (old-hash) table: strip the property —
+    // derived bucket predicates must STOP pruning (the stored __pt_
+    // stats could have been produced by a different hash, and pruning
+    // on them would silently drop matching rows)
+    cat.ops.commit(dir, Seq.empty,
+      Seq(MetadataUpdate.RemoveProperties(Seq(Transforms.BucketHashProp))))
+    // hash-independent value pruning (raw k min/max) stays legitimate;
+    // the bucket-derived predicate must be gone, so exactly the files
+    // whose k-range covers 7 are scanned
+    val kRangeCovers7 = cat.ops
+      .snapshotEntries(dir, cat.ops.load(dir).get._2.currentSnapshot.get)
+      .count(e => e.stats.get("k").exists(s =>
+        s.min.exists(_.toLong <= 7L) && s.max.exists(_.toLong >= 7L)))
+    val unmarked = scannedPaths(spark.sql("SELECT sum(v) FROM graft.hp.bkold WHERE k = 7"))
+    assert(unmarked == kRangeCovers7,
+      s"an unmarked table must not prune through the bucket hash: " +
+      s"$unmarked scanned vs $kRangeCovers7 value-kept of $all")
+    // results stay correct either way
+    assert(spark.sql("SELECT count(*) FROM graft.hp.bkold WHERE k = 7")
+      .collect()(0).getLong(0) == 20L)
+
+    // the spec export also refuses bucket tuples without the marker:
+    // the table exports unpartitioned rather than publish tuples
+    // external engines would hash differently
+    val metaFile = IcebergExport.export(cat.ops, dir)
+    val n = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(cat.ops.store.readString(metaFile))
+    assert(n.get("default-spec-id").asInt() == 0,
+      "unmarked bucket tables must export under the unpartitioned spec")
+  }
+
   test("truncate(4, name): string prefixes cluster and prune equality") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.hp")
     spark.sql("""CREATE TABLE graft.hp.tr (name STRING, v DOUBLE)

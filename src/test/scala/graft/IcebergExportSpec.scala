@@ -380,6 +380,58 @@ class IcebergExportSpec extends SparkSpec {
       snapshotId = Some(firstTwo.last.snapshotId)).count() == 5L)
   }
 
+  test("C57+C65: pending DV keeps spec-1 data manifests; delete manifest is global spec-0") {
+    import org.apache.spark.sql.functions.{col, expr}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ice")
+    spark.sql("""CREATE TABLE graft.ice.ptdv (id BIGINT, ts TIMESTAMP, v DOUBLE)
+                 PARTITIONED BY (bucket(8, id), days(ts))""")
+    val dir = new Path(s"$warehouse/ice/ptdv")
+    val df = spark.range(1, 17).toDF("id")
+      .withColumn("ts", expr("timestamp'2024-03-10 00:00:00' + make_interval(0,0,0,CAST(id % 3 AS INT),0,0,0)"))
+      .withColumn("v", col("id").cast("double") * 1.5)
+    cat.ops.write(dir, df, "append", numFiles = Some(16))
+    cat.ops.deletionVectorDelete(spark, dir, col("id") === 7L || col("id") === 12L)
+
+    val metaFile = IcebergExport.export(cat.ops, dir, Some(spark))
+    val n = mapper.readTree(cat.ops.store.readString(metaFile))
+    assert(n.get("default-spec-id").asInt() == 1,
+      "a pending delete must no longer force the export to spec-0")
+
+    val current = n.get("snapshots").elements().asScala.toSeq
+      .find(_.get("snapshot-id").asLong() == n.get("current-snapshot-id").asLong()).get
+    val (mlRecs, _, _) =
+      IcebergExport.readAvro(cat.ops, new Path(current.get("manifest-list").asText()))
+    val dataMl = mlRecs.filter(_.get("content").asInstanceOf[Int] == 0)
+    val delMl = mlRecs.filter(_.get("content").asInstanceOf[Int] == 1)
+    assert(dataMl.exists(_.get("partition_spec_id").asInstanceOf[Int] == 1),
+      "spec-1 data manifests must survive a pending delete")
+    // the Iceberg spec applies an UNPARTITIONED-spec delete file to
+    // data files of every partition, so spec-0 delete manifests
+    // compose with spec-1 data manifests
+    assert(delMl.nonEmpty &&
+      delMl.forall(_.get("partition_spec_id").asInstanceOf[Int] == 0),
+      "delete manifests export under the unpartitioned (global) spec")
+    delMl.foreach { ml =>
+      val (recs, dMeta, _) =
+        IcebergExport.readAvro(cat.ops, new Path(ml.get("manifest_path").toString))
+      assert(dMeta("content") == "deletes" && dMeta("partition-spec-id") == "0")
+      assert(recs.nonEmpty)
+      recs.foreach { r =>
+        val dfr = r.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+        assert(dfr.get("content") == 1, "DV materializes as a position-delete file")
+      }
+    }
+
+    // round-trip: the import keeps the spec AND resolves the deletes
+    val target = new Path(s"$warehouse/ice/ptdv_imported")
+    val imported = IcebergImport.importTable(cat.ops, metaFile, target, Some(spark))
+    val gotSpec = imported.specs.find(_.specId == imported.defaultSpecId).get.fields
+    assert(gotSpec.map(_.transform) == Seq("bucket[8]", "day"))
+    val got = cat.ops.read(spark, target).select("id").collect().map(_.getLong(0)).toSet
+    assert(got == ((1L to 16L).toSet -- Set(7L, 12L)),
+      "dead rows stay dead across the round-trip")
+  }
+
   test("C65 round-trip: bucket(8,id) + days(ts) export the real spec, values = spec hash") {
     import org.apache.spark.sql.functions.{col, expr}
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ice")

@@ -69,6 +69,31 @@ class PipelineSpec extends SparkSpec {
     assert(leaks.head.getLong(2) == 7L)
   }
 
+  test("L45: CDC-incremental dedup stats are arithmetically consistent across interleaved appends/deletes") {
+    val rows = TextPipeline.dedupCdc(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == 4, s"one row per commit window: ${rows.toSeq}")
+    // window 3 is the interleaved delete: no inserts, real deletes
+    val w3 = rows(2)
+    assert(w3._2 == 0 && w3._3 > 0 && w3._4 == 0, s"delete window: $w3")
+    // append windows insert without deleting
+    Seq(rows(0), rows(1), rows(3)).foreach { w =>
+      assert(w._3 == 0 && w._2 > 0 && w._4 <= w._2, s"append window: $w")
+    }
+    // the live ledger follows the feed exactly: live(k) = live(k-1) + ins - del
+    rows.foldLeft(0L) { case (prevLive, (_, ins, del, _, live)) =>
+      assert(live == prevLive + ins - del, s"ledger drift: $prevLive + $ins - $del != $live")
+      live
+    }
+    // total live at the end = all docs minus the deleted German rows of
+    // the first two batches (batch-2 German docs arrived after the
+    // delete and must survive the sequence rule)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val expected = docs.count() -
+      docs.filter(expr("doc_id % 3 < 2 AND lang = 'de'")).count()
+    assert(rows.last._5 == expected)
+  }
+
   test("L3: SimHash pairs are symmetric-free, ordered, within threshold") {
     val rows = TextPipeline.simhash(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

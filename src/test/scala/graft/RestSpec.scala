@@ -407,5 +407,31 @@ class RestSpec extends SparkSpec {
     java.nio.file.Files.writeString(badPath, "not a toml line\n")
     assert(RestCatalogMain.parseArgs(
       List("--config", badPath.toString, "start")).isLeft)
+
+    // quoted values may contain '#' (paths, JDBC URL fragments); inline
+    // comments are stripped only OUTSIDE quotes
+    val hashPath = dir.resolve("hash.toml")
+    java.nio.file.Files.writeString(hashPath,
+      """[warehouse]
+        |path = "/wh#1"   # inline comment after a quoted value
+        |[database]
+        |url = "jdbc:derby:memory:cfg;create=true#frag"
+        |[api]
+        |port = 4243 # comment outside quotes still strips
+        |""".stripMargin)
+    val hashed = RestCatalogMain.parseArgs(
+      List("--config", hashPath.toString, "start")).toOption.get
+    assert(hashed.warehouse.contains("/wh#1"), s"got ${hashed.warehouse}")
+    assert(hashed.jdbcUrl.contains("jdbc:derby:memory:cfg;create=true#frag"))
+    assert(hashed.port == 4243)
+    // unterminated quote is a loud error, not silent truncation
+    val untermPath = dir.resolve("unterm.toml")
+    java.nio.file.Files.writeString(untermPath, "[warehouse]\npath = \"/oops\n")
+    assert(RestCatalogMain.parseArgs(
+      List("--config", untermPath.toString, "start")).isLeft)
+
+    // the standalone binary binds loopback unless explicitly overridden
+    assert(RestCatalogMain.parseArgs(List("start", "--temp")).toOption
+      .get.host == "127.0.0.1")
   }
 }
