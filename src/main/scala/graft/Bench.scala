@@ -21,7 +21,7 @@ object Bench {
     // load spikes on a shared box. The FS-churning catalog roundtrip
     // runs LAST so its write jobs and GC pressure can't inflate the
     // pure-relational timings measured before it.
-    val sideEffecting = Set("q_catalog_roundtrip")
+    val sideEffecting = Set("q_catalog_roundtrip", "dedup_cdc")
     val ordered = SparkEntry.queries.toSeq.sortBy { case (n, _) =>
       (sideEffecting.contains(n), n)
     }

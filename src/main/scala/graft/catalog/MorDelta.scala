@@ -68,6 +68,12 @@ object MorDelta {
       throw new IllegalStateException(
         "graft represents updates as delete+insert (representUpdateAsDeleteAndInsert)")
 
+    // REINSERT is the image half of a split matched-UPDATE in MERGE
+    // plans: Spark emits it PAIRED with a DELETE of the same row id,
+    // so writing it as a plain append is exactly right — the DV masks
+    // the old copy, this lands the new one
+    override def reinsert(metadata: InternalRow, row: InternalRow): Unit = insert(row)
+
     override def insert(row: InternalRow): Unit = {
       if (inner == null) inner = mkInner()
       inner.write(row)

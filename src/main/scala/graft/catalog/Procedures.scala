@@ -37,7 +37,7 @@ object Procedures {
     "compact", "expire_snapshots", "remove_orphans", "rewrite_manifests",
     "apply_deletes", "rollback", "fast_forward", "vacuum",
     "create_branch", "create_tag", "drop_ref", "analyze", "maintenance_plan",
-    "compact_where")
+    "compact_where", "migrate_bucket_hash")
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.sameElements(Namespace) && names.contains(ident.name),
@@ -83,6 +83,8 @@ object Procedures {
         paramD("small_file_mb", IntegerType, "32"), paramD("retain_snapshots", IntegerType, "20"))
       case "compact_where" => Array(param("table", StringType),
         param("predicate", StringType), paramD("num_files", IntegerType, "1"))
+      case "migrate_bucket_hash" => Array(param("table", StringType),
+        paramD("num_files", IntegerType, "4"))
       case other => throw new IllegalArgumentException(other)
     }
 
@@ -168,6 +170,33 @@ object Procedures {
             Seq("snapshot_id" -> LongType, "files_before" -> IntegerType,
               "files_after" -> IntegerType),
             Seq[Any](meta.currentSnapshotId.getOrElse(-1L), before, filesNow()))
+        case "migrate_bucket_hash" =>
+          // the migration path Transforms.BucketHashProp documents:
+          // rewrite every data file (compact regenerates __pt_ under
+          // the current Iceberg-spec hash, resolving pending deletes),
+          // expire the pre-migration snapshots (their old-hash files
+          // must not be time-traveled into under new-hash pruning),
+          // then stamp the marker so derived pruning / bucket SPJ /
+          // spec-1 export re-enable
+          val meta0 = ops.load(dir).get._2
+          if (!Transforms.anyBucket(meta0.specs))
+            summary(Seq("status" -> StringType),
+              Seq[Any]("no bucket transform in any spec — nothing to migrate"))
+          else if (Transforms.hashCurrent(meta0))
+            summary(Seq("status" -> StringType),
+              Seq[Any]("already on the current bucket hash — nothing to migrate"))
+          else {
+            ops.compact(spark, dir, input.getInt(1))
+            val snapsBefore = ops.load(dir).get._2.snapshots.size
+            val expired = ops.expireSnapshots(dir, System.currentTimeMillis(), 1)
+            ops.commit(dir, Seq.empty, Seq(MetadataUpdate.SetProperties(
+              Map(Transforms.BucketHashProp -> Transforms.BucketHashCurrent))))
+            summary(
+              Seq("status" -> StringType, "rewritten_files" -> IntegerType,
+                "expired_snapshots" -> IntegerType),
+              Seq[Any](s"migrated to ${Transforms.BucketHashCurrent}", filesNow(),
+                snapsBefore - expired.snapshots.size))
+          }
         case "maintenance_plan" =>
           // C78 — the advisor: reads ONLY metadata (manifest entries +
           // snapshot log, no data files) and reports which maintenance

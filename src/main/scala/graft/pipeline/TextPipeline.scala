@@ -44,11 +44,16 @@ object TextPipeline {
   val GramDfCeiling = 64
 
   /** Keep only grams whose document frequency is within
-    * [[GramDfCeiling]]. Input must be distinct (doc_id, s) rows. */
+    * [[GramDfCeiling]]. Input must be distinct (doc_id, s) rows; it is
+    * cached because both the df count and the anti join scan it — the
+    * groupBy (map-side combined) + anti-join shape stays skew-safe at
+    * scale, unlike a per-gram window that would funnel a hot gram's
+    * rows through one task. */
   private def dfCapped(sh: DataFrame): DataFrame = {
-    val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val cached = sh.cache()
+    val hot = cached.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > GramDfCeiling)
-    sh.join(hot, Seq("s"), "left_anti")
+    cached.join(hot, Seq("s"), "left_anti")
   }
 
   /** L1 — exact dedup accounting by content hash (md5). */

@@ -332,6 +332,18 @@ class DmlSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graft.dml.morsql").collect().head.getLong(0) == 4000)
     assert(spark.sql("SELECT count(*) FROM graft.dml.morsql WHERE v = 'HIT'")
       .collect().head.getLong(0) == 250)
+
+    // MERGE's NOT MATCHED BY SOURCE DELETE also rides the delta path:
+    // ids 0..9 minus the matched id 1 and the already-dead id 5 → 8 rows
+    spark.sql("""MERGE INTO graft.dml.morsql t USING graft.dml.morsql_src s ON t.id = s.id
+                 WHEN NOT MATCHED BY SOURCE AND t.id < 10 THEN DELETE""")
+    assert(spark.sql("SELECT count(*) FROM graft.dml.morsql").collect().head.getLong(0) == 3992)
+    assert(spark.sql("SELECT count(*) FROM graft.dml.morsql WHERE id < 10")
+      .collect().head.getLong(0) == 1) // only the matched id 1 survives
+    val m5 = cat.ops.load(dir).get._2
+    assert(m5.snapshots.maxBy(_.sequenceNumber).operation == "mor-update")
+    assert(dataBefore.subsetOf(cat.ops.resolveEntries(dir, m5)
+      .filter(_.isData).map(_.path).toSet), "delta MERGE DELETE must not rewrite data files")
   }
 
   test("UPDATE rewrites only possibly-affected files (file-granular COW)") {

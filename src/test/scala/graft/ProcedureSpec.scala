@@ -27,6 +27,37 @@ class ProcedureSpec extends SparkSpec {
     assert(spark.table("graft.proc.c").count() == 50)
   }
 
+  test("CALL migrate_bucket_hash rewrites an old-hash table and re-enables bucket pruning") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.proc")
+    spark.sql("""CREATE TABLE graft.proc.mig (k BIGINT, v DOUBLE)
+                 PARTITIONED BY (bucket(8, k))""")
+    val dir = new Path(s"$warehouse/proc/mig")
+    import spark.implicits._
+    cat.ops.write(dir, (0L until 2000L).map(i => (i % 100L, i * 0.5)).toDF("k", "v"),
+      "append", numFiles = Some(8))
+    // simulate a pre-marker (old-hash) table
+    cat.ops.commit(dir, Seq.empty,
+      Seq(MetadataUpdate.RemoveProperties(Seq(Transforms.BucketHashProp))))
+    assert(!Transforms.hashCurrent(cat.ops.load(dir).get._2))
+
+    val out = spark.sql("CALL graft.system.migrate_bucket_hash('proc.mig')").collect()
+    assert(out.length == 1 && out.head.getString(0).startsWith("migrated"))
+    val meta = cat.ops.load(dir).get._2
+    assert(Transforms.hashCurrent(meta), "marker stamped after the rewrite")
+    // pre-migration snapshots (old-hash files) are gone — no time
+    // travel into states new-hash pruning would mis-prune
+    assert(meta.snapshots.size <= 2) // rewrite snapshot (+ the stamp commit adds none)
+    // data intact and derived bucket pruning live again
+    assert(spark.sql("SELECT count(*) FROM graft.proc.mig WHERE k = 7")
+      .collect().head.getLong(0) == 20L)
+    val entries = cat.ops.resolveEntries(dir, meta)
+    assert(entries.forall(_.stats.contains("__pt_k")), "rewrite regenerated __pt_ stats")
+
+    // idempotent: a second call is a no-op
+    val again = spark.sql("CALL graft.system.migrate_bucket_hash('proc.mig')").collect()
+    assert(again.head.getString(0).contains("nothing to migrate"))
+  }
+
   test("named arguments and defaults bind through the analyzer") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.proc")
     spark.sql("CREATE TABLE graft.proc.n (id BIGINT)")
