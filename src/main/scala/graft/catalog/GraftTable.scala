@@ -1176,32 +1176,98 @@ final class GraftTable(
       new GraftScanBuilder(pinnedEntries, options)
 
     override def newWriteBuilder(winfo: LWI): DeltaWriteBuilder = new DeltaWriteBuilder {
-      override def build(): DeltaWrite = new DeltaWrite {
-        override def toBatch: DeltaBatchWrite = new MorDeltaBatchWrite(winfo)
+      override def build(): DeltaWrite = {
+        // same file-layout discipline as the ordinary write path: the
+        // appended row images range-cluster on the spec transforms +
+        // default sort order, so post-update files keep tight min/max
+        // stats (delete rows carry null table columns and sort
+        // together — their output is bitmaps, not files)
+        val specFieldsAll = pinnedMeta.specs
+          .find(_.specId == pinnedMeta.defaultSpecId).toSeq.flatMap(_.fields)
+          .filter(f => schema.fieldNames.contains(f.name))
+        val specSorts = specFieldsAll.map(f =>
+          Transforms.parse(f.transform) match {
+            case Transforms.Parsed("bucket", n) => Left((f.name, n))
+            case _                              => Right(f.name)
+          })
+        val orderCols = pinnedMeta.sortOrders
+          .find(_.orderId == pinnedMeta.defaultSortOrderId)
+          .toSeq.flatMap(_.fields)
+          .flatMap(f => pinnedMeta.currentSchema.fields.find(_.id == f.sourceId)
+            .map(nf => (nf.name, f.direction == "desc")))
+          .filterNot { case (n, _) => specSorts.contains(Right(n)) }
+        if (specSorts.isEmpty && orderCols.isEmpty)
+          new DeltaWrite {
+            override def toBatch: DeltaBatchWrite = new MorDeltaBatchWrite(winfo)
+          }
+        else
+          new DeltaWrite
+              with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+            import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+            import org.apache.spark.sql.connector.expressions.{SortDirection, SortOrder => V2SortOrder}
+            private def sortOrders: Array[V2SortOrder] = {
+              val spec = specSorts.map {
+                case Left((c, n)) => Expressions.sort(
+                  Expressions.bucket(n, c), SortDirection.ASCENDING)
+                case Right(c) => Expressions.sort(
+                  Expressions.identity(c), SortDirection.ASCENDING)
+              }
+              val order = orderCols.map { case (c, desc) => Expressions.sort(
+                Expressions.identity(c),
+                if (desc) SortDirection.DESCENDING else SortDirection.ASCENDING) }
+              (spec ++ order).toArray
+            }
+            override def requiredDistribution(): Distribution =
+              Distributions.ordered(sortOrders)
+            override def requiredOrdering(): Array[V2SortOrder] = sortOrders
+            override def toBatch: DeltaBatchWrite = new MorDeltaBatchWrite(winfo)
+          }
       }
     }
 
     private final class MorDeltaBatchWrite(winfo: LWI) extends DeltaBatchWrite {
       private val writeDir = new Path(ops.dataDir(dir), s"w-${java.util.UUID.randomUUID()}")
+      // C72 parity: bucket-partitioned tables materialize the hidden
+      // __pt_ column on the appended row images too, so post-update
+      // files carry the same pruning stats as any other write
+      private val bucketFields = Transforms.materialized(
+        pinnedMeta.specs.find(_.specId == pinnedMeta.defaultSpecId)
+          .toSeq.flatMap(_.fields)
+          .filter(f => schema.fieldNames.contains(f.name)))
+      private val ptStructFields = bucketFields.map(f =>
+        org.apache.spark.sql.types.StructField(
+          Transforms.ptColName(f), org.apache.spark.sql.types.IntegerType, nullable = true))
+      private val bucketDescs: Seq[(Int, org.apache.spark.sql.types.DataType, Int)] =
+        bucketFields.map { f =>
+          val idx = schema.fieldIndex(f.name)
+          (idx, schema(idx).dataType, Transforms.parse(f.transform).arg)
+        }
       // delegate over the TABLE schema, not winfo's: a delete-only
       // plan carries no row-image columns, inserts always carry full
       // rows in table-column order
       private lazy val delegateWrite: BatchWrite = {
         val lwi = new LWI {
           override def queryId(): String = winfo.queryId()
-          override def schema(): StructType = GraftTable.this.schema
+          override def schema(): StructType =
+            StructType(GraftTable.this.schema.fields ++ ptStructFields)
           override def options(): CaseInsensitiveStringMap = winfo.options()
           override def rowIdSchema(): java.util.Optional[StructType] =
             java.util.Optional.empty()
           override def metadataSchema(): java.util.Optional[StructType] =
             java.util.Optional.empty()
         }
-        dataDelegate(Seq(writeDir.toString)).newWriteBuilder(lwi).build().toBatch
+        dataDelegate(Seq(writeDir.toString),
+          StructType(schema.fields ++ ptStructFields))
+          .newWriteBuilder(lwi).build().toBatch
       }
 
-      override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DeltaWriterFactory =
-        MorDelta.Factory(delegateWrite.createBatchWriterFactory(pinfo),
-          dir.toUri.getPath + "/")
+      override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DeltaWriterFactory = {
+        val inner0 = delegateWrite.createBatchWriterFactory(pinfo)
+        val inner =
+          if (bucketDescs.isEmpty) inner0
+          else GraftTable.PtExtendingWriterFactory(inner0, bucketDescs)
+        MorDelta.Factory(inner, dir.toUri.getPath + "/")
+      }
 
       // the inner file write runs the hadoop commit protocol (its
       // useCommitCoordinator is false); claiming the partition with the

@@ -346,6 +346,31 @@ class DmlSpec extends SparkSpec {
       .filter(_.isData).map(_.path).toSet), "delta MERGE DELETE must not rewrite data files")
   }
 
+  test("merge-on-read SQL UPDATE on a bucket table keeps __pt_ stats on the appended images") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
+    spark.sql("""CREATE TABLE graft.dml.morbk (k BIGINT, v DOUBLE)
+                 PARTITIONED BY (bucket(8, k))
+                 TBLPROPERTIES ('write.update.mode'='merge-on-read')""")
+    val dir = new Path(s"$warehouse/dml/morbk")
+    import spark.implicits._
+    cat.ops.write(dir, (0L until 4000L).map(i => (i % 200L, i * 0.25)).toDF("k", "v"),
+      "append", numFiles = Some(8))
+    val before = cat.ops.resolveEntries(dir, cat.ops.load(dir).get._2)
+      .filter(_.isData).map(_.path).toSet
+
+    spark.sql("UPDATE graft.dml.morbk SET v = -1.0 WHERE k = 7")
+    val after = cat.ops.resolveEntries(dir, cat.ops.load(dir).get._2)
+    assert(before.subsetOf(after.filter(_.isData).map(_.path).toSet))
+    val images = after.filter(e => e.isData && !before.contains(e.path))
+    assert(images.nonEmpty, "updated images appended as new files")
+    assert(images.forall(_.stats.contains("__pt_k")),
+      s"image files must carry bucket stats: ${images.map(_.stats.keySet)}")
+    // correctness through the DV + images, and bucket pruning still live
+    assert(spark.sql("SELECT count(*) FROM graft.dml.morbk WHERE k = 7 AND v = -1.0")
+      .collect().head.getLong(0) == 20L)
+    assert(spark.sql("SELECT count(*) FROM graft.dml.morbk").collect().head.getLong(0) == 4000L)
+  }
+
   test("UPDATE rewrites only possibly-affected files (file-granular COW)") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
     spark.sql("CREATE TABLE graft.dml.upd (id BIGINT, day BIGINT, v STRING) PARTITIONED BY (day) " +
