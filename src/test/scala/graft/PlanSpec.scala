@@ -329,6 +329,37 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("SQL UPDATE plans WriteDelta under merge-on-read, ReplaceData under copy-on-write") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.plan")
+    spark.sql("CREATE TABLE graft.plan.cow (id BIGINT, v STRING)")
+    spark.sql("""CREATE TABLE graft.plan.mor (id BIGINT, v STRING)
+                 TBLPROPERTIES ('write.update.mode'='merge-on-read')""")
+    spark.sql("INSERT INTO graft.plan.cow VALUES (1,'a')")
+    spark.sql("INSERT INTO graft.plan.mor VALUES (1,'a')")
+    def explain(t: String): String =
+      spark.sql(s"EXPLAIN EXTENDED UPDATE graft.plan.$t SET v = 'z' WHERE id = 1")
+        .collect().head.getString(0)
+    val cow = explain("cow")
+    assert(cow.contains("ReplaceData") && !cow.contains("WriteDelta"),
+      cow.take(600))
+    val mor = explain("mor")
+    assert(mor.contains("WriteDelta") && !mor.contains("ReplaceData"),
+      mor.take(600))
+    // the delta plan's row identity is the positional coordinate pair
+    assert(mor.contains("_file") && mor.contains("_pos"), mor.take(1200))
+  }
+
+  test("gram df-ceiling: the cap is an aggregate + anti join, hot set broadcast") {
+    val plan = planOf(graft.pipeline.TextPipeline.ngramJaccard(spark, sfDir))
+    // hot-gram detection is a two-phase count (map-side combine)…
+    assert(plan.contains("partial_count"), plan.take(800))
+    // …and the cap applies as an anti join against the (tiny) hot set —
+    // broadcast, so the ceiling itself adds no extra shuffle on the
+    // shingle frame
+    assert(plan.contains("LeftAnti"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("R89 inverse distribution: the shuffle payload is the value histogram, not raw rows") {
     val plan = planOf(Relational.qInverseDist(spark, sfDir))
     // frequency-table agg is two-phase: partial on (flag, qty) map-side
