@@ -1306,7 +1306,8 @@ final class GraftTable(
           case _                  => "mor-update" // UPDATE and MERGE: CDC delete+insert pairs
         }
         ops.commitMorDelta(spark, dir, merged.toSeq, files, opName,
-          pinnedEntries.filter(_.isData).map(_.path).toSet)
+          pinnedEntries.filter(_.isData).map(_.path).toSet,
+          pinnedMeta.lastSequenceNumber)
       }
 
       override def abort(messages: Array[WriterCommitMessage]): Unit =

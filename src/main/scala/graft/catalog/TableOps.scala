@@ -1129,11 +1129,19 @@ final class TableOps(private[graft] val store: FsStore) {
           .filterNot(_.rows.contains(0L)),
         "mor-update",
         validate = cur => {
-          val present = resolveEntries(tableDir, cur).filter(_.isData).map(_.path).toSet
+          val entries = resolveEntries(tableDir, cur)
+          val present = entries.filter(_.isData).map(_.path).toSet
           if (!namedFiles.subsetOf(present))
             throw new CommitFailedException(
               "mor-update aborted: a concurrent rewrite replaced files the update " +
               "coordinates reference — recompute against fresh state")
+          // lost-update guard (same as commitMorDelta): a row-level
+          // delete that landed after this update's snapshot may have
+          // killed rows we are re-appending images for
+          if (entries.exists(e => e.isDelete && e.seq.exists(_ > meta.lastSequenceNumber)))
+            throw new CommitFailedException(
+              "mor-update aborted: a concurrent row-level delete/update committed " +
+              "since this operation's snapshot — rerun the statement on fresh state")
         })
     } finally { matched.unpersist(); () }
   }
@@ -1154,10 +1162,20 @@ final class TableOps(private[graft] val store: FsStore) {
       dvBitmaps: Seq[(String, org.roaringbitmap.longlong.Roaring64NavigableMap)],
       dataFiles: Seq[String],
       operation: String,
-      namedFiles: Set[String]): TableMetadata = {
+      namedFiles: Set[String],
+      pinnedSeq: Long): TableMetadata = {
     val (_, meta) = load(tableDir).getOrElse(
       throw new CommitFailedException(s"table does not exist at $tableDir"))
     if (dvBitmaps.isEmpty && dataFiles.isEmpty) return meta
+    // write-conflict detection for UPDATE-shaped commits (deletes AND
+    // images): a row-level delete/update that landed since this
+    // operation's snapshot may have targeted the same rows — appending
+    // our images anyway would resurrect or duplicate them (the classic
+    // lost update). Pure deletes are idempotent and appends commute,
+    // so only the combined shape validates this. Same stance as
+    // Iceberg's serializable-isolation conflict validation: fail the
+    // statement, the user reruns on fresh state.
+    val isUpdateShape = dvBitmaps.nonEmpty && dataFiles.nonEmpty
     val dvFiles =
       if (dvBitmaps.isEmpty) Seq.empty[String]
       else {
@@ -1178,11 +1196,17 @@ final class TableOps(private[graft] val store: FsStore) {
         .filterNot(_.rows.contains(0L)),
       operation,
       validate = cur => {
-        val present = resolveEntries(tableDir, cur).filter(_.isData).map(_.path).toSet
+        val entries = resolveEntries(tableDir, cur)
+        val present = entries.filter(_.isData).map(_.path).toSet
         if (!namedFiles.subsetOf(present))
           throw new CommitFailedException(
             s"$operation aborted: a concurrent rewrite replaced files the delete " +
             "coordinates reference — recompute against fresh state")
+        if (isUpdateShape &&
+            entries.exists(e => e.isDelete && e.seq.exists(_ > pinnedSeq)))
+          throw new CommitFailedException(
+            s"$operation aborted: a concurrent row-level delete/update committed " +
+            "since this operation's snapshot — rerun the statement on fresh state")
       })
   }
 

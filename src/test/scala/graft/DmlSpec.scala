@@ -346,6 +346,48 @@ class DmlSpec extends SparkSpec {
       .filter(_.isData).map(_.path).toSet), "delta MERGE DELETE must not rewrite data files")
   }
 
+  test("concurrent merge-on-read updates never duplicate a row (lost-update guard)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
+    spark.sql("""CREATE TABLE graft.dml.morconc (id BIGINT, v STRING)
+                 TBLPROPERTIES ('write.update.mode'='merge-on-read')""")
+    spark.range(0, 1000).selectExpr("id", "'x' AS v")
+      .write.mode("append").saveAsTable("graft.dml.morconc")
+
+    // two updates of the SAME rows race from (close to) the same
+    // snapshot: without the conflict guard both would DV the old rows
+    // and BOTH would append images — a duplicated row
+    val latch = new java.util.concurrent.CountDownLatch(2)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val runs = Seq("A", "B").map { tag =>
+      Future {
+        latch.countDown(); latch.await()
+        scala.util.Try(
+          spark.sql(s"UPDATE graft.dml.morconc SET v = '$tag' WHERE id % 10 = 3"))
+      }
+    }
+    val outcomes = runs.map(f =>
+      Await.result(f, scala.concurrent.duration.Duration(120, "s")))
+    assert(outcomes.exists(_.isSuccess), s"at least one update must win: $outcomes")
+    outcomes.filter(_.isFailure).foreach { t =>
+      val msg = t.failed.get.getMessage + t.failed.get.getCause
+      assert(msg.contains("concurrent") || msg.contains("rerun"),
+        s"loser must fail with the conflict message, got: $msg")
+    }
+    // the invariant that matters, under EVERY interleaving: no row is
+    // ever duplicated or lost, and the matched set carries exactly one
+    // winner's image
+    assert(spark.sql("SELECT count(*) FROM graft.dml.morconc").collect().head.getLong(0) == 1000)
+    assert(spark.sql(
+      "SELECT max(c) FROM (SELECT id, count(*) AS c FROM graft.dml.morconc GROUP BY id)")
+      .collect().head.getLong(0) == 1L, "no duplicated row identity")
+    val vs = spark.sql(
+      "SELECT DISTINCT v FROM graft.dml.morconc WHERE id % 10 = 3")
+      .collect().map(_.getString(0)).toSet
+    assert(vs.size == 1 && (vs.head == "A" || vs.head == "B"),
+      s"matched rows carry exactly one winner's image: $vs")
+  }
+
   test("merge-on-read SQL UPDATE on a bucket table keeps __pt_ stats on the appended images") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
     spark.sql("""CREATE TABLE graft.dml.morbk (k BIGINT, v DOUBLE)
