@@ -413,6 +413,37 @@ class DmlSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graft.dml.morbk").collect().head.getLong(0) == 4000L)
   }
 
+  test("merge-on-read SQL UPDATE composes with schema evolution and ORC tables") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
+    // evolution: files written before ADD COLUMN update cleanly —
+    // images land in the CURRENT schema, defaults fill the old rows
+    spark.sql("""CREATE TABLE graft.dml.morevo (id BIGINT, v STRING)
+                 TBLPROPERTIES ('write.update.mode'='merge-on-read')""")
+    spark.sql("INSERT INTO graft.dml.morevo VALUES (1,'a'), (2,'b'), (3,'c')")
+    spark.sql("ALTER TABLE graft.dml.morevo ADD COLUMN flag INT DEFAULT 7")
+    spark.sql("INSERT INTO graft.dml.morevo VALUES (4,'d', 9)")
+    spark.sql("UPDATE graft.dml.morevo SET v = 'Z' WHERE id IN (2, 4)")
+    val rows = spark.sql("SELECT id, v, flag FROM graft.dml.morevo ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(rows == Seq((1L,"a",7), (2L,"Z",7), (3L,"c",7), (4L,"Z",9)), rows.toString)
+    val dir = new Path(s"$warehouse/dml/morevo")
+    assert(cat.ops.load(dir).get._2.snapshots
+      .maxBy(_.sequenceNumber).operation == "mor-update")
+
+    // ORC data format: images append as ORC, DV files stay parquet
+    spark.sql("""CREATE TABLE graft.dml.mororc (id BIGINT, v STRING)
+                 TBLPROPERTIES ('graft.format'='orc',
+                                'write.update.mode'='merge-on-read')""")
+    spark.sql("INSERT INTO graft.dml.mororc VALUES (1,'a'), (2,'b')")
+    spark.sql("UPDATE graft.dml.mororc SET v = 'Z' WHERE id = 2")
+    assert(spark.sql("SELECT v FROM graft.dml.mororc ORDER BY id")
+      .collect().map(_.getString(0)).toSeq == Seq("a", "Z"))
+    val odir = new Path(s"$warehouse/dml/mororc")
+    val entries = cat.ops.resolveEntries(odir, cat.ops.load(odir).get._2)
+    assert(entries.filter(_.isData).forall(_.path.endsWith(".orc")))
+    assert(entries.filter(_.isDvDelete).forall(_.path.endsWith(".parquet")))
+  }
+
   test("UPDATE rewrites only possibly-affected files (file-granular COW)") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
     spark.sql("CREATE TABLE graft.dml.upd (id BIGINT, day BIGINT, v STRING) PARTITIONED BY (day) " +
