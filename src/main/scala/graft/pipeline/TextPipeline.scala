@@ -142,8 +142,11 @@ object TextPipeline {
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
   }
 
-  val minhashLshSql: String =
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+  /** The L2 candidate-pair pipeline as shared CTEs (ends with
+    * `lsh_pairs(doc_a, doc_b, jaccard)`), reused verbatim by the L46
+    * threshold-curve oracle so both gates verify the SAME pair set. */
+  private val minhashPairsCtes: String =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
               FROM w, UNNEST(range(1, GREATEST(len(ws) - 1, 1))) AS t(i)),
        base AS (SELECT doc_id, s,
@@ -166,12 +169,17 @@ object TextPipeline {
                   FROM cand c
                   JOIN sh xa ON xa.doc_id = c.doc_a
                   JOIN sh xb ON xb.doc_id = c.doc_b AND xa.s = xb.s
-                  GROUP BY c.doc_a, c.doc_b)
-       SELECT s.doc_a, s.doc_b,
-              round(CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared), 4) AS jaccard
-       FROM shared s JOIN sz sa ON s.doc_a = sa.doc_id JOIN sz sb ON s.doc_b = sb.doc_id
-       WHERE round(CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared), 4) >= 0.2
-       ORDER BY jaccard DESC, s.doc_a, s.doc_b"""
+                  GROUP BY c.doc_a, c.doc_b),
+       lsh_pairs AS (
+         SELECT s.doc_a, s.doc_b,
+                round(CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared), 4) AS jaccard
+         FROM shared s JOIN sz sa ON s.doc_a = sa.doc_id JOIN sz sb ON s.doc_b = sb.doc_id
+         WHERE round(CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared), 4) >= 0.2)"""
+
+  val minhashLshSql: String =
+    s"""WITH $minhashPairsCtes
+       SELECT doc_a, doc_b, jaccard FROM lsh_pairs
+       ORDER BY jaccard DESC, doc_a, doc_b"""
 
   /** L3 — SimHash near-dup: 60-bit signature from unigram md5-prefix
     * hashes (cross-engine — see TextHashes), pigeonhole banding on
@@ -1617,4 +1625,42 @@ object TextPipeline {
               (SELECT COUNT(DISTINCT h) FROM b2 WHERE h NOT IN (SELECT h FROM live3)),
               (SELECT COUNT(*) FROM live4)
        ORDER BY seq"""
+
+  /** L46 — near-dup threshold calibration: the dedup-volume-vs-cutoff
+    * curve a curation run reads BEFORE choosing its jaccard threshold
+    * — how many candidate pairs and how many distinct documents a
+    * dedup pass at cutoff t would touch, for t = 20%..90%. Computed
+    * over the L2 MinHash-LSH candidate set with exact per-pair
+    * jaccard, so the curve costs one banding pass, never all-pairs;
+    * the candidates and scores are the md5-derived cross-engine
+    * recipe, hence the DuckDB oracle verifies the identical curve.
+    *
+    * Scale: the grid is 8 literal rows broadcast against the (small)
+    * candidate-pair set — a nested-loop over 8×|candidates|, no
+    * corpus-sized shuffle beyond what L2 already does. */
+  def dedupThresholdCurve(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = minhashLsh(s, d).cache()
+    val grid = Seq(20, 30, 40, 50, 60, 70, 80, 90).toDF("threshold_pct")
+    def atLeast = col("jaccard") >= col("threshold_pct") / lit(100.0)
+    val nPairs = grid.join(pairs, atLeast, "left")
+      .groupBy("threshold_pct").agg(count(col("doc_a")).as("n_pairs"))
+    val docs = pairs.select(col("doc_a").as("doc"), col("jaccard"))
+      .unionAll(pairs.select(col("doc_b").as("doc"), col("jaccard")))
+    val nDocs = grid.join(docs, atLeast, "left")
+      .groupBy("threshold_pct").agg(countDistinct(col("doc")).as("n_docs"))
+    nPairs.join(nDocs, "threshold_pct").orderBy("threshold_pct")
+  }
+
+  val dedupThresholdCurveSql: String =
+    s"""WITH $minhashPairsCtes,
+       grid AS (SELECT UNNEST([20, 30, 40, 50, 60, 70, 80, 90]) AS threshold_pct),
+       u AS (SELECT doc_a AS doc, jaccard FROM lsh_pairs
+             UNION ALL SELECT doc_b, jaccard FROM lsh_pairs)
+       SELECT g.threshold_pct,
+              (SELECT COUNT(*) FROM lsh_pairs p
+               WHERE p.jaccard >= g.threshold_pct / 100.0) AS n_pairs,
+              (SELECT COUNT(DISTINCT doc) FROM u
+               WHERE u.jaccard >= g.threshold_pct / 100.0) AS n_docs
+       FROM grid g ORDER BY g.threshold_pct"""
 }

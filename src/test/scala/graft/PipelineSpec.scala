@@ -94,6 +94,23 @@ class PipelineSpec extends SparkSpec {
     assert(rows.last._5 == expected)
   }
 
+  test("L46: threshold curve is monotone and consistent with the LSH pair set") {
+    val curve = TextPipeline.dedupThresholdCurve(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(curve.map(_._1).toSeq == Seq(20, 30, 40, 50, 60, 70, 80, 90))
+    // raising the cutoff can only shrink the dedup volume
+    curve.sliding(2).foreach { case Array((_, p1, d1), (_, p2, d2)) =>
+      assert(p2 <= p1 && d2 <= d1, s"curve must be non-increasing: $p1->$p2, $d1->$d2")
+    }
+    // n_docs is bounded by 2·n_pairs and can't exceed the corpus
+    curve.foreach { case (_, p, dn) => assert(dn <= 2 * p) }
+    // the 20% point IS the full L2 candidate output (same floor)
+    val pairs = TextPipeline.minhashLsh(spark, sfDir).collect()
+    assert(curve.head._2 == pairs.length)
+    val docs20 = pairs.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct.length
+    assert(curve.head._3 == docs20)
+  }
+
   test("L3: SimHash pairs are symmetric-free, ordered, within threshold") {
     val rows = TextPipeline.simhash(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
