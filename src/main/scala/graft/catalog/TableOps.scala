@@ -1000,8 +1000,13 @@ final class TableOps(private[graft] val store: FsStore) {
     // keys mask whatever OLDER data files the winner's state has;
     // newer appends are protected by the sequence rule either way),
     // so a lost CAS race retries on fresh state.
-    commitDeleteEntries(tableDir, seq => files.map(f => DataFileEntry(
-      relativize(tableDir, f), content = "eq-deletes",
+    // Entries carry footer stats: `rows` makes the masked-key count a
+    // metadata fact (unique-key ledgers derive exact live counts with
+    // zero scans), and key min/max lets readers skip applying a delete
+    // file to data files outside its key range.
+    val statted = collectStats(tableDir, files)
+    commitDeleteEntries(tableDir, seq => statted.map(e => e.copy(
+      path = relativize(tableDir, e.path), content = "eq-deletes",
       equalityColumns = keys.columns.toSeq, seq = Some(seq))), "eq-delete")
   }
 
@@ -1171,11 +1176,19 @@ final class TableOps(private[graft] val store: FsStore) {
     // images): a row-level delete/update that landed since this
     // operation's snapshot may have targeted the same rows — appending
     // our images anyway would resurrect or duplicate them (the classic
-    // lost update). Pure deletes are idempotent and appends commute,
-    // so only the combined shape validates this. Same stance as
-    // Iceberg's serializable-isolation conflict validation: fail the
-    // statement, the user reruns on fresh state.
+    // lost update). Same stance as Iceberg's serializable-isolation
+    // conflict validation: fail the statement, the user reruns on
+    // fresh state.
     val isUpdateShape = dvBitmaps.nonEmpty && dataFiles.nonEmpty
+    // Delete-only commits need the symmetric guard: a DELETE pinned
+    // BEFORE a concurrent MOR UPDATE committed masks only the old row
+    // coordinates, so the update's re-appended images would survive a
+    // "successful" DELETE that targeted those rows — a lost delete.
+    // Any row-level delete entry landing after our pin (a mor-update's
+    // DV, another DV delete, an eq-delete) aborts; plain APPENDS still
+    // commute (the sequence rule protects rows newer than the delete
+    // by design, and append commits carry no delete entries).
+    val isDeleteShape = dvBitmaps.nonEmpty && dataFiles.isEmpty
     val dvFiles =
       if (dvBitmaps.isEmpty) Seq.empty[String]
       else {
@@ -1202,7 +1215,7 @@ final class TableOps(private[graft] val store: FsStore) {
           throw new CommitFailedException(
             s"$operation aborted: a concurrent rewrite replaced files the delete " +
             "coordinates reference — recompute against fresh state")
-        if (isUpdateShape &&
+        if ((isUpdateShape || isDeleteShape) &&
             entries.exists(e => e.isDelete && e.seq.exists(_ > pinnedSeq)))
           throw new CommitFailedException(
             s"$operation aborted: a concurrent row-level delete/update committed " +

@@ -1544,10 +1544,31 @@ object TextPipeline {
     * truth across interleaved appends and deletes. Output per commit:
     * rows inserted / deleted in the window, distinct NEW content
     * hashes vs the pre-window live set, and the live row count after.
+    *
+    * Scale shape (the whole point of the operator): the hash ledger is
+    * ITSELF a catalog table, updated with O(churn) commits — window
+    * inserts APPEND, window deletes land as merge-on-read equality
+    * deletes (C25: O(keys) write, zero data-file rewrite) — and the
+    * post-window live count is a pure metadata read (manifest data-row
+    * counts minus eq-delete key counts; exact because a dedup ledger
+    * has unique keys and the CDC feed only ever deletes live keys).
+    * Per window the only corpus-proportional work is the READ-ONLY
+    * new-hash membership probe (ins ⟕̸ ledger — the same anti-join
+    * shape as L24's ingest gate, column-pruned to the 2-column
+    * ledger); nothing corpus-sized is ever rewritten, shuffled wide,
+    * or counted with a scan. At 100 TB with daily syncs, a window
+    * costs the day's churn plus one pruned ledger probe — not a daily
+    * full-corpus materialization.
     */
   private val cdcCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  def dedupCdc(s: SparkSession, d: String): DataFrame = {
+  def dedupCdc(s: SparkSession, d: String): DataFrame = dedupCdcWithDirs(s, d)._1
+
+  /** [[dedupCdc]] plus the corpus/ledger table directories, so tests
+    * can audit the ledger's commit timeline (append-only data files,
+    * eq-delete-only removals — the O(churn) proof). */
+  private[graft] def dedupCdcWithDirs(
+      s: SparkSession, d: String): (DataFrame, String, String) = {
     import graft.catalog._
     import org.apache.hadoop.fs.{Path => HPath}
     val ops = new TableOps(new FsStore(s.sparkContext.hadoopConfiguration))
@@ -1571,29 +1592,74 @@ object TextPipeline {
       whPath.toString
     })
     val dir = new HPath(wh, "corpus_cdc")
-    val seqs = ops.load(dir).get._2.snapshots.map(_.sequenceNumber).sorted
-    // live-row ledger walked window by window; each step touches only
-    // the window's feed plus a hash anti join against the ledger
+    // the ledger table is fresh per walk (the walk IS the simulation);
+    // in production it would be a long-lived table advancing with the
+    // replication watermark
+    val ledgerRoot = java.nio.file.Files.createTempDirectory("graft-cdc-ledger-")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(ledgerRoot.toFile)
+    }))
+    val ledgerDir = new HPath(ledgerRoot.toString, "ledger")
+    (cdcLedgerWalk(s, ops, dir, ledgerDir), dir.toString, ledgerDir.toString)
+  }
+
+  /** The ledger walk proper: replays `corpusDir`'s commit windows into
+    * a catalog-table hash ledger at `ledgerDir` (created here), one
+    * O(churn) commit pair per window, live counts from metadata only. */
+  private[graft] def cdcLedgerWalk(
+      s: SparkSession,
+      ops: graft.catalog.TableOps,
+      corpusDir: org.apache.hadoop.fs.Path,
+      ledgerDir: org.apache.hadoop.fs.Path): DataFrame = {
+    import graft.catalog._
     val ledgerSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
-        org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.LongType, nullable = true),
       org.apache.spark.sql.types.StructField("h",
-        org.apache.spark.sql.types.StringType, nullable = false)))
-    var live: DataFrame =
-      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], ledgerSchema)
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    ops.create(ledgerDir, TableMetadata.create(
+      ledgerDir.toString, SchemaBridge.fromSpark(ledgerSchema),
+      PartitionSpec(0, Seq.empty), SortOrder(0, Seq.empty), Map.empty))
+    val seqs = ops.load(corpusDir).get._2.snapshots.map(_.sequenceNumber).sorted
     val out = Seq.newBuilder[(Long, Long, Long, Long, Long)]
     var prev = 0L
     seqs.foreach { sq =>
-      val feed = ops.changes(s, dir, prev, sq).select("doc_id", "h", "_change_type")
+      // churn-sized: only the window's row-level events
+      val feed = ops.changes(s, corpusDir, prev, sq).select("doc_id", "h", "_change_type")
         .localCheckpoint(true)
       val ins = feed.filter(col("_change_type") === "insert").select("doc_id", "h")
       val del = feed.filter(col("_change_type") === "delete").select("doc_id", "h")
-      val nNew = ins.select("h").distinct()
-        .join(live.select("h").distinct(), Seq("h"), "left_anti").count()
-      live = live.unionAll(ins)
-        .join(del.select("doc_id"), Seq("doc_id"), "left_anti")
-        .localCheckpoint(true)
-      out += ((sq, ins.count(), del.count(), nNew, live.count()))
+      val nIns = ins.count()
+      val nDel = del.count()
+      // the one read-only corpus-proportional step: exact new-hash
+      // detection needs membership against the pre-window live set —
+      // a broadcast-able anti-join probe, never a rewrite (L24 shape)
+      val nNew =
+        if (nIns == 0) 0L
+        else ins.select("h").distinct()
+          .join(ops.read(s, ledgerDir).select("h").distinct(), Seq("h"), "left_anti")
+          .count()
+      // O(churn) ledger commits: eq-delete FIRST (it masks only
+      // strictly-older sequence numbers — C30 — so a same-window
+      // delete+reinsert of one key resolves to the new row), append
+      // second; prior ledger data files are never rewritten
+      if (nDel > 0) ops.mergeOnReadDelete(s, ledgerDir, del.select("doc_id"))
+      if (nIns > 0) ops.write(ledgerDir, ins, "append")
+      // live count from manifests alone — data rows minus eq-delete
+      // key rows (rows stamped on every entry by the write/delete
+      // paths); exact under the ledger invariant: doc_id unique among
+      // live rows, deletes only of currently-live keys
+      val entries = ops.load(ledgerDir).map { case (_, m) =>
+        ops.resolveEntries(ledgerDir, m) }.getOrElse(Seq.empty)
+      def metaRows(es: Seq[DataFileEntry]): Long =
+        es.map(_.rows.getOrElse(throw new IllegalStateException(
+          "ledger entry missing row count — metadata live count needs stats"))).sum
+      val live = metaRows(entries.filter(_.isData)) -
+        metaRows(entries.filter(_.isEqDelete))
+      out += ((sq, nIns, nDel, nNew, live))
       prev = sq
     }
     import s.implicits._

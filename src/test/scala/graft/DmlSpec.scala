@@ -388,6 +388,52 @@ class DmlSpec extends SparkSpec {
       s"matched rows carry exactly one winner's image: $vs")
   }
 
+  test("delete-only MOR commit pinned before a concurrent update aborts (lost-delete guard)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
+    spark.sql("""CREATE TABLE graft.dml.morlostdel (id BIGINT, v STRING)
+                 TBLPROPERTIES ('write.update.mode'='merge-on-read',
+                                'write.delete.mode'='merge-on-read')""")
+    spark.range(0, 100).selectExpr("id", "'x' AS v")
+      .write.mode("append").saveAsTable("graft.dml.morlostdel")
+    val dir = new Path(s"$warehouse/dml/morlostdel")
+
+    // a DELETE "scans" here: pins the snapshot and computes its DV
+    val pinned = cat.ops.load(dir).get._2
+    val pinnedFiles = cat.ops.resolveEntries(dir, pinned)
+      .filter(_.isData).map(_.path)
+    val bm = new org.roaringbitmap.longlong.Roaring64NavigableMap()
+    bm.addLong(0L)
+
+    // ...but a MOR UPDATE of the same rows commits FIRST: its images
+    // re-append rows the pinned DELETE meant to kill
+    spark.sql("UPDATE graft.dml.morlostdel SET v = 'upd' WHERE id < 10")
+
+    // the stale delete-only commit must abort, not silently mask only
+    // the old coordinates while the update's images survive
+    val e = intercept[graft.catalog.CommitFailedException] {
+      cat.ops.commitMorDelta(spark, dir, Seq(pinnedFiles.head -> bm),
+        Seq.empty, "dv-delete", pinnedFiles.toSet, pinned.lastSequenceNumber)
+    }
+    assert(e.getMessage.contains("concurrent"), e.getMessage)
+
+    // plain appends still commute with a pinned delete (sequence rule
+    // protects newer rows; no delete entries are introduced)
+    spark.sql("CREATE TABLE graft.dml.morappdel (id BIGINT, v STRING)")
+    spark.range(0, 100).selectExpr("id", "'x' AS v")
+      .write.mode("append").saveAsTable("graft.dml.morappdel")
+    val dir2 = new Path(s"$warehouse/dml/morappdel")
+    val pinned2 = cat.ops.load(dir2).get._2
+    val files2 = cat.ops.resolveEntries(dir2, pinned2).filter(_.isData).map(_.path)
+    spark.range(100, 200).selectExpr("id", "'y' AS v")
+      .write.mode("append").saveAsTable("graft.dml.morappdel")
+    val bm2 = new org.roaringbitmap.longlong.Roaring64NavigableMap()
+    bm2.addLong(0L)
+    cat.ops.commitMorDelta(spark, dir2, Seq(files2.head -> bm2),
+      Seq.empty, "dv-delete", files2.toSet, pinned2.lastSequenceNumber)
+    assert(spark.sql("SELECT count(*) FROM graft.dml.morappdel")
+      .collect().head.getLong(0) == 199)
+  }
+
   test("merge-on-read SQL UPDATE on a bucket table keeps __pt_ stats on the appended images") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
     spark.sql("""CREATE TABLE graft.dml.morbk (k BIGINT, v DOUBLE)

@@ -70,7 +70,8 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("L45: CDC-incremental dedup stats are arithmetically consistent across interleaved appends/deletes") {
-    val rows = TextPipeline.dedupCdc(spark, sfDir).collect()
+    val (df, _, ledgerDir) = TextPipeline.dedupCdcWithDirs(spark, sfDir)
+    val rows = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(rows.length == 4, s"one row per commit window: ${rows.toSeq}")
     // window 3 is the interleaved delete: no inserts, real deletes
@@ -92,6 +93,32 @@ class PipelineSpec extends SparkSpec {
     val expected = docs.count() -
       docs.filter(expr("doc_id % 3 < 2 AND lang = 'de'")).count()
     assert(rows.last._5 == expected)
+
+    // O(churn) proof on the ledger table itself: data files are
+    // append-only across the walk (no window ever rewrote prior
+    // files), removals are merge-on-read eq-delete files, and every
+    // commit is an append or an eq-delete — never an overwrite
+    import org.apache.hadoop.fs.{Path => HPath}
+    val ops = new graft.catalog.TableOps(
+      new graft.catalog.FsStore(spark.sparkContext.hadoopConfiguration))
+    val ldir = new HPath(ledgerDir)
+    val meta = ops.load(ldir).get._2
+    val snaps = meta.snapshots.sortBy(_.sequenceNumber)
+    assert(snaps.nonEmpty)
+    snaps.foreach(sn => assert(Set("append", "eq-delete").contains(sn.operation),
+      s"ledger commit must be O(churn): ${sn.operation}"))
+    snaps.sliding(2).foreach {
+      case Seq(a, b) =>
+        val fa = ops.snapshotEntries(ldir, a).filter(_.isData).map(_.path).toSet
+        val fb = ops.snapshotEntries(ldir, b).filter(_.isData).map(_.path).toSet
+        assert(fa.subsetOf(fb),
+          s"ledger data files must be append-only, lost: ${fa.diff(fb)}")
+      case _ => ()
+    }
+    // live count came from metadata alone: manifest row counts are
+    // present on every ledger entry (data AND eq-delete)
+    ops.resolveEntries(ldir, meta).foreach(e =>
+      assert(e.rows.isDefined, s"ledger entry without row count: ${e.path}"))
   }
 
   test("L46: threshold curve is monotone and consistent with the LSH pair set") {
