@@ -50,9 +50,16 @@ object IcebergExport {
   private val mapper = new ObjectMapper()
 
   /** One materialized spec delete file (shared across the snapshots
-    * that reference the same graft delete file). */
+    * that reference the same graft delete file). `pathBound` is the
+    * single data file a POSITION delete file references: exported as
+    * lower==upper `file_path` bounds (field 2147483546) so iceberg-java
+    * DeleteFileIndex path-indexes the file — unpartitioned position
+    * deletes are NOT applied globally by Java readers (only equality
+    * deletes get the global rule), so without bounds a spec-1 data
+    * file could skip its deletes and resurrect rows. */
   private final case class DeleteExport(
-      path: String, rows: Long, bytes: Long, content: Int, equalityIds: Seq[Int])
+      path: String, rows: Long, bytes: Long, content: Int, equalityIds: Seq[Int],
+      pathBound: Option[String] = None)
 
   /** Export `tableDir`'s full snapshot lineage; returns the exported
     * metadata.json path. Pass `spark` when the lineage carries
@@ -93,9 +100,11 @@ object IcebergExport {
     def allocId(): Int = { nextId += 1; nextId }
     val schemaJsons = meta.schemas.map(s => s.schemaId -> icebergSchema(s, () => allocId()))
 
-    // graft delete file -> spec delete file, materialized once
-    val deleteCache = scala.collection.mutable.Map.empty[String, DeleteExport]
-    def materialized(e: DataFileEntry): DeleteExport =
+    // graft delete file -> spec delete file(s), materialized once
+    // (a positional/DV delete splits into one spec file per referenced
+    // data file, each path-bounded — see DeleteExport.pathBound)
+    val deleteCache = scala.collection.mutable.Map.empty[String, Seq[DeleteExport]]
+    def materialized(e: DataFileEntry): Seq[DeleteExport] =
       deleteCache.getOrElseUpdate(e.path,
         materializeDelete(ops, spark.get, tableDir, dataDir, meta, e))
 
@@ -138,7 +147,7 @@ object IcebergExport {
         refs += ManifestRef(p.toString, len, specId = 0, content = 0,
           files = plainE.size, rows = rows, minSeq = 0L)
       }
-      val dels = delE.map(e => e -> materialized(e))
+      val dels = delE.flatMap(e => materialized(e).map(e -> _))
       if (dels.nonEmpty) {
         val dPath = new Path(metaDir, s"m-${snap.snapshotId}-deletes.avro")
         val (dLen, dRows) = writeDeleteManifest(ops, dPath, snap, dels, schemaJson)
@@ -166,20 +175,23 @@ object IcebergExport {
     metaFile
   }
 
-  /** Spark-side materialization of one graft delete file as a spec v2
-    * delete file: single sorted parquet part with the spec's reserved
-    * field ids (positional) or the table schema's ids (equality),
-    * renamed to a stable name derived from the source file. Runs once
-    * per distinct delete file per export — O(dead rows) work on the
-    * cluster, only the rename on the driver. */
+  /** Spark-side materialization of one graft delete file as spec v2
+    * delete file(s) with the spec's reserved field ids (positional) or
+    * the table schema's ids (equality), renamed to stable names
+    * derived from the source file. Positional/DV state splits into ONE
+    * file per referenced data file, each carrying lower==upper
+    * `file_path` bounds in its manifest entry, because Java readers
+    * match unpartitioned position deletes by path bounds, never
+    * globally. Runs once per distinct delete file per export —
+    * O(dead rows) work on the cluster, only renames on the driver. */
   private def materializeDelete(
       ops: TableOps,
       spark: org.apache.spark.sql.SparkSession,
       tableDir: Path,
       dataDir: Path,
       meta: TableMetadata,
-      e: DataFileEntry): DeleteExport = {
-    import org.apache.spark.sql.functions.{col, concat, lit, regexp_replace, when}
+      e: DataFileEntry): Seq[DeleteExport] = {
+    import org.apache.spark.sql.functions.{col, concat, lit, regexp_replace, sha2, substring, when}
     import org.apache.spark.sql.types._
     val fieldMeta = (id: Int) =>
       new MetadataBuilder().putLong("parquet.field.id", id.toLong).build()
@@ -220,21 +232,62 @@ object IcebergExport {
           .orderBy("file_path", "pos")
         (abs, 1, Seq.empty[Int])
       }
-    val rows = df.count()
-    val tmp = new Path(dataDir, s"tmp-${java.util.UUID.randomUUID()}")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = ops.store.listFilesRec(tmp)
-      .filter(_.getName.endsWith(".parquet")).head
-    val name = {
+    val stem = {
       val base = new Path(e.path).getName.stripSuffix(".parquet")
-      s"del-${math.abs(e.path.hashCode).toHexString}-$base.parquet"
+      s"del-${math.abs(e.path.hashCode).toHexString}-$base"
     }
-    val target = new Path(dataDir, name)
-    val fs = ops.store.fs(target)
-    if (fs.exists(target)) fs.delete(target, false)
-    fs.rename(part, target)
-    fs.delete(tmp, true)
-    DeleteExport(target.toString, rows, fs.getFileStatus(target).getLen, content, eqIds)
+    val fs = ops.store.fs(dataDir)
+    def place(part: Path, name: String): Path = {
+      val target = new Path(dataDir, name)
+      if (fs.exists(target)) fs.delete(target, false)
+      fs.rename(part, target)
+      target
+    }
+    def writeSingle(d: org.apache.spark.sql.DataFrame, name: String,
+        rows: Long, bound: Option[String]): DeleteExport = {
+      val tmp = new Path(dataDir, s"tmp-${java.util.UUID.randomUUID()}")
+      d.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = ops.store.listFilesRec(tmp)
+        .filter(_.getName.endsWith(".parquet")).head
+      val target = place(part, name)
+      fs.delete(tmp, true)
+      DeleteExport(target.toString, rows,
+        fs.getFileStatus(target).getLen, content, eqIds, bound)
+    }
+    if (content == 2)
+      // equality deletes stay whole: iceberg-java DOES apply
+      // unpartitioned equality deletes globally
+      Seq(writeSingle(df, s"$stem.parquet", df.count(), None))
+    else {
+      // positional: one spec delete file PER referenced data file so
+      // every entry can carry exact lower==upper file_path bounds
+      val perFile = df.groupBy("file_path").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+      if (perFile.length <= 1)
+        perFile.toSeq.map { case (p, n) =>
+          writeSingle(df, s"$stem.parquet", n, Some(p)) }
+      else {
+        // one distributed job, not a per-path driver loop: hash-key
+        // each referenced data file into its own output directory
+        // (repartition by key ⇒ exactly one part per key)
+        val tmp = new Path(dataDir, s"tmp-${java.util.UUID.randomUUID()}")
+        df.withColumn("fp_dir", substring(sha2(col("file_path"), 256), 1, 16))
+          .repartition(col("fp_dir"))
+          .sortWithinPartitions("file_path", "pos")
+          .write.partitionBy("fp_dir").mode("overwrite").parquet(tmp.toString)
+        val out = perFile.zipWithIndex.map { case ((p, n), i) =>
+          val key = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(p.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+          val part = ops.store.listFilesRec(new Path(tmp, s"fp_dir=$key"))
+            .filter(_.getName.endsWith(".parquet")).head
+          val target = place(part, s"$stem-$i.parquet")
+          DeleteExport(target.toString, n,
+            fs.getFileStatus(target).getLen, content, eqIds, Some(p))
+        }.toSeq
+        fs.delete(tmp, true)
+        out
+      }
+    }
   }
 
   // ---------- type mapping (Spark DDL -> Iceberg) ----------
@@ -505,7 +558,17 @@ object IcebergExport {
             {"name": "record_count", "type": "long", "field-id": 103},
             {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
             {"name": "equality_ids", "field-id": 135, "default": null,
-             "type": ["null", {"type": "array", "items": "int", "element-id": 136}]}
+             "type": ["null", {"type": "array", "items": "int", "element-id": 136}]},
+            {"name": "lower_bounds", "field-id": 125, "default": null,
+             "type": ["null", {"type": "array", "logicalType": "map",
+               "items": {"type": "record", "name": "k126_v127", "fields": [
+                 {"name": "key", "type": "int", "field-id": 126},
+                 {"name": "value", "type": "bytes", "field-id": 127}]}}]},
+            {"name": "upper_bounds", "field-id": 128, "default": null,
+             "type": ["null", {"type": "array", "logicalType": "map",
+               "items": {"type": "record", "name": "k129_v130", "fields": [
+                 {"name": "key", "type": "int", "field-id": 129},
+                 {"name": "value", "type": "bytes", "field-id": 130}]}}]}
         ]}}
     ]}"""
 
@@ -652,6 +715,21 @@ object IcebergExport {
         val ids = new java.util.ArrayList[Integer]()
         exp.equalityIds.foreach(i => ids.add(Integer.valueOf(i)))
         df.put("equality_ids", ids)
+      }
+      // position deletes: lower==upper file_path bounds (reserved
+      // field 2147483546) — how Java DeleteFileIndex path-indexes an
+      // unpartitioned position delete onto its single data file
+      exp.pathBound.foreach { p =>
+        val kvSchema = (name: String) => dfSchema.getField(name).schema()
+          .getTypes.get(1).getElementType
+        def boundMap(name: String): java.util.List[GenericRecord] = {
+          val rec = new GenericData.Record(kvSchema(name))
+          rec.put("key", 2147483546)
+          rec.put("value", java.nio.ByteBuffer.wrap(p.getBytes("UTF-8")))
+          java.util.Collections.singletonList(rec)
+        }
+        df.put("lower_bounds", boundMap("lower_bounds"))
+        df.put("upper_bounds", boundMap("upper_bounds"))
       }
       totalRows += exp.rows
       rec.put("data_file", df)

@@ -259,11 +259,29 @@ class IcebergExportSpec extends SparkSpec {
         .map(df => df.get("file_path").toString ->
           df.get("record_count").asInstanceOf[Long]).toMap
     }
+    // equality deletes stay unbounded (global application is the
+    // Java-reader rule for unpartitioned eq deletes)
+    assert(eqs.head.get("lower_bounds") == null && eqs.head.get("upper_bounds") == null)
     poss.foreach { pf =>
       val specFile = pf.get("file_path").toString
       assert(cat.ops.store.exists(new Path(specFile)))
       val pairs = spark.read.parquet(specFile)
       assert(pairs.columns.toSeq == Seq("file_path", "pos"))
+      // ADVICE r11: every position-delete entry is path-bounded to its
+      // single referenced data file (lower == upper == that path) so
+      // iceberg-java DeleteFileIndex applies it by path, not partition
+      def bound(name: String): String = {
+        val kvs = pf.get(name).asInstanceOf[java.util.List[_]].asScala
+        assert(kvs.size == 1)
+        val kv = kvs.head.asInstanceOf[org.apache.avro.generic.GenericRecord]
+        assert(kv.get("key").asInstanceOf[Int] == 2147483546)
+        val bb = kv.get("value").asInstanceOf[java.nio.ByteBuffer]
+        new String(bb.array(), bb.position(), bb.remaining(), "UTF-8")
+      }
+      val refs = pairs.select("file_path").distinct()
+        .collect().map(_.getString(0)).toSeq
+      assert(refs.size == 1, s"split delete file references one data file: $refs")
+      assert(bound("lower_bounds") == refs.head && bound("upper_bounds") == refs.head)
       pairs.collect().foreach { r =>
         val (f, p) = (r.getString(0), r.getLong(1))
         assert(dataPaths.contains(f), s"pos delete names unknown data file $f")
@@ -288,6 +306,72 @@ class IcebergExportSpec extends SparkSpec {
     val deadTotal = posPairs.agg(org.apache.spark.sql.functions.sum("count"))
       .collect().head.getLong(0)
     assert(deadTotal == 2L, "two positional ordinals dead (pos + dv)")
+  }
+
+  test("a DV spanning many data files exports as one path-bounded delete file per data file") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ice")
+    spark.sql("CREATE TABLE graft.ice.dsplit (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.ice.dsplit VALUES (1,'a'), (2,'b'), (3,'c')")
+    spark.sql("INSERT INTO graft.ice.dsplit VALUES (4,'d'), (5,'e')")
+    spark.sql("INSERT INTO graft.ice.dsplit VALUES (6,'f'), (7,'g')")
+    val dir = new Path(s"$warehouse/ice/dsplit")
+    import org.apache.spark.sql.functions.col
+    // one DV commit whose bitmap set touches all three data files
+    cat.ops.deletionVectorDelete(spark, dir, col("id") % 2 === 1)
+    assert(spark.sql("SELECT count(*) FROM graft.ice.dsplit")
+      .collect().head.getLong(0) == 3L)
+
+    val metaFile = IcebergExport.export(cat.ops, dir, Some(spark))
+    val n = mapper.readTree(cat.ops.store.readString(metaFile))
+    val current = n.get("snapshots").elements().asScala.toSeq.find(
+      _.get("snapshot-id").asLong() == n.get("current-snapshot-id").asLong()).get
+    val (mlRecs, _, _) =
+      IcebergExport.readAvro(cat.ops, new Path(current.get("manifest-list").asText()))
+    val delMl = mlRecs.filter(_.get("content").asInstanceOf[Int] == 1).head
+    val (dRecs, _, _) = IcebergExport.readAvro(
+      cat.ops, new Path(delMl.get("manifest_path").toString))
+    val poss = dRecs.map(_.get("data_file")
+      .asInstanceOf[org.apache.avro.generic.GenericRecord])
+      .filter(_.get("content").asInstanceOf[Int] == 1)
+    // the single graft DV file split into one spec file per distinct
+    // referenced data file (how many data files hold odd ids depends
+    // on insert parallelism — derive it from the exported rows)
+    def boundOf(pf: org.apache.avro.generic.GenericRecord, name: String): String = {
+      val kv = pf.get(name).asInstanceOf[java.util.List[_]].asScala.head
+        .asInstanceOf[org.apache.avro.generic.GenericRecord]
+      val bb = kv.get("value").asInstanceOf[java.nio.ByteBuffer]
+      new String(bb.array(), bb.position(), bb.remaining(), "UTF-8")
+    }
+    val referenced = poss.flatMap(pf =>
+      spark.read.parquet(pf.get("file_path").toString)
+        .select("file_path").distinct().collect().map(_.getString(0))).toSet
+    assert(poss.size == referenced.size && poss.size >= 2,
+      s"one spec delete file per referenced data file: ${poss.size} vs $referenced")
+    val bounds = poss.map(pf => boundOf(pf, "lower_bounds")).toSet
+    assert(bounds == referenced, s"bounds must equal the referenced data files: $bounds")
+    poss.foreach { pf =>
+      assert(boundOf(pf, "lower_bounds") == boundOf(pf, "upper_bounds"))
+      val rows = spark.read.parquet(pf.get("file_path").toString)
+      val inFile = rows.select("file_path").distinct().collect().map(_.getString(0)).toSeq
+      assert(inFile == Seq(boundOf(pf, "lower_bounds")),
+        "file content matches its manifest bound")
+      assert(rows.count() == pf.get("record_count").asInstanceOf[Long])
+    }
+    // resolution check: subtracting each bounded file's ordinals from
+    // its OWN data file (unreferenced data files untouched) leaves
+    // exactly the even ids
+    val deadByFile = poss.map(pf => boundOf(pf, "lower_bounds") ->
+      spark.read.parquet(pf.get("file_path").toString)
+        .collect().map(_.getLong(1)).toSet).toMap
+    val allData = cat.ops.resolveEntries(dir, cat.ops.load(dir).get._2)
+      .filter(_.isData).map(_.path)
+    val survivors = allData.flatMap { dataPath =>
+      val dead = deadByFile.getOrElse(dataPath, Set.empty[Long])
+      spark.read.parquet(dataPath).collect().zipWithIndex
+        .filterNot { case (_, i) => dead.contains(i.toLong) }
+        .map(_._1.getLong(0))
+    }
+    assert(survivors.sorted.toSeq == Seq(2L, 4L, 6L))
   }
 
   test("export writes a Puffin statistics file registered in metadata.json") {
