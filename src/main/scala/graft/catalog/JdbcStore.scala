@@ -11,9 +11,12 @@ import org.apache.hadoop.fs.Path
   * from SQLite/Postgres (denali models/pg, models/sqlite, sqlgen/;
   * commit arbitration in logic/tx.go runs inside a DB transaction).
   *
-  * Derby embedded works out of the box (its jars ship with Spark:
-  * `jdbc:derby:/path/to/db;create=true`); any ANSI JDBC database with
-  * the same DDL works the same way.
+  * Dialects: postgres and sqlite are first-class (per-dialect DDL
+  * types and error detection, mirroring the reference's validated
+  * dialect set); Derby embedded works out of the box (its jars ship
+  * with Spark: `jdbc:derby:/path/to/db;create=true`); anything else
+  * falls back to ANSI DDL with message-based error matching. See
+  * [[JdbcStore.Dialect]].
   *
   * Semantics vs [[FsStore]]:
   *  - `publish` is a transactional INSERT into the `(dir, version)`
@@ -36,6 +39,8 @@ import org.apache.hadoop.fs.Path
   * Iceberg JDBC-catalog split of pointer-in-DB / content-on-FS.
   */
 class JdbcStore(conf: Configuration, val jdbcUrl: String) extends FsStore(conf) {
+
+  private val dialect = JdbcStore.dialectFor(jdbcUrl)
 
   JdbcStore.ensureSchema(jdbcUrl)
 
@@ -106,7 +111,10 @@ class JdbcStore(conf: Configuration, val jdbcUrl: String) extends FsStore(conf) 
   }
 
   /** duplicate (dir, version) key = a concurrent committer already
-    * claimed that version: the CAS loss. Derby SQLState 23505. */
+    * claimed that version: the CAS loss. Detection is per-dialect —
+    * SQLState 23505 is the standard, but sqlite-jdbc reports a null
+    * SQLState with a message, so [[JdbcStore.Dialect.isDuplicateKey]]
+    * decides. */
   private def tryInsert(c: Connection, dir: Path, v: Int, content: String): Boolean =
     try {
       val ps = c.prepareStatement(
@@ -117,7 +125,7 @@ class JdbcStore(conf: Configuration, val jdbcUrl: String) extends FsStore(conf) 
       ps.executeUpdate()
       true
     } catch {
-      case e: SQLException if e.getSQLState == "23505" => false
+      case e: SQLException if dialect.isDuplicateKey(e) => false
     }
 
   /** Escape the SQL-LIKE metacharacters in a path prefix. */
@@ -142,35 +150,126 @@ object JdbcStore {
     * rather than write through a schema we don't understand. */
   val SchemaVersion: Int = 2
 
-  /** Stepwise schema migrations, goose-style (the reference versions
-    * its DB schema the same way: logic/state.go imports
-    * pressly/goose/v3 over models/pg + models/sqlite). Each entry is
-    * (version, DDL steps); steps of one version apply in ONE
-    * transaction together with the version stamp, so a crash mid-
-    * migration leaves the ledger at the previous version, not torn.
-    * Append-only: NEVER edit a shipped version's steps — long-lived
-    * databases (Postgres) replay only versions above their stamp. */
-  private val migrations: Seq[(Int, Seq[String])] = Seq(
-    1 -> Seq(
-      "CREATE TABLE graft_versions(" +
-        "dir VARCHAR(1024) NOT NULL, " +
-        "version INT NOT NULL, " +
-        "content CLOB NOT NULL, " +
-        "PRIMARY KEY (dir, version))"),
-    2 -> Seq(
-      // commit audit: when each metadata version landed (expiry
-      // tooling and ops inspection; DEFAULT keeps tryInsert's explicit
-      // column list working unchanged)
-      "ALTER TABLE graft_versions ADD COLUMN committed_at TIMESTAMP " +
-        "DEFAULT CURRENT_TIMESTAMP"))
+  /** SQL dialect adapter. The reference treats postgres and sqlite as
+    * first-class, validated dialects (denali logic/state.go:219-226
+    * rejects anything else; models/pg + models/sqlite are generated
+    * per dialect, sqlgen/migrations ships per-dialect DDL). Graft
+    * mirrors that split and adds derby (its jars ship with Spark) plus
+    * an ANSI fallback for anything else. Selected by JDBC
+    * subprotocol. */
+  private[graft] sealed abstract class Dialect(val name: String) {
+    /** Unbounded-text column type for the metadata JSON payload. */
+    def textType: String = "CLOB"
+    /** Duplicate primary key on INSERT — the lost CAS / lost stamp. */
+    def isDuplicateKey(e: SQLException): Boolean =
+      e.isInstanceOf[java.sql.SQLIntegrityConstraintViolationException] ||
+      e.getSQLState == "23505"
+    /** CREATE TABLE / ADD COLUMN target already exists — a concurrent
+      * bootstrapper (or a pre-versioning ledger) got there first. */
+    def isObjectExists(e: SQLException): Boolean =
+      Option(e.getMessage).exists(_.toLowerCase.contains("already exists"))
+    /** Serialize migrations across processes: take an exclusive DB
+      * lock on the stamp table inside the current transaction (the
+      * pressly/goose stance — it locks for the migration loop). The
+      * lock is released by the caller's commit/rollback. Best-effort:
+      * engines without LOCK TABLE fall back to error detection. */
+    def lockMigrations(c: Connection): Unit =
+      try { c.createStatement().executeUpdate(
+        "LOCK TABLE graft_schema_version IN EXCLUSIVE MODE"); () }
+      catch { case _: SQLException => () }
 
-  private def tableExists(c: Connection, name: String): Boolean = {
-    val rs = c.getMetaData.getTables(null, null, name, null)
-    try rs.next() finally rs.close()
+    /** Stepwise schema migrations, goose-style (the reference versions
+      * its DB schema the same way: logic/state.go imports
+      * pressly/goose/v3 over models/pg + models/sqlite). Each entry is
+      * (version, DDL steps); steps of one version apply in ONE
+      * transaction together with the version stamp, so a crash mid-
+      * migration leaves the ledger at the previous version, not torn.
+      * Append-only: NEVER edit a shipped version's steps — long-lived
+      * databases (Postgres) replay only versions above their stamp. */
+    def migrations: Seq[(Int, Seq[String])] = Seq(
+      1 -> Seq(
+        "CREATE TABLE graft_versions(" +
+          "dir VARCHAR(1024) NOT NULL, " +
+          "version INT NOT NULL, " +
+          s"content $textType NOT NULL, " +
+          "PRIMARY KEY (dir, version))"),
+      2 -> Seq(
+        // commit audit: when each metadata version landed (expiry
+        // tooling and ops inspection; DEFAULT keeps tryInsert's
+        // explicit column list working unchanged)
+        "ALTER TABLE graft_versions ADD COLUMN committed_at TIMESTAMP " +
+          "DEFAULT CURRENT_TIMESTAMP"))
   }
+
+  private[graft] object DerbyDialect extends Dialect("derby") {
+    // X0Y32: schema object already exists; X0Y68: duplicate column
+    override def isObjectExists(e: SQLException): Boolean =
+      e.getSQLState == "X0Y32" || e.getSQLState == "X0Y68"
+  }
+
+  private[graft] object PostgresDialect extends Dialect("postgresql") {
+    override def textType: String = "TEXT" // PG has no CLOB
+    // 42P07: duplicate_table, 42701: duplicate_column
+    override def isObjectExists(e: SQLException): Boolean =
+      e.getSQLState == "42P07" || e.getSQLState == "42701"
+    override def lockMigrations(c: Connection): Unit =
+      try { c.createStatement().executeUpdate(
+        "LOCK TABLE graft_schema_version IN ACCESS EXCLUSIVE MODE"); () }
+      catch { case _: SQLException => () }
+  }
+
+  private[graft] object SqliteDialect extends Dialect("sqlite") {
+    override def textType: String = "TEXT"
+    // sqlite-jdbc reports null/generic SQLStates: match the engine's
+    // stable message forms as well as the standard signals
+    override def isDuplicateKey(e: SQLException): Boolean =
+      super.isDuplicateKey(e) || Option(e.getMessage).exists(m =>
+        m.contains("UNIQUE constraint failed") ||
+        m.contains("PRIMARY KEY constraint"))
+    override def isObjectExists(e: SQLException): Boolean =
+      Option(e.getMessage).exists(m =>
+        m.contains("already exists") || m.contains("duplicate column name"))
+    // sqlite has no LOCK TABLE: a dummy write upgrades the tx to a
+    // RESERVED (single-writer) lock — the whole file serializes
+    override def lockMigrations(c: Connection): Unit =
+      try { c.createStatement().executeUpdate(
+        "DELETE FROM graft_schema_version WHERE version < 0"); () }
+      catch { case _: SQLException => () }
+    // sqlite's ALTER TABLE ADD COLUMN forbids non-constant defaults:
+    // the audit column is nullable with no default there
+    override def migrations: Seq[(Int, Seq[String])] =
+      super.migrations.map {
+        case (2, _) =>
+          2 -> Seq("ALTER TABLE graft_versions ADD COLUMN committed_at TIMESTAMP")
+        case other => other
+      }
+  }
+
+  private[graft] object AnsiDialect extends Dialect("ansi")
+
+  private[graft] def dialectFor(url: String): Dialect =
+    url.stripPrefix("jdbc:").takeWhile(_ != ':') match {
+      case "derby"      => DerbyDialect
+      case "postgresql" => PostgresDialect
+      case "sqlite"     => SqliteDialect
+      case _            => AnsiDialect
+    }
 
   private def ensureSchema(url: String): Unit = {
     if (!initialized.add(url)) return
+    // ANY failure un-registers the url: a later JdbcStore in this JVM
+    // must retry the bootstrap, not run against a half-migrated ledger
+    try bootstrap(url)
+    catch { case t: Throwable => initialized.remove(url); throw t }
+  }
+
+  /** Idempotent, concurrency-safe bootstrap — no JVM-level guard here,
+    * so tests can drive two "processes" against one fresh database.
+    * Every lost race (duplicate stamp, object already exists) means a
+    * concurrent bootstrapper won that step: roll back, re-read the
+    * stamp table, continue from the winner's state. */
+  private[graft] def bootstrap(url: String): Unit = {
+    val dialect = dialectFor(url)
     if (sys.props.get("derby.stream.error.file").isEmpty)
       System.setProperty("derby.stream.error.file", "/tmp/graft-derby.log")
     // Derby 10.15+ keeps EmbeddedDriver in derbytools; ServiceLoader
@@ -180,41 +279,67 @@ object JdbcStore {
     try {
       c.setAutoCommit(false)
       val st = c.createStatement()
-      try st.executeUpdate(
-        "CREATE TABLE graft_schema_version(" +
-        "version INT NOT NULL PRIMARY KEY, applied_at TIMESTAMP NOT NULL)")
-      catch { case e: SQLException if e.getSQLState == "X0Y32" => c.rollback() }
-      c.commit()
+      try {
+        st.executeUpdate(
+          "CREATE TABLE graft_schema_version(" +
+          "version INT NOT NULL PRIMARY KEY, applied_at TIMESTAMP NOT NULL)")
+        c.commit()
+      } catch {
+        case e: SQLException if dialect.isObjectExists(e) => c.rollback()
+      }
       def current(): Int = {
         val rs = st.executeQuery("SELECT MAX(version) FROM graft_schema_version")
         try { if (rs.next()) rs.getInt(1) else 0 } finally rs.close()
       }
+      // existence probe via a harmless SELECT, NOT getMetaData: catalog
+      // metadata folds identifier case per engine (Derby upper-cases,
+      // Postgres lower-cases) and a folded lookup misses the table
+      def versionsTableExists(): Boolean =
+        try { st.executeQuery("SELECT dir FROM graft_versions WHERE 1 = 0").close(); true }
+        catch { case _: SQLException => c.rollback(); false }
       var cur = current()
       // a pre-versioning ledger (graft_versions exists, no stamp) IS
       // schema v1: baseline it in place, then replay the rest
-      if (cur == 0 && tableExists(c, "GRAFT_VERSIONS")) {
-        st.executeUpdate(
-          "INSERT INTO graft_schema_version VALUES (1, CURRENT_TIMESTAMP)")
-        c.commit()
-        cur = 1
+      if (cur == 0 && versionsTableExists()) {
+        try {
+          st.executeUpdate(
+            "INSERT INTO graft_schema_version VALUES (1, CURRENT_TIMESTAMP)")
+          c.commit()
+        } catch {
+          case e: SQLException if dialect.isDuplicateKey(e) => c.rollback()
+        }
+        cur = current()
       }
-      if (cur > SchemaVersion) {
-        initialized.remove(url)
+      if (cur > SchemaVersion)
         throw new IllegalStateException(
           s"ledger at $url has schema v$cur, newer than this build's v$SchemaVersion — " +
           "refusing to run against a future schema (upgrade graft instead)")
-      }
-      migrations.filter(_._1 > cur).foreach { case (v, steps) =>
-        try {
-          steps.foreach(st.executeUpdate)
-          st.executeUpdate(
-            s"INSERT INTO graft_schema_version VALUES ($v, CURRENT_TIMESTAMP)")
-          c.commit()
-        } catch {
-          // duplicate version stamp = a concurrent bootstrapper won
-          // this migration — roll back ours and continue from theirs
-          case e: SQLException if e.getSQLState == "23505" => c.rollback()
-        }
+      dialect.migrations.filter(_._1 > cur).foreach { case (v, steps) =>
+        // exclusive lock on the stamp table for this version's
+        // transaction: a concurrent bootstrapper blocks HERE until our
+        // commit, re-reads `current()`, and skips — no DDL ever runs
+        // against a descriptor another process is mutating
+        dialect.lockMigrations(c)
+        if (v > current()) {
+          try {
+            steps.foreach(st.executeUpdate)
+            st.executeUpdate(
+              s"INSERT INTO graft_schema_version VALUES ($v, CURRENT_TIMESTAMP)")
+            c.commit() // releases the migration lock
+          } catch {
+            // belt-and-braces for engines where lockMigrations is a
+            // no-op: a duplicate stamp / existing object means the
+            // concurrent bootstrapper already committed this version
+            case e: SQLException
+                if dialect.isDuplicateKey(e) || dialect.isObjectExists(e) =>
+              c.rollback()
+              if (current() < v)
+                throw new IllegalStateException(
+                  s"ledger migration v$v at $url hit an object-exists conflict but no " +
+                  s"concurrent bootstrapper stamped v$v — a pre-existing object clashes " +
+                  "with the ledger schema; resolve the name collision manually", e)
+          }
+        } else c.rollback() // already migrated — just release the lock
       }
     } finally {
       // roll back any open read transaction first: closing an active

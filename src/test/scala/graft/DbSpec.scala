@@ -96,6 +96,70 @@ class DbSpec extends SparkSpec {
     assert(e.getMessage.contains("newer than this build"))
   }
 
+  test("dialects: per-engine DDL types, error detection, and URL selection") {
+    import JdbcStore._
+    // URL subprotocol drives selection (the reference validates its
+    // dialect the same way: logic/state.go:219-226)
+    assert(dialectFor("jdbc:postgresql://host/db").name == "postgresql")
+    assert(dialectFor("jdbc:sqlite:/tmp/x.db").name == "sqlite")
+    assert(dialectFor("jdbc:derby:/tmp/d;create=true").name == "derby")
+    assert(dialectFor("jdbc:h2:mem:x").name == "ansi")
+
+    // Postgres has no CLOB: its v1 DDL must say TEXT; Derby keeps CLOB
+    def v1(d: Dialect) = d.migrations.find(_._1 == 1).get._2.head
+    assert(v1(PostgresDialect).contains("content TEXT"), v1(PostgresDialect))
+    assert(v1(SqliteDialect).contains("content TEXT"))
+    assert(v1(DerbyDialect).contains("content CLOB"))
+    // sqlite's ADD COLUMN cannot take a non-constant default
+    def v2(d: Dialect) = d.migrations.find(_._1 == 2).get._2.head
+    assert(!v2(SqliteDialect).contains("DEFAULT"), v2(SqliteDialect))
+    assert(v2(PostgresDialect).contains("DEFAULT CURRENT_TIMESTAMP"))
+
+    // constraint-violation detection does not trust SQLState alone:
+    // sqlite-jdbc reports null states with message text
+    val sqliteDup = new java.sql.SQLException(
+      "[SQLITE_CONSTRAINT_PRIMARYKEY] A PRIMARY KEY constraint failed " +
+      "(UNIQUE constraint failed: graft_versions.dir, graft_versions.version)")
+    assert(SqliteDialect.isDuplicateKey(sqliteDup))
+    assert(!DerbyDialect.isDuplicateKey(new java.sql.SQLException("boom", "X0Y32")))
+    assert(SqliteDialect.isObjectExists(
+      new java.sql.SQLException("[SQLITE_ERROR] SQL error or missing database " +
+        "(table graft_versions already exists)")))
+    assert(PostgresDialect.isObjectExists(new java.sql.SQLException("dup", "42P07")))
+    assert(PostgresDialect.isDuplicateKey(new java.sql.SQLException("dup", "23505")))
+    assert(DerbyDialect.isObjectExists(new java.sql.SQLException("exists", "X0Y32")))
+    // the integrity-violation subclass counts even with a vendor state
+    assert(AnsiDialect.isDuplicateKey(
+      new java.sql.SQLIntegrityConstraintViolationException("dup", "99999")))
+  }
+
+  test("concurrent bootstrap: two fresh stores against one database both construct") {
+    val root = java.nio.file.Files.createTempDirectory("graft-dbrace-")
+    val url = s"jdbc:derby:$root/ledger;create=true"
+    // drive the unguarded bootstrap from two threads — the in-JVM
+    // `initialized` set would otherwise hide the cross-process race
+    // where the loser hits CREATE TABLE object-exists, not a 23505
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val gate = new java.util.concurrent.CountDownLatch(2)
+    val runs = (1 to 2).map { _ =>
+      Future { gate.countDown(); gate.await(); JdbcStore.bootstrap(url) }
+    }
+    runs.foreach(f => Await.result(f, scala.concurrent.duration.Duration(60, "s")))
+
+    // exactly one stamp per version, and the ledger is fully usable
+    import java.sql.DriverManager
+    val c = DriverManager.getConnection(url)
+    val rs = c.createStatement()
+      .executeQuery("SELECT version FROM graft_schema_version ORDER BY version")
+    val vs = Iterator.continually(rs).takeWhile(_.next()).map(_.getInt(1)).toList
+    c.close()
+    assert(vs == (1 to JdbcStore.SchemaVersion).toList, s"stamps: $vs")
+    val s = new JdbcStore(spark.sparkContext.hadoopConfiguration, url)
+    assert(s.publish(new Path("/race/t"), 1, "{}"))
+    assert(s.currentVersion(new Path("/race/t")).map(_._1).contains(1))
+  }
+
   test("publish is a DB CAS: 8 racing committers serialize to exactly one winner per version") {
     dbWarehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_db.db")
