@@ -9,11 +9,13 @@ import org.apache.spark.sql.types._
   * distributed batches.
   *
   * The Spark-side machinery — schema, partition-parallel batch
-  * processing, output shape — is real and tested. The actual codec
-  * work is STUBBED with a deterministic fake (this container has no
-  * image/audio libraries): `fakeDecode` derives "pixels" from the
-  * byte content, so tests have stable expectations and swapping in a
-  * real decoder is a one-function change.
+  * processing, output shape — is real and tested. IMAGE decode is
+  * REAL: `javax.imageio` ships in every JDK, so [[decodeFeatures]]
+  * runs actual PNG/JPEG decode + bilinear resize on the executors
+  * (MultimodalSpec proves it on generated PNG fixtures). Audio/video
+  * codecs don't exist in this container, so those kinds (and the
+  * SQL-mirrorable oracle query) use the deterministic `fakeDecode`
+  * stub — a function of the byte content, stable across engines.
   *
   * In PySpark this is `mapInPandas` over arrow batches; the Scala
   * equivalent used here is `mapPartitions` over an iterator of rows —
@@ -87,6 +89,98 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rdd, featSchema)
+  }
+
+  // ---------- real image codec (javax.imageio — ships in the JDK) ----------
+
+  /** Real PNG/JPEG decode. Returns None for bytes no installed reader
+    * understands (the caller falls back to the stub), so the pipeline
+    * is total over arbitrary blobs. */
+  private[graft] def decodeImage(
+      content: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content)))
+    catch { case _: java.io.IOException => None }
+
+  /** Mean luminance (ITU-R BT.601 weights), 0..255. */
+  private[graft] def meanLuminance(img: java.awt.image.BufferedImage): Double = {
+    var sum = 0.0
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sum += 0.299 * ((rgb >> 16) & 0xff) +
+               0.587 * ((rgb >> 8) & 0xff) +
+               0.114 * (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    sum / (img.getWidth.toDouble * img.getHeight)
+  }
+
+  /** Bilinear resize re-encoded as PNG bytes. */
+  private[graft] def resizePng(
+      img: java.awt.image.BufferedImage, w: Int, h: Int): Array[Byte] = {
+    import java.awt.RenderingHints
+    val out = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+      RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(img, 0, 0, w, h, null)
+    g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
+  private val decodeSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("codec", StringType, nullable = false), // imageio | stub
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("mean_level", DoubleType, nullable = false),
+    StructField("thumb_w", IntegerType, nullable = true),
+    StructField("thumb_h", IntegerType, nullable = true),
+    StructField("thumb_bytes", LongType, nullable = true)))
+
+  /** Distributed decode with the REAL codec for image rows: PNG/JPEG
+    * through `javax.imageio` ON THE EXECUTORS (per-partition batch
+    * loop; the binary column never moves to the driver), including a
+    * bilinear thumbnail re-encode whose size surfaces in the output.
+    * Audio/video kinds and undecodable image bytes fall back to the
+    * deterministic stub — video frame extraction genuinely needs
+    * codecs this container lacks, and the fallback keeps the operator
+    * total. The oracle-gated [[multimodalFeatures]] stays on the stub
+    * (a real codec is not mirrorable in SQL); MultimodalSpec feeds
+    * this path real PNG fixtures end-to-end. */
+  def decodeFeatures(media: DataFrame, thumbW: Int = 32, thumbH: Int = 32): DataFrame = {
+    val spark = media.sparkSession
+    val idIdx = media.schema.fieldIndex("media_id")
+    val kindIdx = media.schema.fieldIndex("kind")
+    val contentIdx = media.schema.fieldIndex("content")
+    val rdd = media.queryExecution.toRdd.mapPartitions { rows =>
+      rows.map { ir =>
+        val content = ir.getBinary(contentIdx)
+        val kind = ir.getUTF8String(kindIdx).toString
+        val img = if (kind == "image") decodeImage(content) else None
+        img match {
+          case Some(i) =>
+            val thumb = resizePng(i, thumbW, thumbH)
+            Row(ir.getLong(idIdx), kind, "imageio",
+              i.getWidth, i.getHeight, i.getColorModel.getNumComponents,
+              meanLuminance(i), thumbW, thumbH, thumb.length.toLong)
+          case None =>
+            val (level, _) = fakeDecode(content)
+            Row(ir.getLong(idIdx), kind, "stub",
+              null, null, null, level, null, null, null)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, decodeSchema)
   }
 
   /** Frame sampling for video/image rows: explode each blob into

@@ -51,4 +51,52 @@ class MultimodalSpec extends SparkSpec {
     assert(resized.filter("kind != 'audio' AND (width != 224 OR height != 224)").count() == 0)
     assert(resized.filter("kind = 'audio' AND width IS NOT NULL").count() == 0)
   }
+
+  test("real PNG decode end-to-end on executors (javax.imageio), stub fallback for the rest") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val rows = java.util.Arrays.asList(
+      Row(1L, "image", png(40, 20, 0xFF0000)),          // pure red
+      Row(2L, "image", png(8, 8, 0x000000)),            // pure black
+      Row(3L, "audio", "not an image".getBytes("UTF-8")), // wrong kind -> stub
+      Row(4L, "image", "garbage bytes".getBytes("UTF-8"))) // undecodable -> stub
+    val media = spark.createDataFrame(rows, schema).repartition(3)
+    val out = Multimodal.decodeFeatures(media, thumbW = 16, thumbH = 16)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 4)
+
+    val red = out(1L)
+    assert(red.getString(2) == "imageio")
+    assert(red.getInt(3) == 40 && red.getInt(4) == 20, "decoded dimensions")
+    assert(red.getInt(5) == 3, "RGB channel count")
+    // BT.601 luminance of pure red = 0.299 * 255 = 76.245
+    assert(math.abs(red.getDouble(6) - 76.245) < 1.0, s"red luminance: ${red.getDouble(6)}")
+    assert(red.getInt(7) == 16 && red.getInt(8) == 16 && red.getLong(9) > 0L)
+
+    val black = out(2L)
+    assert(black.getString(2) == "imageio" && black.getDouble(6) == 0.0)
+
+    // non-image kinds and undecodable bytes degrade to the stub, never throw
+    assert(out(3L).getString(2) == "stub" && out(3L).isNullAt(3))
+    assert(out(4L).getString(2) == "stub", "garbage image bytes fall back")
+
+    // the resize path round-trips through the codec: thumbnail bytes
+    // decode back to the requested geometry
+    val img = Multimodal.decodeImage(png(64, 48, 0x00FF00)).get
+    val thumb = Multimodal.decodeImage(Multimodal.resizePng(img, 16, 12)).get
+    assert(thumb.getWidth == 16 && thumb.getHeight == 12)
+  }
 }
