@@ -168,6 +168,15 @@ object IcebergExport {
         new Path(metaDir, s"stats-${snap.snapshotId}.puffin"))
     }
 
+    // Iceberg v3 forward-compat: the current snapshot's pending
+    // deletion vectors ALSO serialize as Puffin delete-vector-v1 blobs
+    // (the v3 on-disk form) alongside the v2 positional-delete
+    // fallback written above — a v3 reader picks up the blobs, a v2
+    // reader the parquet delete files.
+    for (snap <- meta.currentSnapshot; s <- spark)
+      PuffinStats.writeDeleteVectors(ops, s, tableDir, snap,
+        new Path(metaDir, s"dvs-${snap.snapshotId}.puffin"))
+
     val json = metadataJson(meta, exportDir, schemaJsons, manifestLists, puffin, realSpec)
     val metaFile = new Path(metaDir, s"v$version.metadata.json")
     store.writeString(metaFile, json)

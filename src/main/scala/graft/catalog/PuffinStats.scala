@@ -118,4 +118,108 @@ object PuffinStats {
       (Magic.length + footerPayload.length + 4 + 4 + Magic.length).toLong,
       blobMeta.toString)
   }
+
+  // ---------- Iceberg v3 deletion-vector blobs ----------
+
+  /** The v3 DV blob's inner magic (spec: `delete-vector-v1` payload
+    * starts with bytes D1 D3 39 64 after the 4-byte length prefix). */
+  private[catalog] val DvMagic = Array[Byte](0xD1.toByte, 0xD3.toByte, 0x39, 0x64)
+
+  /** Serialize `snap`'s pending deletion vectors as an Iceberg v3
+    * Puffin file: one `delete-vector-v1` blob per referenced data file
+    * (vectors from multiple DV commits OR-merge — positional masking
+    * is path-keyed and sequence-independent, and v3 allows at most one
+    * DV per data file). Blob layout per the v3 spec:
+    *
+    * `length (4B big-endian, = |magic| + |vector|) | magic D1 D3 39 64
+    *  | RoaringBitmap portable-64 serialization | CRC-32C (4B
+    *  big-endian, over magic+vector)`
+    *
+    * Blob metadata carries `referenced-data-file` and `cardinality`
+    * properties, the v3 manifest-side contract. Graft's internal DV
+    * parquet already stores the portable-64 bytes
+    * ([[DeletionVectors.serialize]]), so this is re-framing, not
+    * re-encoding. Returns None when the snapshot has no DVs.
+    *
+    * Driver memory: one compressed bitmap per referenced data file in
+    * flight (~128 KB per million dead rows) — the same budget as the
+    * SQL MOR commit path, metadata-sized at any table scale. */
+  def writeDeleteVectors(
+      ops: TableOps,
+      spark: org.apache.spark.sql.SparkSession,
+      tableDir: Path,
+      snap: Snapshot,
+      target: Path): Option[Written] = {
+    import org.roaringbitmap.longlong.Roaring64NavigableMap
+    val dvEntries = ops.load(tableDir).map { case (_, m) =>
+      ops.resolveEntries(tableDir, m, Some(snap.snapshotId)) }
+      .getOrElse(Seq.empty).filter(_.isDvDelete)
+    if (dvEntries.isEmpty) return None
+    val basePrefix = tableDir.toUri.getPath + "/"
+    val merged = scala.collection.mutable.TreeMap.empty[String, Roaring64NavigableMap]
+    spark.read.schema(DeletionVectors.schema).parquet(dvEntries.map(_.path): _*)
+      .collect().foreach { r =>
+        val raw = r.getString(0)
+        // stored paths may be table-relative (rename-safe form)
+        val abs = if (raw.startsWith("/") || raw.contains(":/")) {
+          raw.replaceFirst("^file:/+", "/")
+        } else basePrefix + raw
+        val bm = DeletionVectors.deserialize(r.getAs[Array[Byte]](2))
+        merged.get(abs) match {
+          case Some(acc) => acc.or(bm)
+          case None      => merged.update(abs, bm)
+        }
+      }
+
+    val blobMetas = Seq.newBuilder[com.fasterxml.jackson.databind.node.ObjectNode]
+    val body = new ByteArrayOutputStream()
+    body.write(Magic) // header
+    var offset = Magic.length.toLong
+    merged.foreach { case (dataFile, bm) =>
+      val vec = DeletionVectors.serialize(bm)
+      val crc = new java.util.zip.CRC32C()
+      crc.update(DvMagic)
+      crc.update(vec)
+      val buf = ByteBuffer.allocate(4 + DvMagic.length + vec.length + 4)
+        .order(ByteOrder.BIG_ENDIAN)
+      buf.putInt(DvMagic.length + vec.length)
+      buf.put(DvMagic)
+      buf.put(vec)
+      buf.putInt(crc.getValue.toInt)
+      val blob = buf.array()
+      body.write(blob)
+      val bmeta = mapper.createObjectNode()
+      bmeta.put("type", "delete-vector-v1")
+      bmeta.putArray("fields")
+      bmeta.put("snapshot-id", snap.snapshotId)
+      bmeta.put("sequence-number", snap.sequenceNumber)
+      bmeta.put("offset", offset)
+      bmeta.put("length", blob.length.toLong)
+      val props = bmeta.putObject("properties")
+      props.put("referenced-data-file", dataFile)
+      props.put("cardinality", bm.getLongCardinality.toString)
+      blobMetas += bmeta
+      offset += blob.length
+    }
+
+    val footerPayloadNode = mapper.createObjectNode()
+    val blobsArr = footerPayloadNode.putArray("blobs")
+    blobMetas.result().foreach(blobsArr.add)
+    footerPayloadNode.putObject("properties").put("created-by", "graft")
+    val footerPayload = footerPayloadNode.toString.getBytes(StandardCharsets.UTF_8)
+    body.write(Magic)
+    body.write(footerPayload)
+    val sizeBuf = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+    sizeBuf.putInt(footerPayload.length)
+    body.write(sizeBuf.array())
+    body.write(Array[Byte](0, 0, 0, 0)) // flags: uncompressed payload
+    body.write(Magic)
+    val bytes = body.toByteArray
+
+    val out = ops.store.fs(target).create(target, true)
+    try out.write(bytes) finally out.close()
+    Some(Written(target.toString, bytes.length.toLong,
+      (Magic.length + footerPayload.length + 4 + 4 + Magic.length).toLong,
+      footerPayloadNode.toString))
+  }
 }

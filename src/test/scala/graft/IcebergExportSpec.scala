@@ -374,6 +374,70 @@ class IcebergExportSpec extends SparkSpec {
     assert(survivors.sorted.toSeq == Seq(2L, 4L, 6L))
   }
 
+  test("pending DVs also export as Iceberg v3 Puffin delete-vector-v1 blobs") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ice")
+    spark.sql("CREATE TABLE graft.ice.dvp (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.ice.dvp VALUES (1,'a'), (2,'b'), (3,'c')")
+    spark.sql("INSERT INTO graft.ice.dvp VALUES (4,'d'), (5,'e')")
+    val dir = new Path(s"$warehouse/ice/dvp")
+    import org.apache.spark.sql.functions.col
+    // two DV commits so the export must OR-merge per data file
+    cat.ops.deletionVectorDelete(spark, dir, col("id") === 1L)
+    cat.ops.deletionVectorDelete(spark, dir, col("id").isin(3L, 4L))
+    IcebergExport.export(cat.ops, dir, Some(spark))
+
+    val snapId = cat.ops.load(dir).get._2.currentSnapshotId.get
+    val pf = new Path(s"$warehouse/ice/dvp/iceberg/metadata/dvs-$snapId.puffin")
+    assert(cat.ops.store.exists(pf), s"v3 DV puffin missing: $pf")
+    val fs = cat.ops.store.fs(pf)
+    val len = fs.getFileStatus(pf).getLen.toInt
+    val bytes = { val in = fs.open(pf)
+      try { val b = new Array[Byte](len); in.readFully(0, b); b } finally in.close() }
+
+    // container layout: header magic .. blobs .. Magic payload LEsize flags Magic
+    def str(off: Int, n: Int) = new String(bytes.slice(off, off + n), "UTF-8")
+    assert(str(0, 4) == "PFA1" && str(len - 4, 4) == "PFA1")
+    val psize = java.nio.ByteBuffer.wrap(bytes, len - 12, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    assert(bytes.slice(len - 8, len - 4).toSeq == Seq[Byte](0, 0, 0, 0), "uncompressed flags")
+    val payload = mapper.readTree(str(len - 12 - psize, psize))
+    val blobs = payload.get("blobs").elements().asScala.toSeq
+    assert(blobs.nonEmpty && blobs.forall(_.get("type").asText() == "delete-vector-v1"))
+
+    val dataFiles = cat.ops.resolveEntries(dir, cat.ops.load(dir).get._2)
+      .filter(_.isData).map(_.path).toSet
+    var totalCard = 0L
+    blobs.foreach { b =>
+      val off = b.get("offset").asInt()
+      val blen = b.get("length").asInt()
+      // blob layout: 4B BE length of (magic+vector), magic D1 D3 39 64,
+      // portable-64 roaring vector, 4B BE CRC-32C over magic+vector
+      val bb = java.nio.ByteBuffer.wrap(bytes, off, blen)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      val combined = bb.getInt
+      assert(combined == blen - 8, s"length prefix: $combined vs ${blen - 8}")
+      assert((bytes(off + 4) & 0xff) == 0xD1 && (bytes(off + 5) & 0xff) == 0xD3 &&
+             bytes(off + 6) == 0x39 && bytes(off + 7) == 0x64, "DV blob magic")
+      val vec = bytes.slice(off + 8, off + blen - 4)
+      val crc = new java.util.zip.CRC32C()
+      crc.update(bytes, off + 4, 4 + vec.length)
+      val stored = java.nio.ByteBuffer.wrap(bytes, off + blen - 4, 4)
+        .order(java.nio.ByteOrder.BIG_ENDIAN).getInt
+      assert(stored == crc.getValue.toInt, "CRC-32C over magic+vector")
+      val bm = graft.catalog.DeletionVectors.deserialize(vec)
+      val props = b.get("properties")
+      assert(bm.getLongCardinality == props.get("cardinality").asText().toLong)
+      assert(dataFiles.contains(props.get("referenced-data-file").asText()),
+        s"blob must reference a live data file: ${props.get("referenced-data-file")}")
+      totalCard += bm.getLongCardinality
+    }
+    // both DV commits merged: 3 dead ordinals across the data files,
+    // at most one blob (vector) per referenced data file
+    assert(totalCard == 3L, s"merged cardinality: $totalCard")
+    val refs = blobs.map(_.get("properties").get("referenced-data-file").asText())
+    assert(refs.distinct.size == refs.size, "one DV blob per data file (v3 rule)")
+  }
+
   test("export writes a Puffin statistics file registered in metadata.json") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ice")
     spark.sql("CREATE TABLE graft.ice.pf (id BIGINT, v STRING)")
