@@ -38,7 +38,10 @@ object RestCatalogMain {
       // `--host 0.0.0.0` / config opt-in, never the default
       host: String = "127.0.0.1",
       jdbcUrl: Option[String] = None,
-      temp: Boolean = false)
+      temp: Boolean = false,
+      // optional shared-secret bearer token (exceeds reference parity:
+      // the reference ships no auth) — makes --host 0.0.0.0 defensible
+      token: Option[String] = None)
 
   def main(args: Array[String]): Unit = {
     run(args, block = true) match {
@@ -70,10 +73,26 @@ object RestCatalogMain {
             case None => new FsStore(conf)
           }
           val server = new RestCatalogServer(
-            new Path(wh), conf, cfg.port, Some(store), cfg.host, accessLog = true)
+            new Path(wh), conf, cfg.port, Some(store), cfg.host,
+            accessLog = true, token = cfg.token)
           val port = server.start()
           println(s"Started the Graft Catalog Server at `${cfg.host}:$port` " +
             s"(warehouse `$wh`${cfg.jdbcUrl.map(u => s", ledger `$u`").getOrElse("")})")
+          // the bind address is a security decision — state it and the
+          // override explicitly (the pre-r11 default was 0.0.0.0;
+          // containerized deployments that published the port must now
+          // pass --host 0.0.0.0, ideally with --token)
+          println(
+            if (cfg.host == "127.0.0.1" || cfg.host == "localhost")
+              "Listening on LOOPBACK only (default since the server is " +
+              "unauthenticated); to expose it pass --host 0.0.0.0 " +
+              "and consider --token <secret>"
+            else if (cfg.token.isDefined)
+              s"Listening on `${cfg.host}` with bearer-token auth"
+            else
+              s"WARNING: listening on `${cfg.host}` WITHOUT authentication — " +
+              "anyone who can reach this port can read and DROP tables; " +
+              "consider --token <secret>")
           if (block) Thread.currentThread().join()
           Right((server, port))
       }
@@ -95,8 +114,11 @@ object RestCatalogMain {
       |                          local warehouse)
       |       --warehouse path   Warehouse directory (overrides config file)
       |       --jdbc-url string  JDBC URL for the version ledger (overrides config)
-      |       --host string      Bind address (default: 127.0.0.1; the server is
-      |                          unauthenticated — bind 0.0.0.0 only on purpose)
+      |       --host string      Bind address (default: 127.0.0.1; bind 0.0.0.0
+      |                          only on purpose)
+      |       --token string     Require `Authorization: Bearer <token>` on every
+      |                          API request (docs routes stay open)
+      |                          [$GRAFT_API_TOKEN, or [api] token in the config]
       |
       |Global Flags:
       |   -c, --config path      Path to the configuration file [$GRAFT_CONFIG]
@@ -109,6 +131,7 @@ object RestCatalogMain {
     var sawStart = false
     var cfgOverrides = ServerConfig()
     var portSet = false; var whSet = false; var jdbcSet = false; var hostSet = false
+    var tokenSet = false
 
     @annotation.tailrec
     def loop(rest: List[String]): Either[String, Unit] = rest match {
@@ -129,6 +152,8 @@ object RestCatalogMain {
         cfgOverrides = cfgOverrides.copy(jdbcUrl = Some(v)); jdbcSet = true; loop(t)
       case "--host" :: v :: t =>
         cfgOverrides = cfgOverrides.copy(host = v); hostSet = true; loop(t)
+      case "--token" :: v :: t =>
+        cfgOverrides = cfgOverrides.copy(token = Some(v)); tokenSet = true; loop(t)
       case other :: _ => Left(s"unknown argument: $other\n\n$usage")
     }
 
@@ -149,7 +174,10 @@ object RestCatalogMain {
               else envPort.getOrElse(fc.port),
             host = if (hostSet) cfgOverrides.host else fc.host,
             jdbcUrl = if (jdbcSet) cfgOverrides.jdbcUrl else fc.jdbcUrl,
-            temp = cfgOverrides.temp)
+            temp = cfgOverrides.temp,
+            token =
+              if (tokenSet) cfgOverrides.token
+              else sys.env.get("GRAFT_API_TOKEN").orElse(fc.token))
         }
       }
     }
@@ -193,6 +221,7 @@ object RestCatalogMain {
                 case None => return Left(s"config: invalid [api] port `$v`")
               }
             case ("api", "host") if v.nonEmpty => cfg = cfg.copy(host = v)
+            case ("api", "token") if v.nonEmpty => cfg = cfg.copy(token = Some(v))
             case ("warehouse", "path") if v.nonEmpty => cfg = cfg.copy(warehouse = Some(v))
             case ("database", "url") if v.nonEmpty => cfg = cfg.copy(jdbcUrl = Some(v))
             case ("database", "dialect") => () // JDBC URL carries the dialect

@@ -40,7 +40,12 @@ final class RestCatalogServer(
     port: Int = 0,
     store0: Option[FsStore] = None,
     host: String = "127.0.0.1",
-    accessLog: Boolean = false) {
+    accessLog: Boolean = false,
+    /** Optional shared-secret bearer token: when set, every request
+      * (except the docs routes) must carry `Authorization: Bearer
+      * <token>` or gets 401. Exceeds the reference (which ships no
+      * auth) — it makes a non-loopback bind defensible. */
+    token: Option[String] = None) {
 
   private val store = store0.getOrElse(new FsStore(conf))
   private val ops = new TableOps(store)
@@ -73,6 +78,21 @@ final class RestCatalogServer(
       return respondRaw(ex, 200, "text/plain", RestCatalogServer.OpenApiYaml)
     if (method == "GET" && path == "/docs")
       return respondRaw(ex, 200, "text/html", RestCatalogServer.DocsHtml)
+    // bearer-token gate: constant-time compare, applied before any
+    // routing state is touched
+    token.foreach { t =>
+      val presented = Option(ex.getRequestHeaders.getFirst("Authorization"))
+        .filter(_.startsWith("Bearer ")).map(_.stripPrefix("Bearer "))
+      val ok = presented.exists(p => java.security.MessageDigest.isEqual(
+        p.getBytes("UTF-8"), t.getBytes("UTF-8")))
+      if (!ok) {
+        val o = mapper.createObjectNode()
+        val eo = o.putObject("error")
+        eo.put("code", 401); eo.put("type", "NotAuthorizedError")
+        eo.put("message", "missing or invalid bearer token")
+        return respond(ex, 401, Some(o.toString))
+      }
+    }
     val segs = path.split("/").filter(_.nonEmpty).toSeq
       .map(s => java.net.URLDecoder.decode(s, "UTF-8"))
     val out: Either[RestError, Option[JsonNode]] =

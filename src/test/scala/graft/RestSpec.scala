@@ -370,6 +370,46 @@ class RestSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("--token gates every API route behind a bearer secret; docs stay open") {
+    import graft.rest.RestCatalogMain
+    val booted = RestCatalogMain.run(
+      Array("start", "--temp", "--host", "127.0.0.1", "--token", "s3cret"),
+      block = false)
+    assert(booted.isRight, booted.left.getOrElse(""))
+    val (srv, port) = booted.toOption.get
+    try {
+      def get(path: String, auth: Option[String]): HttpResponse[String] = {
+        val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET()
+        auth.foreach(t => b.header("Authorization", s"Bearer $t"))
+        client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      }
+      // no token / wrong token → 401 with the error envelope
+      val no = get("/v1/namespaces", None)
+      assert(no.statusCode() == 401, no.body())
+      assert(no.body().contains("NotAuthorizedError"))
+      assert(get("/v1/namespaces", Some("wrong")).statusCode() == 401)
+      assert(get("/status", None).statusCode() == 401)
+      // right token → normal behavior
+      assert(get("/v1/namespaces", Some("s3cret")).statusCode() == 200)
+      assert(get("/status", Some("s3cret")).statusCode() == 204)
+      // docs routes serve without auth (discovery surface)
+      assert(get("/openapi-file.yaml", None).statusCode() == 200)
+      assert(get("/docs", None).statusCode() == 200)
+    } finally srv.stop()
+
+    // token resolves from config file too, flags win
+    val dir = java.nio.file.Files.createTempDirectory("graft-tok-")
+    val cfgPath = dir.resolve("config.toml")
+    java.nio.file.Files.writeString(cfgPath,
+      "[api]\ntoken = \"from-file\"\n[warehouse]\npath = \"/x\"\n")
+    val fromFile = RestCatalogMain.parseArgs(
+      List("--config", cfgPath.toString, "start")).toOption.get
+    assert(fromFile.token.contains("from-file"))
+    val flagged = RestCatalogMain.parseArgs(
+      List("--config", cfgPath.toString, "start", "--token", "flag-wins")).toOption.get
+    assert(flagged.token.contains("flag-wins"))
+  }
+
   test("RestCatalogMain config precedence: flags > env > config file") {
     import graft.rest.RestCatalogMain
     // bad args are rejected, help/usage short-circuits
