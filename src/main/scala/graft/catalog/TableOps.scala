@@ -1032,6 +1032,7 @@ final class TableOps(private[graft] val store: FsStore) {
     val (_, meta) = load(tableDir).getOrElse(
       throw new CommitFailedException(s"table does not exist at $tableDir"))
     val namedFiles = resolveEntries(tableDir, meta).filter(_.isData).map(_.path).toSet
+    val pinnedSeq = meta.lastSequenceNumber
     val df = GraftBridge.ofRows(spark,
       new GraftTable(tableDir.toString, tableDir, meta, this))
     // Store _file TABLE-RELATIVE (same policy as manifest entries), so
@@ -1059,6 +1060,18 @@ final class TableOps(private[graft] val store: FsStore) {
           throw new CommitFailedException(
             "positional delete aborted: a concurrent rewrite replaced files the " +
             "delete coordinates reference — recompute against fresh state")
+        // lost-delete guard (the API twin of commitMorDelta's): a
+        // merge-on-read UPDATE that committed since our scan masked
+        // the OLD coordinates and re-appended fresh images of rows
+        // these coordinates meant to kill — landing anyway would let
+        // the images survive a "successful" DELETE. Pure delete and
+        // append commits still commute (coordinates are idempotent,
+        // the sequence rule protects newer rows).
+        if (cur.snapshots.exists(s =>
+            s.sequenceNumber > pinnedSeq && s.operation == "mor-update"))
+          throw new CommitFailedException(
+            "positional delete aborted: a concurrent merge-on-read update " +
+            "committed since this delete's snapshot — recompute against fresh state")
       })
   }
 

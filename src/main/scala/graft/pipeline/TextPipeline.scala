@@ -1553,11 +1553,13 @@ object TextPipeline {
     * counts minus eq-delete key counts; exact because a dedup ledger
     * has unique keys and the CDC feed only ever deletes live keys).
     * Per window the only corpus-proportional work is the READ-ONLY
-    * new-hash membership probe (ins ⟕̸ ledger — the same anti-join
-    * shape as L24's ingest gate, column-pruned to the 2-column
-    * ledger); nothing corpus-sized is ever rewritten, shuffled wide,
-    * or counted with a scan. At 100 TB with daily syncs, a window
-    * costs the day's churn plus one pruned ledger probe — not a daily
+    * new-hash membership probe: the ledger STREAMS through a semi
+    * join against the broadcast window-hash set (one column-pruned
+    * scan, zero ledger-sized shuffle/broadcast — the L24 ingest-gate
+    * check with the join direction chosen for the 100 TB side);
+    * nothing corpus-sized is ever rewritten, shuffled wide, or
+    * counted with a scan. At 100 TB with daily syncs, a window costs
+    * the day's churn plus one streamed ledger probe — not a daily
     * full-corpus materialization.
     */
   private val cdcCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -1606,6 +1608,20 @@ object TextPipeline {
     (cdcLedgerWalk(s, ops, dir, ledgerDir), dir.toString, ledgerDir.toString)
   }
 
+  /** The pre-window membership probe: already-live hashes among the
+    * window's distinct hashes `insH`. The LEDGER streams through a
+    * semi join against the BROADCAST window set — plan shape pinned in
+    * PipelineSpec (BroadcastHashJoin LeftSemi, no ledger-side
+    * sort-merge): the 100 TB side is never shuffled or broadcast. */
+  private[graft] def ledgerProbe(
+      s: SparkSession,
+      ops: graft.catalog.TableOps,
+      ledgerDir: org.apache.hadoop.fs.Path,
+      insH: DataFrame): DataFrame =
+    ops.read(s, ledgerDir).select("h")
+      .join(broadcast(insH), Seq("h"), "left_semi")
+      .distinct()
+
   /** The ledger walk proper: replays `corpusDir`'s commit windows into
     * a catalog-table hash ledger at `ledgerDir` (created here), one
     * O(churn) commit pair per window, live counts from metadata only. */
@@ -1635,13 +1651,18 @@ object TextPipeline {
       val nIns = ins.count()
       val nDel = del.count()
       // the one read-only corpus-proportional step: exact new-hash
-      // detection needs membership against the pre-window live set —
-      // a broadcast-able anti-join probe, never a rewrite (L24 shape)
+      // detection needs membership against the pre-window live set.
+      // Join DIRECTION matters at 100 TB: the ledger STREAMS through a
+      // semi join against the BROADCAST window hashes — one pruned
+      // scan, no ledger-sized shuffle or broadcast (the naive
+      // ins-anti-join-ledger shape would shuffle the corpus per
+      // window). n_new = distinct window hashes − already-live ones.
       val nNew =
         if (nIns == 0) 0L
-        else ins.select("h").distinct()
-          .join(ops.read(s, ledgerDir).select("h").distinct(), Seq("h"), "left_anti")
-          .count()
+        else {
+          val insH = ins.select("h").distinct()
+          insH.count() - ledgerProbe(s, ops, ledgerDir, insH).count()
+        }
       // O(churn) ledger commits: eq-delete FIRST (it masks only
       // strictly-older sequence numbers — C30 — so a same-window
       // delete+reinsert of one key resolves to the new row), append

@@ -229,6 +229,38 @@ class DvSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graft.dv.race").collect().head.getLong(0) == 50)
   }
 
+  test("DV delete aborts when a concurrent MOR update re-appends its target rows (lost delete)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dv")
+    spark.sql("CREATE TABLE graft.dv.lostdel (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.dv.lostdel SELECT id, 'x' FROM range(0, 50)")
+    val dir = new Path(s"$warehouse/dv/lostdel")
+    val plainOps = cat.ops
+
+    // Store hook: a merge-on-read UPDATE of the same rows slips in
+    // before the delete's publish — its DV masks the old coordinates
+    // and re-appends fresh images, which the pinned delete would
+    // silently let survive. The retry's validation must abort instead.
+    val hooked = new FsStore(spark.sparkContext.hadoopConfiguration) {
+      private val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+      override def publish(d: Path, next: Int, content: String): Boolean = {
+        if (d.toString.contains("dv/lostdel") && fired.compareAndSet(false, true))
+          plainOps.morUpdate(spark, dir, col("id") < 10,
+            Map("v" -> org.apache.spark.sql.functions.lit("upd")))
+        super.publish(d, next, content)
+      }
+    }
+    val racingOps = new TableOps(hooked)
+    val e = intercept[CommitFailedException] {
+      racingOps.positionalDelete(spark, dir, col("id") < 10, asVectors = true)
+    }
+    assert(e.getMessage.contains("merge-on-read update"), e.getMessage)
+    // the update won cleanly; no row was half-deleted
+    assert(spark.sql("SELECT count(*) FROM graft.dv.lostdel")
+      .collect().head.getLong(0) == 50)
+    assert(spark.sql("SELECT count(*) FROM graft.dv.lostdel WHERE v = 'upd'")
+      .collect().head.getLong(0) == 10)
+  }
+
   test("million-row DV delete stays off the driver and reads correctly") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dv")
     val dir = new Path(s"$warehouse/dv/big")

@@ -119,6 +119,18 @@ class PipelineSpec extends SparkSpec {
     // present on every ledger entry (data AND eq-delete)
     ops.resolveEntries(ldir, meta).foreach(e =>
       assert(e.rows.isDefined, s"ledger entry without row count: ${e.path}"))
+
+    // probe plan shape: the ledger (the 100 TB side) STREAMS through a
+    // broadcast semi join against the window hashes — never shuffled,
+    // never broadcast itself
+    import spark.implicits._
+    val insH = Seq("h1", "h2").toDF("h")
+    val plan = graft.pipeline.TextPipeline.ledgerProbe(spark, ops, ldir, insH)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"probe must broadcast the window side:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no ledger-side shuffle join in the probe:\n$plan")
   }
 
   test("L46: threshold curve is monotone and consistent with the LSH pair set") {
