@@ -974,7 +974,12 @@ final class TableOps(private[graft] val store: FsStore) {
   def mergeOnReadDelete(
       spark: SparkSession,
       tableDir: Path,
-      keys: DataFrame): TableMetadata = {
+      keys: DataFrame,
+      /** target delete-file count; None keeps one part per shuffle
+        * partition (a million-key delete must not funnel through one
+        * task), small values stop a small churn window from littering
+        * the manifest with per-partition shards */
+      numFiles: Option[Int] = None): TableMetadata = {
     require(keys.columns.nonEmpty, "merge-on-read delete needs key columns")
     val (_, meta) = load(tableDir).getOrElse(
       throw new CommitFailedException(s"table does not exist at $tableDir"))
@@ -990,10 +995,12 @@ final class TableOps(private[graft] val store: FsStore) {
       }
     }
     val writeDir = new Path(dataDir(tableDir), s"w-${UUID.randomUUID()}")
-    // distinct() shuffles on the key; the write keeps that parallelism
-    // (one part per shuffle partition) — a million-key delete must not
-    // funnel through one task. The manifest carries every part.
-    keys.distinct().write.parquet(writeDir.toString)
+    // distinct() shuffles on the key; by default the write keeps that
+    // parallelism (one part per shuffle partition). The manifest
+    // carries every part.
+    val distinctKeys = keys.distinct()
+    numFiles.map(n => distinctKeys.coalesce(math.max(1, n)))
+      .getOrElse(distinctKeys).write.parquet(writeDir.toString)
     val files = store.listFilesRec(writeDir)
       .filter(_.getName.endsWith(".parquet")).map(_.toString)
     // A delete commit COMMUTES with concurrent snapshot commits (the

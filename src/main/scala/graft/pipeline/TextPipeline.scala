@@ -1657,18 +1657,28 @@ object TextPipeline {
       // scan, no ledger-sized shuffle or broadcast (the naive
       // ins-anti-join-ledger shape would shuffle the corpus per
       // window). n_new = distinct window hashes − already-live ones.
+      val ledgerEmpty = ops.load(ledgerDir)
+        .forall { case (_, m) => m.currentSnapshot.isEmpty }
       val nNew =
         if (nIns == 0) 0L
         else {
-          val insH = ins.select("h").distinct()
-          insH.count() - ledgerProbe(s, ops, ledgerDir, insH).count()
+          // materialized once: feeds both the count and the probe
+          val insH = ins.select("h").distinct().localCheckpoint(true)
+          if (ledgerEmpty) insH.count() // first window: everything is new
+          else insH.count() - ledgerProbe(s, ops, ledgerDir, insH).count()
         }
       // O(churn) ledger commits: eq-delete FIRST (it masks only
       // strictly-older sequence numbers — C30 — so a same-window
       // delete+reinsert of one key resolves to the new row), append
-      // second; prior ledger data files are never rewritten
-      if (nDel > 0) ops.mergeOnReadDelete(s, ledgerDir, del.select("doc_id"))
-      if (nIns > 0) ops.write(ledgerDir, ins, "append")
+      // second; prior ledger data files are never rewritten. File
+      // counts scale with the window (~500k rows per part), so a
+      // small sync never litters the manifest with per-core shards
+      // while a 1B-row day still writes with full parallelism.
+      def churnFiles(n: Long): Int = (n / 500000L + 1L).toInt
+      if (nDel > 0) ops.mergeOnReadDelete(s, ledgerDir, del.select("doc_id"),
+        numFiles = Some(churnFiles(nDel)))
+      if (nIns > 0) ops.write(ledgerDir, ins, "append",
+        numFiles = Some(churnFiles(nIns)))
       // live count from manifests alone — data rows minus eq-delete
       // key rows (rows stamped on every entry by the write/delete
       // paths); exact under the ledger invariant: doc_id unique among
