@@ -37,7 +37,7 @@ object Procedures {
     "compact", "expire_snapshots", "remove_orphans", "rewrite_manifests",
     "apply_deletes", "rollback", "fast_forward", "vacuum",
     "create_branch", "create_tag", "drop_ref", "analyze", "maintenance_plan",
-    "compact_where", "migrate_bucket_hash")
+    "compact_where", "migrate_bucket_hash", "export_iceberg", "import_iceberg")
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.sameElements(Namespace) && names.contains(ident.name),
@@ -85,6 +85,9 @@ object Procedures {
         param("predicate", StringType), paramD("num_files", IntegerType, "1"))
       case "migrate_bucket_hash" => Array(param("table", StringType),
         paramD("num_files", IntegerType, "4"))
+      case "export_iceberg" => Array(param("table", StringType))
+      case "import_iceberg" => Array(param("table", StringType),
+        param("metadata_json", StringType))
       case other => throw new IllegalArgumentException(other)
     }
 
@@ -197,6 +200,26 @@ object Procedures {
               Seq[Any](s"migrated to ${Transforms.BucketHashCurrent}", filesNow(),
                 snapsBefore - expired.snapshots.size))
           }
+        case "export_iceberg" =>
+          // C57 surfaced to SQL: export the full snapshot lineage as
+          // Iceberg v2 under <table>/iceberg (spec delete files + v3
+          // DV Puffin blobs included when deletes are pending)
+          val metaFile = IcebergExport.export(ops, dir, Some(spark))
+          val snaps = ops.load(dir).get._2.snapshots.size
+          summary(
+            Seq("metadata_json" -> StringType, "snapshots" -> IntegerType),
+            Seq[Any](metaFile.toString, snaps))
+        case "import_iceberg" =>
+          // C59 surfaced to SQL: adopt an Iceberg v2 table (snapshot
+          // lineage + deletes replayed) as a NEW graft table at the
+          // target identifier's warehouse location
+          val metaJson = input.getUTF8String(1).toString
+          val meta = IcebergImport.importTable(
+            ops, new Path(metaJson), dir, Some(spark))
+          summary(
+            Seq("snapshots" -> IntegerType, "rows" -> LongType),
+            Seq[Any](meta.snapshots.size,
+              ops.read(spark, dir).count()))
         case "maintenance_plan" =>
           // C78 — the advisor: reads ONLY metadata (manifest entries +
           // snapshot log, no data files) and reports which maintenance

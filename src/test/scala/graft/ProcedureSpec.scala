@@ -231,6 +231,35 @@ class ProcedureSpec extends SparkSpec {
       .head.getLong(0) == 3, "fragment rows (one v=0 row excluded) survive the rewrite")
   }
 
+  test("CALL export_iceberg / import_iceberg round-trip a delete-bearing table over SQL") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.proc")
+    spark.sql("CREATE TABLE graft.proc.exp (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.proc.exp SELECT id, CAST(id AS STRING) FROM range(0, 100)")
+    val dir = new Path(s"$warehouse/proc/exp")
+    import org.apache.spark.sql.functions.col
+    cat.ops.deletionVectorDelete(spark, dir, col("id") % 10 === 0)
+    assert(spark.table("graft.proc.exp").count() == 90)
+
+    val out = spark.sql("CALL graft.system.export_iceberg('proc.exp')").collect()
+    assert(out.length == 1)
+    val metaJson = out.head.getString(0)
+    assert(metaJson.endsWith(".metadata.json"))
+    assert(cat.ops.store.exists(new Path(metaJson)))
+    assert(out.head.getInt(1) == 2, "both snapshots exported")
+    // v3 DV Puffin rides along (pending deletes)
+    val snapId = cat.ops.load(dir).get._2.currentSnapshotId.get
+    assert(cat.ops.store.exists(
+      new Path(s"$warehouse/proc/exp/iceberg/metadata/dvs-$snapId.puffin")))
+
+    val imp = spark.sql(
+      s"CALL graft.system.import_iceberg('proc.expback', '$metaJson')").collect()
+    assert(imp.length == 1)
+    assert(imp.head.getLong(1) == 90L, "imported visible rows match")
+    assert(spark.table("graft.proc.expback").count() == 90)
+    assert(spark.sql("SELECT count(*) FROM graft.proc.expback WHERE id % 10 = 0")
+      .collect().head.getLong(0) == 0, "deletes replayed through the round-trip")
+  }
+
   test("listProcedures exposes the system namespace") {
     val ids = cat.listProcedures(Array("system"))
     assert(ids.map(_.name()).toSet.contains("compact"))
