@@ -447,10 +447,10 @@ final class GraftTable(
       val keySets = eqDeletes.groupBy(e => (e.equalityColumns, e.deleteSeq)).toSeq
         .map { case ((cols, dseq), es) =>
           val ks = StructType(cols.map(c => schema.fields.find(_.name == c).get))
-          MorFilter.KeySet(
+          (MorFilter.KeySet(
             cols.map(extended.fieldIndex).toArray,
             cols.map(c => extended(extended.fieldIndex(c)).dataType).toArray,
-            deleteHandle(es.map(_.path), ks), dseq)
+            deleteHandle(es.map(_.path), ks), dseq), es, cols)
         }
       val posHandle: Option[MorFilter.DeleteScanHandle] =
         if (posDeletes.isEmpty) None
@@ -466,9 +466,17 @@ final class GraftTable(
         else Some(deleteHandle(dvDeletes.map(_.path), DeletionVectors.schema))
       val confByPath = keptEntries.map { e =>
         val p = norm(e.path)
+        // a key set applies only when newer (sequence rule) AND at
+        // least one of its delete files' key ranges could intersect
+        // this data file's (manifest stats both sides) — clean files
+        // pay zero per-row probes for deletes that can't touch them
+        val applicable = keySets.collect {
+          case (ks, es, cols) if ks.deleteSeq > e.dataSeq &&
+              es.exists(del => cols.forall(c =>
+                Stats.rangesMayOverlap(del, e, schema, c))) => ks
+        }
         p -> MorFilter.FileConf(
-          keySets.filter(_.deleteSeq > e.dataSeq),
-          posHandle, dir.toString, dvHandle, e.firstRowId)
+          applicable, posHandle, dir.toString, dvHandle, e.firstRowId)
       }.toMap
       val metaFields = metaCols.map {
         case "_file" => org.apache.spark.sql.types.StructField(

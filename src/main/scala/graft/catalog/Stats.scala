@@ -351,6 +351,20 @@ object Stats {
       case None => true
     }
 
+  /** Could entries `a` and `b` both hold an EQUAL value of `col`?
+    * Bounds come from both manifests; conservative — missing stats or
+    * incomparable types ⇒ true. Drives equality-delete application
+    * skipping: a delete file whose key range is provably disjoint
+    * from a data file's range on ANY key column cannot mask any of
+    * its rows, so the reader never probes that pairing. */
+  def rangesMayOverlap(a: DataFileEntry, b: DataFileEntry,
+      schema: StructType, col: String): Boolean =
+    (colBounds(a, schema, col), colBounds(b, schema, col)) match {
+      case (Some((amn, amx, _)), Some((bmn, bmx, _))) =>
+        cmp(bmx, amn).forall(_ >= 0) && cmp(bmn, amx).forall(_ <= 0)
+      case _ => true
+    }
+
   /** Is any row possibly > v (or >= v)? Requires max compared to v. */
   private def upperAllows(e: DataFileEntry, schema: StructType, col: String,
       v: Any, strict: Boolean): Boolean =

@@ -2162,7 +2162,13 @@ final class TableOps(private[graft] val store: FsStore) {
       throw new UnsupportedOperationException(
         "reading renamed-column history with pending merge-on-read deletes " +
         "is not supported — run TableOps.applyDeletes first")
-    dataEntries.groupBy(df => eqDels.filter(_.deleteSeq > df.dataSeq).map(_.path).toSet)
+    // a delete applies only if its sequence is newer AND its key range
+    // could intersect the data file's (manifest stats on both sides —
+    // a delete of yesterday's ids never forces a probe of last year's
+    // files)
+    dataEntries.groupBy(df => eqDels.filter(e => e.deleteSeq > df.dataSeq &&
+        e.equalityColumns.forall(c => Stats.rangesMayOverlap(e, df, schema, c)))
+      .map(_.path).toSet)
       .toSeq.sortBy(_._1.size)
       .map { case (delPaths, files) =>
         val base = spark.read.schema(schema).format(dataFormat(meta))

@@ -364,6 +364,55 @@ class StatsSpec extends SparkSpec {
     assert(cat.ops.readPartitionStats(dir, cat.ops.load(dir).get._2).isDefined)
   }
 
+  test("eq-delete key ranges skip non-overlapping data files; application stays exact") {
+    import org.apache.spark.sql.types._
+    // unit semantics of the overlap check (both sides from manifests)
+    def entry(mn: String, mx: String) = DataFileEntry("f",
+      stats = Map("id" -> ColumnStats(Some(mn), Some(mx), Some(0L))))
+    val schema = StructType(Seq(StructField("id", LongType)))
+    assert(Stats.rangesMayOverlap(entry("5", "7"), entry("0", "99"), schema, "id"))
+    assert(Stats.rangesMayOverlap(entry("90", "110"), entry("0", "99"), schema, "id"))
+    assert(!Stats.rangesMayOverlap(entry("100", "110"), entry("0", "99"), schema, "id"))
+    assert(!Stats.rangesMayOverlap(entry("5", "7"), entry("1000", "1099"), schema, "id"))
+    // missing stats on either side ⇒ conservative true
+    assert(Stats.rangesMayOverlap(DataFileEntry("f"), entry("0", "9"), schema, "id"))
+    assert(Stats.rangesMayOverlap(entry("0", "9"), DataFileEntry("g"), schema, "id"))
+    // numeric compare, not lexicographic: "9" < "10" as longs
+    assert(Stats.rangesMayOverlap(entry("9", "9"), entry("8", "10"), schema, "id"))
+    val sSchema = StructType(Seq(StructField("id", StringType)))
+    assert(!Stats.rangesMayOverlap(entry("a", "b"), entry("c", "d"), sSchema, "id"))
+
+    // end-to-end: two disjoint-range data files, a delete inside one
+    // range only, plus a delete SPANNING both ranges without touching
+    // the second file's keys — every read stays exact on both paths
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stats")
+    spark.sql("CREATE TABLE graft.stats.eqskip (id BIGINT, v STRING)")
+    val dir = new Path(s"$warehouse/stats/eqskip")
+    import spark.implicits._
+    cat.ops.write(dir, (0L until 100L).map(i => (i, s"a$i")).toDF("id", "v"),
+      "append", numFiles = Some(1))
+    cat.ops.write(dir, (1000L until 1100L).map(i => (i, s"b$i")).toDF("id", "v"),
+      "append", numFiles = Some(1))
+    cat.ops.mergeOnReadDelete(spark, dir, Seq(5L, 7L).toDF("id"),
+      numFiles = Some(1)) // range [5,7] — provably disjoint from file 2
+    cat.ops.mergeOnReadDelete(spark, dir, Seq(50L, 1050L).toDF("id"),
+      numFiles = Some(1)) // spans both ranges — must apply to both
+    val viaSql = spark.sql("SELECT count(*) FROM graft.stats.eqskip")
+      .collect().head.getLong(0)
+    val viaOps = cat.ops.read(spark, dir).count()
+    assert(viaSql == 196L && viaOps == 196L, s"sql=$viaSql ops=$viaOps")
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.stats.eqskip WHERE id IN (5, 7, 50, 1050)")
+      .collect().head.getLong(0) == 0L)
+    assert(spark.sql("SELECT count(*) FROM graft.stats.eqskip WHERE id >= 1000")
+      .collect().head.getLong(0) == 99L)
+    // the delete entries DO carry the stats that make skipping possible
+    val dels = cat.ops.resolveEntries(dir, cat.ops.load(dir).get._2)
+      .filter(_.isEqDelete)
+    assert(dels.nonEmpty && dels.forall(e =>
+      e.rows.isDefined && e.stats.get("id").exists(s => s.min.isDefined && s.max.isDefined)))
+  }
+
   test("scan exposes manifest-pruning metrics (kept/skipped files)") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stats")
     spark.sql("CREATE TABLE graft.stats.met (id BIGINT) PARTITIONED BY (id)")
