@@ -315,6 +315,107 @@ object TextPipeline {
        )
        SELECT id AS doc_id, MIN(lbl) AS component FROM reach GROUP BY id ORDER BY doc_id"""
 
+  /** Alternating large-star/small-star connected components — the
+    * scale path for UNBOUNDED near-dup graphs (cf. the two-round-shape
+    * description in Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14). Unlike plain min-label propagation (L14),
+    * whose round count equals the graph diameter (unbounded on
+    * adversarial chains), this converges in O(log² n) rounds on ANY
+    * graph, and each round is two shuffle-sized steps: a groupBy-min
+    * over edge endpoints and an equi-join of that min back onto the
+    * edge list. No collect_set of neighborhoods — a 100M-degree hub
+    * node never materializes its adjacency list in one task; its rows
+    * flow through ordinary hash aggregation and join fanout.
+    *
+    * Input: (src, dst) pair rows in any order/duplication. Output:
+    * (doc_id, component) for every node incident to an edge, where
+    * component = the minimum node id of its connected component, plus
+    * the round count actually used (spec-pinned to stay logarithmic).
+    */
+  def starComponents(pairs: DataFrame): (DataFrame, Int) = {
+    val a = pairs.columns(0)
+    val b = pairs.columns(1)
+    // canonical undirected edges, lo < hi
+    var edges = pairs
+      .select(least(col(a), col(b)).as("lo"), greatest(col(a), col(b)).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+      .localCheckpoint(true)
+    // Fixpoint detection: (row count, order-independent hash sum) —
+    // one cheap scalar aggregate per round, no change-detection join.
+    def sig(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+          coalesce(sum(xxhash64(col("lo"), col("hi"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+            lit(java.math.BigDecimal.ZERO)))
+        .collect().head
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var prev = sig(edges)
+    var rounds = 0
+    var converged = prev._1 == 0L
+    while (!converged && rounds < 60) {
+      // large-star: for each node u (over the SYMMETRIC closure) with
+      // m(u) = min(Γ(u) ∪ {u}), hang every LARGER neighbour off m(u).
+      val sym = edges.select(col("lo").as("u"), col("hi").as("v"))
+        .union(edges.select(col("hi").as("u"), col("lo").as("v")))
+      val mins = sym.groupBy("u")
+        .agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val large = sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("m").as("lo"), col("v").as("hi"))  // m ≤ u < v
+        .distinct()
+      // small-star: key each edge on its LARGER endpoint u; with
+      // m(u) = min of its smaller neighbours, hang those neighbours
+      // (and u itself) off m(u).
+      val dir = large.select(col("hi").as("u"), col("lo").as("v"))
+      val mins2 = dir.groupBy("u").agg(min(col("v")).as("m"))
+      val small = dir.join(mins2, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("m").as("lo"), col("v").as("hi")) // m = min(Γ≤) < v
+        .union(mins2.select(col("m").as("lo"), col("u").as("hi")))
+        .distinct()
+        .localCheckpoint(true)
+      val s2 = sig(small)
+      converged = s2._1 == prev._1 && s2._2.compareTo(prev._2) == 0
+      prev = s2
+      edges = small
+      rounds += 1
+    }
+    // At the fixpoint every edge is (component-min, member).
+    val labels = edges.select(col("hi").as("doc_id"), col("lo").as("component"))
+      .union(edges.select(col("lo").as("doc_id"), col("lo").as("component")))
+      .distinct()
+    (labels, rounds)
+  }
+
+  /** L47 — duplicate clusters over the FULL MinHash-LSH near-dup edge
+    * set (every jaccard ≥ 0.5 pair from [[minhashLsh]], NOT a top-k
+    * selection), resolved with [[starComponents]]. This is the shape
+    * that holds at 100 TB: the edge set is whatever LSH banding
+    * produced — unbounded, possibly containing giant skewed clusters
+    * of boilerplate — and the round count stays logarithmic where
+    * L14's diameter-bound propagation could loop thousands of times. */
+  def dedupComponentsStar(s: SparkSession, d: String): DataFrame = {
+    val pairs = minhashLsh(s, d).filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    starComponents(pairs)._1.orderBy("doc_id")
+  }
+
+  val dedupComponentsStarSql: String =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       pairs AS (SELECT doc_a, doc_b FROM lsh_pairs WHERE jaccard >= 0.5),
+       e2 AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+       nodes AS (SELECT DISTINCT src AS id FROM e2),
+       reach(id, lbl) AS (
+         SELECT id, id FROM nodes
+         UNION
+         SELECT e.dst, r.lbl FROM reach r JOIN e2 e ON r.id = e.src
+       )
+       SELECT id AS doc_id, MIN(lbl) AS component FROM reach GROUP BY id ORDER BY doc_id"""
+
   /** L8 — language ID by stopword-hit voting with a fixed priority
     * tie-break; oracle-matched since both sides run the identical
     * heuristic. */

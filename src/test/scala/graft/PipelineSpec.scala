@@ -267,6 +267,50 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("L47: star components match union-find on a random graph") {
+    import spark.implicits._
+    // deterministic pseudo-random sparse graph: 400 nodes, ~300 edges
+    // (md5-derived endpoints) → a mix of many components, chains and
+    // small cycles
+    def h(s: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).take(7).map("%02x".format(_)).mkString, 16)
+    val edges = (0 until 300).map(i => (h(s"a$i") % 400, h(s"b$i") % 400))
+      .filter { case (a, b) => a != b }
+    // union-find ground truth
+    val parent = Array.tabulate(400)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      .map { n =>
+        // component min = min over nodes sharing the root
+        val root = find(n.toInt)
+        val minMember = (0 until 400).filter(find(_) == root).min.toLong
+        n -> minMember
+      }.toMap
+    val (labels, rounds) = TextPipeline.starComponents(edges.toDF("src", "dst"))
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, "star components disagree with union-find")
+    assert(rounds <= 20, s"rounds $rounds not logarithmic for n=400")
+  }
+
+  test("L47: round count stays logarithmic on an adversarial path graph") {
+    import spark.implicits._
+    // a 512-node path has diameter 511: min-label propagation needs
+    // ~511 rounds; the alternating star algorithm must stay O(log² n)
+    val n = 512
+    val path = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
+    val (labels, rounds) = TextPipeline.starComponents(path.toDF("src", "dst"))
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n && got.values.forall(_ == 0L),
+      "path must collapse to one component labelled 0")
+    assert(rounds <= 24, s"rounds $rounds is not logarithmic in n=$n (diameter ${n - 1})")
+  }
+
   test("L27: chunking tiles every document with stride-30/width-40 windows") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
