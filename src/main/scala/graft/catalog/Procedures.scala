@@ -35,7 +35,7 @@ object Procedures {
 
   private def names: Seq[String] = Seq(
     "compact", "expire_snapshots", "remove_orphans", "rewrite_manifests",
-    "apply_deletes", "rollback", "fast_forward", "vacuum",
+    "apply_deletes", "rollback", "fast_forward", "cherrypick_snapshot", "vacuum",
     "create_branch", "create_tag", "drop_ref", "analyze", "maintenance_plan",
     "compact_where", "migrate_bucket_hash", "export_iceberg", "import_iceberg")
 
@@ -71,6 +71,8 @@ object Procedures {
       case "apply_deletes" => Array(param("table", StringType),
         paramD("num_files", IntegerType, "0"))
       case "rollback" => Array(param("table", StringType), param("snapshot_id", LongType))
+      case "cherrypick_snapshot" =>
+        Array(param("table", StringType), param("snapshot_id", LongType))
       case "fast_forward" => Array(param("table", StringType),
         param("to_ref", StringType), param("from_ref", StringType))
       case "vacuum" => Array(param("table", StringType),
@@ -135,6 +137,11 @@ object Procedures {
             input.getUTF8String(1).toString, input.getUTF8String(2).toString)
           summary(Seq("current_snapshot_id" -> LongType),
             Seq[Any](meta.currentSnapshotId.getOrElse(-1L)))
+        case "cherrypick_snapshot" =>
+          val meta = ops.cherryPick(dir, input.getLong(1))
+          summary(
+            Seq("current_snapshot_id" -> LongType, "source_snapshot_id" -> LongType),
+            Seq[Any](meta.currentSnapshotId.getOrElse(-1L), input.getLong(1)))
         case "vacuum" =>
           val before = ops.load(dir).get._2.snapshots.size
           val meta = ops.expireSnapshots(dir, System.currentTimeMillis(), input.getInt(1))

@@ -242,6 +242,44 @@ final class TableOps(private[graft] val store: FsStore) {
       Seq(MetadataUpdate.SetSnapshotRef(toRef, head.snapshotId, "branch")))
   }
 
+  /** C86 — cherry-pick: re-apply the file-level additions of
+    * `snapshotId` (typically a snapshot staged on a write-audit-publish
+    * branch) onto the CURRENT main head as a fresh append commit. This
+    * publishes exactly one audited snapshot without moving main onto
+    * the branch lineage ([[fastForward]] would take everything on the
+    * branch) — the Iceberg `cherrypick_snapshot` semantics. Only
+    * append snapshots qualify: an append's effect is position- and
+    * order-independent (its files can land on any newer base), whereas
+    * replaying an overwrite or row-level delete against a diverged
+    * head could resurrect or double-delete rows. Re-picking a snapshot
+    * whose files are already live is refused rather than silently
+    * duplicating rows. */
+  def cherryPick(tableDir: Path, snapshotId: Long): TableMetadata = {
+    val (_, meta) = load(tableDir).getOrElse(
+      throw new CommitFailedException(s"table does not exist at $tableDir"))
+    val snap = meta.snapshots.find(_.snapshotId == snapshotId).getOrElse(
+      throw new IllegalArgumentException(s"snapshot $snapshotId not found"))
+    if (snap.operation != "append")
+      throw new IllegalArgumentException(
+        s"cherry-pick supports append snapshots only; $snapshotId is '${snap.operation}'")
+    val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
+    val parentPaths = snap.parentSnapshotId.flatMap(byId.get)
+      .map(p => snapshotFiles(tableDir, p).toSet).getOrElse(Set.empty[String])
+    val added = snapshotEntries(tableDir, snap)
+      .filter(e => e.isData && !parentPaths.contains(e.path))
+    if (added.isEmpty)
+      throw new IllegalArgumentException(
+        s"snapshot $snapshotId adds no data files — nothing to cherry-pick")
+    val live = meta.currentSnapshot
+      .map(s => snapshotFiles(tableDir, s).toSet).getOrElse(Set.empty[String])
+    val dup = added.map(_.path).filter(live.contains)
+    if (dup.nonEmpty)
+      throw new CommitFailedException(
+        s"cherry-pick of $snapshotId would double-apply ${dup.size} file(s) " +
+          s"already in the current state (e.g. ${dup.head})")
+    commitFiles(tableDir, added.map(_.path), "append")
+  }
+
   /** C70 — row lineage commit protocol: when the table property
     * `graft.row-lineage.enabled` is set, every committed data file is
     * stamped with the table-unique id of its first row, and the SAME

@@ -125,6 +125,55 @@ class MaintenanceSpec extends SparkSpec {
     assert(meta.refs("main").snapshotId == meta.refs("audit").snapshotId)
   }
 
+  test("C86: cherry-pick publishes one staged append onto a diverged main") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.maint")
+    spark.sql("CREATE TABLE graft.maint.cherry (id BIGINT)")
+    spark.sql("INSERT INTO graft.maint.cherry VALUES (1)")
+    val dir = new Path(s"$warehouse/maint/cherry")
+    import spark.implicits._
+
+    def stage(vals: Seq[Long], branch: String): Long = {
+      val writeDir = new Path(s"$warehouse/maint/cherry/data/w-stage-${vals.head}")
+      vals.toDF("id").write.parquet(writeDir.toString)
+      val files = cat.store.listFilesRec(writeDir)
+        .filter(_.getName.endsWith(".parquet")).map(_.toString)
+      cat.ops.commitFilesToBranch(dir, files, "append", branch).refs(branch).snapshotId
+    }
+    // two snapshots staged on the audit branch; only the FIRST is picked
+    val picked = stage(Seq(2L, 3L), "audit")
+    stage(Seq(100L), "audit")
+    // main diverges independently of the branch in the meantime
+    spark.sql("INSERT INTO graft.maint.cherry VALUES (4)")
+
+    val meta = cat.ops.cherryPick(dir, picked)
+    val main = spark.sql("SELECT id FROM graft.maint.cherry")
+      .collect().map(_.getLong(0)).toSet
+    assert(main == Set(1L, 2L, 3L, 4L),
+      "main must gain exactly the picked snapshot's rows (not the branch tail)")
+    // new commit on main's own lineage, not a ref move onto the branch
+    assert(meta.refs("main").snapshotId != picked)
+    assert(meta.snapshots.find(_.snapshotId == meta.refs("main").snapshotId)
+      .get.operation == "append")
+
+    // double-pick refused (files already live)
+    intercept[CommitFailedException] { cat.ops.cherryPick(dir, picked) }
+    // non-append snapshots refused
+    spark.sql("INSERT OVERWRITE graft.maint.cherry VALUES (9)")
+    val ow = cat.ops.load(dir).get._2.currentSnapshot.get
+    assert(ow.operation == "overwrite")
+    intercept[IllegalArgumentException] { cat.ops.cherryPick(dir, ow.snapshotId) }
+
+    // SQL procedure surface
+    spark.sql("INSERT INTO graft.maint.cherry VALUES (10)")
+    val picked2 = stage(Seq(11L), "audit2")
+    val res = spark.sql(
+      s"CALL graft.system.cherrypick_snapshot('maint.cherry', ${picked2}L)").collect()
+    assert(res.head.getLong(1) == picked2)
+    val after = spark.sql("SELECT id FROM graft.maint.cherry")
+      .collect().map(_.getLong(0)).toSet
+    assert(after == Set(9L, 10L, 11L))
+  }
+
   test("metadata log stays bounded and trimmed files are reclaimed") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.maint")
     spark.sql("CREATE TABLE graft.maint.logc (id BIGINT) TBLPROPERTIES (" +
