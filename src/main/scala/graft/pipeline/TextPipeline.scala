@@ -114,6 +114,17 @@ object TextPipeline {
     * DuckDB oracle reproduces the candidate set exactly — this is
     * hash-matched at the driver, not rows-only. MinHashSpec
     * additionally asserts candidate recall against [[ngramJaccard]]. */
+  /** LSH band table of a (doc_id, sh: shingle set) frame: 8 bands × 8
+    * minhash rows per doc, bucket = the literal band value string.
+    * Shared by L2 (symmetric self-join) and L48 (asymmetric
+    * incoming-vs-corpus probe). */
+  private def bandsOf(docsets: DataFrame): DataFrame =
+    docsets
+      .withColumn("sig", graftExpr(graft.functions.MinHashSig(colExpr(col("sh")))))
+      .select(col("doc_id"),
+        posexplode(expr("transform(sequence(0, 7), b -> concat_ws('|', slice(sig, b * 8 + 1, 8)))")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
     val docsets = shingles(documents(s, d))
       .groupBy("doc_id").agg(collect_set(col("s")).as("sh"))
@@ -121,11 +132,7 @@ object TextPipeline {
     // Native MinHashSig expression: one base hash per shingle + 64
     // affine permutations mod 2^31-1 in a single fused codegen loop
     // (see graft.functions.MinHashSig for the md5-derived recipe).
-    val bands = docsets
-      .withColumn("sig", graftExpr(graft.functions.MinHashSig(colExpr(col("sh")))))
-      .select(col("doc_id"),
-        posexplode(expr("transform(sequence(0, 7), b -> concat_ws('|', slice(sig, b * 8 + 1, 8)))")))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val bands = bandsOf(docsets)
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
@@ -415,6 +422,65 @@ object TextPipeline {
          SELECT e.dst, r.lbl FROM reach r JOIN e2 e ON r.id = e.src
        )
        SELECT id AS doc_id, MIN(lbl) AS component FROM reach GROUP BY id ORDER BY doc_id"""
+
+  /** L48 — ingest-time near-dup admission: decide, for each document
+    * of an INCOMING batch (here: doc_id % 3 == 0), whether it may
+    * enter the corpus, by LSH-probing it against (a) the live corpus
+    * and (b) earlier docs of its own batch. This is the admission
+    * variant of near-dedup: unlike the global L2/L47 pass it never
+    * pairs corpus docs with each other — the join is ASYMMETRIC
+    * (incoming bands probe corpus bands), so at 100 TB the cost is
+    * O(batch) lookups into a bucketed band table (which a production
+    * deployment keeps AS a catalog table partitioned by band), not a
+    * corpus self-join. Within-batch the rule is deterministic
+    * admission order: a doc is blocked by any SMALLER incoming
+    * doc_id it collides with, kept-or-not — non-recursive, so both
+    * engines compute it with one join. Verification (exact jaccard
+    * ≥ 0.5) runs only on bucket-collision candidates. */
+  def dedupIngestNeardup(s: SparkSession, d: String): DataFrame = {
+    val docsets = shingles(documents(s, d))
+      .groupBy("doc_id").agg(collect_set(col("s")).as("sh"))
+      .cache()
+    val bands = bandsOf(docsets).cache()
+    val inBands = bands.filter(col("doc_id") % 3 === 0)
+    val corpusBands = bands.filter(col("doc_id") % 3 =!= 0)
+    val vsCorpus = inBands.as("x").join(corpusBands.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("nbr"))
+    val vsBatch = inBands.as("x").join(inBands.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("y.doc_id") < col("x.doc_id"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("nbr"))
+    val cand = vsCorpus.union(vsBatch).distinct()
+    val verified = cand
+      .join(docsets.select(col("doc_id"), col("sh")), "doc_id")
+      .join(docsets.select(col("doc_id").as("nbr"), col("sh").as("shn")), "nbr")
+      .withColumn("shared", size(array_intersect(col("sh"), col("shn"))).cast("long"))
+      .withColumn("jaccard",
+        round(col("shared").cast("double") / (size(col("sh")) + size(col("shn")) - col("shared")), 4))
+      .filter(col("jaccard") >= 0.5)
+    val dup = verified.groupBy("doc_id").agg(min(col("nbr")).as("dup_of"))
+    documents(s, d).filter(col("doc_id") % 3 === 0).select("doc_id")
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        when(col("dup_of").isNull, 1L).otherwise(0L).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val dedupIngestNeardupSql: String =
+    s"""WITH $minhashPairsCtes,
+       p2 AS (SELECT doc_a, doc_b FROM lsh_pairs WHERE jaccard >= 0.5),
+       sym AS (SELECT doc_a AS id, doc_b AS nbr FROM p2
+               UNION ALL SELECT doc_b, doc_a FROM p2),
+       incoming AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+       blockers AS (SELECT s.id AS doc_id, s.nbr
+                    FROM sym s JOIN incoming i ON s.id = i.doc_id
+                    WHERE s.nbr % 3 <> 0 OR s.nbr < s.id),
+       dup AS (SELECT doc_id, MIN(nbr) AS dup_of FROM blockers GROUP BY doc_id)
+       SELECT i.doc_id, d.dup_of,
+              CAST(CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+       FROM incoming i LEFT JOIN dup d USING (doc_id)
+       ORDER BY i.doc_id"""
 
   /** L8 — language ID by stopword-hit voting with a fixed priority
     * tie-break; oracle-matched since both sides run the identical

@@ -311,6 +311,27 @@ class PipelineSpec extends SparkSpec {
     assert(rounds <= 24, s"rounds $rounds is not logarithmic in n=$n (diameter ${n - 1})")
   }
 
+  test("L48: ingest admission agrees with the LSH pair set and the admission-order rule") {
+    val verdicts = TextPipeline.dedupIngestNeardup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2)))
+    assert(verdicts.nonEmpty && verdicts.forall(_._1 % 3 == 0),
+      "exactly the incoming batch is adjudicated")
+    // expected blockers from the symmetric >=0.5 LSH pair set
+    val pairs = TextPipeline.minhashLsh(spark, sfDir)
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sym = pairs ++ pairs.map(_.swap)
+    val expected = sym
+      .filter { case (id, nbr) => id % 3 == 0 && (nbr % 3 != 0 || nbr < id) }
+      .groupBy(_._1).map { case (id, ns) => id -> ns.map(_._2).min }
+    verdicts.foreach { case (id, dupOf, keep) =>
+      assert(dupOf == expected.get(id), s"doc $id: dup_of $dupOf != ${expected.get(id)}")
+      assert((keep == 1L) == dupOf.isEmpty, s"doc $id keep flag inconsistent")
+    }
+    assert(verdicts.exists(_._3 == 0L), "test corpus should block at least one incoming doc")
+    assert(verdicts.exists(_._3 == 1L), "not everything should be blocked")
+  }
+
   test("L27: chunking tiles every document with stride-30/width-40 windows") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
