@@ -390,6 +390,10 @@ object TextPipeline {
       edges = small
       rounds += 1
     }
+    // 60 rounds covers log²(n) for any physically possible n — hitting
+    // the cap means a bug, and unconverged labels must never leak out.
+    if (!converged) throw new IllegalStateException(
+      s"star components did not converge after $rounds rounds")
     // At the fixpoint every edge is (component-min, member).
     val labels = edges.select(col("hi").as("doc_id"), col("lo").as("component"))
       .union(edges.select(col("lo").as("doc_id"), col("lo").as("component")))
