@@ -653,6 +653,56 @@ object TextPipeline {
                    ELSE 50 END)
        GROUP BY source ORDER BY source"""
 
+  /** L49 — quality-weighted deterministic sampling: keep probability
+    * proportional to L9's quality score (floored at 5%, capped at 1),
+    * drawn with the R24 multiplicative hash so re-runs and the oracle
+    * select the IDENTICAL sample (no RNG, no seed plumbing), and each
+    * kept doc carries the Horvitz-Thompson inverse-probability weight
+    * (1/p) so downstream token/quality statistics stay unbiased after
+    * the downsample. The probability cut compares integers on both
+    * sides (hash mod 1e6 vs floor(p·1e6)) — no float-boundary
+    * divergence between engines. Map-only plus ONE broadcast scalar
+    * (the corpus max score; the crossJoin is a 1-row broadcast, not a
+    * cartesian) at any corpus size. */
+  def sampleQualityWeighted(s: SparkSession, d: String): DataFrame = {
+    val q = textQuality(s, d).select(col("doc_id"), col("quality_score"))
+    val mx = q.agg(max(col("quality_score")).as("max_q"))
+    q.crossJoin(broadcast(mx))
+      .withColumn("p_keep",
+        least(lit(1.0), greatest(lit(0.05), col("quality_score") / col("max_q"))))
+      .filter((col("doc_id") * lit(2654435761L)) % 1000000 <
+        floor(col("p_keep") * lit(1000000.0)).cast("long"))
+      .select(col("doc_id"), col("quality_score"),
+        round(col("p_keep"), 6).as("p_keep"),
+        round(lit(1.0) / col("p_keep"), 6).as("weight"))
+      .orderBy("doc_id")
+  }
+
+  val sampleQualityWeightedSql: String = {
+    val list = stops("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+       f AS (SELECT doc_id,
+                    CAST(len(ws) AS BIGINT) AS n_words,
+                    CAST(len(list_filter(ws, w -> w IN ($list))) AS BIGINT) AS h_stop,
+                    CAST(len(regexp_extract_all(text, '[.,!?]')) AS BIGINT) AS n_punct
+             FROM w),
+       q AS (SELECT doc_id,
+                    ROUND(0.4 * ln(CAST(n_words AS DOUBLE)) +
+                          0.4 * (CAST(h_stop AS DOUBLE) / n_words) -
+                          0.2 * (CAST(n_punct AS DOUBLE) / n_words), 4) AS quality_score
+             FROM f),
+       m AS (SELECT MAX(quality_score) AS max_q FROM q),
+       sel AS (SELECT doc_id, quality_score,
+                      LEAST(CAST(1 AS DOUBLE),
+                            GREATEST(CAST(0.05 AS DOUBLE), quality_score / max_q)) AS p
+               FROM q, m)
+       SELECT doc_id, quality_score, ROUND(p, 6) AS p_keep,
+              ROUND(CAST(1 AS DOUBLE) / p, 6) AS weight
+       FROM sel
+       WHERE (doc_id * 2654435761) % 1000000 < CAST(floor(p * 1000000) AS BIGINT)
+       ORDER BY doc_id"""
+  }
+
   /** L11 — document fingerprint: rolling polynomial hash over word
     * hashes, mod a 30-bit prime (keeps every product within long
     * range). Word hash = cross-engine md5 prefix, so the DuckDB

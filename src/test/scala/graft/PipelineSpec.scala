@@ -332,6 +332,31 @@ class PipelineSpec extends SparkSpec {
     assert(verdicts.exists(_._3 == 1L), "not everything should be blocked")
   }
 
+  test("L49: quality-weighted sample is deterministic, rule-exact, and HT-weighted") {
+    val run1 = TextPipeline.sampleQualityWeighted(spark, sfDir).collect()
+    val run2 = TextPipeline.sampleQualityWeighted(spark, sfDir).collect()
+    assert(run1.map(_.getLong(0)).toSeq == run2.map(_.getLong(0)).toSeq,
+      "re-run must draw the identical sample")
+    // recompute the rule from L9's scores
+    val scores = TextPipeline.textQuality(spark, sfDir)
+      .select("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val maxQ = scores.map(_._2).max
+    val expected = scores.flatMap { case (id, q) =>
+      val p = math.min(1.0, math.max(0.05, q / maxQ))
+      if ((id * 2654435761L) % 1000000 < math.floor(p * 1000000.0).toLong)
+        Some(id -> p) else None
+    }.toMap
+    assert(run1.map(_.getLong(0)).toSet == expected.keySet, "sample membership rule mismatch")
+    run1.foreach { r =>
+      val p = expected(r.getLong(0))
+      assert(math.abs(r.getDouble(2) - p) < 1e-6, "p_keep mismatch")
+      assert(math.abs(r.getDouble(3) - 1.0 / p) < 1e-5, "weight must be 1/p")
+    }
+    // the sample must actually drop something and keep something
+    assert(expected.nonEmpty && expected.size < scores.length)
+  }
+
   test("L27: chunking tiles every document with stride-30/width-40 windows") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
