@@ -117,8 +117,11 @@ object TextPipeline {
   /** LSH band table of a (doc_id, sh: shingle set) frame: 8 bands × 8
     * minhash rows per doc, bucket = the literal band value string.
     * Shared by L2 (symmetric self-join) and L48 (asymmetric
-    * incoming-vs-corpus probe). */
-  private def bandsOf(docsets: DataFrame): DataFrame =
+    * incoming-vs-corpus probe). Public because the production L48
+    * deployment persists THIS frame as a catalog table (partitioned by
+    * band) and probes it incrementally — PipelineSpec proves that
+    * round-trip. */
+  def bandsOf(docsets: DataFrame): DataFrame =
     docsets
       .withColumn("sig", graftExpr(graft.functions.MinHashSig(colExpr(col("sh")))))
       .select(col("doc_id"),

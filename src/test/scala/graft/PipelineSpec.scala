@@ -332,6 +332,30 @@ class PipelineSpec extends SparkSpec {
     assert(verdicts.exists(_._3 == 1L), "not everything should be blocked")
   }
 
+  test("L48: the corpus band table round-trips through the catalog and probes identically") {
+    val docsets = TextPipeline.shingles(
+        spark.read.parquet(s"$sfDir/documents.parquet"))
+      .groupBy("doc_id").agg(collect_set(col("s")).as("sh"))
+    val bands = TextPipeline.bandsOf(docsets).cache()
+    // persist the live-corpus side as a catalog table, as a production
+    // deployment would (the incremental path: append new bands per
+    // ingest window instead of recomputing the corpus)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.pipe")
+    bands.filter(col("doc_id") % 3 =!= 0)
+      .writeTo("graft.pipe.corpus_bands").create()
+    def candidates(corpus: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      bands.filter(col("doc_id") % 3 === 0).as("x")
+        .join(corpus.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+        .select(col("x.doc_id"), col("y.doc_id"))
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaCatalog = candidates(spark.table("graft.pipe.corpus_bands"))
+    val inline = candidates(bands.filter(col("doc_id") % 3 =!= 0))
+    assert(viaCatalog == inline && viaCatalog.nonEmpty,
+      "probing the persisted band table must yield the inline candidate set")
+    bands.unpersist()
+  }
+
   test("L49: quality-weighted sample is deterministic, rule-exact, and HT-weighted") {
     val run1 = TextPipeline.sampleQualityWeighted(spark, sfDir).collect()
     val run2 = TextPipeline.sampleQualityWeighted(spark, sfDir).collect()
