@@ -29,7 +29,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog
-    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog
+    with StagingTableCatalog {
 
   /** C75 — declare column-default support so `CREATE TABLE (... x INT
     * DEFAULT 7)` / `ALTER TABLE ADD COLUMN ... DEFAULT` / `ALTER
@@ -208,20 +209,63 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
   private def fullName(ident: Identifier): String =
     (catalogName +: ident.namespace.toSeq :+ ident.name).mkString(".")
 
-  /** SQL `VERSION AS OF <snapshot-id>` — pins the snapshot's file list. */
+  /** Time travel reads with the SNAPSHOT's schema (Iceberg
+    * semantics): after a C87 REPLACE installed a wholesale-new current
+    * schema, `VERSION AS OF` a pre-replace snapshot must resolve the
+    * OLD field ids, not read the old files through the new schema. */
+  private def pinSchema(meta: TableMetadata, snap: Option[Snapshot]): TableMetadata =
+    snap.filter(s => meta.schemas.exists(_.schemaId == s.schemaId))
+      .map(s => meta.copy(currentSchemaId = s.schemaId)).getOrElse(meta)
+
+  /** SQL `VERSION AS OF <snapshot-id>` — pins the snapshot's file list
+    * and schema. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tablePath(ident)
     val (_, meta) = ops.load(dir).getOrElse(throw new NoSuchTableException(ident))
     val entries = ops.resolveEntries(dir, meta, snapshotId = Some(version.toLong))
-    new GraftTable(fullName(ident), dir, meta, ops, Some(entries))
+    val pinned = pinSchema(meta, meta.snapshots.find(_.snapshotId == version.toLong))
+    new GraftTable(fullName(ident), dir, pinned, ops, Some(entries))
   }
 
   /** SQL `TIMESTAMP AS OF` — Spark hands micros since epoch. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val dir = tablePath(ident)
     val (_, meta) = ops.load(dir).getOrElse(throw new NoSuchTableException(ident))
-    val entries = ops.resolveEntries(dir, meta, asOfTimestampMs = Some(timestampMicros / 1000))
-    new GraftTable(fullName(ident), dir, meta, ops, Some(entries))
+    val tsMs = timestampMicros / 1000
+    val entries = ops.resolveEntries(dir, meta, asOfTimestampMs = Some(tsMs))
+    val pinned = pinSchema(meta,
+      meta.snapshots.filter(_.timestampMs <= tsMs).sortBy(_.timestampMs).lastOption)
+    new GraftTable(fullName(ident), dir, pinned, ops, Some(entries))
+  }
+
+  /** Parse a v2 Transform onto the Iceberg transform vocabulary and
+    * validate it against `schema` — shared by CREATE TABLE and the
+    * C87 staged CTAS/RTAS path. Returns (sourceColumn, transform). */
+  private[catalog] def specPair(t: Transform, schema: StructType): (String, String) = {
+    val srcName = t.references.head.fieldNames.mkString(".")
+    val intArg: Option[Int] = t.arguments.collectFirst {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_]
+          if l.value().isInstanceOf[Number] => l.value().asInstanceOf[Number].intValue()
+    }
+    val transform = t.name match {
+      case "identity" => "identity"
+      case "bucket" => s"bucket[${intArg.getOrElse(
+        throw new IllegalArgumentException("bucket transform needs a bucket count"))}]"
+      case "truncate" => s"truncate[${intArg.getOrElse(
+        throw new IllegalArgumentException("truncate transform needs a width"))}]"
+      case "years" | "year" => "year"
+      case "months" | "month" => "month"
+      case "days" | "day" => "day"
+      case "hours" | "hour" => "hour"
+      case other => throw new UnsupportedOperationException(
+        s"partition transform $other not supported")
+    }
+    val sparkType = schema.fields.find(_.name == srcName).getOrElse(
+      throw new IllegalArgumentException(s"partition column $srcName not in schema")).dataType
+    if (!Transforms.supports(transform, sparkType))
+      throw new IllegalArgumentException(
+        s"transform $transform not applicable to $srcName: $sparkType")
+    (srcName, transform)
   }
 
   override def createTable(
@@ -239,30 +283,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     // these v2 Transforms). Source-type compatibility is checked HERE
     // so a bad spec fails at CREATE, not at first write.
     val specFields = partitions.toSeq.zipWithIndex.map { case (t, i) =>
-      val srcName = t.references.head.fieldNames.mkString(".")
+      val (srcName, transform) = specPair(t, schema)
       val src = tableSchema.fields.find(_.name == srcName).getOrElse(
         throw new IllegalArgumentException(s"partition column $srcName not in schema"))
-      val intArg: Option[Int] = t.arguments.collectFirst {
-        case l: org.apache.spark.sql.connector.expressions.Literal[_]
-            if l.value().isInstanceOf[Number] => l.value().asInstanceOf[Number].intValue()
-      }
-      val transform = t.name match {
-        case "identity" => "identity"
-        case "bucket" => s"bucket[${intArg.getOrElse(
-          throw new IllegalArgumentException("bucket transform needs a bucket count"))}]"
-        case "truncate" => s"truncate[${intArg.getOrElse(
-          throw new IllegalArgumentException("truncate transform needs a width"))}]"
-        case "years" | "year" => "year"
-        case "months" | "month" => "month"
-        case "days" | "day" => "day"
-        case "hours" | "hour" => "hour"
-        case other => throw new UnsupportedOperationException(
-          s"partition transform $other not supported")
-      }
-      val sparkType = schema.fields.find(_.name == srcName).get.dataType
-      if (!Transforms.supports(transform, sparkType))
-        throw new IllegalArgumentException(
-          s"transform $transform not applicable to $srcName: $sparkType")
       PartitionField(src.id, 1000 + i, srcName, transform)
     }
     val props = properties.asScala.toMap -
@@ -272,6 +295,46 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       SortOrder(0, Seq.empty), props)
     ops.create(dir, meta)
     new GraftTable(fullName(ident), dir, meta, ops)
+  }
+
+  /** C87 — StagingTableCatalog: atomic CTAS / RTAS. Spark routes
+    * `CREATE TABLE AS SELECT`, `REPLACE TABLE AS SELECT` and
+    * `writeTo(...).createOrReplace()` through these when the catalog
+    * stages writes; the returned table runs the NORMAL graft write
+    * path (spec clustering, `__pt_` stats) against an in-memory
+    * candidate metadata, and publishes everything only in
+    * commitStagedChanges — REPLACE as ONE CAS commit that keeps the
+    * table's history time-travelable (no drop+create window). */
+  override def stageCreate(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    requireNs(ident.namespace.toSeq)
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident.toString)
+    new StagedGraftTable(this, ident, schema, partitions, properties,
+      allowCreate = true, allowReplace = false)
+  }
+
+  override def stageReplace(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    requireNs(ident.namespace.toSeq)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new StagedGraftTable(this, ident, schema, partitions, properties,
+      allowCreate = false, allowReplace = true)
+  }
+
+  override def stageCreateOrReplace(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    requireNs(ident.namespace.toSeq)
+    new StagedGraftTable(this, ident, schema, partitions, properties,
+      allowCreate = true, allowReplace = true)
   }
 
   /** ALTER TABLE → commit updates; the TableChange vocabulary maps onto
@@ -490,6 +553,70 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
 }
 
 /** DSv2 view wrapper: Spark substitutes `query()` into the plan. */
+/** C87 — the staged table behind [[GraftCatalog.stageCreate]] /
+  * stageReplace / stageCreateOrReplace. The data write runs through
+  * the regular [[GraftTable]] write machinery over a CANDIDATE
+  * metadata that exists only in memory; the staged sink captures the
+  * written files instead of committing, and commitStagedChanges
+  * publishes:
+  *   - REPLACE (table exists): [[TableOps.replaceTableData]] — one
+  *     CAS commit; readers see old-or-new, never a dropped state, and
+  *     prior snapshots stay time-travelable.
+  *   - CREATE: v0 metadata CAS, then the first append. A crash
+  *     between the two leaves an empty table — the same exposure as
+  *     Spark's own non-staging CTAS, with no data-loss window.
+  * abortStagedChanges removes the already-written orphan files. */
+private[catalog] final class StagedGraftTable(
+    cat: GraftCatalog,
+    ident: Identifier,
+    sparkSchema: StructType,
+    partitions: Array[Transform],
+    properties: util.Map[String, String],
+    allowCreate: Boolean,
+    allowReplace: Boolean) extends StagedTable
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  private val dir = cat.tablePath(ident)
+  private val pairs = partitions.toSeq.map(t => cat.specPair(t, sparkSchema))
+  private val props = properties.asScala.toMap -
+    TableCatalog.PROP_LOCATION - TableCatalog.PROP_PROVIDER - TableCatalog.PROP_OWNER
+  private val tableSchema = SchemaBridge.fromSpark(sparkSchema)
+  private val candidate = TableMetadata.create(
+    dir.toString, tableSchema,
+    PartitionSpec(0, pairs.zipWithIndex.map { case ((n, tr), i) =>
+      PartitionField(tableSchema.fields.find(_.name == n).get.id, 1000 + i, n, tr) }),
+    SortOrder(0, Seq.empty), props)
+  @volatile private var staged: Seq[String] = Seq.empty
+  private val inner = new GraftTable(ident.toString, dir, candidate, cat.ops,
+    stagedSink = Some(files => staged = files))
+
+  override def name(): String = inner.name()
+  override def schema(): StructType = sparkSchema
+  override def partitioning(): Array[Transform] = inner.partitioning()
+  override def properties(): util.Map[String, String] = inner.properties()
+  override def capabilities(): util.Set[TableCapability] = inner.capabilities()
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    inner.newWriteBuilder(info)
+
+  override def commitStagedChanges(): Unit = {
+    if (cat.ops.load(dir).isDefined) {
+      if (!allowReplace) throw new TableAlreadyExistsException(ident.toString)
+      cat.ops.replaceTableData(dir, sparkSchema, pairs, props, staged)
+    } else {
+      if (!allowCreate) throw new NoSuchTableException(ident)
+      cat.ops.create(dir, candidate)
+      if (staged.nonEmpty) cat.ops.commitFiles(dir, staged, "append")
+    }
+  }
+
+  override def abortStagedChanges(): Unit =
+    staged.foreach { f =>
+      try cat.ops.store.delete(new Path(f)) catch { case _: Exception => () }
+    }
+}
+
 final class GraftView(ident: Identifier, vm: ViewMetadata) extends View {
   private val cur = vm.currentVersion
   override def name(): String = ident.toString

@@ -36,7 +36,11 @@ final class GraftTable(
     dir: Path,
     meta: TableMetadata,
     ops: TableOps,
-    pinnedFiles: Option[Seq[DataFileEntry]] = None)
+    pinnedFiles: Option[Seq[DataFileEntry]] = None,
+    /** C87 staging hook: when set, batch writes deliver their written
+      * file list HERE instead of committing — the StagedTable publishes
+      * everything in commitStagedChanges (atomic CTAS/RTAS). */
+    stagedSink: Option[Seq[String] => Unit] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations with SupportsMetadataColumns {
 
@@ -1609,12 +1613,15 @@ final class GraftTable(
       inner.onDataWriterCommit(message)
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       inner.commit(messages)
-      operation match {
-        case "overwrite-by-filter" =>
-          ops.overwriteByFilter(spark, dir, filesIn(writeDir), overwriteFilters.toSeq)
-        case "dynamic-overwrite" =>
-          ops.overwriteDynamic(spark, dir, filesIn(writeDir))
-        case op => ops.commitFiles(dir, filesIn(writeDir), op)
+      stagedSink match {
+        case Some(sink) => sink(filesIn(writeDir)) // C87: publish deferred to commitStagedChanges
+        case None => operation match {
+          case "overwrite-by-filter" =>
+            ops.overwriteByFilter(spark, dir, filesIn(writeDir), overwriteFilters.toSeq)
+          case "dynamic-overwrite" =>
+            ops.overwriteDynamic(spark, dir, filesIn(writeDir))
+          case op => ops.commitFiles(dir, filesIn(writeDir), op)
+        }
       }
     }
     override def abort(messages: Array[WriterCommitMessage]): Unit = inner.abort(messages)

@@ -242,6 +242,81 @@ final class TableOps(private[graft] val store: FsStore) {
       Seq(MetadataUpdate.SetSnapshotRef(toRef, head.snapshotId, "branch")))
   }
 
+  /** C87 — atomic REPLACE TABLE AS SELECT: ONE CAS commit installs a
+    * new current schema (fresh field ids above the table's
+    * lastColumnId — prior snapshots keep reading through THEIR schema
+    * ids, so the whole history stays time-travelable across the
+    * replace), a new default partition spec, the new table
+    * properties, and the staged query result as an overwrite
+    * snapshot. Readers see the old table or the complete new one,
+    * never the dropped/partial window a non-atomic drop+create
+    * exposes. Composed entirely from the reference's commit
+    * vocabulary (add-schema / set-current-schema / add-spec /
+    * set-default-spec / set-properties / add-snapshot /
+    * set-snapshot-ref applied in one transaction — logic/updates.go
+    * semantics); pending MOR deletes die with the data they masked. */
+  def replaceTableData(
+      tableDir: Path,
+      sparkSchema: org.apache.spark.sql.types.StructType,
+      specPairs: Seq[(String, String)],
+      newProps: Map[String, String],
+      newFiles: Seq[String],
+      maxRetries: Int = 20): TableMetadata = {
+    var attempt = 0
+    while (true) {
+      try {
+        val (_, meta) = load(tableDir).getOrElse(
+          throw new CommitFailedException(s"table does not exist at $tableDir"))
+        val newSchema = SchemaBridge.fromSpark(sparkSchema, meta.lastColumnId + 1)
+          .copy(schemaId = meta.schemas.map(_.schemaId).max + 1)
+        val newSpecFields = specPairs.zipWithIndex.map { case ((cn, tr), i) =>
+          val src = newSchema.fields.find(_.name == cn).getOrElse(
+            throw new IllegalArgumentException(s"partition column $cn not in schema"))
+          PartitionField(src.id, meta.lastPartitionId + 1 + i, cn, tr)
+        }
+        val newSpec = PartitionSpec(meta.specs.map(_.specId).max + 1, newSpecFields)
+        val newSeq = meta.lastSequenceNumber + 1
+        val entries = collectStats(tableDir, newFiles)
+          .map(e => e.copy(path = relativize(tableDir, e.path), seq = Some(newSeq)))
+          .filterNot(_.rows.contains(0L))
+        val snapId = newSnapshotId()
+        val parent = meta.currentSnapshot
+        val (manifestName, total) =
+          writeManifestFor(tableDir, meta, snapId, parent, None, entries)
+        val snap = Snapshot(
+          snapshotId = snapId,
+          parentSnapshotId = parent.map(_.snapshotId),
+          sequenceNumber = newSeq,
+          timestampMs = System.currentTimeMillis(),
+          operation = "overwrite",
+          manifest = manifestName,
+          summary = Map(
+            "added-data-files" -> newFiles.size.toString,
+            "total-data-files" -> total.toString,
+            "replace" -> "true"),
+          schemaId = newSchema.schemaId)
+        return commit(tableDir,
+          Seq(Requirement.AssertRefSnapshotId("main",
+            meta.refs.get("main").map(_.snapshotId))),
+          Seq(
+            MetadataUpdate.AddSchema(newSchema),
+            MetadataUpdate.SetCurrentSchema(newSchema.schemaId),
+            MetadataUpdate.AddSpec(newSpec),
+            MetadataUpdate.SetDefaultSpec(newSpec.specId),
+            MetadataUpdate.SetProperties(newProps),
+            MetadataUpdate.AddSnapshot(snap),
+            MetadataUpdate.SetSnapshotRef("main", snapId, "branch")))
+      } catch {
+        case e: CommitFailedException if attempt < maxRetries &&
+            (e.getMessage.contains("concurrent commit") ||
+             e.getMessage.contains("assert-ref-snapshot-id")) =>
+          attempt += 1
+          Thread.sleep(15L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** C86 — cherry-pick: re-apply the file-level additions of
     * `snapshotId` (typically a snapshot staged on a write-audit-publish
     * branch) onto the CURRENT main head as a fresh append commit. This

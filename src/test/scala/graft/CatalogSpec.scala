@@ -340,6 +340,51 @@ class CatalogSpec extends SparkSpec {
 
   // ---------- metadata JSON round-trip ----------
 
+  test("C2c: writeTo.createOrReplace + REPLACE TABLE AS SELECT (the reference's own pyspark example shape)") {
+    // examples/pyspark_example.py drives denali through exactly this
+    // API: spark_df.writeTo("westeros.my_table").createOrReplace()
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.westeros")
+    Seq((1L, "jon_snow", 0.0)).toDF("id", "name", "what_they_know")
+      .writeTo("graft.westeros.my_table").createOrReplace()
+    val first = spark.table("graft.westeros.my_table").collect()
+    assert(first.length == 1 && first.head.getString(1) == "jon_snow")
+    // replace with a DIFFERENT schema: the new definition wins wholesale
+    Seq((2L, "arya")).toDF("id", "name")
+      .writeTo("graft.westeros.my_table").createOrReplace()
+    val second = spark.table("graft.westeros.my_table")
+    assert(second.schema.fieldNames.toSeq == Seq("id", "name"))
+    assert(second.collect().head.getString(1) == "arya")
+    // SQL RTAS spelling
+    spark.sql("REPLACE TABLE graft.westeros.my_table AS SELECT 3L AS id, 'bran' AS name")
+    assert(spark.table("graft.westeros.my_table").collect().head.getLong(0) == 3L)
+
+    // C87 atomicity: each replace was ONE commit on the SAME table —
+    // uuid stable, snapshot history intact across both replaces (a
+    // drop+create would have reset both), every snapshot an overwrite
+    // with its own schema id
+    val dir = new org.apache.hadoop.fs.Path(s"$warehouse/westeros/my_table")
+    val cat = spark.sessionState.catalogManager.catalog("graft").asInstanceOf[GraftCatalog]
+    val (_, meta) = cat.ops.load(dir).get
+    assert(meta.snapshots.size == 3, s"3 replace snapshots, got ${meta.snapshots.size}")
+    assert(meta.schemas.size == 3, "each replace installs a fresh schema")
+    // staged CREATE lands as v0 + first append; each staged REPLACE is
+    // one atomic overwrite commit
+    assert(meta.snapshots.sortBy(_.sequenceNumber).map(_.operation) ==
+      Seq("append", "overwrite", "overwrite"))
+    // fresh field ids above the prior schema's — old snapshots keep
+    // their own schema for time travel
+    assert(meta.schemas.map(_.highestFieldId).distinct.size == 3)
+    // time travel resolves through the SNAPSHOT's schema — the
+    // pre-replace row reads back through its own field ids
+    val firstSnap = meta.snapshots.minBy(_.sequenceNumber)
+    val asOf = spark.sql(
+      s"SELECT * FROM graft.westeros.my_table VERSION AS OF ${firstSnap.snapshotId}")
+    assert(asOf.schema.fieldNames.toSeq == Seq("id", "name", "what_they_know"))
+    assert(asOf.collect().head.getString(1) == "jon_snow",
+      "the pre-replace snapshot must stay time-travelable")
+  }
+
   test("metadata JSON round-trips losslessly") {
     val meta = TableMetadata.create(
       "/wh/t", TableSchema(0, Seq(
