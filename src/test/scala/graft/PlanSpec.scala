@@ -191,6 +191,22 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       plan.contains("ShuffledHashJoin"), plan.take(800))
   }
 
+  test("L48/L49: ingest probe is equi-join only; scalar max broadcasts, no cartesian") {
+    import graft.pipeline.TextPipeline
+    // L48: both probe joins (incoming vs corpus bands, incoming vs
+    // smaller incoming) are hash equi-joins on (band, bucket) — the
+    // shape that stays a bucketed lookup at 100 TB
+    val p48 = planOf(TextPipeline.dedupIngestNeardup(spark, sfDir))
+    assert(!p48.contains("CartesianProduct"), p48.take(800))
+    assert(!p48.contains("BroadcastNestedLoopJoin"), p48.take(800))
+    // L49: the corpus-max scalar rides a 1-row broadcast (nested-loop
+    // on one row, NOT a cartesian over the corpus); the keep filter is
+    // map-side
+    val p49 = planOf(TextPipeline.sampleQualityWeighted(spark, sfDir))
+    assert(!p49.contains("CartesianProduct"), p49.take(800))
+    assert(p49.contains("BroadcastNestedLoopJoin"), p49.take(800))
+  }
+
   test("catalog table scans keep pushdown through GraftTable") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.plans")
     spark.read.parquet(s"$sfDir/orders.parquet")
