@@ -222,20 +222,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tablePath(ident)
     val (_, meta) = ops.load(dir).getOrElse(throw new NoSuchTableException(ident))
+    // Pin from the SAME snapshot the entries were resolved from
+    // (resolveSnapshot is the shared rule) — picking it independently
+    // risks serving one snapshot's files through another's schema.
+    val snap = ops.resolveSnapshot(meta, snapshotId = Some(version.toLong))
     val entries = ops.resolveEntries(dir, meta, snapshotId = Some(version.toLong))
-    val pinned = pinSchema(meta, meta.snapshots.find(_.snapshotId == version.toLong))
-    new GraftTable(fullName(ident), dir, pinned, ops, Some(entries))
+    new GraftTable(fullName(ident), dir, pinSchema(meta, snap), ops, Some(entries))
   }
 
-  /** SQL `TIMESTAMP AS OF` — Spark hands micros since epoch. */
+  /** SQL `TIMESTAMP AS OF` — Spark hands micros since epoch. The
+    * pinning snapshot comes from the snapshotLog (main lineage), not
+    * the raw snapshot set: after a REPLACE followed by rollback, the
+    * max-timestamp snapshot can be a WAP-branch or rolled-back head
+    * whose schema differs from the lineage snapshot actually served. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val dir = tablePath(ident)
     val (_, meta) = ops.load(dir).getOrElse(throw new NoSuchTableException(ident))
     val tsMs = timestampMicros / 1000
+    val snap = ops.resolveSnapshot(meta, asOfTimestampMs = Some(tsMs))
     val entries = ops.resolveEntries(dir, meta, asOfTimestampMs = Some(tsMs))
-    val pinned = pinSchema(meta,
-      meta.snapshots.filter(_.timestampMs <= tsMs).sortBy(_.timestampMs).lastOption)
-    new GraftTable(fullName(ident), dir, pinned, ops, Some(entries))
+    new GraftTable(fullName(ident), dir, pinSchema(meta, snap), ops, Some(entries))
   }
 
   /** Parse a v2 Transform onto the Iceberg transform vocabulary and

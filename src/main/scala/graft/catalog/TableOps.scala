@@ -276,9 +276,16 @@ final class TableOps(private[graft] val store: FsStore) {
         }
         val newSpec = PartitionSpec(meta.specs.map(_.specId).max + 1, newSpecFields)
         val newSeq = meta.lastSequenceNumber + 1
-        val entries = collectStats(tableDir, newFiles)
+        // C70: stamp row-lineage id blocks against the POST-replace
+        // property set (SetProperties merges, so lineage enabled
+        // before the replace stays enabled unless newProps unsets it).
+        // Skipping this — as commitFilesOnce never does — would commit
+        // files with no firstRowId and no next-row-id advance,
+        // breaking _row_id reads after the replace.
+        val postMeta = meta.copy(properties = meta.properties ++ newProps)
+        val (entries, lineageUpd) = stampRowIds(postMeta, collectStats(tableDir, newFiles)
           .map(e => e.copy(path = relativize(tableDir, e.path), seq = Some(newSeq)))
-          .filterNot(_.rows.contains(0L))
+          .filterNot(_.rows.contains(0L)))
         val snapId = newSnapshotId()
         val parent = meta.currentSnapshot
         val (manifestName, total) =
@@ -305,7 +312,9 @@ final class TableOps(private[graft] val store: FsStore) {
             MetadataUpdate.SetDefaultSpec(newSpec.specId),
             MetadataUpdate.SetProperties(newProps),
             MetadataUpdate.AddSnapshot(snap),
-            MetadataUpdate.SetSnapshotRef("main", snapId, "branch")))
+            MetadataUpdate.SetSnapshotRef("main", snapId, "branch"))
+            // next-row-id advance last so it wins over newProps
+            ++ lineageUpd)
       } catch {
         case e: CommitFailedException if attempt < maxRetries &&
             (e.getMessage.contains("concurrent commit") ||
@@ -329,30 +338,60 @@ final class TableOps(private[graft] val store: FsStore) {
     * head could resurrect or double-delete rows. Re-picking a snapshot
     * whose files are already live is refused rather than silently
     * duplicating rows. */
-  def cherryPick(tableDir: Path, snapshotId: Long): TableMetadata = {
-    val (_, meta) = load(tableDir).getOrElse(
-      throw new CommitFailedException(s"table does not exist at $tableDir"))
-    val snap = meta.snapshots.find(_.snapshotId == snapshotId).getOrElse(
-      throw new IllegalArgumentException(s"snapshot $snapshotId not found"))
-    if (snap.operation != "append")
-      throw new IllegalArgumentException(
-        s"cherry-pick supports append snapshots only; $snapshotId is '${snap.operation}'")
-    val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
-    val parentPaths = snap.parentSnapshotId.flatMap(byId.get)
-      .map(p => snapshotFiles(tableDir, p).toSet).getOrElse(Set.empty[String])
-    val added = snapshotEntries(tableDir, snap)
-      .filter(e => e.isData && !parentPaths.contains(e.path))
-    if (added.isEmpty)
-      throw new IllegalArgumentException(
-        s"snapshot $snapshotId adds no data files — nothing to cherry-pick")
-    val live = meta.currentSnapshot
-      .map(s => snapshotFiles(tableDir, s).toSet).getOrElse(Set.empty[String])
-    val dup = added.map(_.path).filter(live.contains)
-    if (dup.nonEmpty)
-      throw new CommitFailedException(
-        s"cherry-pick of $snapshotId would double-apply ${dup.size} file(s) " +
-          s"already in the current state (e.g. ${dup.head})")
-    commitFiles(tableDir, added.map(_.path), "append")
+  def cherryPick(tableDir: Path, snapshotId: Long, maxRetries: Int = 20): TableMetadata = {
+    var attempt = 0
+    while (true) {
+      val (_, meta) = load(tableDir).getOrElse(
+        throw new CommitFailedException(s"table does not exist at $tableDir"))
+      val snap = meta.snapshots.find(_.snapshotId == snapshotId).getOrElse(
+        throw new IllegalArgumentException(s"snapshot $snapshotId not found"))
+      if (snap.operation != "append")
+        throw new IllegalArgumentException(
+          s"cherry-pick supports append snapshots only; $snapshotId is '${snap.operation}'")
+      val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
+      // The snapshot's own additions = its files minus its PARENT's.
+      // If the parent has been expired we cannot reconstruct that
+      // delta — the cumulative list would re-append (and resurrect)
+      // every inherited file — so refuse rather than guess.
+      val parentPaths = snap.parentSnapshotId match {
+        case None => Set.empty[String]
+        case Some(pid) => byId.get(pid) match {
+          case Some(p) => snapshotFiles(tableDir, p).toSet
+          case None => throw new IllegalArgumentException(
+            s"cannot cherry-pick $snapshotId: its parent $pid has been expired, " +
+              "so the snapshot's own file additions cannot be determined")
+        }
+      }
+      val added = snapshotEntries(tableDir, snap)
+        .filter(e => e.isData && !parentPaths.contains(e.path))
+      if (added.isEmpty)
+        throw new IllegalArgumentException(
+          s"snapshot $snapshotId adds no data files — nothing to cherry-pick")
+      val live = meta.currentSnapshot
+        .map(s => snapshotFiles(tableDir, s).toSet).getOrElse(Set.empty[String])
+      val dup = added.map(_.path).filter(live.contains)
+      if (dup.nonEmpty)
+        throw new CommitFailedException(
+          s"cherry-pick of $snapshotId would double-apply ${dup.size} file(s) " +
+            s"already in the current state (e.g. ${dup.head})")
+      // Tie the dup check to the commit: assert main is STILL the head
+      // the check ran against. A lost race re-runs the whole
+      // check-and-append from fresh state (a concurrent fast_forward
+      // or second pick of this snapshot then trips the dup refusal)
+      // instead of blindly re-appending onto the winner.
+      try return commitFiles(tableDir, added.map(_.path), "append",
+        Seq(Requirement.AssertRefSnapshotId("main",
+          meta.refs.get("main").map(_.snapshotId))),
+        maxRetries = 0)
+      catch {
+        case e: CommitFailedException if attempt < maxRetries &&
+            (e.getMessage.contains("concurrent commit") ||
+             e.getMessage.contains("assert-ref-snapshot-id")) =>
+          attempt += 1
+          Thread.sleep(15L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** C70 — row lineage commit protocol: when the table property
@@ -2198,14 +2237,20 @@ final class TableOps(private[graft] val store: FsStore) {
       asOfTimestampMs: Option[Long] = None): Seq[String] =
     resolveEntries(tableDir, meta, snapshotId, ref, asOfTimestampMs).map(_.path)
 
-  /** Like [[resolveFiles]] but keeps the per-file stats for skipping. */
-  def resolveEntries(
-      tableDir: Path,
+  /** The snapshot a (snapshotId | ref | asOfTimestampMs) selector
+    * resolves to — the SINGLE rule shared by file resolution and
+    * schema pinning, so a time-travel read can never serve one
+    * snapshot's files through another snapshot's schema. Timestamp
+    * selection walks `snapshotLog` (the main-branch lineage, in log
+    * order), NOT `snapshots` — the latter also holds WAP-branch
+    * snapshots and rolled-back heads whose wall-clock timestamps
+    * interleave with main's. */
+  def resolveSnapshot(
       meta: TableMetadata,
       snapshotId: Option[Long] = None,
       ref: Option[String] = None,
-      asOfTimestampMs: Option[Long] = None): Seq[DataFileEntry] = {
-    val snap: Option[Snapshot] = (snapshotId, ref, asOfTimestampMs) match {
+      asOfTimestampMs: Option[Long] = None): Option[Snapshot] =
+    (snapshotId, ref, asOfTimestampMs) match {
       case (Some(id), _, _) =>
         Some(meta.snapshotById(id).getOrElse(
           throw new IllegalArgumentException(s"snapshot $id not found")))
@@ -2219,6 +2264,15 @@ final class TableOps(private[graft] val store: FsStore) {
         meta.snapshotById(eligible.last.snapshotId)
       case _ => meta.currentSnapshot
     }
+
+  /** Like [[resolveFiles]] but keeps the per-file stats for skipping. */
+  def resolveEntries(
+      tableDir: Path,
+      meta: TableMetadata,
+      snapshotId: Option[Long] = None,
+      ref: Option[String] = None,
+      asOfTimestampMs: Option[Long] = None): Seq[DataFileEntry] = {
+    val snap = resolveSnapshot(meta, snapshotId, ref, asOfTimestampMs)
     // stats re-keyed to current column names (field-id evolution):
     // pruning/SPJ/$files read them without knowing about renames
     snap.map(snapshotEntries(tableDir, _)).getOrElse(Seq.empty)

@@ -438,4 +438,39 @@ class CatalogSpec extends SparkSpec {
     }
     spark.sql("ALTER TABLE graft.ck.t DROP CONSTRAINT IF EXISTS nope")
   }
+
+  test("TIMESTAMP AS OF pins the schema of the SAME snapshot it serves (replace + rollback)") {
+    // Regression (ADVICE r12): file resolution walks snapshotLog (main
+    // lineage, log order) while the schema pin used the max-timestamp
+    // snapshot across ALL snapshots — after a REPLACE + rollback those
+    // disagree, serving pre-replace files through the post-replace
+    // schema. Both must now resolve via TableOps.resolveSnapshot.
+    val cat = spark.sessionState.catalogManager.catalog("graft").asInstanceOf[GraftCatalog]
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    sql("CREATE TABLE graft.db.ttpin (id BIGINT, name STRING)")
+    sql("INSERT INTO graft.db.ttpin VALUES (1, 'a')")
+    val dir = new Path(s"$warehouse/db/ttpin")
+    val pre = cat.ops.load(dir).get._2.currentSnapshot.get
+    Thread.sleep(5) // distinct ms timestamps for the log entries
+    sql("REPLACE TABLE graft.db.ttpin AS SELECT 2L AS id2")
+    Thread.sleep(5)
+    cat.ops.rollbackTo(dir, pre.snapshotId)
+    // a timestamp AFTER the replace: the snapshotLog's last entry is
+    // the rolled-back-to (pre-replace) snapshot, so that snapshot's
+    // files AND schema must both be served
+    Thread.sleep(5)
+    val ts = java.time.Instant.ofEpochMilli(System.currentTimeMillis())
+      .atZone(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    val df = sql(s"SELECT * FROM graft.db.ttpin TIMESTAMP AS OF '$ts'")
+    assert(df.schema.fieldNames.toSeq == Seq("id", "name"),
+      s"pin must follow the lineage snapshot's schema, got ${df.schema.fieldNames.toSeq}")
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a")))
+    // the replace snapshot itself stays reachable by VERSION AS OF
+    val (_, meta) = cat.ops.load(dir).get
+    val repl = meta.snapshots.maxBy(_.sequenceNumber)
+    val v = sql(s"SELECT * FROM graft.db.ttpin VERSION AS OF ${repl.snapshotId}")
+    assert(v.schema.fieldNames.toSeq == Seq("id2"))
+    assert(v.collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
 }

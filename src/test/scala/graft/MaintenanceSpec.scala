@@ -174,6 +174,38 @@ class MaintenanceSpec extends SparkSpec {
     assert(after == Set(9L, 10L, 11L))
   }
 
+  test("cherry-pick refuses when the picked snapshot's parent has been expired") {
+    // Regression (ADVICE r12): with the parent gone, the snapshot's
+    // own additions can't be separated from its inherited cumulative
+    // file list — a default-to-empty parent would re-append (and
+    // resurrect) every inherited file. Must refuse instead.
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.maint")
+    spark.sql("CREATE TABLE graft.maint.cherryexp (id BIGINT)")
+    spark.sql("INSERT INTO graft.maint.cherryexp VALUES (1)")
+    val dir = new Path(s"$warehouse/maint/cherryexp")
+    import spark.implicits._
+    val base = cat.ops.load(dir).get._2.currentSnapshot.get
+    Thread.sleep(5)
+    val writeDir = new Path(s"$warehouse/maint/cherryexp/data/w-stage-exp")
+    Seq(2L, 3L).toDF("id").write.parquet(writeDir.toString)
+    val files = cat.store.listFilesRec(writeDir)
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    val picked = cat.ops.commitFilesToBranch(dir, files, "append", "audit")
+      .refs("audit").snapshotId
+    Thread.sleep(5)
+    spark.sql("INSERT INTO graft.maint.cherryexp VALUES (4)")
+    // expire ONLY the picked snapshot's parent (base): it is older than
+    // base.ts+1 and no ref points at it (main moved on, audit = picked)
+    cat.ops.expireSnapshots(dir, base.timestampMs + 1, retainLast = 1)
+    assert(cat.ops.load(dir).get._2.snapshotById(base.snapshotId).isEmpty,
+      "precondition: the parent snapshot must be expired")
+    val e = intercept[IllegalArgumentException] { cat.ops.cherryPick(dir, picked) }
+    assert(e.getMessage.contains("expired"), e.getMessage)
+    // and nothing was resurrected onto main
+    assert(spark.sql("SELECT id FROM graft.maint.cherryexp")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 4L))
+  }
+
   test("metadata log stays bounded and trimmed files are reclaimed") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.maint")
     spark.sql("CREATE TABLE graft.maint.logc (id BIGINT) TBLPROPERTIES (" +

@@ -140,4 +140,30 @@ class RowLineageSpec extends SparkSpec {
     assert(m.values.toSeq.distinct.size == 400, "CAS-retried commits must restamp id blocks")
     assert(m.values.min == 0L && m.values.max == 399L)
   }
+
+  test("RTAS on a lineage-enabled table stamps fresh id blocks") {
+    // Regression (ADVICE r12): replaceTableData skipped the stampRowIds
+    // step commitFilesOnce applies — an RTAS whose merged properties
+    // keep lineage enabled committed files with no firstRowId and no
+    // next-row-id advance, breaking _row_id reads after the replace.
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.rl")
+    spark.sql("CREATE TABLE graft.rl.rtas (id BIGINT) " +
+      "TBLPROPERTIES ('graft.row-lineage.enabled'='true')")
+    spark.range(0, 50).write.mode("append").saveAsTable("graft.rl.rtas")
+    val dir = new Path(s"$warehouse/rl/rtas")
+    val before = cat.ops.load(dir).get._2
+      .properties("graft.row-lineage.next-row-id").toLong
+    assert(before == 50)
+
+    spark.sql("REPLACE TABLE graft.rl.rtas AS SELECT explode(sequence(100L, 119L)) AS id")
+    val meta = cat.ops.load(dir).get._2
+    assert(meta.properties("graft.row-lineage.enabled") == "true",
+      "SetProperties merges — lineage stays enabled across the replace")
+    assert(meta.properties("graft.row-lineage.next-row-id").toLong == before + 20,
+      "the replace commit must advance next-row-id past its block")
+    val m = ids("graft.rl.rtas")
+    assert(m.size == 20)
+    assert(m.values.toSet == (before until before + 20).toSet,
+      "replace rows get FRESH ids above the pre-replace block (never reused)")
+  }
 }
