@@ -22,9 +22,12 @@ object Bench {
     // runs LAST so its write jobs and GC pressure can't inflate the
     // pure-relational timings measured before it.
     val sideEffecting = Set("q_catalog_roundtrip", "dedup_cdc")
-    val ordered = SparkEntry.queries.toSeq.sortBy { case (n, _) =>
-      (sideEffecting.contains(n), n)
-    }
+    // Dev-only profiling filter (the driver never sets it): restrict
+    // the run to a comma-separated query list.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val ordered = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .sortBy { case (n, _) => (sideEffecting.contains(n), n) }
     // Some pipeline queries legitimately cache()/localCheckpoint()
     // intermediates inside their own plan (LSH shingles, CC edge
     // frames). Left alone, those blocks accumulate across the ~95

@@ -1867,13 +1867,19 @@ object TextPipeline {
     val out = Seq.newBuilder[(Long, Long, Long, Long, Long)]
     var prev = 0L
     seqs.foreach { sq =>
-      // churn-sized: only the window's row-level events
+      // churn-sized: only the window's row-level events. NOT
+      // checkpointed — the feed is a pruned scan of just the window's
+      // files, so re-evaluating it per consumer is cheaper than an
+      // eager materialization job (per-commit fixed costs dominate
+      // this walk; see BENCH_NOTES).
       val feed = ops.changes(s, corpusDir, prev, sq).select("doc_id", "h", "_change_type")
-        .localCheckpoint(true)
       val ins = feed.filter(col("_change_type") === "insert").select("doc_id", "h")
       val del = feed.filter(col("_change_type") === "delete").select("doc_id", "h")
-      val nIns = ins.count()
-      val nDel = del.count()
+      // both window counts in ONE job
+      val cnts = feed.groupBy("_change_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val nIns = cnts.getOrElse("insert", 0L)
+      val nDel = cnts.getOrElse("delete", 0L)
       // the one read-only corpus-proportional step: exact new-hash
       // detection needs membership against the pre-window live set.
       // Join DIRECTION matters at 100 TB: the ledger STREAMS through a
