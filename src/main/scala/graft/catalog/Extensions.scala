@@ -25,6 +25,10 @@ import org.apache.spark.sql.connector.catalog.{Identifier, ViewCatalog}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(spark => new ResolveGraftViews(spark))
+    // C88: rewrite eligible aggregates onto fresh materialized views
+    // (operator-optimization batch — pre-pushdown, so the substituted
+    // MV relation flows through the normal scan-planning pipeline)
+    ext.injectOptimizerRule(spark => new RewriteToMaterializedView(spark))
     // View DDL must be rewritten BEFORE analysis: Spark's own
     // ResolveSessionCatalog hard-rejects v2 CreateView/DropView for
     // any non-session catalog (no exec nodes exist), and analyzer

@@ -46,6 +46,12 @@ final class GraftTable(
 
   private def spark: SparkSession = SparkSession.active
 
+  // read-only views for the planner rules (C88 MV rewrite)
+  private[graft] def graftDir: Path = dir
+  private[graft] def graftMeta: TableMetadata = meta
+  private[graft] def graftOps: TableOps = ops
+  private[graft] def graftPinned: Boolean = pinnedFiles.isDefined
+
   override def name(): String = tableName
 
   /** `_file` / `_pos` — the data file a row lives in and its absolute

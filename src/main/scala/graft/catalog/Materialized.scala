@@ -389,6 +389,22 @@ object Materialized {
         MetadataUpdate.SetProperties(Map("graft.mv.last-seq" -> headSeq.toString)))
   }
 
+  /** C88 — register `mvDir` on its SOURCE table as a rewrite target:
+    * eligible aggregate queries over the source are transparently
+    * redirected to the MV by [[RewriteToMaterializedView]] whenever the
+    * MV is exactly at the source's head sequence. Explicit opt-in —
+    * only stamped tables ever pay the planner's metadata probe. */
+  def enableRewrite(ops: TableOps, srcDir: Path, mvDir: Path): TableMetadata = {
+    val (_, srcMeta) = ops.load(srcDir).getOrElse(
+      throw new IllegalArgumentException(s"source table does not exist at $srcDir"))
+    val existing = srcMeta.properties.get(RewriteToMaterializedView.RewriteProp)
+      .toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    if (existing.contains(mvDir.toString)) return srcMeta
+    ops.commit(srcDir, Seq.empty, Seq(MetadataUpdate.SetProperties(Map(
+      RewriteToMaterializedView.RewriteProp ->
+        (existing :+ mvDir.toString).mkString(",")))))
+  }
+
   private def listParquet(ops: TableOps, dir: Path): Seq[String] = {
     val fs = dir.getFileSystem(
       org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)

@@ -1,0 +1,168 @@
+package graft.catalog
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** C88 — transparent materialized-view rewrite: aggregate queries over
+  * a catalog table are rewritten by the optimizer to SCAN the table's
+  * incrementally-maintained aggregate ([[Materialized.refreshSumCount]]
+  * destination) when — and only when — that MV is exactly as fresh as
+  * the snapshot the query would read. The user keeps writing
+  * `SELECT keys, SUM(v), COUNT(*) FROM src GROUP BY keys`; when the MV
+  * covers it, the scan touches `O(groups)` rows instead of the corpus.
+  * At 100 TB this turns the hottest dashboard aggregates into
+  * metadata-sized reads while staying EXACT: staleness falls back to
+  * the full aggregation, never to approximate answers.
+  *
+  * Eligibility (all checked per candidate MV, cheap metadata reads):
+  *  - the source relation is an unpinned graft table (time travel
+  *    never rewrites — the MV tracks main's head, not history);
+  *  - the MV's `graft.mv.source` points back at this table and its
+  *    `graft.mv.last-seq` EQUALS the source snapshot's sequence
+  *    number (the plan's own pinned metadata, so a concurrent commit
+  *    can't tear the check);
+  *  - grouping keys are exactly the MV's key columns and every
+  *    aggregate is `SUM(value)` (double), `COUNT(*)`/`COUNT(1)`, or
+  *    `AVG(value)` — the three the sum/count MV answers exactly
+  *    (`AVG = value_sum / n_rows`). DISTINCT/FILTER forms never match.
+  *
+  * Registration is an explicit property on the SOURCE table
+  * (`graft.mv.rewrite`, comma-separated MV paths —
+  * [[Materialized.enableRewrite]]), so only opted-in tables ever pay
+  * the metadata probe. Disable per session with
+  * `SET spark.graft.mv.rewrite.enabled=false`.
+  *
+  * Injected by [[GraftExtensions]] (operator-optimization batch,
+  * pre-pushdown: matches the raw [[DataSourceV2Relation]]); sessions
+  * without the extension can register via
+  * `spark.experimental.extraOptimizations`, where the relation has
+  * already become a [[DataSourceV2ScanRelation]] — both shapes match,
+  * and the replacement is built in the corresponding phase's form.
+  */
+class RewriteToMaterializedView(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  import RewriteToMaterializedView._
+
+  private def enabled: Boolean =
+    spark.conf.get("spark.graft.mv.rewrite.enabled", "true") == "true"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    plan.transformDown {
+      case agg: Aggregate => rewrite(agg).getOrElse(agg)
+    }
+  }
+
+  /** The source relation under optional column-pruning Projects, plus
+    * whether it is already in post-pushdown (ScanRelation) form. */
+  private def sourceRelation(plan: LogicalPlan): Option[(GraftTable, Boolean)] =
+    plan match {
+      case r: DataSourceV2Relation => r.table match {
+        case t: GraftTable => Some((t, false))
+        case _ => None
+      }
+      case sr: DataSourceV2ScanRelation => sr.relation.table match {
+        case t: GraftTable => Some((t, true))
+        case _ => None
+      }
+      case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+        sourceRelation(child)
+      case _ => None
+    }
+
+  private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
+    val (src, postPushdown) = sourceRelation(agg.child) match {
+      case Some(x) => x
+      case None => return None
+    }
+    if (src.graftPinned) return None // time travel reads history, the MV tracks head
+    val registered = src.graftMeta.properties.get(RewriteProp)
+      .toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    if (registered.isEmpty) return None
+
+    // grouping must be exactly attribute references (no expressions)
+    val groupAttrs = agg.groupingExpressions.map {
+      case a: AttributeReference => a
+      case _ => return None
+    }
+    val srcHeadSeq = src.graftMeta.currentSnapshot.map(_.sequenceNumber).getOrElse(0L)
+
+    registered.view.flatMap { mvPath =>
+      tryMv(agg, groupAttrs, src, srcHeadSeq, new Path(mvPath), postPushdown)
+    }.headOption
+  }
+
+  private def tryMv(
+      agg: Aggregate,
+      groupAttrs: Seq[AttributeReference],
+      src: GraftTable,
+      srcHeadSeq: Long,
+      mvDir: Path,
+      postPushdown: Boolean): Option[LogicalPlan] = {
+    val mvMeta = src.graftOps.load(mvDir) match {
+      case Some((_, m)) => m
+      case None => return None
+    }
+    // the MV must describe THIS table and be exactly at its head
+    if (!mvMeta.properties.get("graft.mv.source").contains(src.graftDir.toString))
+      return None
+    if (!mvMeta.properties.get("graft.mv.last-seq").map(_.toLong).contains(srcHeadSeq))
+      return None
+    val keys = mvMeta.properties.getOrElse("graft.mv.keys", "").split(",").toSeq
+    val valueCol = mvMeta.properties.getOrElse("graft.mv.value", "")
+    if (groupAttrs.map(_.name).toSet != keys.toSet) return None
+
+    val mvTable = new GraftTable(s"mv:${mvDir.getName}", mvDir, mvMeta, src.graftOps)
+    val mvChild: LogicalPlan =
+      if (!postPushdown) DataSourceV2Relation.create(mvTable, None, None)
+      else {
+        // pushdown already ran in this phase — deliver the relation in
+        // its final (scan) form so physical planning accepts it
+        val rel = DataSourceV2Relation.create(mvTable, None, None)
+        val scan = mvTable.newScanBuilder(
+          new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+            java.util.Collections.emptyMap())).build()
+        DataSourceV2ScanRelation(rel, scan, rel.output)
+      }
+    val byName = mvChild.output.map(a => a.name -> a).toMap
+    val vSum = byName.get("value_sum").getOrElse(return None)
+    val nRows = byName.get("n_rows").getOrElse(return None)
+
+    // every output column must be answerable from the MV; keep the
+    // original names AND exprIds so parents are untouched
+    val projected = agg.aggregateExpressions.map {
+      case a: AttributeReference if byName.contains(a.name) =>
+        Alias(byName(a.name), a.name)(exprId = a.exprId)
+      case al @ Alias(a: AttributeReference, _) if byName.contains(a.name) =>
+        Alias(byName(a.name), al.name)(exprId = al.exprId)
+      case al @ Alias(ae: AggregateExpression, _)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Sum(c: AttributeReference, _)
+              if c.name == valueCol && ae.dataType == DoubleType =>
+            Alias(vSum, al.name)(exprId = al.exprId)
+          case Count(Seq(Literal(1, _))) =>
+            // COUNT(*) is non-nullable; pin that through a coalesce
+            Alias(Coalesce(Seq(nRows, Literal(0L, LongType))), al.name)(exprId = al.exprId)
+          case Average(c: AttributeReference, _)
+              if c.name == valueCol && ae.dataType == DoubleType =>
+            Alias(Divide(vSum, Cast(nRows, DoubleType)), al.name)(exprId = al.exprId)
+          case _ => return None
+        }
+      case _ => return None
+    }
+    Some(Project(projected, mvChild))
+  }
+}
+
+object RewriteToMaterializedView {
+  /** Source-table property: comma-separated MV table paths eligible to
+    * answer aggregates over this table. */
+  val RewriteProp = "graft.mv.rewrite"
+}

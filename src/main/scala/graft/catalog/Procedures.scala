@@ -37,7 +37,8 @@ object Procedures {
     "compact", "expire_snapshots", "remove_orphans", "rewrite_manifests",
     "apply_deletes", "rollback", "fast_forward", "cherrypick_snapshot", "vacuum",
     "create_branch", "create_tag", "drop_ref", "analyze", "maintenance_plan",
-    "compact_where", "migrate_bucket_hash", "export_iceberg", "import_iceberg")
+    "compact_where", "migrate_bucket_hash", "export_iceberg", "import_iceberg",
+    "refresh_mv")
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.sameElements(Namespace) && names.contains(ident.name),
@@ -90,6 +91,9 @@ object Procedures {
       case "export_iceberg" => Array(param("table", StringType))
       case "import_iceberg" => Array(param("table", StringType),
         param("metadata_json", StringType))
+      case "refresh_mv" => Array(param("table", StringType),
+        param("mv_table", StringType), param("keys", StringType),
+        param("value", StringType))
       case other => throw new IllegalArgumentException(other)
     }
 
@@ -180,6 +184,18 @@ object Procedures {
             Seq("snapshot_id" -> LongType, "files_before" -> IntegerType,
               "files_after" -> IntegerType),
             Seq[Any](meta.currentSnapshotId.getOrElse(-1L), before, filesNow()))
+        case "refresh_mv" =>
+          // C88 — one call: create-if-absent + incremental refresh of
+          // the sum/count MV, then register it for transparent rewrite
+          val mvDir = tableDir(cat, input.getUTF8String(1).toString)
+          val keys = input.getUTF8String(2).toString
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          val valueCol = input.getUTF8String(3).toString
+          val mvMeta = Materialized.refreshSumCount(spark, ops, dir, mvDir, keys, valueCol)
+          Materialized.enableRewrite(ops, dir, mvDir)
+          summary(
+            Seq("mv_last_seq" -> LongType, "rewrite_enabled" -> StringType),
+            Seq[Any](mvMeta.properties("graft.mv.last-seq").toLong, "true"))
         case "migrate_bucket_hash" =>
           // the migration path Transforms.BucketHashProp documents:
           // rewrite every data file (compact regenerates __pt_ under

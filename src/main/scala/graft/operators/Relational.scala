@@ -2247,6 +2247,86 @@ object Relational {
          FROM orders WHERE o_orderkey < 6000) t
        WHERE o_orderkey % 3 = 0 ORDER BY o_orderkey"""
 
+  /** C88 under the oracle gate — transparent MV rewrite end-to-end: a
+    * catalog table is built in three commit windows (append evens →
+    * deletion-vector delete of high quantities → append odds) with an
+    * INCREMENTAL [[graft.catalog.Materialized.refreshSumCount]] after
+    * each, the MV is registered as a rewrite target, and the returned
+    * aggregate query is REQUIRED to have been answered by the MV scan
+    * (the plan check throws if the rewrite didn't fire, failing the
+    * gate loudly). The DuckDB oracle recomputes the same aggregate
+    * directly over raw lineitem — the hash match proves three things
+    * at once: the CDC-driven incremental maintenance arithmetic, the
+    * rewrite's answer equivalence, and the `AVG = value_sum/n_rows`
+    * derivation. `l_quantity` is integer-valued, so every double here
+    * is exact and order-independent cross-engine. */
+  private val mvCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def qMvRewrite(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog._
+    import org.apache.hadoop.fs.{Path => HPath}
+    val ops = new TableOps(new FsStore(s.sparkContext.hadoopConfiguration))
+    val wh = mvCache.computeIfAbsent(d, { _ =>
+      val whPath = java.nio.file.Files.createTempDirectory("graft-mvrw-")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(whPath.toFile)
+      }))
+      val tdir = new HPath(whPath.toString, "mv_src")
+      val mdir = new HPath(whPath.toString, "mv_agg")
+      val src = lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"), col("l_orderkey"))
+      ops.create(tdir, TableMetadata.create(
+        tdir.toString, SchemaBridge.fromSpark(src.schema),
+        PartitionSpec(0, Seq.empty), SortOrder(0, Seq.empty), Map.empty))
+      def refresh(): Unit = { Materialized.refreshSumCount(
+        s, ops, tdir, mdir, Seq("l_returnflag", "l_linestatus"), "l_quantity"); () }
+      ops.write(tdir, src.filter(col("l_orderkey") % 2 === 0), "append")
+      refresh()
+      ops.deletionVectorDelete(s, tdir, col("l_quantity") >= 45.0)
+      refresh()
+      ops.write(tdir, src.filter(col("l_orderkey") % 2 === 1), "append")
+      refresh()
+      Materialized.enableRewrite(ops, tdir, mdir)
+      whPath.toString
+    })
+    // sessions without GraftExtensions register the same rule through
+    // the public experimental hook (runs post-pushdown; the rule
+    // handles both relation forms)
+    if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[RewriteToMaterializedView]))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ new RewriteToMaterializedView(s)
+    val tdir = new HPath(wh, "mv_src")
+    val (_, meta) = ops.load(tdir).get
+    val t = new GraftTable(tdir.toString, tdir, meta, ops, None)
+    val df = org.apache.spark.sql.execution.datasources.GraftBridge.ofRows(s, t)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("sum_qty"),
+        count(lit(1)).as("n_rows_g"),
+        avg("l_quantity").as("avg_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+    val answered = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+          if r.relation.table.name.startsWith("mv:") => r
+    }.nonEmpty
+    require(answered, "C88 MV rewrite did not answer the aggregate — gate check failed")
+    df
+  }
+
+  val qMvRewriteSql: String =
+    """WITH src AS (
+         SELECT l_returnflag, l_linestatus, l_quantity
+         FROM lineitem
+         WHERE l_orderkey % 2 = 1 OR l_quantity < 45)
+       SELECT l_returnflag, l_linestatus,
+              SUM(l_quantity) AS sum_qty,
+              COUNT(*) AS n_rows_g,
+              SUM(l_quantity) / COUNT(*) AS avg_qty
+       FROM src GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus"""
+
   /** R88 — ordered funnel analysis: how many users did view → click
     * → purchase IN THAT ORDER (a later stage only counts after the
     * earlier one has occurred) — the product-analytics staple.

@@ -1990,4 +1990,68 @@ object TextPipeline {
               (SELECT COUNT(DISTINCT doc) FROM u
                WHERE u.jaccard >= g.threshold_pct / 100.0) AS n_docs
        FROM grid g ORDER BY g.threshold_pct"""
+
+  /** L50 — DSIR-style importance resampling (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every raw-pool document by how target-like its HASHED N-GRAM
+    * feature distribution is — `log p_target(doc) − p_raw(doc)` under
+    * two bucketed unigram bag-of-words models — and keep the top-k.
+    * Target here = the English split; pool = everything else. The
+    * per-bucket log-ratio (add-1 smoothed) is quantized ONCE per
+    * distinct bucket into integer millibits (the L42 discipline: the
+    * only cross-engine float op runs over the ≤1024-row model, never
+    * the corpus), so each document's score is an exact integer sum +
+    * one division. Deterministic top-k is the temperature-0 variant
+    * of the paper's Gumbel resampling.
+    *
+    * Scale: the feature space is FIXED (1024 buckets) regardless of
+    * corpus size — the model is one map-side-combined groupBy that
+    * yields KBs, then scoring is a broadcast join onto the exploded
+    * words. No vocabulary blow-up, no corpus-sized shuffle: the same
+    * plan at 100 TB moves only O(words) map-side and O(docs) in the
+    * final agg; the top-k is a TakeOrdered. */
+  def dsirSelect(s: SparkSession, d: String): DataFrame = {
+    val B = 1024
+    val words = withWords(documents(s, d))
+      .select(col("doc_id"), col("lang"), explode(col("ws")).as("w"))
+      .withColumn("b", expr(s"CAST(conv(substr(md5(w), 1, 8), 16, 10) AS BIGINT) % $B"))
+    val counts = words.groupBy("b").agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_cnt"),
+      sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("r_cnt"))
+    val tot = counts.agg(sum("t_cnt").as("t_tot"), sum("r_cnt").as("r_tot"))
+    // integer products stay exact in doubles (< 2^53 comfortably at
+    // any SF here); one division + one ln per DISTINCT bucket
+    val mb = counts.join(broadcast(tot))
+      .select(col("b"), round(lit(1000.0) * log(
+        ((col("t_cnt") + 1).cast("double") * (col("r_tot") + B).cast("double")) /
+          ((col("r_cnt") + 1).cast("double") * (col("t_tot") + B).cast("double"))))
+        .cast("long").as("mb"))
+    words.filter(col("lang") =!= "en")
+      .join(broadcast(mb), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("mb").as("total_mb"))
+      .withColumn("dsir_mb", round(col("total_mb").cast("double") / col("n_words"), 4))
+      .orderBy(col("dsir_mb").desc, col("doc_id"))
+      .limit(100)
+      .select("doc_id", "n_words", "total_mb", "dsir_mb")
+  }
+
+  val dsirSelectSql: String =
+    """WITH w AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+       wb AS (SELECT doc_id, lang,
+                     CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 1024 AS b FROM w),
+       c AS (SELECT b,
+                    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_cnt,
+                    SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS r_cnt
+             FROM wb GROUP BY b),
+       tot AS (SELECT SUM(t_cnt) AS t_tot, SUM(r_cnt) AS r_tot FROM c),
+       mb AS (SELECT b, CAST(round(1000.0 * ln(
+                 (CAST(t_cnt + 1 AS DOUBLE) * (r_tot + 1024)) /
+                 (CAST(r_cnt + 1 AS DOUBLE) * (t_tot + 1024)))) AS BIGINT) AS mb
+              FROM c, tot),
+       sc AS (SELECT doc_id, COUNT(*) AS n_words, SUM(mb) AS total_mb
+              FROM wb JOIN mb USING (b) WHERE lang <> 'en' GROUP BY doc_id)
+       SELECT doc_id, n_words, CAST(total_mb AS BIGINT) AS total_mb,
+              ROUND(CAST(total_mb AS DOUBLE) / n_words, 4) AS dsir_mb
+       FROM sc ORDER BY dsir_mb DESC, doc_id LIMIT 100"""
 }

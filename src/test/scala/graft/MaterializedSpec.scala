@@ -257,4 +257,101 @@ class MaterializedSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
     assert(mv == Map(1L -> (3.0, 2L)), s"got $mv")
   }
+
+  // ---------- C88: transparent MV rewrite ----------
+
+  private def mvScanCount(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+          if r.relation.table.name.startsWith("mv:") => r
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+          if r.table.name.startsWith("mv:") => r
+    }.size
+
+  private def hasAggregate(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.nonEmpty
+
+  test("C88: fresh MV answers SUM/COUNT/AVG aggregates; stale or time-travel falls back") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mv")
+    spark.sql("CREATE TABLE graft.mv.rw (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.mv.rw VALUES (1, 1.0), (1, 2.0), (2, 10.0)")
+    val srcDir = new Path(s"$warehouse/mv/rw")
+    val mvDir = new Path(s"$warehouse/mv/rw_agg")
+    Materialized.refreshSumCount(spark, cat.ops, srcDir, mvDir, Seq("k"), "v")
+    Materialized.enableRewrite(cat.ops, srcDir, mvDir)
+
+    val q = "SELECT k, sum(v) AS s, count(*) AS n, avg(v) AS a " +
+      "FROM graft.mv.rw GROUP BY k ORDER BY k"
+    def run() = spark.sql(q)
+
+    // fresh: the aggregate is GONE, replaced by an MV scan
+    val fresh = run()
+    assert(mvScanCount(fresh) == 1 && !hasAggregate(fresh),
+      s"fresh MV must answer the query:\n${fresh.queryExecution.optimizedPlan}")
+    assert(fresh.collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3))).toSeq ==
+      Seq((1L, 3.0, 2L, 1.5), (2L, 10.0, 1L, 10.0)))
+
+    // disabled by config: same query keeps its aggregate
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    try assert(mvScanCount(run()) == 0 && hasAggregate(run()))
+    finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+
+    // stale: a new source commit kills the rewrite until refresh
+    spark.sql("INSERT INTO graft.mv.rw VALUES (2, 5.0), (3, 8.0)")
+    val stale = run()
+    assert(mvScanCount(stale) == 0 && hasAggregate(stale),
+      "stale MV must NEVER answer the query")
+    assert(stale.collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq ==
+      Seq((1L, 3.0, 2L), (2L, 15.0, 2L), (3L, 8.0, 1L)))
+    Materialized.refreshSumCount(spark, cat.ops, srcDir, mvDir, Seq("k"), "v")
+    val refreshed = run()
+    assert(mvScanCount(refreshed) == 1 && !hasAggregate(refreshed))
+    assert(refreshed.collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq ==
+      Seq((1L, 3.0, 2L), (2L, 15.0, 2L), (3L, 8.0, 1L)))
+
+    // time travel is pinned history — never rewritten (even though the
+    // MV is fresh for the head)
+    val firstSnap = cat.ops.load(srcDir).get._2.snapshots.minBy(_.sequenceNumber)
+    val tt = spark.sql(s"SELECT k, sum(v) AS s, count(*) AS n FROM " +
+      s"graft.mv.rw VERSION AS OF ${firstSnap.snapshotId} GROUP BY k")
+    assert(mvScanCount(tt) == 0 && hasAggregate(tt))
+    assert(tt.collect().length == 2)
+
+    // shapes the MV cannot answer keep their aggregate: filtered
+    // source, non-key grouping, sum of a different column, DISTINCT
+    Seq(
+      "SELECT k, sum(v) AS s FROM graft.mv.rw WHERE v > 1 GROUP BY k",
+      "SELECT v, count(*) AS n FROM graft.mv.rw GROUP BY v",
+      "SELECT k, count(DISTINCT v) AS n FROM graft.mv.rw GROUP BY k"
+    ).foreach { sqlText =>
+      val df = spark.sql(sqlText)
+      assert(mvScanCount(df) == 0 && hasAggregate(df), s"must not rewrite: $sqlText")
+    }
+  }
+
+  test("C88: CALL graft.system.refresh_mv drives create + refresh + rewrite registration") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mv")
+    spark.sql("CREATE TABLE graft.mv.prw (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.mv.prw VALUES (1, 2.0), (2, 4.0), (2, 6.0)")
+    val res = spark.sql(
+      "CALL graft.system.refresh_mv('mv.prw', 'mv.prw_agg', 'k', 'v')").collect()
+    assert(res.head.getString(1) == "true")
+    val q = spark.sql("SELECT k, sum(v) AS s, count(*) AS n FROM graft.mv.prw GROUP BY k ORDER BY k")
+    assert(mvScanCount(q) == 1 && !hasAggregate(q),
+      s"procedure-registered MV must answer:\n${q.queryExecution.optimizedPlan}")
+    assert(q.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2.0, 1L), (2L, 10.0, 2L)))
+    // second CALL after churn advances the watermark and re-answers
+    spark.sql("INSERT INTO graft.mv.prw VALUES (1, 8.0)")
+    spark.sql("CALL graft.system.refresh_mv('mv.prw', 'mv.prw_agg', 'k', 'v')")
+    val q2 = spark.sql("SELECT k, sum(v) AS s FROM graft.mv.prw GROUP BY k ORDER BY k")
+    assert(mvScanCount(q2) == 1)
+    assert(q2.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 10.0), (2L, 10.0)))
+  }
 }

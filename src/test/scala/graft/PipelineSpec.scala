@@ -585,4 +585,34 @@ class PipelineSpec extends SparkSpec {
       assert(keepQ == bestQ, s"cluster $component kept quality $keepQ, best is $bestQ")
     }
   }
+
+  test("L50 DSIR selection: pool-only, rank-ordered, scores consistent with the bucket model") {
+    import org.apache.spark.sql.functions._
+    val sel = TextPipeline.dsirSelect(spark, sfDir).collect()
+    assert(sel.length == 100)
+    // selected docs come from the POOL (never the target split), and
+    // n_words is each doc's true word count
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("nw"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    sel.foreach { r =>
+      val (id, nWords) = (r.getLong(0), r.getLong(1))
+      assert(docs(id)._1 != "en", s"target doc $id leaked into the selection")
+      assert(docs(id)._2 == nWords, s"word count mismatch for $id")
+    }
+    // returned in descending importance (ties by doc_id)
+    val ranked = sel.map(r => (r.getDouble(3), r.getLong(0)))
+    ranked.sliding(2).foreach {
+      case Array((a, ia), (b, ib)) =>
+        assert(a > b || (a == b && ia < ib), s"order violated: ($a,$ia) then ($b,$ib)")
+      case _ => ()
+    }
+    // avg millibits is exactly total/n rounded to 4
+    sel.foreach { r =>
+      val expect = BigDecimal(r.getLong(2).toDouble / r.getLong(1))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(3) - expect) < 1e-9)
+    }
+  }
 }
