@@ -53,7 +53,8 @@ object Materialized {
         Map("graft.mv.last-seq" -> "0",
             "graft.mv.source" -> srcDir.toString,
             "graft.mv.keys" -> keyCols.mkString(","),
-            "graft.mv.value" -> valueCol)))
+            "graft.mv.value" -> valueCol,
+            "graft.mv.agg" -> "sumcount")))
     }
     val (_, dstMeta) = ops.load(dstDir).get
     val lastSeq = dstMeta.properties.get("graft.mv.last-seq").map(_.toLong).getOrElse(0L)

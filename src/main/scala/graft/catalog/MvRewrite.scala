@@ -3,8 +3,8 @@ package graft.catalog
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -59,25 +59,31 @@ class RewriteToMaterializedView(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** The source relation under optional column-pruning Projects, plus
-    * whether it is already in post-pushdown (ScanRelation) form. */
-  private def sourceRelation(plan: LogicalPlan): Option[(GraftTable, Boolean)] =
+  /** The source relation under optional column-pruning Projects and
+    * key-only Filters (a predicate over grouping-key columns commutes
+    * with the aggregation, so it can re-apply ON the MV — any other
+    * filter disqualifies the rewrite). Returns the table, the
+    * collected key-filter conditions, and whether the plan is already
+    * in post-pushdown (ScanRelation) form. */
+  private def sourceRelation(plan: LogicalPlan): Option[(GraftTable, Seq[Expression], Boolean)] =
     plan match {
       case r: DataSourceV2Relation => r.table match {
-        case t: GraftTable => Some((t, false))
+        case t: GraftTable => Some((t, Seq.empty, false))
         case _ => None
       }
       case sr: DataSourceV2ScanRelation => sr.relation.table match {
-        case t: GraftTable => Some((t, true))
+        case t: GraftTable => Some((t, Seq.empty, true))
         case _ => None
       }
       case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
         sourceRelation(child)
+      case Filter(cond, child) if cond.deterministic =>
+        sourceRelation(child).map { case (t, conds, post) => (t, cond +: conds, post) }
       case _ => None
     }
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
-    val (src, postPushdown) = sourceRelation(agg.child) match {
+    val (src, filters, postPushdown) = sourceRelation(agg.child) match {
       case Some(x) => x
       case None => return None
     }
@@ -94,13 +100,14 @@ class RewriteToMaterializedView(spark: SparkSession) extends Rule[LogicalPlan] {
     val srcHeadSeq = src.graftMeta.currentSnapshot.map(_.sequenceNumber).getOrElse(0L)
 
     registered.view.flatMap { mvPath =>
-      tryMv(agg, groupAttrs, src, srcHeadSeq, new Path(mvPath), postPushdown)
+      tryMv(agg, groupAttrs, filters, src, srcHeadSeq, new Path(mvPath), postPushdown)
     }.headOption
   }
 
   private def tryMv(
       agg: Aggregate,
       groupAttrs: Seq[AttributeReference],
+      filters: Seq[Expression],
       src: GraftTable,
       srcHeadSeq: Long,
       mvDir: Path,
@@ -117,6 +124,10 @@ class RewriteToMaterializedView(spark: SparkSession) extends Rule[LogicalPlan] {
     val keys = mvMeta.properties.getOrElse("graft.mv.keys", "").split(",").toSeq
     val valueCol = mvMeta.properties.getOrElse("graft.mv.value", "")
     if (groupAttrs.map(_.name).toSet != keys.toSet) return None
+    // filters commute with the aggregation ONLY when they reference
+    // key columns alone (they then drop whole groups); anything else
+    // disqualifies the MV
+    if (filters.exists(_.references.exists(a => !keys.contains(a.name)))) return None
 
     val mvTable = new GraftTable(s"mv:${mvDir.getName}", mvDir, mvMeta, src.graftOps)
     val mvChild: LogicalPlan =
@@ -131,8 +142,9 @@ class RewriteToMaterializedView(spark: SparkSession) extends Rule[LogicalPlan] {
         DataSourceV2ScanRelation(rel, scan, rel.output)
       }
     val byName = mvChild.output.map(a => a.name -> a).toMap
-    val vSum = byName.get("value_sum").getOrElse(return None)
     val nRows = byName.get("n_rows").getOrElse(return None)
+    // what the MV maintains: sum/count (default) or min/max
+    val aggKind = mvMeta.properties.getOrElse("graft.mv.agg", "sumcount")
 
     // every output column must be answerable from the MV; keep the
     // original names AND exprIds so parents are untouched
@@ -143,21 +155,34 @@ class RewriteToMaterializedView(spark: SparkSession) extends Rule[LogicalPlan] {
         Alias(byName(a.name), al.name)(exprId = al.exprId)
       case al @ Alias(ae: AggregateExpression, _)
           if !ae.isDistinct && ae.filter.isEmpty =>
-        ae.aggregateFunction match {
-          case Sum(c: AttributeReference, _)
-              if c.name == valueCol && ae.dataType == DoubleType =>
-            Alias(vSum, al.name)(exprId = al.exprId)
-          case Count(Seq(Literal(1, _))) =>
+        def matchesValue(c: Expression): Boolean = c match {
+          case a: AttributeReference => a.name == valueCol && ae.dataType == DoubleType
+          case _ => false
+        }
+        (aggKind, ae.aggregateFunction) match {
+          case ("sumcount", Sum(c, _)) if matchesValue(c) =>
+            Alias(byName.getOrElse("value_sum", return None), al.name)(exprId = al.exprId)
+          case ("sumcount", Average(c, _)) if matchesValue(c) =>
+            Alias(Divide(byName.getOrElse("value_sum", return None),
+              Cast(nRows, DoubleType)), al.name)(exprId = al.exprId)
+          case ("minmax", Min(c)) if matchesValue(c) =>
+            Alias(byName.getOrElse("value_min", return None), al.name)(exprId = al.exprId)
+          case ("minmax", Max(c)) if matchesValue(c) =>
+            Alias(byName.getOrElse("value_max", return None), al.name)(exprId = al.exprId)
+          case (_, Count(Seq(Literal(1, _)))) =>
             // COUNT(*) is non-nullable; pin that through a coalesce
             Alias(Coalesce(Seq(nRows, Literal(0L, LongType))), al.name)(exprId = al.exprId)
-          case Average(c: AttributeReference, _)
-              if c.name == valueCol && ae.dataType == DoubleType =>
-            Alias(Divide(vSum, Cast(nRows, DoubleType)), al.name)(exprId = al.exprId)
           case _ => return None
         }
       case _ => return None
     }
-    Some(Project(projected, mvChild))
+    // re-apply key-only filters ON the MV (rebased onto its attrs)
+    val filtered =
+      if (filters.isEmpty) mvChild
+      else Filter(filters.reduce(And).transform {
+        case a: AttributeReference => byName(a.name)
+      }, mvChild)
+    Some(Project(projected, filtered))
   }
 }
 

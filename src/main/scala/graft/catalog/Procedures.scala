@@ -271,6 +271,20 @@ object Procedures {
           if (meta.snapshots.size > retain) plan += (("expire_snapshots",
             s"${meta.snapshots.size} snapshots retained (> $retain); expiring enables orphan cleanup",
             meta.snapshots.size.toLong))
+          // C88: registered MVs that fell behind the head stop
+          // answering queries — metadata-only staleness probe
+          val headSeq = meta.currentSnapshot.map(_.sequenceNumber).getOrElse(0L)
+          meta.properties.get(RewriteToMaterializedView.RewriteProp)
+            .toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+            .foreach { mvPath =>
+              val behind = ops.load(new Path(mvPath)).flatMap { case (_, mv) =>
+                mv.properties.get("graft.mv.last-seq").map(headSeq - _.toLong)
+              }.getOrElse(headSeq)
+              if (behind > 0) plan += (("refresh_mv",
+                s"registered MV at $mvPath is $behind commit(s) behind the head; " +
+                  "stale MVs never answer queries",
+                behind))
+            }
           val rows = plan.result()
           table(
             Seq("action" -> StringType, "reason" -> StringType, "metric" -> LongType),

@@ -299,9 +299,10 @@ object TextPipeline {
     labels.select(col("id").as("doc_id"), col("component")).orderBy("doc_id")
   }
 
-  val dedupComponentsSql: String =
-    """WITH RECURSIVE
-       w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+  /** The L14 component CTEs (through `reach`), shared by the
+    * components / canonical-dedup / split-assignment oracles. */
+  private val componentCtes: String =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        sh0 AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
                FROM w, UNNEST(range(1, GREATEST(len(ws) - 1, 1))) AS t(i)),
        sh AS (SELECT * FROM sh0 WHERE s NOT IN
@@ -322,7 +323,10 @@ object TextPipeline {
          SELECT id, id FROM nodes
          UNION
          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.id = e.src
-       )
+       )"""
+
+  val dedupComponentsSql: String =
+    s"""WITH RECURSIVE $componentCtes
        SELECT id AS doc_id, MIN(lbl) AS component FROM reach GROUP BY id ORDER BY doc_id"""
 
   /** Alternating large-star/small-star connected components — the
@@ -1707,29 +1711,7 @@ object TextPipeline {
 
   val canonicalDedupSql: String = {
     val list = stops("en").map(w => s"'$w'").mkString(", ")
-    s"""WITH RECURSIVE
-       w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-       sh0 AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
-               FROM w, UNNEST(range(1, GREATEST(len(ws) - 1, 1))) AS t(i)),
-       sh AS (SELECT * FROM sh0 WHERE s NOT IN
-                (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > 64)),
-       sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-       p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS shared
-             FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
-             GROUP BY 1, 2),
-       top AS (SELECT doc_a, doc_b,
-                      CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
-               FROM p JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
-               ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50),
-       pairs AS (SELECT doc_a, doc_b FROM top WHERE jaccard >= 0.5),
-       edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-                 UNION ALL SELECT doc_b, doc_a FROM pairs),
-       nodes AS (SELECT DISTINCT src AS id FROM edges),
-       reach(id, lbl) AS (
-         SELECT id, id FROM nodes
-         UNION
-         SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.id = e.src
-       ),
+    s"""WITH RECURSIVE $componentCtes,
        comp AS (SELECT id AS doc_id, MIN(lbl) AS component FROM reach GROUP BY id),
        qf AS (SELECT doc_id, string_split(text, ' ') AS ws, text FROM documents),
        q AS (SELECT doc_id,
@@ -1990,6 +1972,46 @@ object TextPipeline {
               (SELECT COUNT(DISTINCT doc) FROM u
                WHERE u.jaccard >= g.threshold_pct / 100.0) AS n_docs
        FROM grid g ORDER BY g.threshold_pct"""
+
+  /** L51 — leakage-safe split assignment: train/valid/test membership
+    * is drawn from a deterministic hash of the NEAR-DUP CLUSTER id,
+    * not the document id, so every member of a duplicate cluster lands
+    * in the same split — the assignment-time fix for the contamination
+    * L32 audits after the fact (a near-copy of a test doc in train is
+    * leakage even when exact dedup passed). Unclustered docs are their
+    * own singleton cluster; the 80/10/10 cut uses the R24/L49
+    * multiplicative hash so re-runs, engines and incremental ingests
+    * agree on every assignment.
+    *
+    * Scale: clusters come from the L14/L47 component machinery (the
+    * bucketed LSH path — never all-pairs); the assignment itself is a
+    * map-only hash over (doc, cluster), no extra shuffle. A new ingest
+    * batch only needs ITS docs' cluster ids to get split-stable
+    * assignments — nothing global recomputes. */
+  def splitAssign(s: SparkSession, d: String): DataFrame = {
+    val comp = dedupComponents(s, d)
+    documents(s, d).select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+      .withColumn("bucket", pmod(col("cluster") * lit(2654435761L), lit(100L)))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "valid")
+          .otherwise("test"))
+      .select(col("doc_id"), col("cluster"), col("split"))
+      .orderBy("doc_id")
+  }
+
+  val splitAssignSql: String =
+    s"""WITH RECURSIVE $componentCtes,
+       comp AS (SELECT id AS doc_id, MIN(lbl) AS component FROM reach GROUP BY id),
+       asg AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster
+               FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+       SELECT doc_id, cluster,
+              CASE WHEN (cluster * 2654435761) % 100 < 80 THEN 'train'
+                   WHEN (cluster * 2654435761) % 100 < 90 THEN 'valid'
+                   ELSE 'test' END AS split
+       FROM asg ORDER BY doc_id"""
 
   /** L50 — DSIR-style importance resampling (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling"): score

@@ -322,7 +322,15 @@ class MaterializedSpec extends SparkSpec {
     assert(mvScanCount(tt) == 0 && hasAggregate(tt))
     assert(tt.collect().length == 2)
 
-    // shapes the MV cannot answer keep their aggregate: filtered
+    // a KEY-only filter commutes with the grouping: it re-applies on
+    // the MV and the rewrite still fires, with filtered answers
+    val kf = spark.sql("SELECT k, sum(v) AS s FROM graft.mv.rw WHERE k >= 2 GROUP BY k ORDER BY k")
+    assert(mvScanCount(kf) == 1 && !hasAggregate(kf),
+      s"key-only filter must not block the rewrite:\n${kf.queryExecution.optimizedPlan}")
+    assert(kf.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((2L, 15.0), (3L, 8.0)))
+
+    // shapes the MV cannot answer keep their aggregate: VALUE-filtered
     // source, non-key grouping, sum of a different column, DISTINCT
     Seq(
       "SELECT k, sum(v) AS s FROM graft.mv.rw WHERE v > 1 GROUP BY k",
@@ -332,6 +340,34 @@ class MaterializedSpec extends SparkSpec {
       val df = spark.sql(sqlText)
       assert(mvScanCount(df) == 0 && hasAggregate(df), s"must not rewrite: $sqlText")
     }
+  }
+
+  test("C88: MIN/MAX MVs answer MIN/MAX/COUNT(*); sum shapes never match them") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mv")
+    spark.sql("CREATE TABLE graft.mv.mm (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.mv.mm VALUES (1, 1.0), (1, 9.0), (2, 4.0)")
+    val srcDir = new Path(s"$warehouse/mv/mm")
+    val mvDir = new Path(s"$warehouse/mv/mm_agg")
+    Materialized.refreshMinMax(spark, cat.ops, srcDir, mvDir, Seq("k"), "v")
+    Materialized.enableRewrite(cat.ops, srcDir, mvDir)
+
+    val q = spark.sql("SELECT k, min(v) AS lo, max(v) AS hi, count(*) AS n " +
+      "FROM graft.mv.mm GROUP BY k ORDER BY k")
+    assert(mvScanCount(q) == 1 && !hasAggregate(q),
+      s"minmax MV must answer:\n${q.queryExecution.optimizedPlan}")
+    assert(q.collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).toSeq ==
+      Seq((1L, 1.0, 9.0, 2L), (2L, 4.0, 4.0, 1L)))
+    // a SUM over the same table must NOT be answered by a minmax MV
+    val qs = spark.sql("SELECT k, sum(v) AS s FROM graft.mv.mm GROUP BY k")
+    assert(mvScanCount(qs) == 0 && hasAggregate(qs))
+    // delete the stored max → repair path; rewrite keeps matching after refresh
+    spark.sql("DELETE FROM graft.mv.mm WHERE v = 9.0")
+    Materialized.refreshMinMax(spark, cat.ops, srcDir, mvDir, Seq("k"), "v")
+    val q2 = spark.sql("SELECT k, min(v) AS lo, max(v) AS hi FROM graft.mv.mm GROUP BY k ORDER BY k")
+    assert(mvScanCount(q2) == 1)
+    assert(q2.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq ==
+      Seq((1L, 1.0, 1.0), (2L, 4.0, 4.0)))
   }
 
   test("C88: CALL graft.system.refresh_mv drives create + refresh + rewrite registration") {
@@ -346,9 +382,17 @@ class MaterializedSpec extends SparkSpec {
       s"procedure-registered MV must answer:\n${q.queryExecution.optimizedPlan}")
     assert(q.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq ==
       Seq((1L, 2.0, 1L), (2L, 10.0, 2L)))
-    // second CALL after churn advances the watermark and re-answers
+    // second CALL after churn advances the watermark and re-answers;
+    // while stale, the maintenance advisor flags the MV
     spark.sql("INSERT INTO graft.mv.prw VALUES (1, 8.0)")
+    val advice = spark.sql("CALL graft.system.maintenance_plan('mv.prw')")
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    assert(advice.exists { case (a, why) =>
+      a == "refresh_mv" && why.contains("behind the head") }, advice.toSeq.toString)
     spark.sql("CALL graft.system.refresh_mv('mv.prw', 'mv.prw_agg', 'k', 'v')")
+    val advice2 = spark.sql("CALL graft.system.maintenance_plan('mv.prw')")
+      .collect().map(_.getString(0))
+    assert(!advice2.contains("refresh_mv"), advice2.toSeq.toString)
     val q2 = spark.sql("SELECT k, sum(v) AS s FROM graft.mv.prw GROUP BY k ORDER BY k")
     assert(mvScanCount(q2) == 1)
     assert(q2.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==

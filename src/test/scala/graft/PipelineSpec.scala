@@ -586,6 +586,32 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("L51 split assignment: cluster-coherent, total, deterministic, ~80/10/10") {
+    val asg = TextPipeline.splitAssign(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(asg.length == nDocs, "every document gets exactly one split")
+    // THE invariant: no near-dup cluster straddles a split boundary
+    asg.groupBy(_._2).foreach { case (cluster, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"cluster $cluster straddles splits: ${members.toSeq}")
+    }
+    // clustered docs inherit the component's split
+    val comp = TextPipeline.dedupComponents(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    asg.foreach { case (id, cluster, _) =>
+      assert(cluster == comp.getOrElse(id, id), s"wrong cluster for $id")
+    }
+    // deterministic across runs
+    val again = TextPipeline.splitAssign(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(asg.toSeq == again.toSeq)
+    // fractions near 80/10/10 (hash balance, loose bounds)
+    val frac = asg.groupBy(_._3).view.mapValues(_.length.toDouble / asg.length).toMap
+    assert(frac("train") > 0.6 && frac("train") < 0.95, s"fractions: $frac")
+    assert(frac.getOrElse("valid", 0.0) + frac.getOrElse("test", 0.0) > 0.05, s"fractions: $frac")
+  }
+
   test("L50 DSIR selection: pool-only, rank-ordered, scores consistent with the bucket model") {
     import org.apache.spark.sql.functions._
     val sel = TextPipeline.dsirSelect(spark, sfDir).collect()
