@@ -38,7 +38,7 @@ object Procedures {
     "apply_deletes", "rollback", "fast_forward", "cherrypick_snapshot", "vacuum",
     "create_branch", "create_tag", "drop_ref", "analyze", "maintenance_plan",
     "compact_where", "migrate_bucket_hash", "export_iceberg", "import_iceberg",
-    "refresh_mv")
+    "refresh_mv", "import_delete_vectors")
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.sameElements(Namespace) && names.contains(ident.name),
@@ -94,6 +94,8 @@ object Procedures {
       case "refresh_mv" => Array(param("table", StringType),
         param("mv_table", StringType), param("keys", StringType),
         param("value", StringType))
+      case "import_delete_vectors" => Array(param("table", StringType),
+        param("puffin_path", StringType))
       case other => throw new IllegalArgumentException(other)
     }
 
@@ -196,6 +198,13 @@ object Procedures {
           summary(
             Seq("mv_last_seq" -> LongType, "rewrite_enabled" -> StringType),
             Seq[Any](mvMeta.properties("graft.mv.last-seq").toLong, "true"))
+        case "import_delete_vectors" =>
+          // C89 — Iceberg v3 Puffin delete-vector-v1 blobs commit as
+          // one graft dv-delete snapshot (CRC-validated read)
+          val meta = ops.importDeleteVectorsPuffin(spark, dir,
+            new Path(input.getUTF8String(1).toString))
+          summary(Seq("snapshot_id" -> LongType),
+            Seq[Any](meta.currentSnapshotId.getOrElse(-1L)))
         case "migrate_bucket_hash" =>
           // the migration path Transforms.BucketHashProp documents:
           // rewrite every data file (compact regenerates __pt_ under

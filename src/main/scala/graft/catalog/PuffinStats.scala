@@ -222,4 +222,50 @@ object PuffinStats {
       (Magic.length + footerPayload.length + 4 + 4 + Magic.length).toLong,
       footerPayloadNode.toString))
   }
+
+  /** Parse a Puffin file's `delete-vector-v1` blobs: (referenced data
+    * file, dead-ordinal bitmap) per blob. Validates the container
+    * magics, each blob's inner magic and its CRC-32C — a corrupt or
+    * truncated vector fails LOUDLY rather than silently resurrecting
+    * deleted rows. Blobs of other types are skipped by contract. */
+  def readDeleteVectors(
+      ops: TableOps,
+      path: Path): Seq[(String, org.roaringbitmap.longlong.Roaring64NavigableMap)] = {
+    val in = ops.store.fs(path).open(path)
+    val bytes = try in.readAllBytes() finally in.close()
+    def magicAt(off: Int): Boolean =
+      off >= 0 && off + 4 <= bytes.length &&
+        java.util.Arrays.equals(bytes.slice(off, off + 4), Magic)
+    require(magicAt(0), s"$path is not a Puffin file (missing header magic)")
+    require(magicAt(bytes.length - 4), s"$path: missing trailing magic")
+    val flagsOff = bytes.length - 8
+    val payloadSize = ByteBuffer.wrap(bytes, bytes.length - 12, 4)
+      .order(ByteOrder.LITTLE_ENDIAN).getInt
+    require((bytes(flagsOff) & 0x1) == 0, s"$path: compressed footer payload unsupported")
+    val payloadOff = bytes.length - 12 - payloadSize
+    require(magicAt(payloadOff - 4), s"$path: missing footer-start magic")
+    val footer = mapper.readTree(
+      new String(bytes, payloadOff, payloadSize, StandardCharsets.UTF_8))
+    import scala.jdk.CollectionConverters._
+    Option(footer.get("blobs")).map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+      .filter(b => b.get("type").asText() == "delete-vector-v1")
+      .map { b =>
+        val off = b.get("offset").asLong().toInt
+        val len = b.get("length").asLong().toInt
+        val buf = ByteBuffer.wrap(bytes, off, len).order(ByteOrder.BIG_ENDIAN)
+        val inner = buf.getInt // |magic| + |vector|
+        require(inner == len - 8, s"$path: blob length mismatch at offset $off")
+        val magic = new Array[Byte](4); buf.get(magic)
+        require(java.util.Arrays.equals(magic, DvMagic),
+          s"$path: delete-vector blob at $off has wrong inner magic")
+        val vec = new Array[Byte](inner - 4); buf.get(vec)
+        val crcStored = buf.getInt
+        val crc = new java.util.zip.CRC32C()
+        crc.update(DvMagic); crc.update(vec)
+        require(crc.getValue.toInt == crcStored,
+          s"$path: CRC mismatch in delete-vector blob at $off")
+        val ref = b.get("properties").get("referenced-data-file").asText()
+        ref -> DeletionVectors.deserialize(vec)
+      }
+  }
 }

@@ -1246,6 +1246,62 @@ final class TableOps(private[graft] val store: FsStore) {
       cond: org.apache.spark.sql.Column): TableMetadata =
     positionalDelete(spark, tableDir, cond, asVectors = true)
 
+  /** C89 — import Iceberg v3 deletion vectors: the `delete-vector-v1`
+    * blobs of a Puffin file ([[PuffinStats.readDeleteVectors]], CRC-
+    * validated) commit as ONE graft dv-delete snapshot masking the
+    * referenced ordinals — the read direction of
+    * [[PuffinStats.writeDeleteVectors]], so v3 DVs round-trip
+    * export→import without ever expanding to per-ordinal rows. Every
+    * referenced data file must be live in this table (else: loud
+    * refusal — a vector against an unknown file is either the wrong
+    * table or a rewrite raced the import). */
+  def importDeleteVectorsPuffin(
+      spark: SparkSession,
+      tableDir: Path,
+      puffinPath: Path): TableMetadata = {
+    val (_, meta) = load(tableDir).getOrElse(
+      throw new CommitFailedException(s"table does not exist at $tableDir"))
+    val dvs = PuffinStats.readDeleteVectors(this, puffinPath)
+    if (dvs.isEmpty)
+      throw new IllegalArgumentException(s"no delete-vector-v1 blobs in $puffinPath")
+    val base = tableDir.toUri.getPath + "/"
+    def norm(p: String): String = {
+      val a = p.replaceFirst("^file:/+", "/")
+      if (a.startsWith("/")) a else base + a
+    }
+    def liveOf(m: TableMetadata): Set[String] =
+      resolveEntries(tableDir, m).filter(_.isData).map(e => norm(e.path)).toSet
+    val missing = dvs.map(t => norm(t._1)).filterNot(liveOf(meta).contains)
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"puffin delete vectors reference files not live in this table " +
+          s"(e.g. ${missing.head})")
+    // same rename-safe storage policy as positionalDelete: paths under
+    // the table dir store relative
+    import scala.jdk.CollectionConverters._
+    val rows: java.util.List[org.apache.spark.sql.Row] = dvs.map { case (ref, bm) =>
+      val abs = norm(ref)
+      val stored = if (abs.startsWith(base)) abs.stripPrefix(base) else abs
+      org.apache.spark.sql.Row(stored, bm.getLongCardinality, DeletionVectors.serialize(bm))
+    }.asJava
+    val df = spark.createDataFrame(rows, DeletionVectors.schema)
+    val writeDir = new Path(dataDir(tableDir), s"w-${UUID.randomUUID()}")
+    df.coalesce(1).write.parquet(writeDir.toString)
+    val files = store.listFilesRec(writeDir)
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    commitDeleteEntries(tableDir, seq => files.map(f => DataFileEntry(
+      relativize(tableDir, f), content = "dv-deletes", seq = Some(seq))),
+      "dv-delete",
+      validate = cur => {
+        val present = liveOf(cur)
+        val gone = dvs.map(t => norm(t._1)).filterNot(present.contains)
+        if (gone.nonEmpty)
+          throw new CommitFailedException(
+            "deletion-vector import aborted: a concurrent rewrite replaced " +
+              s"referenced files (e.g. ${gone.head}) — re-export against fresh state")
+      })
+  }
+
   /** C81 — merge-on-read UPDATE: matched rows die via a deletion
     * vector and their updated images append as new data files, BOTH in
     * ONE commit — O(changed rows) work, zero data-file rewrite (the

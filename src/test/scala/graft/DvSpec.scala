@@ -365,4 +365,68 @@ class DvSpec extends SparkSpec {
       (3L, "closed", 35.0), (4L, "done", 40.0)), finalRows.mkString(", "))
     assert(entries(dir).forall(_.isData), "applyDeletes purges the vectors")
   }
+
+  test("C89: Iceberg v3 Puffin delete vectors import as graft DV deletes (round-trip)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dv")
+    spark.sql("CREATE TABLE graft.dv.v3rt (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.dv.v3rt VALUES (1,'a'), (2,'b'), (3,'c')")
+    spark.sql("INSERT INTO graft.dv.v3rt VALUES (4,'d'), (5,'e'), (6,'f')")
+    val dir = new Path(s"$warehouse/dv/v3rt")
+    cat.ops.deletionVectorDelete(spark, dir, col("id").isin(2L, 5L, 6L))
+    val expected = spark.sql("SELECT id FROM graft.dv.v3rt ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(expected == Seq(1L, 3L, 4L))
+
+    // export writes the v3 delete-vector-v1 blobs
+    IcebergExport.export(cat.ops, dir, Some(spark))
+    val snapId = cat.ops.load(dir).get._2.currentSnapshotId.get
+    val pf = new Path(s"$warehouse/dv/v3rt/iceberg/metadata/dvs-$snapId.puffin")
+    assert(cat.ops.store.exists(pf))
+
+    // reader returns (referenced file, bitmap) with the right dead sets
+    val read = PuffinStats.readDeleteVectors(cat.ops, pf)
+    assert(read.nonEmpty)
+    assert(read.map(_._2.getLongCardinality).sum == 3L)
+
+    // twin table referencing the SAME data files (pre-delete state):
+    // importing the puffin must reproduce the original's visible rows
+    val twinDir = new Path(s"$warehouse/dv/v3rt_twin")
+    val dataAbs = cat.ops.resolveEntries(dir, cat.ops.load(dir).get._2)
+      .filter(_.isData).map(e => new Path(dir, e.path).toString)
+    cat.ops.create(twinDir, TableMetadata.create(
+      twinDir.toString,
+      cat.ops.load(dir).get._2.currentSchema,
+      PartitionSpec(0, Seq.empty), SortOrder(0, Seq.empty), Map.empty))
+    cat.ops.commitFiles(twinDir, dataAbs, "append")
+    assert(cat.ops.read(spark, twinDir).count() == 6, "twin starts pre-delete")
+
+    cat.ops.importDeleteVectorsPuffin(spark, twinDir, pf)
+    val twinRows = spark.sql("SELECT id FROM graft.dv.v3rt_twin ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(twinRows == expected,
+      s"imported DVs must mask the same ordinals: $twinRows vs $expected")
+
+    // SQL procedure spelling on a second twin
+    val twin2 = new Path(s"$warehouse/dv/v3rt_twin2")
+    cat.ops.create(twin2, TableMetadata.create(
+      twin2.toString, cat.ops.load(dir).get._2.currentSchema,
+      PartitionSpec(0, Seq.empty), SortOrder(0, Seq.empty), Map.empty))
+    cat.ops.commitFiles(twin2, dataAbs, "append")
+    spark.sql(s"CALL graft.system.import_delete_vectors('dv.v3rt_twin2', '$pf')")
+    assert(spark.sql("SELECT id FROM graft.dv.v3rt_twin2 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == expected)
+
+    // a corrupted vector byte fails LOUDLY (CRC), never silently
+    val fs = cat.ops.store.fs(pf)
+    val len = fs.getFileStatus(pf).getLen.toInt
+    val bytes = { val in = fs.open(pf)
+      try { val b = new Array[Byte](len); in.readFully(0, b); b } finally in.close() }
+    bytes(12) = (bytes(12) ^ 0x1).toByte // inside the first blob's vector
+    val corrupt = new Path(s"$warehouse/dv/v3rt_corrupt.puffin")
+    val out = fs.create(corrupt, true); out.write(bytes); out.close()
+    val e = intercept[IllegalArgumentException] {
+      PuffinStats.readDeleteVectors(cat.ops, corrupt)
+    }
+    assert(e.getMessage.contains("CRC") || e.getMessage.contains("magic"), e.getMessage)
+  }
 }
