@@ -1973,6 +1973,74 @@ object TextPipeline {
                WHERE u.jaccard >= g.threshold_pct / 100.0) AS n_docs
        FROM grid g ORDER BY g.threshold_pct"""
 
+  /** L52 — mixed-language segmentation audit: language-ID (the L8
+    * stopword heuristic) over fixed 20-word WINDOWS of each document,
+    * then per-doc disagreement stats — docs whose windows vote for
+    * different languages are code-switching / concatenation artifacts
+    * that a doc-level language filter silently mislabels (the standard
+    * curation failure this audit exists to catch). Majority language
+    * by window votes (ties break alphabetically — cross-engine
+    * deterministic), `minority_frac` = fraction of windows that
+    * disagree with it; short tail windows (< 5 words) are dropped as
+    * noise.
+    *
+    * Scale: map-only window explode (O(corpus words)) + one two-level
+    * hash agg keyed (doc, lang) then doc — the same shuffle class as
+    * L17; nothing joins, nothing is corpus-quadratic. */
+  def langSegments(s: SparkSession, d: String): DataFrame = {
+    val wins = withWords(documents(s, d))
+      .select(col("doc_id"), explode(expr(
+        "filter(transform(sequence(1, size(ws), 20), st -> slice(ws, st, 20)), " +
+          "a -> size(a) >= 5)")).as("ws"))
+    val voted = wins
+      .withColumn("h_en", expr(hitsExpr("en"))).withColumn("h_es", expr(hitsExpr("es")))
+      .withColumn("h_de", expr(hitsExpr("de"))).withColumn("h_fr", expr(hitsExpr("fr")))
+      .withColumn("h_zh", expr(hitsExpr("zh")))
+      .withColumn("win_lang", expr(predCase))
+      .groupBy("doc_id", "win_lang").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("cnt").desc, col("win_lang"))
+    voted
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_windows",
+        sum("cnt").over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .withColumn("n_langs",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .filter(col("rk") === 1 && col("n_windows") >= 2)
+      .select(col("doc_id"), col("n_windows"), col("n_langs"),
+        col("win_lang").as("major_lang"),
+        round(lit(1.0) - col("cnt").cast("double") / col("n_windows").cast("double"), 6)
+          .as("minority_frac"))
+      .orderBy(col("minority_frac").desc, col("doc_id"))
+      .limit(200)
+  }
+
+  val langSegmentsSql: String = {
+    def h(lang: String) = {
+      val list = stops(lang).map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(ws, w -> w IN ($list))) AS BIGINT) AS h_$lang"
+    }
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS wall FROM documents),
+       win0 AS (SELECT doc_id, wall[st : st + 19] AS ws
+                FROM d, UNNEST(range(1, len(wall) + 1, 20)) AS t(st)),
+       win AS (SELECT * FROM win0 WHERE len(ws) >= 5),
+       hits AS (SELECT doc_id, ${h("en")}, ${h("es")}, ${h("de")}, ${h("fr")}, ${h("zh")}
+                FROM win),
+       votes AS (SELECT doc_id, $predCase AS win_lang FROM hits),
+       cnts AS (SELECT doc_id, win_lang, COUNT(*) AS cnt FROM votes GROUP BY 1, 2),
+       ranked AS (SELECT doc_id, win_lang, cnt,
+                         ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY cnt DESC, win_lang) AS rk,
+                         SUM(cnt) OVER (PARTITION BY doc_id) AS n_windows,
+                         COUNT(*) OVER (PARTITION BY doc_id) AS n_langs
+                  FROM cnts)
+       SELECT doc_id, CAST(n_windows AS BIGINT) AS n_windows,
+              CAST(n_langs AS BIGINT) AS n_langs, win_lang AS major_lang,
+              ROUND(1.0 - CAST(cnt AS DOUBLE) / n_windows, 6) AS minority_frac
+       FROM ranked WHERE rk = 1 AND n_windows >= 2
+       ORDER BY minority_frac DESC, doc_id LIMIT 200"""
+  }
+
   /** L51 — leakage-safe split assignment: train/valid/test membership
     * is drawn from a deterministic hash of the NEAR-DUP CLUSTER id,
     * not the document id, so every member of a duplicate cluster lands

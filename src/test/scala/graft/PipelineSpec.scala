@@ -612,6 +612,29 @@ class PipelineSpec extends SparkSpec {
     assert(frac.getOrElse("valid", 0.0) + frac.getOrElse("test", 0.0) > 0.05, s"fractions: $frac")
   }
 
+  test("L52 language segmentation: window accounting and disagreement stats are coherent") {
+    val segs = TextPipeline.langSegments(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    assert(segs.nonEmpty)
+    val langs = Set("en", "es", "de", "fr", "zh")
+    segs.foreach { case (id, nWin, nLangs, major, frac) =>
+      assert(nWin >= 2, s"doc $id: single-window docs are excluded")
+      assert(nLangs >= 1 && nLangs <= 5)
+      assert(langs.contains(major))
+      assert(frac >= 0.0 && frac < 1.0, s"doc $id frac $frac")
+      // unanimous docs have zero minority fraction, and vice versa
+      assert((nLangs == 1) == (frac == 0.0), s"doc $id: $nLangs langs but frac $frac")
+      // the majority holds a plurality: minority fraction under 1 - 1/nWin
+      assert(frac <= 1.0 - 1.0 / nWin + 1e-9)
+    }
+    // ordered by disagreement, ties by doc_id
+    segs.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._5 > b._5 || (a._5 == b._5 && a._1 < b._1))
+      case _ => ()
+    }
+  }
+
   test("L50 DSIR selection: pool-only, rank-ordered, scores consistent with the bucket model") {
     import org.apache.spark.sql.functions._
     val sel = TextPipeline.dsirSelect(spark, sfDir).collect()
