@@ -344,27 +344,27 @@ class MaterializedSpec extends SparkSpec {
 
   test("C88: MIN/MAX MVs answer MIN/MAX/COUNT(*); sum shapes never match them") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mv")
-    spark.sql("CREATE TABLE graft.mv.mm (k BIGINT, v DOUBLE)")
-    spark.sql("INSERT INTO graft.mv.mm VALUES (1, 1.0), (1, 9.0), (2, 4.0)")
-    val srcDir = new Path(s"$warehouse/mv/mm")
-    val mvDir = new Path(s"$warehouse/mv/mm_agg")
+    spark.sql("CREATE TABLE graft.mv.mmrw (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.mv.mmrw VALUES (1, 1.0), (1, 9.0), (2, 4.0)")
+    val srcDir = new Path(s"$warehouse/mv/mmrw")
+    val mvDir = new Path(s"$warehouse/mv/mmrw_agg")
     Materialized.refreshMinMax(spark, cat.ops, srcDir, mvDir, Seq("k"), "v")
     Materialized.enableRewrite(cat.ops, srcDir, mvDir)
 
     val q = spark.sql("SELECT k, min(v) AS lo, max(v) AS hi, count(*) AS n " +
-      "FROM graft.mv.mm GROUP BY k ORDER BY k")
+      "FROM graft.mv.mmrw GROUP BY k ORDER BY k")
     assert(mvScanCount(q) == 1 && !hasAggregate(q),
       s"minmax MV must answer:\n${q.queryExecution.optimizedPlan}")
     assert(q.collect().map(r =>
       (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).toSeq ==
       Seq((1L, 1.0, 9.0, 2L), (2L, 4.0, 4.0, 1L)))
     // a SUM over the same table must NOT be answered by a minmax MV
-    val qs = spark.sql("SELECT k, sum(v) AS s FROM graft.mv.mm GROUP BY k")
+    val qs = spark.sql("SELECT k, sum(v) AS s FROM graft.mv.mmrw GROUP BY k")
     assert(mvScanCount(qs) == 0 && hasAggregate(qs))
     // delete the stored max → repair path; rewrite keeps matching after refresh
-    spark.sql("DELETE FROM graft.mv.mm WHERE v = 9.0")
+    spark.sql("DELETE FROM graft.mv.mmrw WHERE v = 9.0")
     Materialized.refreshMinMax(spark, cat.ops, srcDir, mvDir, Seq("k"), "v")
-    val q2 = spark.sql("SELECT k, min(v) AS lo, max(v) AS hi FROM graft.mv.mm GROUP BY k ORDER BY k")
+    val q2 = spark.sql("SELECT k, min(v) AS lo, max(v) AS hi FROM graft.mv.mmrw GROUP BY k ORDER BY k")
     assert(mvScanCount(q2) == 1)
     assert(q2.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq ==
       Seq((1L, 1.0, 1.0), (2L, 4.0, 4.0)))
