@@ -322,6 +322,15 @@ class MaterializedSpec extends SparkSpec {
     assert(mvScanCount(tt) == 0 && hasAggregate(tt))
     assert(tt.collect().length == 2)
 
+    // HAVING composes for free: the post-aggregation filter sits ABOVE
+    // the replaced Aggregate, so it applies to the MV's answers
+    val hv = spark.sql("SELECT k, sum(v) AS s FROM graft.mv.rw GROUP BY k " +
+      "HAVING sum(v) > 5 ORDER BY k")
+    assert(mvScanCount(hv) == 1 && !hasAggregate(hv),
+      s"HAVING must not block the rewrite:\n${hv.queryExecution.optimizedPlan}")
+    assert(hv.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((2L, 15.0), (3L, 8.0)))
+
     // a KEY-only filter commutes with the grouping: it re-applies on
     // the MV and the rewrite still fires, with filtered answers
     val kf = spark.sql("SELECT k, sum(v) AS s FROM graft.mv.rw WHERE k >= 2 GROUP BY k ORDER BY k")
