@@ -222,4 +222,41 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq == Seq(
       (1L, "bronze"), (2L, "silver"), (3L, "gold"), (4L, "bronze")), out.mkString(", "))
   }
+
+  test("R96: observable metrics surface per micro-batch and via batch Observation") {
+    import org.apache.spark.sql.functions._
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+
+    // batch: Observation collects the same observe() metrics
+    val obs = org.apache.spark.sql.Observation("batch_metrics")
+    Seq((1L, 2.0), (2L, 3.5)).toDF("id", "value")
+      .observe(obs, count(lit(1)).as("n_rows"), sum(col("value")).as("total_value"))
+      .collect()
+    assert(obs.get("n_rows") == 2L && obs.get("total_value") == 5.5)
+
+    // streaming: each micro-batch's metrics ride its progress event
+    val input = MemoryStream[Event]
+    val q = Streams.observedEvents(input.toDF())
+      .writeStream.format("memory").queryName("obs_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, 1, "click", 1.0, ts(0)),
+        Event(2, 1, "view", 2.0, ts(1)),
+        Event(3, 2, "click", 4.0, ts(2)))
+      q.processAllAvailable()
+      val om = q.lastProgress.observedMetrics
+      assert(om.containsKey("event_metrics"), s"got ${om.keySet()}")
+      val m = om.get("event_metrics")
+      assert(m.getAs[Long]("n_rows") == 3L)
+      assert(m.getAs[Double]("total_value") == 7.0)
+      assert(m.getAs[Long]("null_types") == 0L)
+      // next batch reports ITS OWN numbers, not cumulative ones
+      input.addData(Event(4, 3, "click", 10.0, ts(3)))
+      q.processAllAvailable()
+      val m2 = q.lastProgress.observedMetrics.get("event_metrics")
+      assert(m2.getAs[Long]("n_rows") == 1L && m2.getAs[Double]("total_value") == 10.0)
+    } finally q.stop()
+  }
 }
