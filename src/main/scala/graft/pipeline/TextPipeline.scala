@@ -1973,6 +1973,77 @@ object TextPipeline {
                WHERE u.jaccard >= g.threshold_pct / 100.0) AS n_docs
        FROM grid g ORDER BY g.threshold_pct"""
 
+  /** L53 — exact shared-span detection (the exact-substring dedup
+    * primitive of Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better", word-level): every 8-word window hashes;
+    * cross-doc windows with equal hashes join; runs of consecutive
+    * matches along a (doc_a, doc_b) DIAGONAL (a_idx − b_idx constant)
+    * merge into MAXIMAL shared spans via gaps-and-islands — reported
+    * with both start offsets and the span length in words. Unlike
+    * L2/L4's set-similarity this finds verbatim COPIED PASSAGES
+    * between otherwise-different documents (license boilerplate,
+    * quoted articles), the thing suffix-array dedup pipelines cut.
+    *
+    * Scale: the window-hash equi-join is the only shuffle, and the
+    * same df-ceiling as L4 bounds hot-window fanout (a boilerplate
+    * window shared by the whole corpus must not join corpus²); island
+    * merging is one window function over each pair's matches. No
+    * suffix array needed — fixed-length windows trade the generality
+    * of arbitrary-length matches for a plan that is pure
+    * join+window-agg at any corpus size (spans ≥ 8 words are exact;
+    * shorter overlaps are invisible by design). */
+  def sharedSpans(s: SparkSession, d: String): DataFrame = {
+    val W = 8
+    val wins = withWords(documents(s, d))
+      .filter(size(col("ws")) >= W)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(ws) - ${W - 1}), " +
+          s"i -> substr(md5(concat_ws(' ', slice(ws, i, $W))), 1, 16))")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("idx"), col("col").as("h"))
+    // df ceiling: corpus-hot windows (boilerplate) out of the join
+    val hot = wins.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > GramDfCeiling).select("h")
+    val kept = wins.join(broadcast(hot), Seq("h"), "left_anti")
+    val pairs = kept.select(col("doc_id").as("doc_a"), col("idx").as("a_idx"), col("h"))
+      .join(kept.select(col("doc_id").as("doc_b"), col("idx").as("b_idx"), col("h")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("diag", col("a_idx") - col("b_idx"))
+    val wSpec = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_a", "doc_b", "diag").orderBy("a_idx")
+    pairs
+      .withColumn("island", col("a_idx") - row_number().over(wSpec))
+      .groupBy("doc_a", "doc_b", "diag", "island")
+      .agg(min("a_idx").as("a_start"), min("b_idx").as("b_start"),
+        (count(lit(1)) + lit(W - 1)).as("span_words"))
+      .select("doc_a", "doc_b", "a_start", "b_start", "span_words")
+      .orderBy(col("span_words").desc, col("doc_a"), col("doc_b"),
+        col("a_start"), col("b_start"))
+      .limit(50)
+  }
+
+  val sharedSpansSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       win AS (SELECT doc_id, CAST(i AS BIGINT) AS idx,
+                      substr(md5(array_to_string(ws[i:i+7], ' ')), 1, 16) AS h
+               FROM w, UNNEST(range(1, len(ws) - 6)) AS t(i)
+               WHERE len(ws) >= 8),
+       hot AS (SELECT h FROM win GROUP BY h HAVING COUNT(*) > $GramDfCeiling),
+       k AS (SELECT * FROM win WHERE h NOT IN (SELECT h FROM hot)),
+       p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                    x.idx AS a_idx, y.idx AS b_idx, x.idx - y.idx AS diag
+             FROM k x JOIN k y ON x.h = y.h AND x.doc_id < y.doc_id),
+       isl AS (SELECT doc_a, doc_b, a_idx, b_idx, diag,
+                      a_idx - ROW_NUMBER() OVER (
+                        PARTITION BY doc_a, doc_b, diag ORDER BY a_idx) AS island
+               FROM p),
+       sp AS (SELECT doc_a, doc_b, MIN(a_idx) AS a_start, MIN(b_idx) AS b_start,
+                     COUNT(*) + 7 AS span_words
+              FROM isl GROUP BY doc_a, doc_b, diag, island)
+       SELECT doc_a, doc_b, CAST(a_start AS BIGINT) AS a_start,
+              CAST(b_start AS BIGINT) AS b_start,
+              CAST(span_words AS BIGINT) AS span_words
+       FROM sp ORDER BY span_words DESC, doc_a, doc_b, a_start, b_start LIMIT 50"""
+
   /** L52 — mixed-language segmentation audit: language-ID (the L8
     * stopword heuristic) over fixed 20-word WINDOWS of each document,
     * then per-doc disagreement stats — docs whose windows vote for

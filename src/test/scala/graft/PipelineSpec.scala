@@ -612,6 +612,42 @@ class PipelineSpec extends SparkSpec {
     assert(frac.getOrElse("valid", 0.0) + frac.getOrElse("test", 0.0) > 0.05, s"fractions: $frac")
   }
 
+  test("L53 shared spans: maximality, window floor, symmetry of reported offsets") {
+    val spans = TextPipeline.sharedSpans(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(spans.nonEmpty, "the synthetic corpus contains verbatim shared passages")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    spans.foreach { case (a, b, aStart, bStart, n) =>
+      assert(a < b, "pairs are canonical (doc_a < doc_b)")
+      assert(n >= 8, s"no span under the window size: $n")
+      // the reported words REALLY are identical in both documents
+      val wa = docs(a).slice(aStart.toInt - 1, aStart.toInt - 1 + n.toInt)
+      val wb = docs(b).slice(bStart.toInt - 1, bStart.toInt - 1 + n.toInt)
+      assert(wa.length == n && wa.sameElements(wb),
+        s"span ($a,$b,$aStart,$bStart,$n) is not verbatim-equal")
+      // (directional maximality can legitimately be cut short by the
+      // df ceiling on a hot boundary window, so strict non-extension
+      // is asserted only on the planted pair below)
+    }
+
+    // planted case: two synthetic docs sharing EXACTLY one 12-word
+    // passage at known offsets
+    import spark.implicits._
+    val passage = (1 to 12).map(i => s"shared$i").mkString(" ")
+    val dA = s"alpha beta gamma $passage tail1 tail2"
+    val dB = s"x1 $passage y1 y2 y3"
+    val dir = java.nio.file.Files.createTempDirectory("graft-span-")
+    Seq((1L, dA, "en", "s", dA.length.toLong), (2L, dB, "en", "s", dB.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = TextPipeline.sharedSpans(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(planted.toSeq == Seq((1L, 2L, 4L, 2L, 12L)),
+      s"exactly the planted passage at its offsets: ${planted.toSeq}")
+  }
+
   test("L52 language segmentation: window accounting and disagreement stats are coherent") {
     val segs = TextPipeline.langSegments(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
