@@ -6,8 +6,11 @@ import org.apache.spark.sql.functions._
 
 /** Incrementally-maintained aggregate tables (materialized-view lite),
   * driven by the row-level CDC feed: the destination holds
-  * `keyCols..., value_sum, n_rows` = `SELECT keys, SUM(value),
-  * COUNT(*) FROM src GROUP BY keys`, and [[refreshSumCount]] advances
+  * `keyCols..., value_sum, n_vals, n_rows` = `SELECT keys, SUM(value),
+  * COUNT(value), COUNT(*) FROM src GROUP BY keys` (`n_vals` counts
+  * NON-NULL values — it is what NULL-correct `AVG` divides by, and
+  * `n_vals = 0` is how the rewrite knows `SUM` of an all-NULL group
+  * must be NULL, not 0), and [[refreshSumCount]] advances
   * it by reading ONLY the source commits since the last refresh
   * ([[TableOps.changes]]) — cost tracks churn, never source size.
   * Inserts contribute positively, deletes negatively (sum/count are
@@ -45,6 +48,8 @@ object Materialized {
           throw new IllegalArgumentException(s"key column $k not in source schema"))) ++ Seq(
           org.apache.spark.sql.types.StructField("value_sum",
             org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("n_vals",
+            org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("n_rows",
             org.apache.spark.sql.types.LongType)))
       ops.create(dstDir, TableMetadata.create(
@@ -59,20 +64,28 @@ object Materialized {
     val (_, dstMeta) = ops.load(dstDir).get
     val lastSeq = dstMeta.properties.get("graft.mv.last-seq").map(_.toLong).getOrElse(0L)
     if (headSeq <= lastSeq) return dstMeta // nothing new
+    // MVs created before n_vals existed keep their 2-column shape —
+    // the rewrite then only answers SUM/AVG for non-nullable sources
+    val hasNVals = SchemaBridge.toSpark(dstMeta.currentSchema)
+      .fieldNames.contains("n_vals")
 
     val delta = ops.changes(spark, srcDir, lastSeq, headSeq)
       .withColumn("_sign", when(col("_change_type") === "insert", 1L).otherwise(-1L))
       .groupBy(keyCols.map(col): _*)
       .agg(
         sum(col(valueCol).cast("double") * col("_sign")).as("sum_delta"),
+        sum(when(col(valueCol).isNotNull, col("_sign")).otherwise(0L)).as("vals_delta"),
         sum(col("_sign")).as("cnt_delta"))
 
     val current = ops.read(spark, dstDir)
+    val nValsCols = if (hasNVals) Seq(
+      (coalesce(col("n_vals"), lit(0L)) +
+        coalesce(col("vals_delta"), lit(0L))).as("n_vals")) else Seq.empty
     val merged = current.join(delta, keyCols, "full_outer")
       .select(
         keyCols.map(col) ++ Seq(
           (coalesce(col("value_sum"), lit(0.0)) +
-            coalesce(col("sum_delta"), lit(0.0))).as("value_sum"),
+            coalesce(col("sum_delta"), lit(0.0))).as("value_sum")) ++ nValsCols ++ Seq(
           (coalesce(col("n_rows"), lit(0L)) +
             coalesce(col("cnt_delta"), lit(0L))).as("n_rows")): _*)
       .filter(col("n_rows") > 0) // fully-deleted groups disappear
@@ -396,14 +409,35 @@ object Materialized {
     * MV is exactly at the source's head sequence. Explicit opt-in —
     * only stamped tables ever pay the planner's metadata probe. */
   def enableRewrite(ops: TableOps, srcDir: Path, mvDir: Path): TableMetadata = {
-    val (_, srcMeta) = ops.load(srcDir).getOrElse(
-      throw new IllegalArgumentException(s"source table does not exist at $srcDir"))
-    val existing = srcMeta.properties.get(RewriteToMaterializedView.RewriteProp)
-      .toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-    if (existing.contains(mvDir.toString)) return srcMeta
-    ops.commit(srcDir, Seq.empty, Seq(MetadataUpdate.SetProperties(Map(
-      RewriteToMaterializedView.RewriteProp ->
-        (existing :+ mvDir.toString).mkString(",")))))
+    // read-modify-write of the comma-separated list, so the commit is
+    // guarded on the snapshot the list was read from and the whole
+    // check-and-append re-runs on a lost race — two concurrent
+    // registrations can't overwrite each other
+    var attempts = 0
+    while (true) {
+      val (_, srcMeta) = ops.load(srcDir).getOrElse(
+        throw new IllegalArgumentException(s"source table does not exist at $srcDir"))
+      val existing = srcMeta.properties.get(RewriteToMaterializedView.RewriteProp)
+        .toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      if (existing.contains(mvDir.toString)) return srcMeta
+      try {
+        // pin the PROPERTY, not the ref: property-only commits never
+        // move main, so a ref assertion would not serialize them
+        return ops.commit(srcDir,
+          Seq(Requirement.AssertProperty(RewriteToMaterializedView.RewriteProp,
+            srcMeta.properties.get(RewriteToMaterializedView.RewriteProp))),
+          Seq(MetadataUpdate.SetProperties(Map(
+            RewriteToMaterializedView.RewriteProp ->
+              (existing :+ mvDir.toString).mkString(",")))))
+      } catch {
+        case e: CommitFailedException if attempts < 20 &&
+            (e.getMessage.contains("concurrent commit") ||
+             e.getMessage.contains("assert-property")) =>
+          attempts += 1 // lost race: re-read, re-check, retry
+          Thread.sleep(15L * attempts)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   private def listParquet(ops: TableOps, dir: Path): Seq[String] = {

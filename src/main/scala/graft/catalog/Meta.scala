@@ -249,6 +249,21 @@ object Requirement {
       else Some(s"assert-default-sort-order-id failed: expected $id, found ${t.defaultSortOrderId}")
     }
   }
+
+  /** Graft extension (not one of the reference's 8): pin a table
+    * PROPERTY to the value a read-modify-write cycle observed
+    * (None ⇒ must still be unset). Property-only commits never move a
+    * ref, so [[AssertRefSnapshotId]] cannot serialize them — two
+    * racers both pass the ref check and the second silently overwrites
+    * the first's property edit. This closes that window. */
+  final case class AssertProperty(key: String, expected: Option[String]) extends Requirement {
+    val name = "assert-property"
+    def check(m: Option[TableMetadata]): Option[String] = existing(m) { t =>
+      val got = t.properties.get(key)
+      if (got == expected) None
+      else Some(s"assert-property failed for '$key': expected $expected, found $got")
+    }
+  }
 }
 
 /** Commit updates — the metadata mutations a commit applies, covering

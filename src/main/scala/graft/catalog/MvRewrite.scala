@@ -30,7 +30,9 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   *  - grouping keys are exactly the MV's key columns and every
   *    aggregate is `SUM(value)` (double), `COUNT(*)`/`COUNT(1)`, or
   *    `AVG(value)` — the three the sum/count MV answers exactly
-  *    (`AVG = value_sum / n_rows`). DISTINCT/FILTER forms never match.
+  *    (`AVG = value_sum / n_vals`, NULL-correct: `n_vals` counts
+  *    non-null values, and `n_vals = 0` turns SUM into NULL).
+  *    DISTINCT/FILTER forms never match.
   *
   * Registration is an explicit property on the SOURCE table
   * (`graft.mv.rewrite`, comma-separated MV paths —
@@ -67,20 +69,31 @@ class RewriteToMaterializedView(spark: SparkSession) extends Rule[LogicalPlan] {
     * in post-pushdown (ScanRelation) form. */
   private def sourceRelation(plan: LogicalPlan): Option[(GraftTable, Seq[Expression], Boolean)] =
     plan match {
-      case r: DataSourceV2Relation => r.table match {
+      case r: DataSourceV2Relation if !timeTravelRead(r.options) => r.table match {
         case t: GraftTable => Some((t, Seq.empty, false))
         case _ => None
       }
-      case sr: DataSourceV2ScanRelation => sr.relation.table match {
-        case t: GraftTable => Some((t, Seq.empty, true))
-        case _ => None
-      }
+      case sr: DataSourceV2ScanRelation if !timeTravelRead(sr.relation.options) =>
+        sr.relation.table match {
+          case t: GraftTable => Some((t, Seq.empty, true))
+          case _ => None
+        }
       case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
         sourceRelation(child)
       case Filter(cond, child) if cond.deterministic =>
         sourceRelation(child).map { case (t, conds, post) => (t, cond +: conds, post) }
       case _ => None
     }
+
+  /** Options-based time travel / branch reads
+    * (`spark.read.option("snapshot-id"|"ref"|"as-of-timestamp", …)`)
+    * never touch `graftPinned`, so they must be screened here: the MV
+    * tracks main's head — answering a historical or WAP-branch read
+    * from it would be silently wrong. */
+  private def timeTravelRead(
+      opts: org.apache.spark.sql.util.CaseInsensitiveStringMap): Boolean =
+    opts != null && (opts.containsKey("snapshot-id") || opts.containsKey("ref") ||
+      opts.containsKey("as-of-timestamp"))
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
     val (src, filters, postPushdown) = sourceRelation(agg.child) match {
@@ -143,8 +156,18 @@ class RewriteToMaterializedView(spark: SparkSession) extends Rule[LogicalPlan] {
       }
     val byName = mvChild.output.map(a => a.name -> a).toMap
     val nRows = byName.get("n_rows").getOrElse(return None)
+    // NULL-correct SUM/AVG need the MV's non-null value count
+    // (`n_vals`): AVG(v) divides by COUNT(v), not COUNT(*), and
+    // SUM(v) of an all-NULL group is NULL, not 0. MVs predating
+    // n_vals can still answer when the source schema PROVES the value
+    // column never holds NULL.
+    val nVals = byName.get("n_vals")
     // what the MV maintains: sum/count (default) or min/max
     val aggKind = mvMeta.properties.getOrElse("graft.mv.agg", "sumcount")
+    def valueNullable(c: Expression): Boolean = c match {
+      case a: AttributeReference => a.nullable
+      case _ => true
+    }
 
     // every output column must be answerable from the MV; keep the
     // original names AND exprIds so parents are untouched
@@ -161,10 +184,28 @@ class RewriteToMaterializedView(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         (aggKind, ae.aggregateFunction) match {
           case ("sumcount", Sum(c, _)) if matchesValue(c) =>
-            Alias(byName.getOrElse("value_sum", return None), al.name)(exprId = al.exprId)
+            val vs = byName.getOrElse("value_sum", return None)
+            val expr: Expression = nVals match {
+              case Some(nv) => // all-NULL group: stored sum is 0.0, true SUM is NULL
+                If(EqualTo(nv, Literal(0L, LongType)),
+                  Literal.create(null, DoubleType), vs)
+              case None if !valueNullable(c) => vs
+              case None => return None
+            }
+            Alias(expr, al.name)(exprId = al.exprId)
           case ("sumcount", Average(c, _)) if matchesValue(c) =>
-            Alias(Divide(byName.getOrElse("value_sum", return None),
-              Cast(nRows, DoubleType)), al.name)(exprId = al.exprId)
+            val vs = byName.getOrElse("value_sum", return None)
+            val denom = nVals match {
+              case Some(nv) => nv // COUNT(v): NULLs excluded
+              case None if !valueNullable(c) => nRows
+              case None => return None
+            }
+            // explicit all-NULL guard: ANSI mode makes x/0 THROW, and
+            // AVG of an all-NULL group must be NULL anyway
+            val avgExpr = If(EqualTo(denom, Literal(0L, LongType)),
+              Literal.create(null, DoubleType),
+              Divide(vs, Cast(denom, DoubleType)))
+            Alias(avgExpr, al.name)(exprId = al.exprId)
           case ("minmax", Min(c)) if matchesValue(c) =>
             Alias(byName.getOrElse("value_min", return None), al.name)(exprId = al.exprId)
           case ("minmax", Max(c)) if matchesValue(c) =>

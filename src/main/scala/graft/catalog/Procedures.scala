@@ -188,12 +188,27 @@ object Procedures {
             Seq[Any](meta.currentSnapshotId.getOrElse(-1L), before, filesNow()))
         case "refresh_mv" =>
           // C88 — one call: create-if-absent + incremental refresh of
-          // the sum/count MV, then register it for transparent rewrite
+          // the MV, then register it for transparent rewrite. An
+          // EXISTING destination dictates its kind (graft.mv.agg): a
+          // minmax/hll MV dispatches to ITS refresh rather than dying
+          // mid-flight on sum/count's missing value_sum column.
           val mvDir = tableDir(cat, input.getUTF8String(1).toString)
           val keys = input.getUTF8String(2).toString
             .split(",").map(_.trim).filter(_.nonEmpty).toSeq
           val valueCol = input.getUTF8String(3).toString
-          val mvMeta = Materialized.refreshSumCount(spark, ops, dir, mvDir, keys, valueCol)
+          val mvKind = ops.load(mvDir)
+            .map(_._2.properties.getOrElse("graft.mv.agg", "sumcount"))
+            .getOrElse("sumcount")
+          val mvMeta = mvKind match {
+            case "sumcount" =>
+              Materialized.refreshSumCount(spark, ops, dir, mvDir, keys, valueCol)
+            case "minmax" =>
+              Materialized.refreshMinMax(spark, ops, dir, mvDir, keys, valueCol)
+            case "hll" =>
+              Materialized.refreshApproxDistinct(spark, ops, dir, mvDir, keys, valueCol)
+            case other => throw new IllegalArgumentException(
+              s"refresh_mv: destination $mvDir is a '$other' MV — unknown kind")
+          }
           Materialized.enableRewrite(ops, dir, mvDir)
           summary(
             Seq("mv_last_seq" -> LongType, "rewrite_enabled" -> StringType),

@@ -132,8 +132,10 @@ object PuffinStats {
     * DV per data file). Blob layout per the v3 spec:
     *
     * `length (4B big-endian, = |magic| + |vector|) | magic D1 D3 39 64
-    *  | RoaringBitmap portable-64 serialization | CRC-32C (4B
-    *  big-endian, over magic+vector)`
+    *  | RoaringBitmap portable-64 serialization | CRC-32 (4B
+    *  big-endian, over magic+vector — plain `java.util.zip.CRC32`,
+    *  the Delta-compatible polynomial the v3 spec mandates, NOT
+    *  CRC-32C)`
     *
     * Blob metadata carries `referenced-data-file` and `cardinality`
     * properties, the v3 manifest-side contract. Graft's internal DV
@@ -177,7 +179,7 @@ object PuffinStats {
     var offset = Magic.length.toLong
     merged.foreach { case (dataFile, bm) =>
       val vec = DeletionVectors.serialize(bm)
-      val crc = new java.util.zip.CRC32C()
+      val crc = new java.util.zip.CRC32()
       crc.update(DvMagic)
       crc.update(vec)
       val buf = ByteBuffer.allocate(4 + DvMagic.length + vec.length + 4)
@@ -225,7 +227,7 @@ object PuffinStats {
 
   /** Parse a Puffin file's `delete-vector-v1` blobs: (referenced data
     * file, dead-ordinal bitmap) per blob. Validates the container
-    * magics, each blob's inner magic and its CRC-32C — a corrupt or
+    * magics, each blob's inner magic and its CRC-32 — a corrupt or
     * truncated vector fails LOUDLY rather than silently resurrecting
     * deleted rows. Blobs of other types are skipped by contract. */
   def readDeleteVectors(
@@ -260,7 +262,7 @@ object PuffinStats {
           s"$path: delete-vector blob at $off has wrong inner magic")
         val vec = new Array[Byte](inner - 4); buf.get(vec)
         val crcStored = buf.getInt
-        val crc = new java.util.zip.CRC32C()
+        val crc = new java.util.zip.CRC32()
         crc.update(DvMagic); crc.update(vec)
         require(crc.getValue.toInt == crcStored,
           s"$path: CRC mismatch in delete-vector blob at $off")

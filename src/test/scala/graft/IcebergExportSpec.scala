@@ -411,7 +411,7 @@ class IcebergExportSpec extends SparkSpec {
       val off = b.get("offset").asInt()
       val blen = b.get("length").asInt()
       // blob layout: 4B BE length of (magic+vector), magic D1 D3 39 64,
-      // portable-64 roaring vector, 4B BE CRC-32C over magic+vector
+      // portable-64 roaring vector, 4B BE CRC-32 over magic+vector
       val bb = java.nio.ByteBuffer.wrap(bytes, off, blen)
         .order(java.nio.ByteOrder.BIG_ENDIAN)
       val combined = bb.getInt
@@ -419,11 +419,11 @@ class IcebergExportSpec extends SparkSpec {
       assert((bytes(off + 4) & 0xff) == 0xD1 && (bytes(off + 5) & 0xff) == 0xD3 &&
              bytes(off + 6) == 0x39 && bytes(off + 7) == 0x64, "DV blob magic")
       val vec = bytes.slice(off + 8, off + blen - 4)
-      val crc = new java.util.zip.CRC32C()
+      val crc = new java.util.zip.CRC32()
       crc.update(bytes, off + 4, 4 + vec.length)
       val stored = java.nio.ByteBuffer.wrap(bytes, off + blen - 4, 4)
         .order(java.nio.ByteOrder.BIG_ENDIAN).getInt
-      assert(stored == crc.getValue.toInt, "CRC-32C over magic+vector")
+      assert(stored == crc.getValue.toInt, "CRC-32 over magic+vector")
       val bm = graft.catalog.DeletionVectors.deserialize(vec)
       val props = b.get("properties")
       assert(bm.getLongCardinality == props.get("cardinality").asText().toLong)

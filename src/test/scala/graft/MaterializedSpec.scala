@@ -19,7 +19,8 @@ class MaterializedSpec extends SparkSpec {
 
   private def mvState(dstDir: Path): Map[Long, (Double, Long)] =
     cat.ops.read(spark, dstDir).collect()
-      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+      .map(r => r.getLong(0) ->
+        (r.getAs[Double]("value_sum"), r.getAs[Long]("n_rows"))).toMap
 
   private def assertAgree(dstDir: Path): Unit = {
     val (full, mv) = (fullAgg(), mvState(dstDir))
@@ -254,7 +255,8 @@ class MaterializedSpec extends SparkSpec {
     cat.ops.mergeOnReadDelete(spark, srcDir, Seq(2L).toDF("k"))
     Materialized.refreshSumCount(spark, cat.ops, srcDir, dstDir, Seq("k"), "v")
     val mv = cat.ops.read(spark, dstDir).collect()
-      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+      .map(r => r.getLong(0) ->
+        (r.getAs[Double]("value_sum"), r.getAs[Long]("n_rows"))).toMap
     assert(mv == Map(1L -> (3.0, 2L)), s"got $mv")
   }
 
@@ -406,5 +408,122 @@ class MaterializedSpec extends SparkSpec {
     assert(mvScanCount(q2) == 1)
     assert(q2.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
       Seq((1L, 10.0), (2L, 10.0)))
+  }
+
+  test("C88: NULL values — AVG divides by n_vals; all-NULL-group SUM is NULL") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mv")
+    spark.sql("CREATE TABLE graft.mv.nrw (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.mv.nrw VALUES " +
+      "(1, 1.0), (1, CAST(NULL AS DOUBLE)), (2, CAST(NULL AS DOUBLE)), (3, 4.0)")
+    val srcDir = new Path(s"$warehouse/mv/nrw")
+    val mvDir = new Path(s"$warehouse/mv/nrw_agg")
+    Materialized.refreshSumCount(spark, cat.ops, srcDir, mvDir, Seq("k"), "v")
+    Materialized.enableRewrite(cat.ops, srcDir, mvDir)
+
+    val q = "SELECT k, sum(v) AS s, avg(v) AS a, count(*) AS n " +
+      "FROM graft.mv.nrw GROUP BY k ORDER BY k"
+    def collectQ() = spark.sql(q).collect().map(r => (r.getLong(0),
+      if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+      if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+      r.getLong(3))).toSeq
+    val rewritten = spark.sql(q)
+    assert(mvScanCount(rewritten) == 1 && !hasAggregate(rewritten),
+      s"NULL-bearing values must still rewrite (n_vals covers them):\n" +
+        rewritten.queryExecution.optimizedPlan)
+    val expected = Seq(
+      (1L, Some(1.0), Some(1.0), 2L), // AVG skips the NULL: 1.0/1, NOT 1.0/2
+      (2L, None, None, 1L),           // all-NULL group: SUM and AVG are NULL
+      (3L, Some(4.0), Some(4.0), 1L))
+    assert(collectQ() == expected, collectQ().toString)
+    // ground truth: the non-rewritten plan agrees exactly
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    try assert(collectQ() == expected)
+    finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+
+    // deleting a NULL row exercises the n_vals delta sign for deletes
+    spark.sql("DELETE FROM graft.mv.nrw WHERE k = 1 AND v IS NULL")
+    Materialized.refreshSumCount(spark, cat.ops, srcDir, mvDir, Seq("k"), "v")
+    val after = spark.sql(q)
+    assert(mvScanCount(after) == 1)
+    assert(collectQ() == Seq(
+      (1L, Some(1.0), Some(1.0), 1L),
+      (2L, None, None, 1L),
+      (3L, Some(4.0), Some(4.0), 1L)), collectQ().toString)
+  }
+
+  test("C88: options-based time travel and branch reads are never MV-answered") {
+    import org.apache.spark.sql.functions._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mv")
+    spark.sql("CREATE TABLE graft.mv.trw (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.mv.trw VALUES (1, 1.0), (2, 2.0)")
+    val srcDir = new Path(s"$warehouse/mv/trw")
+    val firstSnap = cat.ops.load(srcDir).get._2.currentSnapshotId.get
+    spark.sql("INSERT INTO graft.mv.trw VALUES (1, 10.0)")
+    val mvDir = new Path(s"$warehouse/mv/trw_agg")
+    Materialized.refreshSumCount(spark, cat.ops, srcDir, mvDir, Seq("k"), "v")
+    Materialized.enableRewrite(cat.ops, srcDir, mvDir)
+
+    // head read rewrites (sanity)
+    val head = spark.table("graft.mv.trw")
+      .groupBy("k").agg(sum("v").as("s")).orderBy("k")
+    assert(mvScanCount(head) == 1, head.queryExecution.optimizedPlan.toString)
+
+    // option-based snapshot pin: MUST fall back and answer from history
+    val tt = spark.read.option("snapshot-id", firstSnap.toString)
+      .table("graft.mv.trw")
+      .groupBy("k").agg(sum("v").as("s")).orderBy("k")
+    assert(mvScanCount(tt) == 0 && hasAggregate(tt),
+      s"options time travel must not be MV-answered:\n${tt.queryExecution.optimizedPlan}")
+    assert(tt.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 1.0), (2L, 2.0)))
+
+    // ref (branch) read: same rule
+    cat.ops.commit(srcDir, Seq.empty, Seq(
+      MetadataUpdate.SetSnapshotRef("wap", firstSnap, "branch")))
+    Materialized.refreshSumCount(spark, cat.ops, srcDir, mvDir, Seq("k"), "v")
+    val br = spark.read.option("ref", "wap").table("graft.mv.trw")
+      .groupBy("k").agg(sum("v").as("s")).orderBy("k")
+    assert(mvScanCount(br) == 0 && hasAggregate(br),
+      s"branch read must not be MV-answered:\n${br.queryExecution.optimizedPlan}")
+    assert(br.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 1.0), (2L, 2.0)))
+  }
+
+  test("refresh_mv dispatches on the destination's MV kind instead of dying mid-flight") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mv")
+    spark.sql("CREATE TABLE graft.mv.krw (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.mv.krw VALUES (1, 1.0), (1, 9.0), (2, 4.0)")
+    val srcDir = new Path(s"$warehouse/mv/krw")
+    val mmDir = new Path(s"$warehouse/mv/krw_mm")
+    Materialized.refreshMinMax(spark, cat.ops, srcDir, mmDir, Seq("k"), "v")
+    spark.sql("INSERT INTO graft.mv.krw VALUES (2, 7.0)")
+    // CALL against the EXISTING minmax MV refreshes it as minmax
+    spark.sql("CALL graft.system.refresh_mv('mv.krw', 'mv.krw_mm', 'k', 'v')")
+    val mm = cat.ops.read(spark, mmDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Double]("value_min"), r.getAs[Double]("value_max"))).toMap
+    assert(mm == Map(1L -> (1.0, 9.0), 2L -> (4.0, 7.0)), mm.toString)
+    val headSeq = cat.ops.load(srcDir).get._2.currentSnapshot.get.sequenceNumber
+    assert(cat.ops.load(mmDir).get._2.properties("graft.mv.last-seq").toLong == headSeq)
+  }
+
+  test("enableRewrite: concurrent registrations of different MVs both survive") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mv")
+    spark.sql("CREATE TABLE graft.mv.crw (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.mv.crw VALUES (1, 1.0)")
+    val srcDir = new Path(s"$warehouse/mv/crw")
+    val mvDirs = (0 until 6).map(i => new Path(s"$warehouse/mv/crw_agg$i"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    try {
+      val futs = mvDirs.map(d => pool.submit(new Runnable {
+        def run(): Unit = { Materialized.enableRewrite(cat.ops, srcDir, d); () }
+      }))
+      futs.foreach(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    val registered = cat.ops.load(srcDir).get._2
+      .properties(RewriteToMaterializedView.RewriteProp)
+      .split(",").map(_.trim).toSet
+    assert(registered == mvDirs.map(_.toString).toSet,
+      s"lost registrations: $registered vs ${mvDirs.map(_.toString).toSet}")
   }
 }
