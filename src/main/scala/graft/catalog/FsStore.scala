@@ -23,10 +23,24 @@ class FsStore(conf: Configuration) {
 
   def fs(p: Path): FileSystem = p.getFileSystem(conf)
 
+  /** Read a text object; gzip-compressed content (magic 1F 8B) is
+    * decompressed transparently — the reference stores VIEW metadata
+    * gzipped (`logic/view.go:127-137` writes through gzip.NewWriter,
+    * `iceberg-overload/view/metadata.go:46-60` reads through
+    * gzip.NewReader), so graft must read either encoding anywhere a
+    * metadata file can appear. */
   def readString(p: Path): String = {
     val in = fs(p).open(p)
-    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-    finally in.close()
+    try {
+      val bytes = in.readAllBytes()
+      val data =
+        if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0x1F && (bytes(1) & 0xFF) == 0x8B) {
+          val gz = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try gz.readAllBytes() finally gz.close()
+        } else bytes
+      new String(data, StandardCharsets.UTF_8)
+    } finally in.close()
   }
 
   def writeString(p: Path, s: String, overwrite: Boolean = true): Unit = {
@@ -64,13 +78,30 @@ class FsStore(conf: Configuration) {
   }
 
   private val VersionFile = raw"v(\d+)\.metadata\.json".r
+  private val VersionFileGz = raw"v(\d+)\.gz\.metadata\.json".r
 
   def versionOf(p: Path): Option[Int] = p.getName match {
     case VersionFile(v) => Some(v.toInt)
+    case VersionFileGz(v) => Some(v.toInt)
     case _ => None
   }
 
   def versionPath(dir: Path, v: Int): Path = new Path(dir, s"v$v.metadata.json")
+
+  /** Gzip-encoded version name — the reference's VIEW metadata layout
+    * (`%05d-%v.gz.metadata.json` in logic/view.go; graft keeps its own
+    * vN numbering, matching the `.gz.metadata.json` suffix). */
+  def gzVersionPath(dir: Path, v: Int): Path = new Path(dir, s"v$v.gz.metadata.json")
+
+  /** The on-disk path of version `v`, whichever encoding exists
+    * (plain checked first). */
+  def existingVersionPath(dir: Path, v: Int): Path = {
+    val p = versionPath(dir, v)
+    if (exists(p)) p else gzVersionPath(dir, v)
+  }
+
+  private def versionExists(dir: Path, v: Int): Boolean =
+    exists(versionPath(dir, v)) || exists(gzVersionPath(dir, v))
 
   /** Current (version, content) of a versioned object, using the hint
     * then scanning forward; None if the object has no versions. */
@@ -82,14 +113,14 @@ class FsStore(conf: Configuration) {
       else 0
     // Advance past a stale hint.
     var v = math.max(hinted, 0)
-    if (!exists(versionPath(dir, v))) {
+    if (!versionExists(dir, v)) {
       val vs = list(dir).flatMap(versionOf)
       if (vs.isEmpty) return None
       v = vs.max
     } else {
-      while (exists(versionPath(dir, v + 1))) v += 1
+      while (versionExists(dir, v + 1)) v += 1
     }
-    Some((v, readString(versionPath(dir, v))))
+    Some((v, readString(existingVersionPath(dir, v))))
   }
 
   /** CAS-publish version `next` (must be current+1). Returns false if a
@@ -102,12 +133,25 @@ class FsStore(conf: Configuration) {
     * therefore hard-link the temp file into place: link(2) fails with
     * EEXIST atomically, giving exactly-one-winner on local disks too.
     */
-  def publish(dir: Path, next: Int, content: String): Boolean = {
+  def publish(dir: Path, next: Int, content: String): Boolean =
+    publish(dir, next, content, gzip = false)
+
+  /** As [[publish]]; with `gzip = true` the version lands as
+    * `vN.gz.metadata.json` with gzip-compressed content (the
+    * reference's view-metadata encoding). Either encoding of a version
+    * claims that version number for CAS purposes. */
+  def publish(dir: Path, next: Int, content: String, gzip: Boolean): Boolean = {
     mkdirs(dir)
-    val target = versionPath(dir, next)
-    if (exists(target)) return false
+    val target = if (gzip) gzVersionPath(dir, next) else versionPath(dir, next)
+    if (versionExists(dir, next)) return false
     val tmp = new Path(dir, s".tmp-${UUID.randomUUID()}.metadata.json")
-    writeString(tmp, content)
+    if (gzip) {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(content.getBytes(StandardCharsets.UTF_8)); gz.close()
+      val out = fs(tmp).create(tmp, true)
+      try out.write(bos.toByteArray) finally out.close()
+    } else writeString(tmp, content)
     val scheme = Option(fs(dir).getUri.getScheme).getOrElse("file")
     val ok =
       if (scheme == "file") {

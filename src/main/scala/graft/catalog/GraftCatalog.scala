@@ -490,7 +490,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
         schemaId = 0)),
       schemas = Seq(SchemaBridge.fromSpark(info.schema)),
       properties = info.properties.asScala.toMap)
-    if (!store.publish(dir, 0, MetadataJson.viewToJson(vm)))
+    if (!store.publish(dir, 0, MetadataJson.viewToJson(vm), gzip = true))
       throw new ViewAlreadyExistsException(info.ident)
     new GraftView(info.ident, vm)
   }
@@ -519,7 +519,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
             schemas = vm.schemas :+ SchemaBridge.fromSpark(info.schema)
               .copy(schemaId = nextVer.schemaId),
             properties = info.properties.asScala.toMap)
-        if (!store.publish(dir, v + 1, MetadataJson.viewToJson(updated)))
+        if (!store.publish(dir, v + 1, MetadataJson.viewToJson(updated), gzip = true))
           throw new CommitFailedException(s"concurrent replace of view ${info.ident}")
         new GraftView(info.ident, updated)
     }
@@ -536,7 +536,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       case (acc, _) => acc
     }
     val updated = vm.copy(properties = props)
-    if (!store.publish(dir, v + 1, MetadataJson.viewToJson(updated)))
+    if (!store.publish(dir, v + 1, MetadataJson.viewToJson(updated), gzip = true))
       throw new CommitFailedException(s"concurrent alter of view $ident")
     new GraftView(ident, updated)
   }

@@ -107,6 +107,27 @@ object IcebergImport {
     }
   }
 
+  /** C56 data plane — resolve a spec-Iceberg Avro manifest list into
+    * graft scan entries, so an externally-committed add-snapshot (the
+    * reference's pyiceberg flow: tests/pyiceberg/test_table.py) is
+    * readable WITHOUT a full import. Data files only: a delete-bearing
+    * manifest list refuses loudly (scan-time conversion would write
+    * files per query; [[importTable]] converts them once, durably).
+    * Paths normalize `file:` URIs to plain POSIX form so they compare
+    * equal to graft-written absolute entries in incremental diffs. */
+  private[catalog] def manifestListEntries(
+      ops: TableOps,
+      manifestList: Path): Seq[DataFileEntry] =
+    snapshotFiles(ops, manifestList).map { f =>
+      if (f.content != 0)
+        throw new UnsupportedOperationException(
+          s"manifest list $manifestList carries delete files — graft scans " +
+          "spec-Iceberg DATA snapshots in place; convert delete-bearing " +
+          "lineages once with IcebergImport.importTable")
+      DataFileEntry(f.path.replaceFirst("^file:/+", "/"),
+        rows = Some(f.rows), bytes = Some(f.bytes))
+    }
+
   /** Convert one spec delete file to graft form under
     * `<targetDir>/data/`; returns (graft files, graft content kind,
     * equality column names). Conversion is Spark-distributed; each

@@ -69,6 +69,11 @@ class JdbcStore(conf: Configuration, val jdbcUrl: String) extends FsStore(conf) 
     ok
   }
 
+  /** The database stores content as text — gzip is an FS-layer
+    * encoding only, so it must not bypass the transactional insert. */
+  override def publish(dir: Path, next: Int, content: String, gzip: Boolean): Boolean =
+    publish(dir, next, content)
+
   override def publishAllAtomic(entries: Seq[(Path, Int, String)]): Option[Boolean] = {
     val ok = withConn { c =>
       c.setAutoCommit(false)

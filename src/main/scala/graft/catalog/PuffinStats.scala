@@ -225,6 +225,74 @@ object PuffinStats {
       footerPayloadNode.toString))
   }
 
+  /** One `delete-vector-v1` blob's coordinates within a Puffin file —
+    * what [[readDeleteVectorMetas]] returns so the vectors themselves
+    * can be decoded on EXECUTORS (cardinality is the blob's declared
+    * property, -1 when the writer omitted it). */
+  final case class DvBlobMeta(
+      referencedFile: String, offset: Long, length: Int, cardinality: Long)
+
+  /** Footer-only parse of a Puffin file: container magics validated,
+    * `delete-vector-v1` blob coordinates returned WITHOUT reading any
+    * vector bytes — O(blobs) driver memory for an import whose blob
+    * payload may be gigabytes. Positioned reads only touch the header,
+    * the footer and 12 trailing bytes. */
+  def readDeleteVectorMetas(ops: TableOps, path: Path): Seq[DvBlobMeta] = {
+    val fs = ops.store.fs(path)
+    val len = fs.getFileStatus(path).getLen
+    require(len >= 24, s"$path is too short to be a Puffin file")
+    val in = fs.open(path)
+    try {
+      def readAt(off: Long, n: Int): Array[Byte] = {
+        val b = new Array[Byte](n); in.readFully(off, b, 0, n); b
+      }
+      require(java.util.Arrays.equals(readAt(0, 4), Magic),
+        s"$path is not a Puffin file (missing header magic)")
+      require(java.util.Arrays.equals(readAt(len - 4, 4), Magic),
+        s"$path: missing trailing magic")
+      require((readAt(len - 8, 1)(0) & 0x1) == 0,
+        s"$path: compressed footer payload unsupported")
+      val payloadSize = ByteBuffer.wrap(readAt(len - 12, 4))
+        .order(ByteOrder.LITTLE_ENDIAN).getInt
+      val payloadOff = len - 12 - payloadSize
+      require(payloadOff >= 8 && java.util.Arrays.equals(readAt(payloadOff - 4, 4), Magic),
+        s"$path: missing footer-start magic")
+      val footer = mapper.readTree(
+        new String(readAt(payloadOff, payloadSize), StandardCharsets.UTF_8))
+      import scala.jdk.CollectionConverters._
+      Option(footer.get("blobs")).map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+        .filter(b => b.get("type").asText() == "delete-vector-v1")
+        .map { b =>
+          DvBlobMeta(
+            b.get("properties").get("referenced-data-file").asText(),
+            b.get("offset").asLong(),
+            b.get("length").asLong().toInt,
+            Option(b.get("properties").get("cardinality"))
+              .map(_.asText().toLong).getOrElse(-1L))
+        }
+    } finally in.close()
+  }
+
+  /** Decode + validate ONE delete-vector-v1 blob's raw bytes (length
+    * prefix, inner magic, CRC-32 over magic+vector) and return the
+    * portable-serialized vector — executor-side worker of the
+    * distributed import; also the single source of truth the
+    * whole-file reader below delegates to. */
+  def decodeDeleteVectorBlob(blob: Array[Byte], context: String): Array[Byte] = {
+    val buf = ByteBuffer.wrap(blob).order(ByteOrder.BIG_ENDIAN)
+    val inner = buf.getInt // |magic| + |vector|
+    require(inner == blob.length - 8, s"$context: blob length mismatch")
+    val magic = new Array[Byte](4); buf.get(magic)
+    require(java.util.Arrays.equals(magic, DvMagic),
+      s"$context: delete-vector blob has wrong inner magic")
+    val vec = new Array[Byte](inner - 4); buf.get(vec)
+    val crcStored = buf.getInt
+    val crc = new java.util.zip.CRC32()
+    crc.update(DvMagic); crc.update(vec)
+    require(crc.getValue.toInt == crcStored, s"$context: CRC mismatch in delete-vector blob")
+    vec
+  }
+
   /** Parse a Puffin file's `delete-vector-v1` blobs: (referenced data
     * file, dead-ordinal bitmap) per blob. Validates the container
     * magics, each blob's inner magic and its CRC-32 — a corrupt or
@@ -254,18 +322,8 @@ object PuffinStats {
       .map { b =>
         val off = b.get("offset").asLong().toInt
         val len = b.get("length").asLong().toInt
-        val buf = ByteBuffer.wrap(bytes, off, len).order(ByteOrder.BIG_ENDIAN)
-        val inner = buf.getInt // |magic| + |vector|
-        require(inner == len - 8, s"$path: blob length mismatch at offset $off")
-        val magic = new Array[Byte](4); buf.get(magic)
-        require(java.util.Arrays.equals(magic, DvMagic),
-          s"$path: delete-vector blob at $off has wrong inner magic")
-        val vec = new Array[Byte](inner - 4); buf.get(vec)
-        val crcStored = buf.getInt
-        val crc = new java.util.zip.CRC32()
-        crc.update(DvMagic); crc.update(vec)
-        require(crc.getValue.toInt == crcStored,
-          s"$path: CRC mismatch in delete-vector blob at $off")
+        val vec = decodeDeleteVectorBlob(
+          java.util.Arrays.copyOfRange(bytes, off, off + len), s"$path@$off")
         val ref = b.get("properties").get("referenced-data-file").asText()
         ref -> DeletionVectors.deserialize(vec)
       }

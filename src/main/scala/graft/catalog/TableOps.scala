@@ -618,11 +618,19 @@ final class TableOps(private[graft] val store: FsStore) {
 
   /** Parse a manifest file's segment list (cached): Some for list
     * manifests, None for leaf entry manifests. */
+  /** Manifest names are metadata-dir-relative for graft-written
+    * snapshots; an externally-committed (REST add-snapshot) snapshot
+    * references its spec-Iceberg Avro manifest list by FULL path. */
+  private def manifestPath(tableDir: Path, name: String): Path =
+    if (name.startsWith("/") || name.contains(":/")) new Path(name)
+    else new Path(metadataDir(tableDir), name)
+
   private def segmentsOf(tableDir: Path, name: String): Option[Seq[String]] = {
-    val key = new Path(metadataDir(tableDir), name).toString
+    if (name.endsWith(".avro")) return None // spec Avro list = one leaf
+    val key = manifestPath(tableDir, name).toString
     segmentListCache.synchronized(Option(segmentListCache.get(key))).getOrElse {
       val parsed = MetadataJson.manifestSegments(
-        store.readString(new Path(metadataDir(tableDir), name)))
+        store.readString(manifestPath(tableDir, name)))
       segmentListCache.synchronized(segmentListCache.put(key, parsed))
       parsed
     }
@@ -640,10 +648,19 @@ final class TableOps(private[graft] val store: FsStore) {
 
   /** Entries of one LEAF manifest/segment file, cached by path. */
   private def leafEntries(tableDir: Path, name: String): Seq[DataFileEntry] = {
-    val key = new Path(metadataDir(tableDir), name).toString
+    val p = manifestPath(tableDir, name)
+    val key = p.toString
     manifestCache.synchronized(Option(manifestCache.get(key))).getOrElse {
-      val parsed = MetadataJson.manifestFromJson(
-        store.readString(new Path(metadataDir(tableDir), name)))
+      // C56 data plane: a leaf ending in .avro is a spec-Iceberg Avro
+      // manifest list (externally committed via REST add-snapshot) —
+      // resolve it through the import parser so the snapshot is
+      // scannable in place, no full import. Avro manifests are as
+      // immutable as graft ones, so they share the manifest LRU, and
+      // they chain as ordinary segments: a graft append on top of an
+      // external snapshot just references the Avro leaf verbatim.
+      val parsed =
+        if (name.endsWith(".avro")) IcebergImport.manifestListEntries(this, p)
+        else MetadataJson.manifestFromJson(store.readString(p))
       manifestCache.synchronized(manifestCache.put(key, parsed))
       parsed
     }
@@ -1261,8 +1278,11 @@ final class TableOps(private[graft] val store: FsStore) {
       puffinPath: Path): TableMetadata = {
     val (_, meta) = load(tableDir).getOrElse(
       throw new CommitFailedException(s"table does not exist at $tableDir"))
-    val dvs = PuffinStats.readDeleteVectors(this, puffinPath)
-    if (dvs.isEmpty)
+    // footer-only driver read: blob coordinates + declared
+    // cardinalities — O(blobs) driver memory; the vectors themselves
+    // (possibly gigabytes across hundreds of files) never land here
+    val metas = PuffinStats.readDeleteVectorMetas(this, puffinPath)
+    if (metas.isEmpty)
       throw new IllegalArgumentException(s"no delete-vector-v1 blobs in $puffinPath")
     val base = tableDir.toUri.getPath + "/"
     def norm(p: String): String = {
@@ -1271,22 +1291,45 @@ final class TableOps(private[graft] val store: FsStore) {
     }
     def liveOf(m: TableMetadata): Set[String] =
       resolveEntries(tableDir, m).filter(_.isData).map(e => norm(e.path)).toSet
-    val missing = dvs.map(t => norm(t._1)).filterNot(liveOf(meta).contains)
+    val missing = metas.map(m => norm(m.referencedFile)).filterNot(liveOf(meta).contains)
     if (missing.nonEmpty)
       throw new IllegalArgumentException(
         s"puffin delete vectors reference files not live in this table " +
           s"(e.g. ${missing.head})")
-    // same rename-safe storage policy as positionalDelete: paths under
-    // the table dir store relative
-    import scala.jdk.CollectionConverters._
-    val rows: java.util.List[org.apache.spark.sql.Row] = dvs.map { case (ref, bm) =>
-      val abs = norm(ref)
+    // distributed decode: each task positioned-reads ITS blobs from
+    // the Puffin file and CRC-validates them; the parquet write keeps
+    // every part — a multi-hundred-file vector set never funnels
+    // through one task or the driver heap (same rename-safe relative
+    // path policy as positionalDelete)
+    val hconf = new SerializableHadoopConf(store.fs(puffinPath).getConf)
+    val pPathStr = puffinPath.toString
+    import spark.implicits._
+    val parts = math.min(metas.size,
+      spark.sessionState.conf.numShufflePartitions).max(1)
+    val df = spark.createDataset(metas.map { m =>
+      val abs = norm(m.referencedFile)
       val stored = if (abs.startsWith(base)) abs.stripPrefix(base) else abs
-      org.apache.spark.sql.Row(stored, bm.getLongCardinality, DeletionVectors.serialize(bm))
-    }.asJava
-    val df = spark.createDataFrame(rows, DeletionVectors.schema)
+      (stored, m.offset, m.length, m.cardinality)
+    })
+      .repartition(parts)
+      .mapPartitions { it =>
+        val p = new Path(pPathStr)
+        val in = p.getFileSystem(hconf.value).open(p)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+        it.map { case (stored, off, len, declaredCard) =>
+          val blob = new Array[Byte](len)
+          in.readFully(off, blob, 0, len) // positioned read, thread-safe
+          val vec = PuffinStats.decodeDeleteVectorBlob(blob, s"$pPathStr@$off")
+          val card =
+            if (declaredCard >= 0) declaredCard
+            else DeletionVectors.deserialize(vec).getLongCardinality
+          (stored, card, vec)
+        }
+      }
+      .toDF("file_path", "cardinality", "dv")
     val writeDir = new Path(dataDir(tableDir), s"w-${UUID.randomUUID()}")
-    df.coalesce(1).write.parquet(writeDir.toString)
+    df.write.parquet(writeDir.toString)
     val files = store.listFilesRec(writeDir)
       .filter(_.getName.endsWith(".parquet")).map(_.toString)
     commitDeleteEntries(tableDir, seq => files.map(f => DataFileEntry(
@@ -1294,7 +1337,7 @@ final class TableOps(private[graft] val store: FsStore) {
       "dv-delete",
       validate = cur => {
         val present = liveOf(cur)
-        val gone = dvs.map(t => norm(t._1)).filterNot(present.contains)
+        val gone = metas.map(m => norm(m.referencedFile)).filterNot(present.contains)
         if (gone.nonEmpty)
           throw new CommitFailedException(
             "deletion-vector import aborted: a concurrent rewrite replaced " +
@@ -2078,10 +2121,12 @@ final class TableOps(private[graft] val store: FsStore) {
       .flatMap(s => s.manifest +: segmentsOrSelf(tableDir, s.manifest)).toSet
     expire.foreach { s =>
       val segs = segmentsOrSelf(tableDir, s.manifest) // read before deleting
-      if (!live.contains(s.manifest))
-        store.delete(new Path(metadataDir(tableDir), s.manifest))
-      segs.filter(x => x != s.manifest && !live.contains(x))
-        .foreach(x => store.delete(new Path(metadataDir(tableDir), x)))
+      // externally-committed Avro manifest lists are OWNED by the
+      // external writer (referenced by full path) — never delete them
+      if (!live.contains(s.manifest) && !s.manifest.endsWith(".avro"))
+        store.delete(manifestPath(tableDir, s.manifest))
+      segs.filter(x => x != s.manifest && !live.contains(x) && !x.endsWith(".avro"))
+        .foreach(x => store.delete(manifestPath(tableDir, x)))
     }
     updated
   }

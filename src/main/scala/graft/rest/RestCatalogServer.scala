@@ -426,6 +426,16 @@ final class RestCatalogServer(
     tableResponse(dir)
   }
 
+  /** Register sniffs the metadata DIALECT: graft metadata.json adopts
+    * verbatim (snapshots keep their JSON manifests); a spec-Iceberg
+    * file — snapshots carrying `manifest-list`, or nested (object)
+    * schema types graft's flat parser can't express — routes through
+    * [[IcebergImport.importTable]], which replays the full snapshot
+    * lineage including delete-manifest conversion (delete conversion
+    * is Spark-distributed, so it uses the JVM's active session when
+    * one exists; a data-only lineage needs none). This is the flow
+    * the reference's own pyiceberg acceptance tests drive
+    * (tests/pyiceberg/conftest.py). */
   private def registerTable(ns: Seq[String], body: JsonNode): Option[JsonNode] = {
     requireNs(ns)
     val name = body.get("name").asText()
@@ -433,13 +443,37 @@ final class RestCatalogServer(
     val dir = tablePath(ns, name)
     if (ops.exists(dir))
       throw RestError(409, "TableAlreadyExistsError", s"Table `$name` already exists")
-    val meta =
-      try MetadataJson.fromJson(store.readString(new Path(loc)))
+    val raw =
+      try store.readString(new Path(loc))
       catch {
         case _: Exception => throw RestError(404, "MetadataFileNotFound",
           s"Metadata file not found at location `$loc`")
       }
-    ops.create(dir, meta.copy(location = dir.toString))
+    val node = mapper.readTree(raw)
+    val specIceberg =
+      Option(node.get("snapshots")).exists(_.elements().asScala.exists(s =>
+        s.has("manifest-list") && !s.has("manifest"))) ||
+      Option(node.get("schemas")).exists(_.elements().asScala.exists(sc =>
+        Option(sc.get("fields")).exists(_.elements().asScala.exists(f =>
+          f.get("type").isObject))))
+    if (specIceberg) {
+      try IcebergImport.importTable(ops, new Path(loc), dir,
+        org.apache.spark.sql.SparkSession.getActiveSession
+          .orElse(org.apache.spark.sql.SparkSession.getDefaultSession))
+      catch {
+        case e: UnsupportedOperationException =>
+          throw RestError(400, "InvalidRequest",
+            s"Cannot import spec-Iceberg metadata at `$loc`: ${e.getMessage}")
+      }
+    } else {
+      val meta =
+        try MetadataJson.fromJson(raw)
+        catch {
+          case _: Exception => throw RestError(400, "InvalidRequest",
+            s"Unparseable metadata file at location `$loc`")
+        }
+      ops.create(dir, meta.copy(location = dir.toString))
+    }
     tableResponse(dir)
   }
 
@@ -611,7 +645,7 @@ final class RestCatalogServer(
     val (v, json) = store.currentVersion(dir).getOrElse(
       throw RestError(404, "NoSuchViewError", s"View not found at $dir"))
     val o = mapper.createObjectNode()
-    o.put("metadata-location", store.versionPath(dir, v).toString)
+    o.put("metadata-location", store.existingVersionPath(dir, v).toString)
     o.set[JsonNode]("metadata", mapper.readTree(json))
     Some(o)
   }
@@ -663,7 +697,7 @@ final class RestCatalogServer(
       versions = Seq(parseViewVersion(body.get("version"), 0).copy(versionId = 0)),
       schemas = Seq(parseSchema(body.get("schema"), 0)),
       properties = readStringMap(body.get("properties")))
-    if (!store.publish(dir, 0, MetadataJson.viewToJson(vm)))
+    if (!store.publish(dir, 0, MetadataJson.viewToJson(vm), gzip = true))
       throw RestError(409, "ViewAlreadyExistsError", s"View `$name` already exists")
     viewResponse(dir)
   }
@@ -685,7 +719,7 @@ final class RestCatalogServer(
         schemas = vm.schemas :+ parseSchema(body.get("schema"), nextVer.schemaId)
           .copy(schemaId = nextVer.schemaId),
         properties = readStringMap(body.get("properties")))
-    if (!store.publish(dir, v + 1, MetadataJson.viewToJson(updated)))
+    if (!store.publish(dir, v + 1, MetadataJson.viewToJson(updated), gzip = true))
       throw new CommitFailedException(s"concurrent replace of view `$name`")
     viewResponse(dir)
   }

@@ -252,9 +252,18 @@ class CatalogSpec extends SparkSpec {
     cat.replaceView(info("SELECT id, v FROM graft.db.vt WHERE v > 5"), orCreate = false)
     assert(sql("SELECT count(*) FROM graft.db.big").collect().head.getLong(0) == 2)
 
-    // version history retained (add-view-version + set-current-view-version)
+    // version history retained (add-view-version + set-current-view-version);
+    // view metadata lands GZIP-compressed as vN.gz.metadata.json — the
+    // reference's view encoding (logic/view.go:127-137 writes through
+    // gzip.NewWriter; iceberg-overload/view/metadata.go reads gzip)
     val viewMetaDir = new java.io.File(s"$warehouse/db/.graft-views/big")
-    assert(viewMetaDir.listFiles().map(_.getName).count(_.matches("v\\d+\\.metadata\\.json")) == 2)
+    val gzFiles = viewMetaDir.listFiles().map(_.getName)
+      .filter(_.matches("v\\d+\\.gz\\.metadata\\.json")).sorted
+    assert(gzFiles.length == 2, viewMetaDir.listFiles().map(_.getName).mkString(","))
+    val gzBytes = java.nio.file.Files.readAllBytes(
+      new java.io.File(viewMetaDir, gzFiles.head).toPath)
+    assert((gzBytes(0) & 0xFF) == 0x1F && (gzBytes(1) & 0xFF) == 0x8B,
+      "view metadata bytes must be gzip-compressed")
 
     import org.apache.spark.sql.connector.catalog.ViewChange
     cat.alterView(ident, ViewChange.setProperty("note", "x"))
@@ -264,6 +273,32 @@ class CatalogSpec extends SparkSpec {
     assert(sql("SELECT count(*) FROM graft.db.big2").collect().head.getLong(0) == 2)
     assert(cat.dropView(Identifier.of(ns, "big2")))
     assert(cat.listViews("db").isEmpty)
+  }
+
+  test("C8c: plain (legacy / external) view metadata files stay readable") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, ViewInfo}
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    val cat = spark.sessionState.catalogManager.catalog("graft").asInstanceOf[GraftCatalog]
+    val ns = Array("db")
+    val ident = Identifier.of(ns, "legacyv")
+    cat.createView(new ViewInfo(ident, "SELECT 41 AS n", "graft", ns,
+      sql("SELECT 41 AS n").schema, Array.empty, Array.empty, Array.empty,
+      new java.util.HashMap[String, String]()))
+    // rewrite version 0 as a PLAIN (uncompressed) file — the pre-gzip
+    // on-disk form — and drop the gz one; loads must still resolve
+    val store = new FsStore(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(s"$warehouse/db/.graft-views/legacyv")
+    val json = store.readString(store.gzVersionPath(dir, 0))
+    store.writeString(store.versionPath(dir, 0), json)
+    store.delete(store.gzVersionPath(dir, 0))
+    assert(sql("SELECT n FROM graft.db.legacyv").collect().head.getInt(0) == 41)
+    // a replace on top of the plain file publishes v1 as gzip
+    cat.replaceView(new ViewInfo(ident, "SELECT 42 AS n", "graft", ns,
+      sql("SELECT 42 AS n").schema, Array.empty, Array.empty, Array.empty,
+      new java.util.HashMap[String, String]()), orCreate = false)
+    assert(sql("SELECT n FROM graft.db.legacyv").collect().head.getInt(0) == 42)
+    assert(store.exists(store.gzVersionPath(dir, 1)))
+    cat.dropView(ident)
   }
 
   test("C8b: SQL-level view DDL routes to the ViewCatalog (extensions rule)") {
@@ -288,7 +323,7 @@ class CatalogSpec extends SparkSpec {
     assert(sql("SELECT count(*) FROM graft.db.topv").collect().head.getLong(0) == 3)
     val viewMetaDir = new java.io.File(s"$warehouse/db/.graft-views/topv")
     assert(viewMetaDir.listFiles().map(_.getName)
-      .count(_.matches("v\\d+\\.metadata\\.json")) == 2)
+      .count(_.matches("v\\d+\\.gz\\.metadata\\.json")) == 2)
 
     // DROP VIEW; IF EXISTS tolerates the missing view afterwards
     sql("DROP VIEW graft.db.topv")

@@ -429,4 +429,47 @@ class DvSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("CRC") || e.getMessage.contains("magic"), e.getMessage)
   }
+
+  test("C89 at scale: multi-hundred-blob import decodes on executors, writes >1 part") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dv")
+    val dir = new Path(s"$warehouse/dv/many")
+    import org.apache.spark.sql.functions.lit
+    val df = spark.range(2000).toDF("id")
+      .withColumn("v", (col("id") % 7).cast("string"))
+    cat.ops.create(dir, TableMetadata.create(
+      dir.toString, SchemaBridge.fromSpark(df.schema),
+      PartitionSpec(0, Seq.empty), SortOrder(0, Seq.empty), Map.empty))
+    // ~220 data files → ~220 delete-vector blobs in the export
+    cat.ops.write(dir, df.repartition(220), "append", numFiles = Some(220))
+    cat.ops.deletionVectorDelete(spark, dir, col("id") % 2 === 0)
+    IcebergExport.export(cat.ops, dir, Some(spark))
+    val snapId = cat.ops.load(dir).get._2.currentSnapshotId.get
+    val pf = new Path(s"$warehouse/dv/many/iceberg/metadata/dvs-$snapId.puffin")
+
+    // footer-only driver parse: every blob located, cardinality from
+    // the blob metadata — no vector bytes read on the driver
+    val metas = PuffinStats.readDeleteVectorMetas(cat.ops, pf)
+    assert(metas.size > 100, s"expected hundreds of blobs, got ${metas.size}")
+    assert(metas.forall(_.cardinality > 0))
+    assert(metas.map(_.cardinality).sum == 1000L)
+
+    // twin table over the same (pre-delete) data files
+    val twin = new Path(s"$warehouse/dv/many_twin")
+    val dataAbs = cat.ops.resolveEntries(dir, cat.ops.load(dir).get._2)
+      .filter(_.isData).map(e => new Path(dir, e.path).toString)
+    cat.ops.create(twin, TableMetadata.create(
+      twin.toString, cat.ops.load(dir).get._2.currentSchema,
+      PartitionSpec(0, Seq.empty), SortOrder(0, Seq.empty), Map.empty))
+    cat.ops.commitFiles(twin, dataAbs, "append")
+    cat.ops.importDeleteVectorsPuffin(spark, twin, pf)
+
+    // the import wrote MULTIPLE dv parts (distributed, not coalesce(1))
+    val dvParts = entries(twin).filter(_.isDvDelete)
+    assert(dvParts.size > 1, s"expected >1 dv part, got ${dvParts.size}")
+    assert(cat.ops.read(spark, twin).count() == 1000L)
+    // spot-check masking equivalence against the source table
+    assert(spark.sql("SELECT sum(id) FROM graft.dv.many").collect().head.getLong(0) ==
+      cat.ops.read(spark, twin).agg(org.apache.spark.sql.functions.sum("id"))
+        .collect().head.getLong(0))
+  }
 }

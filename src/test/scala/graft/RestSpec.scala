@@ -182,6 +182,87 @@ class RestSpec extends SparkSpec {
       Some("""{"name": "nope", "metadata-location": "/no/such/file.json"}"""))._1 == 404)
   }
 
+  test("register imports a spec-Iceberg metadata file, replaying its delete lineage") {
+    import graft.catalog._
+    val ops = new TableOps(new FsStore(spark.sparkContext.hadoopConfiguration))
+    send("POST", "/v1/namespaces", Some("""{"namespace": ["resticb"]}"""))
+    // a graft table with churn INCLUDING a pending MOR delete, exported
+    // as spec Iceberg v2 — the shape an external Iceberg writer hands us
+    spark.sql("CREATE TABLE graft.resticb.src (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.resticb.src VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    val srcDir = new Path(s"$warehouse/resticb/src")
+    import spark.implicits._
+    ops.mergeOnReadDelete(spark, srcDir, Seq(2L).toDF("id"))
+    val metaFile = IcebergExport.export(ops, srcDir, Some(spark))
+    val (rc, reg) = send("POST", "/v1/namespaces/resticb/register",
+      Some(s"""{"name": "adopted", "metadata-location": "$metaFile"}"""))
+    assert(rc == 200, reg.toString)
+    // the import converted the spec delete manifest: row 2 stays dead
+    val rows = spark.sql("SELECT id FROM graft.resticb.adopted ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(1L, 3L), rows.toString)
+    // a graft-dialect metadata file still adopts verbatim (no import)
+    val (_, loaded) = send("GET", "/v1/namespaces/resticb/tables/src")
+    val graftLoc = loaded.get("metadata-location").asText()
+    assert(send("POST", "/v1/namespaces/resticb/register",
+      Some(s"""{"name": "adopted2", "metadata-location": "$graftLoc"}"""))._1 == 200)
+  }
+
+  test("an externally-committed Avro manifest-list snapshot is scannable in place") {
+    import graft.catalog._
+    val ops = new TableOps(new FsStore(spark.sparkContext.hadoopConfiguration))
+    send("POST", "/v1/namespaces", Some("""{"namespace": ["restavro"]}"""))
+    send("POST", "/v1/namespaces/restavro/tables", Some(
+      """{"name": "ext", "schema": {"fields": [
+          {"id": 1, "name": "id", "required": false, "type": "long"},
+          {"id": 2, "name": "v", "required": false, "type": "double"}]}}"""))
+    spark.sql("INSERT INTO graft.restavro.ext VALUES (1, 1.0), (2, 2.0)")
+    spark.sql("INSERT INTO graft.restavro.ext VALUES (3, 3.0)")
+    val dir = new Path(s"$warehouse/restavro/ext")
+    val headBefore = ops.load(dir).get._2.currentSnapshot.get
+    // stand-in external client: IcebergExport's Avro writers produce a
+    // spec manifest list covering the table's live files
+    val metaFile = IcebergExport.export(ops, dir, Some(spark))
+    val exported = mapper.readTree(ops.store.readString(metaFile))
+    val manifestList = exported.get("snapshots").elements().asScala.toSeq
+      .maxBy(_.get("sequence-number").asLong()).get("manifest-list").asText()
+    assert(manifestList.endsWith(".avro"), manifestList)
+    // the external commit: add-snapshot (manifest-list!) + roll main
+    val (rc, resp) = send("POST", "/v1/namespaces/restavro/tables/ext", Some(
+      s"""{"requirements": [
+            {"type": "assert-ref-snapshot-id", "ref": "main",
+             "snapshot-id": ${headBefore.snapshotId}}],
+          "updates": [
+            {"action": "add-snapshot", "snapshot": {
+              "snapshot-id": 990011, "parent-snapshot-id": ${headBefore.snapshotId},
+              "sequence-number": ${headBefore.sequenceNumber + 1},
+              "timestamp-ms": ${System.currentTimeMillis()},
+              "manifest-list": "$manifestList",
+              "summary": {"operation": "append"}, "schema-id": 0}},
+            {"action": "set-snapshot-ref", "ref-name": "main",
+             "snapshot-id": 990011, "type": "branch"}]}"""))
+    assert(rc == 200, resp.toString)
+    assert(ops.load(dir).get._2.currentSnapshotId.contains(990011L))
+    // the head snapshot now resolves through the Avro manifest list —
+    // scans, counts and aggregates read it in place, no import
+    val got = spark.sql("SELECT id, v FROM graft.restavro.ext ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)), got.toString)
+    // time travel to the graft-written parent still reads JSON manifests
+    val tt = spark.sql(
+      s"SELECT count(*) FROM graft.restavro.ext VERSION AS OF ${headBefore.snapshotId}")
+      .collect().head.getLong(0)
+    assert(tt == 3L)
+    // a graft append CHAINS off the external snapshot — the Avro list
+    // becomes a verbatim segment, only the new files get a JSON segment
+    spark.sql("INSERT INTO graft.restavro.ext VALUES (4, 4.0)")
+    val after = spark.sql("SELECT id FROM graft.restavro.ext ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(after == Seq(1L, 2L, 3L, 4L), after.toString)
+    // $manifests introspection over the mixed chain works too
+    assert(spark.sql("SELECT * FROM graft.restavro.`ext$files`").count() >= 3)
+  }
+
   test("view create → load → replace → rename → drop over REST") {
     send("POST", "/v1/namespaces", Some("""{"namespace": ["restv"]}"""))
     val createView =
