@@ -27,12 +27,18 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   *    `graft.mv.last-seq` EQUALS the source snapshot's sequence
   *    number (the plan's own pinned metadata, so a concurrent commit
   *    can't tear the check);
-  *  - grouping keys are exactly the MV's key columns and every
+  *  - grouping keys are a SUBSET of the MV's key columns (equal set:
+  *    the MV rows project straight through; proper subset — the
+  *    drill-up / roll-up shape, `GROUP BY k1` over a (k1,k2) MV, or a
+  *    global aggregate with no GROUP BY at all — the MV's O(groups)
+  *    rows RE-AGGREGATE, still never touching the corpus) and every
   *    aggregate is `SUM(value)` (double), `COUNT(*)`/`COUNT(1)`, or
   *    `AVG(value)` — the three the sum/count MV answers exactly
   *    (`AVG = value_sum / n_vals`, NULL-correct: `n_vals` counts
-  *    non-null values, and `n_vals = 0` turns SUM into NULL).
-  *    DISTINCT/FILTER forms never match.
+  *    non-null values, and `n_vals = 0` turns SUM into NULL; roll-up
+  *    re-derives them as `SUM(value_sum) / SUM(n_vals)` etc., which
+  *    sum/count/min/max all tolerate — HLL sketches do not, so the
+  *    hll MV never re-aggregates). DISTINCT/FILTER forms never match.
   *
   * Registration is an explicit property on the SOURCE table
   * (`graft.mv.rewrite`, comma-separated MV paths —
@@ -125,8 +131,8 @@ class RewriteToMaterializedView(spark: SparkSession) extends Rule[LogicalPlan] {
       srcHeadSeq: Long,
       mvDir: Path,
       postPushdown: Boolean): Option[LogicalPlan] = {
-    val mvMeta = src.graftOps.load(mvDir) match {
-      case Some((_, m)) => m
+    val mvMeta = probeMeta(src.graftOps, mvDir) match {
+      case Some(m) => m
       case None => return None
     }
     // the MV must describe THIS table and be exactly at its head
@@ -136,7 +142,15 @@ class RewriteToMaterializedView(spark: SparkSession) extends Rule[LogicalPlan] {
       return None
     val keys = mvMeta.properties.getOrElse("graft.mv.keys", "").split(",").toSeq
     val valueCol = mvMeta.properties.getOrElse("graft.mv.value", "")
-    if (groupAttrs.map(_.name).toSet != keys.toSet) return None
+    val groupSet = groupAttrs.map(_.name).toSet
+    if (!groupSet.subsetOf(keys.toSet)) return None
+    // equal key set: MV rows ARE the answer (plain projection); proper
+    // subset (drill-up, or a global aggregate): the MV's O(groups)
+    // rows re-aggregate — sound for sum/count/min/max, never for
+    // sketches (HLL union of subgroups is not a column re-aggregation)
+    val exact = groupSet == keys.toSet
+    if (!exact && mvMeta.properties.getOrElse("graft.mv.agg", "sumcount") == "hll")
+      return None
     // filters commute with the aggregation ONLY when they reference
     // key columns alone (they then drop whole groups); anything else
     // disqualifies the MV
@@ -169,6 +183,16 @@ class RewriteToMaterializedView(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => true
     }
 
+    // roll-up building blocks: Complete-mode aggregate calls over the
+    // MV's columns (only used when `exact` is false)
+    def aggE(f: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction)
+        : Expression =
+      AggregateExpression(f,
+        org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
+        isDistinct = false)
+    def sumLong(e: Expression): Expression = // SUM over Long, 0 when groupless
+      Coalesce(Seq(aggE(Sum(e)), Literal(0L, LongType)))
+
     // every output column must be answerable from the MV; keep the
     // original names AND exprIds so parents are untouched
     val projected = agg.aggregateExpressions.map {
@@ -185,34 +209,42 @@ class RewriteToMaterializedView(spark: SparkSession) extends Rule[LogicalPlan] {
         (aggKind, ae.aggregateFunction) match {
           case ("sumcount", Sum(c, _)) if matchesValue(c) =>
             val vs = byName.getOrElse("value_sum", return None)
+            val total: Expression = if (exact) vs else aggE(Sum(vs))
             val expr: Expression = nVals match {
               case Some(nv) => // all-NULL group: stored sum is 0.0, true SUM is NULL
-                If(EqualTo(nv, Literal(0L, LongType)),
-                  Literal.create(null, DoubleType), vs)
-              case None if !valueNullable(c) => vs
+                val vals: Expression = if (exact) nv else sumLong(nv)
+                If(EqualTo(vals, Literal(0L, LongType)),
+                  Literal.create(null, DoubleType), total)
+              case None if !valueNullable(c) => total
               case None => return None
             }
             Alias(expr, al.name)(exprId = al.exprId)
           case ("sumcount", Average(c, _)) if matchesValue(c) =>
             val vs = byName.getOrElse("value_sum", return None)
-            val denom = nVals match {
-              case Some(nv) => nv // COUNT(v): NULLs excluded
-              case None if !valueNullable(c) => nRows
+            val total: Expression = if (exact) vs else aggE(Sum(vs))
+            val denom: Expression = nVals match {
+              case Some(nv) => if (exact) nv else sumLong(nv) // COUNT(v): NULLs excluded
+              case None if !valueNullable(c) => if (exact) nRows else sumLong(nRows)
               case None => return None
             }
             // explicit all-NULL guard: ANSI mode makes x/0 THROW, and
             // AVG of an all-NULL group must be NULL anyway
             val avgExpr = If(EqualTo(denom, Literal(0L, LongType)),
               Literal.create(null, DoubleType),
-              Divide(vs, Cast(denom, DoubleType)))
+              Divide(total, Cast(denom, DoubleType)))
             Alias(avgExpr, al.name)(exprId = al.exprId)
           case ("minmax", Min(c)) if matchesValue(c) =>
-            Alias(byName.getOrElse("value_min", return None), al.name)(exprId = al.exprId)
+            val lo = byName.getOrElse("value_min", return None)
+            Alias(if (exact) lo else aggE(Min(lo)), al.name)(exprId = al.exprId)
           case ("minmax", Max(c)) if matchesValue(c) =>
-            Alias(byName.getOrElse("value_max", return None), al.name)(exprId = al.exprId)
+            val hi = byName.getOrElse("value_max", return None)
+            Alias(if (exact) hi else aggE(Max(hi)), al.name)(exprId = al.exprId)
           case (_, Count(Seq(Literal(1, _)))) =>
             // COUNT(*) is non-nullable; pin that through a coalesce
-            Alias(Coalesce(Seq(nRows, Literal(0L, LongType))), al.name)(exprId = al.exprId)
+            val cnt: Expression =
+              if (exact) Coalesce(Seq(nRows, Literal(0L, LongType)))
+              else sumLong(nRows)
+            Alias(cnt, al.name)(exprId = al.exprId)
           case _ => return None
         }
       case _ => return None
@@ -223,7 +255,8 @@ class RewriteToMaterializedView(spark: SparkSession) extends Rule[LogicalPlan] {
       else Filter(filters.reduce(And).transform {
         case a: AttributeReference => byName(a.name)
       }, mvChild)
-    Some(Project(projected, filtered))
+    if (exact) Some(Project(projected, filtered))
+    else Some(Aggregate(groupAttrs.map(a => byName(a.name)), projected, filtered))
   }
 }
 
@@ -231,4 +264,35 @@ object RewriteToMaterializedView {
   /** Source-table property: comma-separated MV table paths eligible to
     * answer aggregates over this table. */
   val RewriteProp = "graft.mv.rewrite"
+
+  /** (mv path → (hint stamp, metadata)) probe cache: with N registered
+    * MVs every Aggregate compilation would otherwise pay N full
+    * metadata loads (several FS round-trips + a JSON parse each). The
+    * version-hint file is rewritten on every commit, so its
+    * (content, mtime) pair is a cheap change stamp — a cache hit costs
+    * one small read + one stat. A stale stamp can only UNDER-fire (the
+    * freshness gate compares the cached `graft.mv.last-seq` against
+    * the plan's pinned head sequence, and last-seq only moves forward
+    * with the source), never answer from the wrong snapshot. */
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, TableMetadata)]()
+
+  private[catalog] def probeMeta(ops: TableOps, mvDir: Path): Option[TableMetadata] = {
+    val hintPath = new Path(ops.metadataDir(mvDir), "version-hint.text")
+    val stamp =
+      try {
+        val st = ops.store.fs(hintPath).getFileStatus(hintPath)
+        Some(ops.store.readString(hintPath).trim + "@" + st.getModificationTime)
+      } catch { case _: Exception => None }
+    stamp match {
+      case Some(s) =>
+        val key = mvDir.toString
+        Option(metaCache.get(key)).filter(_._1 == s).map(c => Option(c._2)).getOrElse {
+          val loaded = ops.load(mvDir).map(_._2)
+          loaded.foreach(m => metaCache.put(key, (s, m)))
+          loaded
+        }
+      case None => ops.load(mvDir).map(_._2) // no hint: load uncached
+    }
+  }
 }

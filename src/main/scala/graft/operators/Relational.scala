@@ -2262,11 +2262,14 @@ object Relational {
     * is exact and order-independent cross-engine. */
   private val mvCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  def qMvRewrite(s: SparkSession, d: String): DataFrame = {
+  /** Shared C88 fixture: a catalog table fed by a 3-commit incremental
+    * timeline (append / DV delete / append) with a sum/count MV kept
+    * exactly at head and registered for rewrite — built once per
+    * sf-dir, reused by [[qMvRewrite]] and [[qMvRollup]]. */
+  private def mvSetup(s: SparkSession, d: String, ops: graft.catalog.TableOps): String = {
     import graft.catalog._
     import org.apache.hadoop.fs.{Path => HPath}
-    val ops = new TableOps(new FsStore(s.sparkContext.hadoopConfiguration))
-    val wh = mvCache.computeIfAbsent(d, { _ =>
+    mvCache.computeIfAbsent(d, { _ =>
       val whPath = java.nio.file.Files.createTempDirectory("graft-mvrw-")
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         def rm(f: java.io.File): Unit = {
@@ -2292,6 +2295,13 @@ object Relational {
       Materialized.enableRewrite(ops, tdir, mdir)
       whPath.toString
     })
+  }
+
+  def qMvRewrite(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog._
+    import org.apache.hadoop.fs.{Path => HPath}
+    val ops = new TableOps(new FsStore(s.sparkContext.hadoopConfiguration))
+    val wh = mvSetup(s, d, ops)
     // sessions without GraftExtensions register the same rule through
     // the public experimental hook (runs post-pushdown; the rule
     // handles both relation forms)
@@ -2326,6 +2336,55 @@ object Relational {
               SUM(l_quantity) / COUNT(*) AS avg_qty
        FROM src GROUP BY l_returnflag, l_linestatus
        ORDER BY l_returnflag, l_linestatus"""
+
+  /** C88 drill-up gate: same MV and incremental timeline as
+    * [[qMvRewrite]], but the query groups on a PROPER SUBSET of the
+    * MV's keys (`l_returnflag` of a (l_returnflag, l_linestatus) MV) —
+    * the rewrite must answer it by RE-AGGREGATING the MV's O(groups)
+    * rows, and the plan check `require`s both the `mv:` scan AND the
+    * roll-up Aggregate on top of it. DuckDB recomputes from raw
+    * lineitem; integer-valued quantities keep every double exact. */
+  def qMvRollup(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog._
+    import org.apache.hadoop.fs.{Path => HPath}
+    val ops = new TableOps(new FsStore(s.sparkContext.hadoopConfiguration))
+    val wh = mvSetup(s, d, ops) // shared 3-commit timeline (cached per sf-dir)
+    if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[RewriteToMaterializedView]))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ new RewriteToMaterializedView(s)
+    val tdir = new HPath(wh, "mv_src")
+    val (_, meta) = ops.load(tdir).get
+    val t = new GraftTable(tdir.toString, tdir, meta, ops, None)
+    val df = org.apache.spark.sql.execution.datasources.GraftBridge.ofRows(s, t)
+      .groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("sum_qty"),
+        count(lit(1)).as("n_rows_g"),
+        avg("l_quantity").as("avg_qty"))
+      .orderBy("l_returnflag")
+    val opt = df.queryExecution.optimizedPlan
+    val mvScans = opt.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+          if r.relation.table.name.startsWith("mv:") => r
+    }
+    val reAgg = opt.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    require(mvScans.nonEmpty && reAgg.nonEmpty,
+      "C88 drill-up did not fire (need mv: scan under a roll-up Aggregate)")
+    df
+  }
+
+  val qMvRollupSql: String =
+    """WITH src AS (
+         SELECT l_returnflag, l_quantity
+         FROM lineitem
+         WHERE l_orderkey % 2 = 1 OR l_quantity < 45)
+       SELECT l_returnflag,
+              SUM(l_quantity) AS sum_qty,
+              COUNT(*) AS n_rows_g,
+              SUM(l_quantity) / COUNT(*) AS avg_qty
+       FROM src GROUP BY l_returnflag
+       ORDER BY l_returnflag"""
 
   /** R88 — ordered funnel analysis: how many users did view → click
     * → purchase IN THAT ORDER (a later stage only counts after the

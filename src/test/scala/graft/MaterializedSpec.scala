@@ -507,6 +507,120 @@ class MaterializedSpec extends SparkSpec {
     assert(cat.ops.load(mmDir).get._2.properties("graft.mv.last-seq").toLong == headSeq)
   }
 
+  test("C88 drill-up: grouping on a SUBSET of MV keys re-aggregates the MV rows") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mv")
+    spark.sql("CREATE TABLE graft.mv.duo (k1 BIGINT, k2 BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.mv.duo VALUES " +
+      "(1, 10, 1.0), (1, 11, 2.0), (1, 11, CAST(NULL AS DOUBLE)), " +
+      "(2, 10, CAST(NULL AS DOUBLE)), (2, 12, 8.0), (3, 13, CAST(NULL AS DOUBLE))")
+    val srcDir = new Path(s"$warehouse/mv/duo")
+    val mvDir = new Path(s"$warehouse/mv/duo_agg")
+    Materialized.refreshSumCount(spark, cat.ops, srcDir, mvDir, Seq("k1", "k2"), "v")
+    Materialized.enableRewrite(cat.ops, srcDir, mvDir)
+
+    def check(q: String): Unit = {
+      val df = spark.sql(q)
+      assert(mvScanCount(df) == 1,
+        s"drill-up must answer from the MV: $q\n${df.queryExecution.optimizedPlan}")
+      val got = df.collect().map(_.toSeq).toSeq
+      spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+      val want = try spark.sql(q).collect().map(_.toSeq).toSeq
+      finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+      assert(got == want, s"$q: $got vs $want")
+    }
+    // drill-up to k1: SUM/COUNT/AVG re-derive, NULL-correct (k3's
+    // group is all-NULL → SUM/AVG NULL; k1=1 avg divides by 2 values)
+    check("SELECT k1, sum(v) AS s, count(*) AS n, avg(v) AS a " +
+      "FROM graft.mv.duo GROUP BY k1 ORDER BY k1")
+    // global aggregate: no GROUP BY at all
+    check("SELECT sum(v) AS s, count(*) AS n, avg(v) AS a FROM graft.mv.duo")
+    // key-only filter composes with the roll-up
+    check("SELECT k1, sum(v) AS s FROM graft.mv.duo WHERE k2 >= 11 GROUP BY k1 ORDER BY k1")
+    // exact grouping still projects (no re-aggregation needed)
+    val exactQ = spark.sql(
+      "SELECT k1, k2, sum(v) AS s FROM graft.mv.duo GROUP BY k1, k2")
+    assert(mvScanCount(exactQ) == 1 && !hasAggregate(exactQ))
+
+    // grouping on a NON-key column keeps the full aggregate
+    val nk = spark.sql("SELECT v, count(*) AS n FROM graft.mv.duo GROUP BY v")
+    assert(mvScanCount(nk) == 0 && hasAggregate(nk))
+
+    // minmax MV drills up too (MIN of mins / MAX of maxes)
+    spark.sql("CREATE TABLE graft.mv.duomm (k1 BIGINT, k2 BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.mv.duomm VALUES (1, 10, 1.0), (1, 11, 9.0), (2, 12, 4.0)")
+    val mmSrc = new Path(s"$warehouse/mv/duomm")
+    val mmDir = new Path(s"$warehouse/mv/duomm_agg")
+    Materialized.refreshMinMax(spark, cat.ops, mmSrc, mmDir, Seq("k1", "k2"), "v")
+    Materialized.enableRewrite(cat.ops, mmSrc, mmDir)
+    val mm = spark.sql("SELECT k1, min(v) AS lo, max(v) AS hi, count(*) AS n " +
+      "FROM graft.mv.duomm GROUP BY k1 ORDER BY k1")
+    assert(mvScanCount(mm) == 1, mm.queryExecution.optimizedPlan.toString)
+    assert(mm.collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).toSeq ==
+      Seq((1L, 1.0, 9.0, 2L), (2L, 4.0, 4.0, 1L)))
+
+    // an HLL MV never re-aggregates (sketch union ≠ column roll-up)
+    spark.sql("CREATE TABLE graft.mv.duohll (k1 BIGINT, k2 BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.mv.duohll VALUES (1, 10, 'a'), (2, 12, 'b')")
+    val hSrc = new Path(s"$warehouse/mv/duohll")
+    val hDir = new Path(s"$warehouse/mv/duohll_agg")
+    Materialized.refreshApproxDistinct(spark, cat.ops, hSrc, hDir, Seq("k1", "k2"), "v")
+    Materialized.enableRewrite(cat.ops, hSrc, hDir)
+    val hq = spark.sql("SELECT k1, count(*) AS n FROM graft.mv.duohll GROUP BY k1")
+    assert(mvScanCount(hq) == 0 && hasAggregate(hq),
+      "hll MV must not answer a drill-up")
+  }
+
+  test("C88: metadata probe caches across compiles (hint-stamp validated)") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    import org.apache.spark.sql.functions.sum
+    val reads = new java.util.concurrent.atomic.AtomicInteger()
+    val store = new FsStore(spark.sparkContext.hadoopConfiguration) {
+      override def readString(p: HPath): String = {
+        reads.incrementAndGet(); super.readString(p)
+      }
+    }
+    val ops = new TableOps(store)
+    val wh = java.nio.file.Files.createTempDirectory("graft-mvcache-")
+    val srcDir = new HPath(wh.toString, "src")
+    val mvDir = new HPath(wh.toString, "agg")
+    import spark.implicits._
+    val df = Seq((1L, 1.0), (1L, 2.0), (2L, 3.0)).toDF("k", "v")
+    ops.create(srcDir, TableMetadata.create(
+      srcDir.toString, SchemaBridge.fromSpark(df.schema),
+      PartitionSpec(0, Seq.empty), SortOrder(0, Seq.empty), Map.empty))
+    ops.write(srcDir, df, "append")
+    Materialized.refreshSumCount(spark, ops, srcDir, mvDir, Seq("k"), "v")
+    Materialized.enableRewrite(ops, srcDir, mvDir)
+    val (_, meta) = ops.load(srcDir).get
+    val t = new GraftTable(srcDir.toString, srcDir, meta, ops)
+    def compile(): Unit = {
+      val d = org.apache.spark.sql.execution.datasources.GraftBridge
+        .ofRows(spark, t).groupBy("k").agg(sum("v").as("s"))
+      assert(mvScanCount(d) == 1, d.queryExecution.optimizedPlan.toString)
+    }
+    compile() // cold: full load + parse
+    val before = reads.get()
+    compile(); compile(); compile()
+    val warm = reads.get() - before
+    // a warm probe is ONE hint read per compile (stamp match ⇒ no
+    // metadata re-read/re-parse); leave slack for incidental reads
+    assert(warm <= 6, s"probe must be cached across compiles: $warm reads for 3")
+    // a refresh bumps the stamp: the NEXT compile reloads and the MV
+    // keeps answering with fresh state
+    spark.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row(2L, 5.0)), df.schema).createOrReplaceTempView("mvc_add")
+    ops.write(srcDir, spark.table("mvc_add"), "append")
+    Materialized.refreshSumCount(spark, ops, srcDir, mvDir, Seq("k"), "v")
+    val (_, meta2) = ops.load(srcDir).get
+    val t2 = new GraftTable(srcDir.toString, srcDir, meta2, ops)
+    val d2 = org.apache.spark.sql.execution.datasources.GraftBridge
+      .ofRows(spark, t2).groupBy("k").agg(sum("v").as("s")).orderBy("k")
+    assert(mvScanCount(d2) == 1)
+    assert(d2.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 3.0), (2L, 8.0)))
+  }
+
   test("enableRewrite: concurrent registrations of different MVs both survive") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mv")
     spark.sql("CREATE TABLE graft.mv.crw (k BIGINT, v DOUBLE)")
