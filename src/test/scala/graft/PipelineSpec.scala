@@ -612,6 +612,15 @@ class PipelineSpec extends SparkSpec {
     assert(frac.getOrElse("valid", 0.0) + frac.getOrElse("test", 0.0) > 0.05, s"fractions: $frac")
   }
 
+  test("L51: star-path (L47) and propagation (L14) cluster sources assign identical splits") {
+    val star = TextPipeline.splitAssignFrom(spark, sfDir, starPath = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val prop = TextPipeline.splitAssignFrom(spark, sfDir, starPath = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(star == prop,
+      "both component algorithms must yield the same canonical min-id clusters")
+  }
+
   test("L53 shared spans: maximality, window floor, symmetry of reported offsets") {
     val spans = TextPipeline.sharedSpans(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
