@@ -462,14 +462,27 @@ final class GraftTable(
             cols.map(c => extended(extended.fieldIndex(c)).dataType).toArray,
             deleteHandle(es.map(_.path), ks), dseq), es, cols)
         }
+      val (specPosDeletes, graftPosDeletes) = posDeletes.partition(_.isSpecPosDelete)
       val posHandle: Option[MorFilter.DeleteScanHandle] =
-        if (posDeletes.isEmpty) None
+        if (graftPosDeletes.isEmpty) None
         else {
           val posSchema = StructType(Seq(
             org.apache.spark.sql.types.StructField("_file", org.apache.spark.sql.types.StringType, nullable = false),
             org.apache.spark.sql.types.StructField(
               "_pos", org.apache.spark.sql.types.LongType, nullable = false)))
-          Some(deleteHandle(posDeletes.map(_.path), posSchema))
+          Some(deleteHandle(graftPosDeletes.map(_.path), posSchema))
+        }
+      // spec-Iceberg positional deletes (externally-committed
+      // snapshots) carry the spec's column names — plan their scan
+      // with the spec schema; the decode is identical
+      val posSpecHandle: Option[MorFilter.DeleteScanHandle] =
+        if (specPosDeletes.isEmpty) None
+        else {
+          val specSchema = StructType(Seq(
+            org.apache.spark.sql.types.StructField("file_path", org.apache.spark.sql.types.StringType, nullable = false),
+            org.apache.spark.sql.types.StructField(
+              "pos", org.apache.spark.sql.types.LongType, nullable = false)))
+          Some(deleteHandle(specPosDeletes.map(_.path), specSchema))
         }
       val dvHandle: Option[MorFilter.DeleteScanHandle] =
         if (dvDeletes.isEmpty) None
@@ -486,7 +499,7 @@ final class GraftTable(
                 Stats.rangesMayOverlap(del, e, schema, c))) => ks
         }
         p -> MorFilter.FileConf(
-          applicable, posHandle, dir.toString, dvHandle, e.firstRowId)
+          applicable, posHandle, dir.toString, dvHandle, e.firstRowId, posSpecHandle)
       }.toMap
       val metaFields = metaCols.map {
         case "_file" => org.apache.spark.sql.types.StructField(

@@ -73,19 +73,26 @@ object IcebergImport {
   /** One live file of a source snapshot: content 0 = data, 1 =
     * position deletes, 2 = equality deletes. */
   private final case class SrcFile(
-      path: String, rows: Long, bytes: Long, content: Int, equalityIds: Seq[Int])
+      path: String, rows: Long, bytes: Long, content: Int, equalityIds: Seq[Int],
+      seq: Long)
 
   /** The live files of one snapshot: manifest list → manifests →
-    * non-deleted entries. Paths as recorded (absolute). */
+    * non-deleted entries. Paths as recorded (absolute). `seq` is the
+    * entry's data sequence number, inherited from the manifest's when
+    * the entry leaves it null (the spec's inheritance rule). */
   private def snapshotFiles(ops: TableOps, manifestList: Path): Seq[SrcFile] = {
     val (manifests, _, _) = IcebergExport.readAvro(ops, manifestList)
     manifests.flatMap { mf =>
+      val mfSeq = Option(mf.get("sequence_number"))
+        .map(_.asInstanceOf[Number].longValue()).getOrElse(0L)
       val (entries, _, _) =
         IcebergExport.readAvro(ops, new Path(mf.get("manifest_path").toString))
       entries.flatMap { e =>
         val status = e.get("status").asInstanceOf[Number].intValue()
         if (status == 2) None // DELETED entry
         else {
+          val eSeq = Option(e.get("sequence_number"))
+            .map(_.asInstanceOf[Number].longValue()).getOrElse(mfSeq)
           val df = e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
           val content = Option(df.get("content"))
             .map(_.asInstanceOf[Number].intValue()).getOrElse(0)
@@ -101,7 +108,7 @@ object IcebergImport {
           Some(SrcFile(df.get("file_path").toString,
             df.get("record_count").asInstanceOf[Number].longValue(),
             df.get("file_size_in_bytes").asInstanceOf[Number].longValue(),
-            content, eqIds))
+            content, eqIds, eSeq))
         }
       }
     }
@@ -110,23 +117,42 @@ object IcebergImport {
   /** C56 data plane — resolve a spec-Iceberg Avro manifest list into
     * graft scan entries, so an externally-committed add-snapshot (the
     * reference's pyiceberg flow: tests/pyiceberg/test_table.py) is
-    * readable WITHOUT a full import. Data files only: a delete-bearing
-    * manifest list refuses loudly (scan-time conversion would write
-    * files per query; [[importTable]] converts them once, durably).
-    * Paths normalize `file:` URIs to plain POSIX form so they compare
-    * equal to graft-written absolute entries in incremental diffs. */
+    * readable WITHOUT a full import — delete manifests included:
+    * spec equality-delete parquet already stores real column names
+    * (ids mapped through the table schema) and flows through graft's
+    * eq-delete machinery untouched; spec positional-delete parquet
+    * keeps the spec's `file_path`/`pos` column names, so it maps to
+    * the `pos-deletes-spec` kind that scan/vectorize/CDC readers
+    * request with the spec schema. Sequence numbers carry over, so
+    * the strictly-older eq-delete masking rule holds for
+    * externally-committed interleavings too. Paths normalize `file:`
+    * URIs to plain POSIX form so they compare equal to graft-written
+    * absolute entries in incremental diffs. */
   private[catalog] def manifestListEntries(
       ops: TableOps,
-      manifestList: Path): Seq[DataFileEntry] =
+      tableDir: Path,
+      manifestList: Path): Seq[DataFileEntry] = {
+    lazy val idToName: Map[Int, String] = ops.load(tableDir)
+      .map(_._2.currentSchema.fields.map(f => f.id -> f.name).toMap)
+      .getOrElse(Map.empty)
     snapshotFiles(ops, manifestList).map { f =>
-      if (f.content != 0)
-        throw new UnsupportedOperationException(
-          s"manifest list $manifestList carries delete files — graft scans " +
-          "spec-Iceberg DATA snapshots in place; convert delete-bearing " +
-          "lineages once with IcebergImport.importTable")
-      DataFileEntry(f.path.replaceFirst("^file:/+", "/"),
-        rows = Some(f.rows), bytes = Some(f.bytes))
+      val p = f.path.replaceFirst("^file:/+", "/")
+      f.content match {
+        case 0 => DataFileEntry(p,
+          rows = Some(f.rows), bytes = Some(f.bytes), seq = Some(f.seq))
+        case 1 => DataFileEntry(p, rows = Some(f.rows), bytes = Some(f.bytes),
+          content = "pos-deletes-spec", seq = Some(f.seq))
+        case 2 =>
+          val names = f.equalityIds.map(id => idToName.getOrElse(id,
+            throw new IllegalArgumentException(
+              s"$manifestList: equality_ids $id not in the table schema")))
+          DataFileEntry(p, rows = Some(f.rows), bytes = Some(f.bytes),
+            content = "eq-deletes", equalityColumns = names, seq = Some(f.seq))
+        case other => throw new UnsupportedOperationException(
+          s"$manifestList: unknown manifest content kind $other")
+      }
     }
+  }
 
   /** Convert one spec delete file to graft form under
     * `<targetDir>/data/`; returns (graft files, graft content kind,

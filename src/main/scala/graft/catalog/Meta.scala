@@ -82,7 +82,13 @@ final case class DataFileEntry(
     firstRowId: Option[Long] = None) {
   def isData: Boolean = content == "data"
   def isEqDelete: Boolean = content == "eq-deletes"
-  def isPosDelete: Boolean = content == "pos-deletes"
+  def isPosDelete: Boolean = content == "pos-deletes" || isSpecPosDelete
+  /** A spec-Iceberg v2 positional-delete parquet file referenced by an
+    * externally-committed snapshot: same (path, ordinal) semantics as
+    * graft's `pos-deletes`, but the parquet columns are the spec's
+    * `file_path`/`pos` (reserved ids 2147483546/2147483545) instead of
+    * `_file`/`_pos`, so readers must request the spec schema. */
+  def isSpecPosDelete: Boolean = content == "pos-deletes-spec"
   /** Deletion vector: positional deletes as one Roaring bitmap per
     * data file ([[DeletionVectors]]) — same coordinate semantics as
     * `pos-deletes`, different (far denser) physical encoding. */

@@ -65,8 +65,13 @@ object MorFilter {
       dvHandle: Option[DeleteScanHandle] = None,
       /** C70 — base row id of this file (`_row_id` = base + ordinal,
         * unless the file carries a materialized `__row_id` column). */
-      firstRowId: Option[Long] = None) extends Serializable {
-    def isEmpty: Boolean = keySets.isEmpty && posHandle.isEmpty && dvHandle.isEmpty
+      firstRowId: Option[Long] = None,
+      /** Spec-Iceberg positional deletes (externally-committed
+        * snapshots): same (path, ordinal) decode, but the scan was
+        * planned with the spec's `file_path`/`pos` column names. */
+      posSpecHandle: Option[DeleteScanHandle] = None) extends Serializable {
+    def isEmpty: Boolean =
+      keySets.isEmpty && posHandle.isEmpty && dvHandle.isEmpty && posSpecHandle.isEmpty
   }
 
   /** Executor-side decoded-delete-set cache: access-ordered LRU, keyed
@@ -245,9 +250,16 @@ object MorFilter {
       // loads each delete group once, later readers hit the cache.
       val eqSets: Seq[(Array[Int], Array[DataType], Set[Vector[Any]])] =
         conf.keySets.map(ks => (ks.idx, ks.types, deadKeys(ks.handle)))
-      val deadPos: Set[Long] = conf.posHandle match {
-        case Some(h) => deadPositions(h, conf.tableDir).getOrElse(normPath, Set.empty)
-        case None => Set.empty
+      val deadPos: Set[Long] = {
+        val graftSide = conf.posHandle match {
+          case Some(h) => deadPositions(h, conf.tableDir).getOrElse(normPath, Set.empty)
+          case None => Set.empty[Long]
+        }
+        val specSide = conf.posSpecHandle match {
+          case Some(h) => deadPositions(h, conf.tableDir).getOrElse(normPath, Set.empty)
+          case None => Set.empty[Long]
+        }
+        if (specSide.isEmpty) graftSide else graftSide ++ specSide
       }
       val deadVec: org.roaringbitmap.longlong.Roaring64NavigableMap =
         conf.dvHandle.flatMap(h => deadVectors(h, conf.tableDir).get(normPath)).orNull

@@ -659,7 +659,7 @@ final class TableOps(private[graft] val store: FsStore) {
       // they chain as ordinary segments: a graft append on top of an
       // external snapshot just references the Avro leaf verbatim.
       val parsed =
-        if (name.endsWith(".avro")) IcebergImport.manifestListEntries(this, p)
+        if (name.endsWith(".avro")) IcebergImport.manifestListEntries(this, tableDir, p)
         else MetadataJson.manifestFromJson(store.readString(p))
       manifestCache.synchronized(manifestCache.put(key, parsed))
       parsed
@@ -1502,6 +1502,30 @@ final class TableOps(private[graft] val store: FsStore) {
     * unlike equality deletes, where [[compactDeletes]] must respect
     * interleaved-append sequence boundaries. Data files untouched;
     * O(dead rows) work. */
+  /** (path, ordinal) pairs of a positional-delete entry set, DIALECT-
+    * aware: graft files read as `(_file,_pos)`, spec-Iceberg files
+    * (externally-committed snapshots) as the spec's `(file_path,pos)`
+    * and rename — downstream consumers see one uniform frame. */
+  private def readPosPairs(
+      spark: SparkSession,
+      entries: Seq[DataFileEntry]): Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    val (specE, graftE) = entries.partition(_.isSpecPosDelete)
+    val g =
+      if (graftE.isEmpty) None
+      else Some(spark.read.schema(StructType(Seq(
+        StructField("_file", StringType, nullable = false),
+        StructField("_pos", LongType, nullable = false))))
+        .parquet(graftE.map(_.path): _*))
+    val sp =
+      if (specE.isEmpty) None
+      else Some(spark.read.schema(StructType(Seq(
+        StructField("file_path", StringType, nullable = false),
+        StructField("pos", LongType, nullable = false))))
+        .parquet(specE.map(_.path): _*).toDF("_file", "_pos"))
+    (g.toSeq ++ sp.toSeq).reduceOption(_ unionAll _)
+  }
+
   def vectorizeDeletes(spark: SparkSession, tableDir: Path): TableMetadata = {
     val (_, meta) = load(tableDir).getOrElse(
       throw new CommitFailedException(s"table does not exist at $tableDir"))
@@ -1509,14 +1533,7 @@ final class TableOps(private[graft] val store: FsStore) {
     val pos = entries.filter(_.isPosDelete)
     val dvs = entries.filter(_.isDvDelete)
     if (pos.isEmpty && (dvs.size <= 1)) return meta
-    val posSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("_file",
-        org.apache.spark.sql.types.StringType, nullable = false),
-      org.apache.spark.sql.types.StructField("_pos",
-        org.apache.spark.sql.types.LongType, nullable = false)))
-    val fromPos =
-      if (pos.isEmpty) None
-      else Some(spark.read.schema(posSchema).parquet(pos.map(_.path): _*))
+    val fromPos = readPosPairs(spark, pos)
     val fromDv =
       if (dvs.isEmpty) None
       else Some(DeletionVectors.toPairs(spark,
@@ -2013,9 +2030,7 @@ final class TableOps(private[graft] val store: FsStore) {
                 org.apache.spark.sql.types.LongType, nullable = false)))
             import org.apache.spark.sql.functions.{concat, lit, regexp_replace, when}
             val (newPos, newDv) = newDels.partition(_.isPosDelete)
-            val posPairs =
-              if (newPos.isEmpty) None
-              else Some(spark.read.schema(posSchema).parquet(newPos.map(_.path): _*))
+            val posPairs = readPosPairs(spark, newPos)
             val dvPairs =
               if (newDv.isEmpty) None
               else Some(DeletionVectors.toPairs(spark,

@@ -263,6 +263,54 @@ class RestSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM graft.restavro.`ext$files`").count() >= 3)
   }
 
+  test("external Avro snapshot with DELETE manifests scans in place (eq + positional)") {
+    import graft.catalog._
+    val ops = new TableOps(new FsStore(spark.sparkContext.hadoopConfiguration))
+    send("POST", "/v1/namespaces", Some("""{"namespace": ["restdel"]}"""))
+    // source lineage: two appends, a DV delete (exports as spec v2
+    // POSITIONAL delete parquet) and a MOR delete (exports as spec v2
+    // EQUALITY delete parquet with equality_ids)
+    spark.sql("CREATE TABLE graft.restdel.src (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.restdel.src VALUES (1,1.0),(2,2.0),(3,3.0)")
+    spark.sql("INSERT INTO graft.restdel.src VALUES (4,4.0),(5,5.0),(6,6.0)")
+    val srcDir = new Path(s"$warehouse/restdel/src")
+    ops.deletionVectorDelete(spark, srcDir,
+      org.apache.spark.sql.functions.col("id").isin(2L, 5L))
+    import spark.implicits._
+    ops.mergeOnReadDelete(spark, srcDir, Seq(6L).toDF("id"))
+    val expect = spark.sql("SELECT id FROM graft.restdel.src ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(expect == Seq(1L, 3L, 4L))
+    val metaFile = IcebergExport.export(ops, srcDir, Some(spark))
+    val manifestList = mapper.readTree(ops.store.readString(metaFile))
+      .get("snapshots").elements().asScala.toSeq
+      .maxBy(_.get("sequence-number").asLong()).get("manifest-list").asText()
+
+    // twin via REST (same field ids), one external delete-bearing commit
+    send("POST", "/v1/namespaces/restdel/tables", Some(
+      """{"name": "ext", "schema": {"fields": [
+          {"id": 1, "name": "id", "required": false, "type": "long"},
+          {"id": 2, "name": "v", "required": false, "type": "double"}]}}"""))
+    val (rc, resp) = send("POST", "/v1/namespaces/restdel/tables/ext", Some(
+      s"""{"requirements": [], "updates": [
+            {"action": "add-snapshot", "snapshot": {
+              "snapshot-id": 880022, "sequence-number": 5,
+              "timestamp-ms": ${System.currentTimeMillis()},
+              "manifest-list": "$manifestList",
+              "summary": {"operation": "append"}, "schema-id": 0}},
+            {"action": "set-snapshot-ref", "ref-name": "main",
+             "snapshot-id": 880022, "type": "branch"}]}"""))
+    assert(rc == 200, resp.toString)
+    // both delete dialects apply at scan time — visible rows match the
+    // source exactly (2,5 dead positionally; 6 dead by equality, with
+    // the sequence rule carried from the export)
+    val got = spark.sql("SELECT id FROM graft.restdel.ext ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == expect, s"$got vs $expect")
+    assert(spark.sql("SELECT sum(v) FROM graft.restdel.ext").collect().head.getDouble(0) ==
+      1.0 + 3.0 + 4.0)
+  }
+
   test("view create → load → replace → rename → drop over REST") {
     send("POST", "/v1/namespaces", Some("""{"namespace": ["restv"]}"""))
     val createView =
