@@ -43,20 +43,36 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
     }
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // dedup_cdc memoizes its completed ledger walk per sf-dir (the
+      // production shape — a ledger never replays history). A memo
+      // read is not the documented walk cost, so the benchmark clears
+      // the memo before EVERY measured run: the reported number is the
+      // cold O(windows × churn) walk, not a cache hit.
+      if (name == "dedup_cdc") graft.pipeline.TextPipeline.clearCdcWalkMemo(sfDir)
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      dropCachedState()
+      dt
+    }
+    // Two SEPARATED full passes instead of two consecutive runs per
+    // query: an ambient window (co-tenant burst, page-cache eviction)
+    // lasting a minute or two covers BOTH consecutive samples of
+    // whichever query it lands on, and min-of-2 then reports the spike
+    // as the query's cost — the r14 driver sweep's q_unpivot 31.6 s
+    // (1.0 s isolated on the same tree) has exactly that shape. With
+    // the second sample a full pass away, a windowed spike inflates a
+    // query in at most one pass and the cross-pass min discards it.
+    // Same total work as before.
+    val pass1 = ordered.map { case (n, f) => n -> once(n, f) }.toMap
+    val pass2 = ordered.map { case (n, f) => n -> once(n, f) }.toMap
     val results = ordered.map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        dropCachedState()
-        dt
-      }
-      val times = Seq(once(), once())
-      // The two runs disagreeing badly means an ambient spike (GC, a
-      // co-tenant process, page-cache eviction) hit one of them; one
-      // extra run resolves which reading is the steady state.
+      val times = Seq(pass1(name), pass2(name))
+      // The two passes disagreeing badly means an ambient spike hit
+      // one of them; one extra run resolves the steady state.
       val all = if (times.max > 2 * times.min && times.max - times.min > 0.5)
-        times :+ once() else times
+        times :+ once(name, fn) else times
       name -> all.min
     }
     // Compact fixed-point formatting keeps the whole line short enough
@@ -69,7 +85,18 @@ object Bench {
     // core = the query-engine total without the catalog-DDL roundtrip,
     // whose cost is commit protocol + write jobs, not query plans.
     val core = results.filterNot(r => sideEffecting.contains(r._1)).map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","core_sec":${fmt(core)},"queries":$qs,"sf":"$sfDir"}""")
+    // Ambient-control block: two structurally-stable queries whose
+    // quiet floors (sf0.1, local[16], idle box) are tracked in
+    // BENCH_NOTES. measured/floor is the run's ambient multiplier —
+    // readers normalize per-query comparisons against it instead of
+    // reverse-engineering the box's load from the totals.
+    val quietFloors = Map("split_leakage" -> 1.99, "dedup_components" -> 3.46)
+    val rmap = results.toMap
+    val controls = quietFloors.toSeq.sortBy(_._1).flatMap { case (n, floor) =>
+      rmap.get(n).map(m =>
+        s"\"" + n + s"\":{\"sec\":${fmt(m)},\"quiet_floor_sec\":${fmt(floor)},\"ratio\":${fmt(m / floor)}}")
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","core_sec":${fmt(core)},"controls":$controls,"queries":$qs,"sf":"$sfDir"}""")
     // Repeat a short headline line last (distinct metric name so
     // line-oriented parsers can't confuse it with the full line): the
     // full per-query line can exceed the harness's captured log tail,
@@ -79,7 +106,7 @@ object Bench {
       "ann_lsh_topk", "text_quality", "pipeline_curate")
     val hq = headline.flatMap(k => results.toMap.get(k).map(v => s"\"" + k + "\":" + fmt(v)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total_headline","value":${fmt(total)},"unit":"sec","core_sec":${fmt(core)},"queries":$hq,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_headline","value":${fmt(total)},"unit":"sec","core_sec":${fmt(core)},"controls":$controls,"queries":$hq,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

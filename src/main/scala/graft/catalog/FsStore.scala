@@ -136,22 +136,33 @@ class FsStore(conf: Configuration) {
   def publish(dir: Path, next: Int, content: String): Boolean =
     publish(dir, next, content, gzip = false)
 
-  /** As [[publish]]; with `gzip = true` the version lands as
+  /** As [[publish]]; with `gzip = true` the version ALSO lands as
     * `vN.gz.metadata.json` with gzip-compressed content (the
-    * reference's view-metadata encoding). Either encoding of a version
-    * claims that version number for CAS purposes. */
+    * reference's view-metadata encoding).
+    *
+    * The CAS arbiter is ALWAYS the plain `vN.metadata.json` name,
+    * whatever the encoding: two writers racing on version N with
+    * DIFFERENT encodings would otherwise both win their check-then-act
+    * on two distinct target filenames, leaving two files claiming N.
+    * A gzip publish therefore claims the plain name with the gzip
+    * BYTES (readers sniff the 1F 8B magic in [[readString]], so the
+    * content is readable under either name) and then adds the
+    * `.gz.metadata.json` layout name best-effort after winning —
+    * a crash between the two leaves a fully readable version. */
   def publish(dir: Path, next: Int, content: String, gzip: Boolean): Boolean = {
     mkdirs(dir)
-    val target = if (gzip) gzVersionPath(dir, next) else versionPath(dir, next)
+    val target = versionPath(dir, next)
     if (versionExists(dir, next)) return false
     val tmp = new Path(dir, s".tmp-${UUID.randomUUID()}.metadata.json")
-    if (gzip) {
-      val bos = new java.io.ByteArrayOutputStream()
-      val gz = new java.util.zip.GZIPOutputStream(bos)
-      gz.write(content.getBytes(StandardCharsets.UTF_8)); gz.close()
-      val out = fs(tmp).create(tmp, true)
-      try out.write(bos.toByteArray) finally out.close()
-    } else writeString(tmp, content)
+    val bytes =
+      if (gzip) {
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(content.getBytes(StandardCharsets.UTF_8)); gz.close()
+        bos.toByteArray
+      } else content.getBytes(StandardCharsets.UTF_8)
+    val out = fs(tmp).create(tmp, true)
+    try out.write(bytes) finally out.close()
     val scheme = Option(fs(dir).getUri.getScheme).getOrElse("file")
     val ok =
       if (scheme == "file") {
@@ -169,6 +180,12 @@ class FsStore(conf: Configuration) {
       }
     delete(tmp)
     if (ok) {
+      if (gzip) scala.util.Try {
+        // Layout-parity name (the reference's view encoding); the
+        // arbitrating plain file already holds the same gzip bytes.
+        val gzOut = fs(dir).create(gzVersionPath(dir, next), true)
+        try gzOut.write(bytes) finally gzOut.close()
+      }
       // Best-effort hint; correctness never depends on it.
       scala.util.Try(writeString(new Path(dir, "version-hint.text"), next.toString))
     }

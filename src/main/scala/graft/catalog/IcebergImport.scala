@@ -91,8 +91,20 @@ object IcebergImport {
         val status = e.get("status").asInstanceOf[Number].intValue()
         if (status == 2) None // DELETED entry
         else {
+          // The spec's sequence-number inheritance rule applies ONLY to
+          // ADDED (status 1) entries: they were written by the manifest's
+          // own commit, so its sequence is theirs. An EXISTING entry with
+          // a null sequence is a non-compliant writer — inheriting the
+          // (newer) manifest sequence would mis-order eq-delete masking,
+          // so fail loudly instead.
           val eSeq = Option(e.get("sequence_number"))
-            .map(_.asInstanceOf[Number].longValue()).getOrElse(mfSeq)
+            .map(_.asInstanceOf[Number].longValue())
+            .getOrElse {
+              if (status == 1) mfSeq
+              else throw new IllegalArgumentException(
+                s"${mf.get("manifest_path")}: EXISTING entry with null " +
+                  "sequence_number (inheritance applies only to ADDED entries)")
+            }
           val df = e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
           val content = Option(df.get("content"))
             .map(_.asInstanceOf[Number].intValue()).getOrElse(0)

@@ -4,7 +4,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -63,7 +64,8 @@ class RewriteToMaterializedView(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transformDown {
-      case agg: Aggregate => rewrite(agg).getOrElse(agg)
+      case agg: Aggregate =>
+        rewrite(agg).orElse(rewriteJoin(agg)).getOrElse(agg)
     }
   }
 
@@ -257,6 +259,194 @@ class RewriteToMaterializedView(spark: SparkSession) extends Rule[LogicalPlan] {
       }, mvChild)
     if (exact) Some(Project(projected, filtered))
     else Some(Aggregate(groupAttrs.map(a => byName(a.name)), projected, filtered))
+  }
+
+  // ------------------------------------------------------------------
+  // C47 × C88 — JOIN-MV rewrite: `SELECT k, COUNT(*) FROM A JOIN B ON
+  // A.ka = B.kb GROUP BY k` (k = either side's join key) answered from
+  // the incrementally-maintained join MV
+  // ([[Materialized.refreshJoinCount]] destination: `key, n_pairs`)
+  // when BOTH dual watermarks sit exactly at their sources' heads. At
+  // 100 TB this turns the hottest join+aggregate dashboard shape into
+  // an O(groups) scan — the join itself is never executed. Same
+  // fallback discipline as the single-table rule: staleness on either
+  // source, time travel on either side, a non-inner join, extra join
+  // conditions, filters below the join, or any aggregate beyond
+  // COUNT(*) → no rewrite.
+  // ------------------------------------------------------------------
+
+  /** A join side stripped to its relation: attribute-only Projects are
+    * transparent, and Filters are collected as conjuncts for the
+    * caller to vet — by the time this rule sees the plan the optimizer
+    * has usually pushed the query's key filter below the join and
+    * inferred `isnotnull` / dynamic-pruning predicates there. */
+  private def bareRelation(
+      plan: LogicalPlan): Option[(GraftTable, Seq[Expression], Boolean)] =
+    plan match {
+      case r: DataSourceV2Relation if !timeTravelRead(r.options) => r.table match {
+        case t: GraftTable if !t.graftPinned => Some((t, Seq.empty, false))
+        case _ => None
+      }
+      case sr: DataSourceV2ScanRelation if !timeTravelRead(sr.relation.options) =>
+        sr.relation.table match {
+          case t: GraftTable if !t.graftPinned => Some((t, Seq.empty, true))
+          case _ => None
+        }
+      case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+        bareRelation(child)
+      case Filter(cond, child) if cond.deterministic =>
+        bareRelation(child).map { case (t, cs, p) => (t, conjuncts(cond) ++ cs, p) }
+      case _ => None
+    }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+
+  /** The inner equi-join under optional Projects / key-only Filters
+    * above it. Returns (join, above-join filter conditions). */
+  private def joinChild(plan: LogicalPlan): Option[(Join, Seq[Expression])] =
+    plan match {
+      case j: Join => Some((j, Seq.empty))
+      case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+        joinChild(child)
+      case Filter(cond, child) if cond.deterministic =>
+        joinChild(child).map { case (j, conds) => (j, cond +: conds) }
+      case _ => None
+    }
+
+  private def rewriteJoin(agg: Aggregate): Option[LogicalPlan] = {
+    val (join, filters) = joinChild(agg.child) match {
+      case Some(x) => x
+      case None => return None
+    }
+    if (join.joinType != Inner) return None
+    val (ka, kb) = join.condition match {
+      case Some(EqualTo(a: AttributeReference, b: AttributeReference)) =>
+        if (join.left.outputSet.contains(a) && join.right.outputSet.contains(b)) (a, b)
+        else if (join.left.outputSet.contains(b) && join.right.outputSet.contains(a)) (b, a)
+        else return None
+      case _ => return None
+    }
+    val (tblA, filtersA, postA) = bareRelation(join.left) match {
+      case Some(x) => x
+      case None => return None
+    }
+    val (tblB, filtersB, _) = bareRelation(join.right) match {
+      case Some(x) => x
+      case None => return None
+    }
+    // grouping: empty (global count) or exactly one of the join keys —
+    // under an inner equi-join both sides' keys carry identical values
+    // (NULL keys never join), so either attribute names the same groups
+    val groupAttr: Option[AttributeReference] = agg.groupingExpressions match {
+      case Seq() => None
+      case Seq(a: AttributeReference)
+          if a.exprId == ka.exprId || a.exprId == kb.exprId => Some(a)
+      case _ => return None
+    }
+    // all collected filters (above the join or pushed below it) must be
+    // key-only: they then drop whole key groups and re-apply on the
+    // MV's key column. Dynamic-pruning conjuncts are DERIVED
+    // prune-only predicates (the join itself already enforces the
+    // partner-exists semantics they encode), so they are dropped, not
+    // rebased.
+    val keyIds = Set(ka.exprId, kb.exprId)
+    val allFilters = (filters.flatMap(conjuncts) ++ filtersA ++ filtersB)
+      .filterNot(_.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.DynamicPruning]))
+    if (allFilters.exists(_.references.exists(r => !keyIds.contains(r.exprId))))
+      return None
+
+    val registered = tblA.graftMeta.properties.get(RewriteProp)
+      .toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    if (registered.isEmpty) return None
+    val headA = tblA.graftMeta.currentSnapshot.map(_.sequenceNumber).getOrElse(0L)
+    val headB = tblB.graftMeta.currentSnapshot.map(_.sequenceNumber).getOrElse(0L)
+
+    registered.view.flatMap { mvPath =>
+      tryJoinMv(agg, groupAttr, allFilters, tblA, tblB, ka, kb, headA, headB,
+        new Path(mvPath), postA)
+    }.headOption
+  }
+
+  private def tryJoinMv(
+      agg: Aggregate,
+      groupAttr: Option[AttributeReference],
+      filters: Seq[Expression],
+      tblA: GraftTable,
+      tblB: GraftTable,
+      ka: AttributeReference,
+      kb: AttributeReference,
+      headA: Long,
+      headB: Long,
+      mvDir: Path,
+      postPushdown: Boolean): Option[LogicalPlan] = {
+    val mvMeta = probeMeta(tblA.graftOps, mvDir) match {
+      case Some(m) => m
+      case None => return None
+    }
+    val props = mvMeta.properties
+    // the MV must describe exactly THIS join, and both dual watermarks
+    // must sit at their sources' heads (a lag on either side means the
+    // MV is missing — or still counting — churn from that source)
+    if (!props.get("graft.mv.source-a").contains(tblA.graftDir.toString)) return None
+    if (!props.get("graft.mv.source-b").contains(tblB.graftDir.toString)) return None
+    if (!props.get("graft.mv.key-a").contains(ka.name)) return None
+    if (!props.get("graft.mv.key-b").contains(kb.name)) return None
+    if (!props.get("graft.mv.last-seq-a").map(_.toLong).contains(headA)) return None
+    if (!props.get("graft.mv.last-seq-b").map(_.toLong).contains(headB)) return None
+
+    val mvTable = new GraftTable(s"mv:${mvDir.getName}", mvDir, mvMeta, tblA.graftOps)
+    val mvChild: LogicalPlan =
+      if (!postPushdown) DataSourceV2Relation.create(mvTable, None, None)
+      else {
+        val rel = DataSourceV2Relation.create(mvTable, None, None)
+        val scan = mvTable.newScanBuilder(
+          new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+            java.util.Collections.emptyMap())).build()
+        DataSourceV2ScanRelation(rel, scan, rel.output)
+      }
+    val byName = mvChild.output.map(a => a.name -> a).toMap
+    val mvKey = byName.getOrElse("key", return None)
+    val nPairs = byName.getOrElse("n_pairs", return None)
+    val exact = groupAttr.isDefined
+
+    def aggE(f: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction)
+        : Expression =
+      AggregateExpression(f,
+        org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
+        isDistinct = false)
+
+    val projected = agg.aggregateExpressions.map {
+      case a: AttributeReference if groupAttr.exists(_.exprId == a.exprId) =>
+        Alias(mvKey, a.name)(exprId = a.exprId)
+      case al @ Alias(a: AttributeReference, _)
+          if groupAttr.exists(_.exprId == a.exprId) =>
+        Alias(mvKey, al.name)(exprId = al.exprId)
+      case al @ Alias(ae: AggregateExpression, _)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Count(Seq(Literal(1, _))) =>
+            val cnt: Expression =
+              if (exact) Coalesce(Seq(nPairs, Literal(0L, LongType)))
+              else Coalesce(Seq(aggE(Sum(nPairs)), Literal(0L, LongType)))
+            Alias(cnt, al.name)(exprId = al.exprId)
+          case _ => return None
+        }
+      case _ => return None
+    }
+    // key-only filters re-apply on the MV's key column (either side's
+    // key attribute rebases onto it — they are equal-valued)
+    val filtered =
+      if (filters.isEmpty) mvChild
+      else Filter(filters.reduce(And).transform {
+        case a: AttributeReference if a.exprId == ka.exprId || a.exprId == kb.exprId =>
+          mvKey
+      }, mvChild)
+    if (exact) Some(Project(projected, filtered))
+    else Some(Aggregate(Seq.empty, projected, filtered))
   }
 }
 

@@ -289,7 +289,16 @@ object PuffinStats {
     val crcStored = buf.getInt
     val crc = new java.util.zip.CRC32()
     crc.update(DvMagic); crc.update(vec)
-    require(crc.getValue.toInt == crcStored, s"$context: CRC mismatch in delete-vector blob")
+    // Spec checksum is plain CRC-32 (the v3/Delta polynomial). Blobs
+    // exported by pre-r14 builds of this library used CRC-32C; accept
+    // those on read (transition fallback) so old exports stay readable
+    // — anything matching neither polynomial is genuine corruption.
+    val ok = crc.getValue.toInt == crcStored || {
+      val c = new java.util.zip.CRC32C()
+      c.update(DvMagic); c.update(vec)
+      c.getValue.toInt == crcStored
+    }
+    require(ok, s"$context: CRC mismatch in delete-vector blob")
     vec
   }
 

@@ -646,10 +646,22 @@ final class TableOps(private[graft] val store: FsStore) {
   def segmentEntries(tableDir: Path, name: String): Seq[DataFileEntry] =
     leafEntries(tableDir, name)
 
-  /** Entries of one LEAF manifest/segment file, cached by path. */
+  /** Entries of one LEAF manifest/segment file, cached by path.
+    *
+    * Spec Avro leaves additionally key the cache on the table's
+    * CURRENT schema id: their equality-delete entries resolve
+    * `equality_ids` to column NAMES through that schema, so a schema
+    * evolution (rename) must invalidate the cached resolution — a
+    * forever-cached entry would keep masking on the pre-rename names.
+    * Graft JSON leaves store names as written and never re-resolve,
+    * so their key stays the immutable path. */
   private def leafEntries(tableDir: Path, name: String): Seq[DataFileEntry] = {
     val p = manifestPath(tableDir, name)
-    val key = p.toString
+    val key =
+      if (name.endsWith(".avro"))
+        p.toString + "#schema-" +
+          load(tableDir).map(_._2.currentSchemaId).getOrElse(-1)
+      else p.toString
     manifestCache.synchronized(Option(manifestCache.get(key))).getOrElse {
       // C56 data plane: a leaf ending in .avro is a spec-Iceberg Avro
       // manifest list (externally committed via REST add-snapshot) —

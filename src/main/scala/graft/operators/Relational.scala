@@ -2386,6 +2386,101 @@ object Relational {
        FROM src GROUP BY l_returnflag
        ORDER BY l_returnflag"""
 
+  /** C47 × C88 under the oracle gate — transparent JOIN-MV rewrite
+    * end-to-end: TWO catalog tables are built in interleaved commit
+    * windows (orders evens + half the customers → incremental
+    * [[graft.catalog.Materialized.refreshJoinCount]] → DV delete of
+    * high-price orders → refresh → orders odds + remaining customers →
+    * refresh), the join MV is registered on source A, and the returned
+    * `key, COUNT(*)` join aggregate is REQUIRED to have been answered
+    * by the MV scan with the Join GONE from the plan. DuckDB recomputes
+    * the same join count from raw orders/customer under the timeline's
+    * net predicate — the hash match proves the bilinear
+    * ΔA⋈B + A⋈ΔB maintenance arithmetic AND the rewrite's answer
+    * equivalence at once. Counts are integers; nothing float-sensitive. */
+  private val mvJoinCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def mvJoinSetup(s: SparkSession, d: String, ops: graft.catalog.TableOps): String = {
+    import graft.catalog._
+    import org.apache.hadoop.fs.{Path => HPath}
+    mvJoinCache.computeIfAbsent(d, { _ =>
+      val whPath = java.nio.file.Files.createTempDirectory("graft-mvjoin-")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(whPath.toFile)
+      }))
+      val aDir = new HPath(whPath.toString, "mvj_orders")
+      val bDir = new HPath(whPath.toString, "mvj_cust")
+      val mDir = new HPath(whPath.toString, "mvj_agg")
+      val srcA = orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val srcB = customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      ops.create(aDir, TableMetadata.create(
+        aDir.toString, SchemaBridge.fromSpark(srcA.schema),
+        PartitionSpec(0, Seq.empty), SortOrder(0, Seq.empty), Map.empty))
+      ops.create(bDir, TableMetadata.create(
+        bDir.toString, SchemaBridge.fromSpark(srcB.schema),
+        PartitionSpec(0, Seq.empty), SortOrder(0, Seq.empty), Map.empty))
+      def refresh(): Unit = { Materialized.refreshJoinCount(
+        s, ops, aDir, bDir, mDir, "o_custkey", "c_custkey"); () }
+      ops.write(aDir, srcA.filter(col("o_orderkey") % 2 === 0), "append")
+      ops.write(bDir, srcB.filter(col("c_custkey") % 2 === 0), "append")
+      refresh()
+      ops.deletionVectorDelete(s, aDir, col("o_totalprice") >= 150000.0)
+      refresh()
+      ops.write(aDir, srcA.filter(col("o_orderkey") % 2 === 1), "append")
+      ops.write(bDir, srcB.filter(col("c_custkey") % 2 === 1), "append")
+      refresh()
+      Materialized.enableRewrite(ops, aDir, mDir)
+      whPath.toString
+    })
+  }
+
+  def qMvJoinRewrite(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog._
+    import org.apache.hadoop.fs.{Path => HPath}
+    val ops = new TableOps(new FsStore(s.sparkContext.hadoopConfiguration))
+    val wh = mvJoinSetup(s, d, ops)
+    if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[RewriteToMaterializedView]))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ new RewriteToMaterializedView(s)
+    val aDir = new HPath(wh, "mvj_orders")
+    val bDir = new HPath(wh, "mvj_cust")
+    val (_, aMeta) = ops.load(aDir).get
+    val (_, bMeta) = ops.load(bDir).get
+    val ta = new GraftTable(aDir.toString, aDir, aMeta, ops, None)
+    val tb = new GraftTable(bDir.toString, bDir, bMeta, ops, None)
+    val dfa = org.apache.spark.sql.execution.datasources.GraftBridge.ofRows(s, ta)
+    val dfb = org.apache.spark.sql.execution.datasources.GraftBridge.ofRows(s, tb)
+    val df = dfa.join(dfb, dfa("o_custkey") === dfb("c_custkey"))
+      .groupBy(dfa("o_custkey"))
+      .agg(count(lit(1)).as("n_pairs_q"))
+      .orderBy("o_custkey")
+    val opt = df.queryExecution.optimizedPlan
+    val mvScans = opt.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+          if r.relation.table.name.startsWith("mv:") => r
+    }
+    val joins = opt.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    require(mvScans.nonEmpty && joins.isEmpty,
+      "C47 join-MV rewrite did not answer the join aggregate — gate check failed")
+    df
+  }
+
+  val qMvJoinRewriteSql: String =
+    """WITH a AS (
+         SELECT o_custkey FROM orders
+         WHERE (o_orderkey % 2 = 0 AND o_totalprice < 150000)
+            OR o_orderkey % 2 = 1),
+       b AS (SELECT c_custkey FROM customer)
+       SELECT o_custkey, COUNT(*) AS n_pairs_q
+       FROM a JOIN b ON o_custkey = c_custkey
+       GROUP BY o_custkey
+       ORDER BY o_custkey"""
+
   /** R88 — ordered funnel analysis: how many users did view → click
     * → purchase IN THAT ORDER (a later stage only counts after the
     * earlier one has occurred) — the product-analytics staple.

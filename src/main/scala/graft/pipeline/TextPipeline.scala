@@ -1841,6 +1841,14 @@ object TextPipeline {
   private val cdcWalkCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Seq[(Long, Long, Long, Long, Long)], String)]()
 
+  /** Drop the memoized walk for `d` so the next [[dedupCdc]] call pays
+    * the full cold ledger walk again. Bench uses this before every
+    * measured run: the memo is the right PRODUCTION behavior (a ledger
+    * advances with the watermark, it never replays history) but a memo
+    * read is not the documented walk cost, so the benchmark clears it
+    * to measure the walk itself. */
+  private[graft] def clearCdcWalkMemo(d: String): Unit = { cdcWalkCache.remove(d); () }
+
   /** The ledger walk proper: replays `corpusDir`'s commit windows into
     * a catalog-table hash ledger at `ledgerDir` (created here), one
     * O(churn) commit pair per window, live counts from metadata only. */

@@ -449,7 +449,12 @@ final class RestCatalogServer(
         case _: Exception => throw RestError(404, "MetadataFileNotFound",
           s"Metadata file not found at location `$loc`")
       }
-    val node = mapper.readTree(raw)
+    val node =
+      try mapper.readTree(raw)
+      catch {
+        case _: Exception => throw RestError(400, "InvalidRequest",
+          s"Unparseable metadata file at location `$loc`")
+      }
     val specIceberg =
       Option(node.get("snapshots")).exists(_.elements().asScala.exists(s =>
         s.has("manifest-list") && !s.has("manifest"))) ||
@@ -477,8 +482,51 @@ final class RestCatalogServer(
     tableResponse(dir)
   }
 
-  private def loadTable(ns: Seq[String], t: String): Option[JsonNode] =
-    tableResponse(tablePath(ns, t))
+  /** Load serves graft-dialect metadata by default. With the table
+    * property `graft.rest.serve-spec=true`, the response instead
+    * carries SPEC-Iceberg metadata (the C57 exporter's
+    * `iceberg/metadata/v<N>.metadata.json` + Avro manifest chain),
+    * re-exported on demand when the table has moved since the last
+    * export — so a spec-only client (pyiceberg's RestCatalog, the
+    * reference's own acceptance suite) can SCAN a graft-written table
+    * straight off the loadTable response, not just commit into it.
+    * The export is metadata-only (zero data copy) and named by the
+    * graft metadata version, which doubles as the freshness check.
+    * Pending merge-on-read deletes need a SparkSession to materialize
+    * as spec delete files; when none is attached the response falls
+    * back to the graft dialect rather than serving a
+    * rows-resurrecting export. */
+  private def loadTable(ns: Seq[String], t: String): Option[JsonNode] = {
+    val dir = tablePath(ns, t)
+    val (v, meta) = ops.load(dir).getOrElse(
+      throw RestError(404, "NoSuchTableError", s"Table not found at $dir"))
+    if (meta.properties.get("graft.rest.serve-spec").contains("true"))
+      specTableResponse(dir, v).orElse(tableResponse(dir))
+    else tableResponse(dir)
+  }
+
+  private def specTableResponse(dir: Path, v: Int): Option[JsonNode] =
+    try {
+      val specFile = new Path(
+        new Path(new Path(dir, "iceberg"), "metadata"), s"v$v.metadata.json")
+      val f =
+        if (store.exists(specFile)) specFile
+        else IcebergImport.synchronized { // one exporter per shim at a time
+          if (store.exists(specFile)) specFile
+          else graft.catalog.IcebergExport.export(ops, dir,
+            org.apache.spark.sql.SparkSession.getActiveSession
+              .orElse(org.apache.spark.sql.SparkSession.getDefaultSession))
+        }
+      val o = mapper.createObjectNode()
+      o.put("metadata-location", f.toString)
+      o.set[JsonNode]("metadata", mapper.readTree(store.readString(f)))
+      o.putObject("config")
+      Some(o)
+    } catch {
+      // e.g. pending MOR deletes with no SparkSession attached — the
+      // graft-dialect response stays available and correct
+      case _: Exception => None
+    }
 
   /** Commit: parse requirements (logic/reqs.go `type`) and updates
     * (logic/updates.go `action`), run them through the SAME

@@ -508,4 +508,38 @@ class CatalogSpec extends SparkSpec {
     assert(v.schema.fieldNames.toSeq == Seq("id2"))
     assert(v.collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
+
+  test("ADVICE r14: mixed-encoding publishes arbitrate on ONE name (single winner)") {
+    val store = new FsStore(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(s"$warehouse/.cas-mixed")
+    // a gzip publish claims the PLAIN arbiter name (the mechanism that
+    // closes the plain-vs-gzip two-filename race) and keeps the
+    // reference's .gz layout name; content reads under either name
+    assert(store.publish(dir, 0, """{"v":"gz0"}""", gzip = true))
+    assert(store.exists(store.versionPath(dir, 0)),
+      "gzip publish must claim the plain arbiter name")
+    assert(store.exists(store.gzVersionPath(dir, 0)))
+    assert(store.readString(store.versionPath(dir, 0)).contains("gz0"))
+    assert(store.readString(store.gzVersionPath(dir, 0)).contains("gz0"))
+    assert(!store.publish(dir, 0, """{"v":"plain0"}""", gzip = false))
+    assert(store.currentVersion(dir).get._2.contains("gz0"))
+
+    // 8 writers racing version 1, alternating encodings: exactly one
+    // wins, and the survivor's content is the winner's
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Boolean)]()
+    val threads = (0 until 8).map { i =>
+      new Thread(() => {
+        start.await()
+        results.add((i, store.publish(dir, 1, s"""{"w":$i}""", gzip = i % 2 == 0)))
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val winners = results.asScala.toList.filter(_._2)
+    assert(winners.size == 1, s"expected one winner, got $winners")
+    assert(store.readString(store.versionPath(dir, 1))
+      .contains(s""""w":${winners.head._1}"""))
+    assert(store.currentVersion(dir).get._1 == 1)
+  }
 }

@@ -472,4 +472,30 @@ class DvSpec extends SparkSpec {
       cat.ops.read(spark, twin).agg(org.apache.spark.sql.functions.sum("id"))
         .collect().head.getLong(0))
   }
+
+  test("ADVICE r14: pre-r14 CRC-32C delete-vector blobs stay readable; garbage still refused") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val bm = new org.roaringbitmap.longlong.Roaring64NavigableMap()
+    Seq(1L, 5L, 99L).foreach(bm.addLong)
+    val vec = DeletionVectors.serialize(bm)
+    val magic = Array[Byte](0xD1.toByte, 0xD3.toByte, 0x39, 0x64)
+    def blobWith(crc: Int): Array[Byte] = {
+      val buf = ByteBuffer.allocate(4 + 4 + vec.length + 4).order(ByteOrder.BIG_ENDIAN)
+      buf.putInt(4 + vec.length); buf.put(magic); buf.put(vec); buf.putInt(crc)
+      buf.array()
+    }
+    // legacy polynomial (CRC-32C) — what pre-r14 exports of this repo wrote
+    val c32c = new java.util.zip.CRC32C(); c32c.update(magic); c32c.update(vec)
+    val legacy = PuffinStats.decodeDeleteVectorBlob(blobWith(c32c.getValue.toInt), "legacy")
+    assert(DeletionVectors.deserialize(legacy).contains(99L))
+    // spec polynomial (plain CRC-32) — the current writer
+    val c32 = new java.util.zip.CRC32(); c32.update(magic); c32.update(vec)
+    assert(PuffinStats.decodeDeleteVectorBlob(blobWith(c32.getValue.toInt), "spec")
+      .sameElements(vec))
+    // matching NEITHER polynomial is corruption, still refused
+    val e = intercept[IllegalArgumentException] {
+      PuffinStats.decodeDeleteVectorBlob(blobWith(c32.getValue.toInt ^ 0x1), "bad")
+    }
+    assert(e.getMessage.contains("CRC"))
+  }
 }

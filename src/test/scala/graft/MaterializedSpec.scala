@@ -353,6 +353,77 @@ class MaterializedSpec extends SparkSpec {
     }
   }
 
+  test("C47×C88: fresh join MV answers key,COUNT(*) over A⋈B; any lag or odd shape falls back") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mv")
+    spark.sql("CREATE TABLE graft.mv.jra (ka BIGINT, av DOUBLE)")
+    spark.sql("CREATE TABLE graft.mv.jrb (kb BIGINT, bv DOUBLE)")
+    spark.sql("INSERT INTO graft.mv.jra VALUES (1, 1.0), (1, 2.0), (2, 5.0), (9, 9.0)")
+    spark.sql("INSERT INTO graft.mv.jrb VALUES (1, 10.0), (2, 20.0), (2, 21.0), (3, 30.0)")
+    val aDir = new Path(s"$warehouse/mv/jra")
+    val bDir = new Path(s"$warehouse/mv/jrb")
+    val mvDir = new Path(s"$warehouse/mv/jr_agg")
+    Materialized.refreshJoinCount(spark, cat.ops, aDir, bDir, mvDir, "ka", "kb")
+    Materialized.enableRewrite(cat.ops, aDir, mvDir)
+
+    def hasJoin(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.nonEmpty
+    val base = "FROM graft.mv.jra JOIN graft.mv.jrb ON ka = kb"
+    def run(sqlText: String) = spark.sql(sqlText)
+    val expected = Seq((1L, 2L), (2L, 2L)) // 9 has no partner, 3 none in A
+
+    // fresh: the JOIN is gone, answered from the MV's O(groups) rows
+    val fresh = run(s"SELECT ka, COUNT(*) AS n $base GROUP BY ka ORDER BY ka")
+    assert(mvScanCount(fresh) == 1 && !hasJoin(fresh),
+      s"fresh join MV must answer:\n${fresh.queryExecution.optimizedPlan}")
+    assert(fresh.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == expected)
+
+    // grouping on the OTHER side's key names the same groups
+    val byB = run(s"SELECT kb, COUNT(*) AS n $base GROUP BY kb ORDER BY kb")
+    assert(mvScanCount(byB) == 1 && !hasJoin(byB))
+    assert(byB.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == expected)
+
+    // global COUNT(*): MV rows re-aggregate (rollup), join still gone
+    val glob = run(s"SELECT COUNT(*) AS n $base")
+    assert(mvScanCount(glob) == 1 && !hasJoin(glob))
+    assert(glob.collect().head.getLong(0) == 4L)
+
+    // key-only filter commutes and re-applies on the MV key
+    val kf = run(s"SELECT ka, COUNT(*) AS n $base WHERE ka >= 2 GROUP BY ka")
+    assert(mvScanCount(kf) == 1 && !hasJoin(kf),
+      s"key filter must not block:\n${kf.queryExecution.optimizedPlan}")
+    assert(kf.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 2L)))
+
+    // lag on B: falls back to the real join until refreshed
+    spark.sql("INSERT INTO graft.mv.jrb VALUES (9, 90.0)")
+    val stale = run(s"SELECT ka, COUNT(*) AS n $base GROUP BY ka ORDER BY ka")
+    assert(mvScanCount(stale) == 0 && hasJoin(stale), "stale join MV must fall back")
+    assert(stale.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      expected :+ (9L, 1L))
+    Materialized.refreshJoinCount(spark, cat.ops, aDir, bDir, mvDir, "ka", "kb")
+    val refreshed = run(s"SELECT ka, COUNT(*) AS n $base GROUP BY ka ORDER BY ka")
+    assert(mvScanCount(refreshed) == 1 && !hasJoin(refreshed))
+    assert(refreshed.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      expected :+ (9L, 1L))
+
+    // shapes the join MV cannot answer keep their join: a non-COUNT
+    // aggregate, a value filter, an extra join conjunct, an outer join,
+    // grouping on a non-key column
+    Seq(
+      s"SELECT ka, SUM(av) AS s $base GROUP BY ka",
+      s"SELECT ka, COUNT(*) AS n $base WHERE av > 1 GROUP BY ka",
+      "SELECT ka, COUNT(*) AS n FROM graft.mv.jra JOIN graft.mv.jrb " +
+        "ON ka = kb AND av < bv GROUP BY ka",
+      "SELECT ka, COUNT(*) AS n FROM graft.mv.jra LEFT JOIN graft.mv.jrb " +
+        "ON ka = kb GROUP BY ka",
+      s"SELECT av, COUNT(*) AS n $base GROUP BY av"
+    ).foreach { sqlText =>
+      val df = run(sqlText)
+      assert(mvScanCount(df) == 0 && hasJoin(df), s"must not rewrite: $sqlText")
+    }
+  }
+
   test("C88: MIN/MAX MVs answer MIN/MAX/COUNT(*); sum shapes never match them") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mv")
     spark.sql("CREATE TABLE graft.mv.mmrw (k BIGINT, v DOUBLE)")

@@ -180,6 +180,15 @@ class RestSpec extends SparkSpec {
     // missing metadata file → 404 MetadataFileNotFound
     assert(send("POST", "/v1/namespaces/restreg/register",
       Some("""{"name": "nope", "metadata-location": "/no/such/file.json"}"""))._1 == 404)
+    // ADVICE r14: a found-but-non-JSON metadata file is a client error
+    // (400 InvalidRequest), never a 500 through the generic handler
+    val junk = new Path(s"$warehouse/restreg/junk-not-json.metadata.json")
+    val store = new graft.catalog.FsStore(spark.sparkContext.hadoopConfiguration)
+    store.writeString(junk, "this is not { json")
+    val (jc, jerr) = send("POST", "/v1/namespaces/restreg/register",
+      Some(s"""{"name": "junked", "metadata-location": "$junk"}"""))
+    assert(jc == 400, s"$jc ${jerr.toString}")
+    assert(jerr.get("error").get("type").asText() == "InvalidRequest")
   }
 
   test("register imports a spec-Iceberg metadata file, replaying its delete lineage") {
@@ -309,6 +318,131 @@ class RestSpec extends SparkSpec {
     assert(got == expect, s"$got vs $expect")
     assert(spark.sql("SELECT sum(v) FROM graft.restdel.ext").collect().head.getDouble(0) ==
       1.0 + 3.0 + 4.0)
+  }
+
+  test("loadTable serves SPEC-Iceberg metadata under graft.rest.serve-spec " +
+    "(re-exported on staleness, independently Avro-walked)") {
+    import graft.catalog._
+    val ops = new TableOps(new FsStore(spark.sparkContext.hadoopConfiguration))
+    send("POST", "/v1/namespaces", Some("""{"namespace": ["restspec"]}"""))
+    send("POST", "/v1/namespaces/restspec/tables", Some(
+      """{"name": "served", "schema": {"fields": [
+          {"id": 1, "name": "id", "required": false, "type": "long"},
+          {"id": 2, "name": "v", "required": false, "type": "double"}]}}"""))
+    spark.sql("INSERT INTO graft.restspec.served VALUES (1, 1.5), (2, 2.5)")
+    // default load: graft dialect (JSON `manifest` snapshots)
+    val (_, plain) = send("GET", "/v1/namespaces/restspec/tables/served")
+    assert(!plain.get("metadata-location").asText().contains("/iceberg/"))
+    // opt in via a REST commit, like any other table property
+    assert(send("POST", "/v1/namespaces/restspec/tables/served", Some(
+      """{"requirements": [], "updates": [
+           {"action": "set-properties",
+            "updates": {"graft.rest.serve-spec": "true"}}]}"""))._1 == 200)
+
+    def specLoad(): (String, com.fasterxml.jackson.databind.JsonNode) = {
+      val (lc, loaded) = send("GET", "/v1/namespaces/restspec/tables/served")
+      assert(lc == 200)
+      (loaded.get("metadata-location").asText(), loaded.get("metadata"))
+    }
+    // the response is now the C57 exporter's spec metadata: location
+    // under iceberg/metadata/, snapshots carrying manifest-list Avro
+    val (loc1, md1) = specLoad()
+    assert(loc1.contains("/iceberg/metadata/"), loc1)
+    val snaps1 = md1.get("snapshots").elements().asScala.toSeq
+    assert(snaps1.nonEmpty && snaps1.forall(_.has("manifest-list")))
+
+    // the independent generic-Avro reader walks exactly what the
+    // response serves: manifest-list → manifests → live data files,
+    // and those parquet files reproduce the table's rows
+    def liveFiles(md: com.fasterxml.jackson.databind.JsonNode): Seq[String] = {
+      val cur = md.get("current-snapshot-id").asLong()
+      val ml = md.get("snapshots").elements().asScala.toSeq
+        .find(_.get("snapshot-id").asLong() == cur).get
+        .get("manifest-list").asText()
+      val (mfs, _, _) = IcebergExport.readAvro(ops, new Path(ml))
+      mfs.flatMap { mf =>
+        val (entries, _, _) =
+          IcebergExport.readAvro(ops, new Path(mf.get("manifest_path").toString))
+        entries.filter(_.get("status").asInstanceOf[Number].intValue() != 2)
+          .map(_.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+            .get("file_path").toString)
+      }
+    }
+    val files1 = liveFiles(md1)
+    assert(files1.nonEmpty)
+    assert(spark.read.parquet(files1: _*).agg(
+      org.apache.spark.sql.functions.sum("id")).collect().head.getLong(0) == 3L)
+
+    // the table moves → a reload re-exports and serves the NEW version
+    spark.sql("INSERT INTO graft.restspec.served VALUES (10, 10.0)")
+    val (loc2, md2) = specLoad()
+    assert(loc2 != loc1, "stale export must be refreshed on load")
+    assert(spark.read.parquet(liveFiles(md2): _*).agg(
+      org.apache.spark.sql.functions.sum("id")).collect().head.getLong(0) == 13L)
+  }
+
+  test("ADVICE r14: external eq-delete name resolution follows schema evolution; " +
+    "EXISTING entries with null sequence are refused") {
+    import graft.catalog._
+    val ops = new TableOps(new FsStore(spark.sparkContext.hadoopConfiguration))
+    send("POST", "/v1/namespaces", Some("""{"namespace": ["restadv"]}"""))
+    spark.sql("CREATE TABLE graft.restadv.src (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.restadv.src VALUES (1,1.0),(2,2.0),(3,3.0)")
+    val srcDir = new Path(s"$warehouse/restadv/src")
+    import spark.implicits._
+    ops.mergeOnReadDelete(spark, srcDir, Seq(3L).toDF("id"))
+    val metaFile = IcebergExport.export(ops, srcDir, Some(spark))
+    val manifestList = mapper.readTree(ops.store.readString(metaFile))
+      .get("snapshots").elements().asScala.toSeq
+      .maxBy(_.get("sequence-number").asLong()).get("manifest-list").asText()
+    send("POST", "/v1/namespaces/restadv/tables", Some(
+      """{"name": "ext", "schema": {"fields": [
+          {"id": 1, "name": "id", "required": false, "type": "long"},
+          {"id": 2, "name": "v", "required": false, "type": "double"}]}}"""))
+    val (rc, resp) = send("POST", "/v1/namespaces/restadv/tables/ext", Some(
+      s"""{"requirements": [], "updates": [
+            {"action": "add-snapshot", "snapshot": {
+              "snapshot-id": 990011, "sequence-number": 5,
+              "timestamp-ms": ${System.currentTimeMillis()},
+              "manifest-list": "$manifestList",
+              "summary": {"operation": "append"}, "schema-id": 0}},
+            {"action": "set-snapshot-ref", "ref-name": "main",
+             "snapshot-id": 990011, "type": "branch"}]}"""))
+    assert(rc == 200, resp.toString)
+    val extDir = new Path(s"$warehouse/restadv/ext")
+    def eqCols(o: TableOps): Seq[Seq[String]] =
+      o.segmentEntries(extDir, manifestList)
+        .filter(_.equalityColumns.nonEmpty).map(_.equalityColumns)
+    assert(eqCols(ops) == Seq(Seq("id")))
+    // a rename moves the field id to a new name: the cached Avro-leaf
+    // resolution must follow (the cache keys on the current schema id),
+    // not keep serving names resolved through the pre-rename schema
+    spark.sql("ALTER TABLE graft.restadv.ext RENAME COLUMN id TO id2")
+    assert(eqCols(ops) == Seq(Seq("id2")),
+      "equality ids must re-resolve through the CURRENT schema after a rename")
+
+    // spec inheritance applies only to ADDED entries: rewrite one data
+    // manifest's entry as EXISTING (status 0) with a null sequence —
+    // a fresh process must refuse it loudly, not stamp the manifest seq
+    val (mfRecs, _, _) = IcebergExport.readAvro(ops, new Path(manifestList))
+    val dataMf = mfRecs.find(r =>
+      r.get("content").asInstanceOf[Number].intValue() == 0).get
+    val mPath = new Path(dataMf.get("manifest_path").toString)
+    val (eRecs, eMeta, eSchema) = IcebergExport.readAvro(ops, mPath)
+    eRecs.head.put("status", 0)
+    eRecs.head.put("sequence_number", null)
+    val w = new org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord](
+      new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](eSchema))
+    eMeta.foreach { case (k, vv) => w.setMeta(k, vv) }
+    val bos = new java.io.ByteArrayOutputStream()
+    w.create(eSchema, bos); eRecs.foreach(w.append); w.close()
+    val out = ops.store.fs(mPath).create(mPath, true)
+    try out.write(bos.toByteArray) finally out.close()
+    val fresh = new TableOps(new FsStore(spark.sparkContext.hadoopConfiguration))
+    val err = intercept[IllegalArgumentException] {
+      fresh.segmentEntries(extDir, manifestList)
+    }
+    assert(err.getMessage.contains("EXISTING"), err.getMessage)
   }
 
   test("view create → load → replace → rename → drop over REST") {
