@@ -1205,19 +1205,29 @@ object Relational {
     * shuffle lineitem on orderkey; Catalyst reuses the exchange, so
     * the fact table partitions once. Supplier side is broadcast. */
   def q21BlameSupplier(s: SparkSession, d: String): DataFrame = {
-    val li = lineitem(s, d)
+    // The EXISTS / NOT-EXISTS pair over OTHER lineitems of the same
+    // order reduces to two per-order distinct-supplier counts: a late
+    // row survives iff its order has ≥ 2 distinct suppliers (EXISTS
+    // another supplier) and exactly ONE distinct LATE supplier (the
+    // row's own — so NOT EXISTS another late one). The previous shape
+    // evaluated the lineitem⋈orders join three times (probe + semi
+    // build + anti build) and paid two extra join shuffles; this one
+    // pays the join once plus a window that REUSES the join's own
+    // l_orderkey partitioning (no new exchange — and per-order
+    // supplier sets are bounded by order size, so collect_set cannot
+    // hub). Oracle string unchanged; the driver hash-gates
+    // equivalence.
+    val w = Window.partitionBy("l_orderkey")
+    lineitem(s, d)
       .join(orders(s, d).select("o_orderkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
       .withColumn("late",
         datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))) > 60)
       .select("l_orderkey", "l_suppkey", "late")
-    val others = li.select(
-      col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"), col("late").as("late2"))
-    li.filter(col("late"))
-      .join(others,
-        col("ok2") === col("l_orderkey") && col("sk2") =!= col("l_suppkey"), "left_semi")
-      .join(others.filter(col("late2")),
-        col("ok2") === col("l_orderkey") && col("sk2") =!= col("l_suppkey"), "left_anti")
+      .withColumn("n_supps", size(collect_set(col("l_suppkey")).over(w)))
+      .withColumn("n_late_supps",
+        size(collect_set(when(col("late"), col("l_suppkey"))).over(w)))
+      .filter(col("late") && col("n_supps") > 1 && col("n_late_supps") === 1)
       .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
       .groupBy("s_name")
       .agg(count(lit(1)).as("numwait"))

@@ -135,7 +135,11 @@ object TextPipeline {
     // Native MinHashSig expression: one base hash per shingle + 64
     // affine permutations mod 2^31-1 in a single fused codegen loop
     // (see graft.functions.MinHashSig for the md5-derived recipe).
-    val bands = bandsOf(docsets)
+    // cache(): both sides of the band-bucket self-join read the band
+    // table — uncached, every doc's 64-permutation signature is
+    // computed twice (docsets is cached, but the sig projection above
+    // it is not shared across join branches).
+    val bands = bandsOf(docsets).cache()
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
@@ -202,12 +206,17 @@ object TextPipeline {
     // codegen'd instruction instead of a 64-wide zip_with aggregate.
     // Chunk keys are a bijection of the bit-slices, so buckets —
     // and therefore the emitted pairs — are identical.
+    // cache(): both sides of the banding self-join read this frame —
+    // uncached, Spark re-scans documents and recomputes every SimHash
+    // signature once per side (subplans are never shared across join
+    // branches). One signature pass instead of two.
     val sigs = withWords(documents(s, d))
       .withColumn("sig",
         graftExpr(graft.functions.SimHash64(colExpr(array_distinct(col("ws"))))))
       .select(col("doc_id"), col("sig"),
         posexplode(expr("transform(sequence(0, 3), c -> shiftright(sig, c * 15) & 32767)")))
       .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
+      .cache()
     // Hamming cut INSIDE the join condition: non-near pairs die at the
     // probe side of the bucket join instead of being shuffled into the
     // distinct (hamming is a pure function of the pair, so filtering
@@ -260,13 +269,26 @@ object TextPipeline {
   def dedupComponents(s: SparkSession, d: String): DataFrame = {
     val pairs = ngramJaccard(s, d).filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"))
-    // The edge set is bounded by the upstream top-50 selection (a
-    // property of THIS query, not of the operator), so the whole
-    // propagation loop fits one partition — no reason to drag 32-task
-    // rounds through the scheduler. An unbounded edge set would keep
-    // its natural partitioning (and the large-star/small-star swap
-    // documented above).
-    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+    // One scale stance for the whole component family (r14 verdict):
+    // cluster resolution rides [[starComponents]] — O(log² n) rounds
+    // on any graph shape plus the measured-small union-find endgame —
+    // instead of paying diameter-many propagation rounds of fixed
+    // per-round cost. Labels are the identical (node, component-min)
+    // map; the original propagation loop survives as the audit twin
+    // below ([[propagationComponents]]) and the PipelineSpec duality
+    // test pins the two equal on this very pair set.
+    starComponents(pairs)._1.orderBy("doc_id")
+  }
+
+  /** L14's original diameter-bound min-label propagation — kept as the
+    * AUDIT TWIN for the star/endgame path (the L51 duality spec runs
+    * both over the same edge set and asserts identical labels). Takes
+    * the (doc_a, doc_b) pair frame; returns (doc_id, component). */
+  private[graft] def propagationComponents(pairs: DataFrame): DataFrame = {
+    // Near-dup edge sets at gate scale fit one partition — no reason
+    // to drag 32-task rounds through the scheduler. An unbounded edge
+    // set would keep its natural partitioning (and use the star path).
+    val edges = pairs.union(pairs.select(col(pairs.columns(1)), col(pairs.columns(0))))
       .toDF("src", "dst").repartition(1).cache()
     // Seed with round 1's result directly — component0 = min(self,
     // neighbors) — one aggregate instead of the first join round;
@@ -346,7 +368,21 @@ object TextPipeline {
     * component = the minimum node id of its connected component, plus
     * the round count actually used (spec-pinned to stay logarithmic).
     */
-  def starComponents(pairs: DataFrame): (DataFrame, Int) = {
+  def starComponents(
+      pairs: DataFrame,
+      /** Edge-count bound below which the remaining graph is solved on
+        * the driver with union-find instead of more star rounds. Every
+        * round already collects the exact frontier edge count for
+        * convergence detection, so the gate costs nothing and is
+        * scale-honest: a 100-TB edge set runs distributed star rounds
+        * (each shrinking the frontier) until the MEASURED remainder
+        * fits comfortably in driver memory (1M edges ≈ 16 MB of ids),
+        * then finishes in microseconds — the same "local endgame once
+        * the frontier collapses" shape distributed CC implementations
+        * use, avoiding O(log n) tail rounds of pure fixed cost (each
+        * round is ~8 near-empty stages at that point). Tests pass 0 to
+        * force the distributed path end-to-end. */
+      endgameEdges: Long = 1000000L): (DataFrame, Int) = {
     val a = pairs.columns(0)
     val b = pairs.columns(1)
     // canonical undirected edges, lo < hi
@@ -368,7 +404,36 @@ object TextPipeline {
     var prev = sig(edges)
     var rounds = 0
     var converged = prev._1 == 0L
+    val longIds = edges.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType)
     while (!converged && rounds < 60) {
+      if (longIds && prev._1 <= endgameEdges) {
+        // Driver union-find over the measured-small frontier. Roots
+        // are kept at the component MINIMUM (merge always hangs the
+        // larger root under the smaller), so the labels are exactly
+        // the star fixpoint's (node, component-min) pairs.
+        val es = edges.collect()
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x0: Long): Long = {
+          var r = x0
+          while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+          var c = x0
+          while (parent.getOrDefault(c, c) != r) {
+            val nx = parent.get(c); parent.put(c, r); c = nx
+          }
+          r
+        }
+        es.foreach { row =>
+          val (x, y) = (row.getLong(0), row.getLong(1))
+          val (rx, ry) = (find(x), find(y))
+          if (rx != ry) { parent.put(math.max(rx, ry), math.min(rx, ry)); () }
+        }
+        val ss = pairs.sparkSession
+        import ss.implicits._
+        val out = es.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct.toSeq
+          .map(n => (n, find(n)))
+        return (out.toDF("doc_id", "component"), rounds)
+      }
       // large-star: for each node u (over the SYMMETRIC closure) with
       // m(u) = min(Γ(u) ∪ {u}), hang every LARGER neighbour off m(u).
       val sym = edges.select(col("lo").as("u"), col("hi").as("v"))
@@ -801,8 +866,12 @@ object TextPipeline {
     * per-source window over a handful of rows. The explode dominates
     * and is map-side only. */
   def textTfidf(s: SparkSession, d: String): DataFrame = {
+    // cache(): the term-frequency and document-frequency aggregates
+    // both read the exploded word table — uncached it is scanned and
+    // exploded twice.
     val w = documents(s, d)
       .select(col("doc_id"), col("source"), explode(ws).as("word"))
+      .cache()
     val tf = w.groupBy("source", "word").agg(count(lit(1)).as("tf"))
     val df = w.select("doc_id", "word").distinct()
       .groupBy("word").agg(count(lit(1)).as("df"))
@@ -1157,12 +1226,22 @@ object TextPipeline {
     * statement. Callers embedding this in a lazy pipeline should
     * construct it at execution time, not plan-assembly time. */
   def decontaminateBloom(s: SparkSession, d: String): DataFrame = {
-    def pos(j: Int) = s"CAST(conv(substr(md5(gram), ${j * 8 + 1}, 8), 16, 10) AS BIGINT) % 4096"
+    // The three bloom positions are substrings of the SAME digest —
+    // precompute md5 ONCE per gram row into the cache (the old
+    // per-position expression re-ran md5 3× on the build side and 3×
+    // per probe; slicing a pure precomputed column is value-identical,
+    // and the DuckDB oracle keeps its own formulation).
+    def pos(j: Int) = s"CAST(conv(substr(gmd5, ${j * 8 + 1}, 8), 16, 10) AS BIGINT) % 4096"
+    // cache(): four consumers (bloom bits, bloom probe, exact-check
+    // eval side, exact-check corpus side) all derive from this explode
+    // — uncached, documents is scanned and re-exploded four times.
     val grams = withWords(documents(s, d))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', slice(ws, i + 1, 3)))"))
         .as("gram"))
+      .withColumn("gmd5", md5(col("gram")))
+      .cache()
     val bits = grams.filter(col("doc_id") % 97 === 0)
       .select(explode(array(expr(pos(0)), expr(pos(1)), expr(pos(2)))).as("bit"))
       .distinct()
@@ -1284,9 +1363,14 @@ object TextPipeline {
     * bands instead of raw shingles; the split assignment itself is
     * map-only either way. */
   def splitLeakage(s: SparkSession, d: String): DataFrame = {
-    val split = documents(s, d).select(col("doc_id"),
-      (expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)") % 10 < 9).as("is_train"))
-    val sh = dfCapped(shingles(documents(s, d))).join(split, "doc_id")
+    // is_train is a pure function of doc_id, and every gram row
+    // already carries doc_id — deriving it inline removes a second
+    // documents scan plus the doc_id join on BOTH sides of the
+    // train×eval gram join that the old shape paid (same rows: every
+    // sh doc_id exists in documents by construction).
+    val isTrain =
+      expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)") % 10 < 9
+    val sh = dfCapped(shingles(documents(s, d))).withColumn("is_train", isTrain)
     val train = sh.filter(col("is_train")).select(col("doc_id").as("train_doc"), col("s"))
     val eval_ = sh.filter(!col("is_train")).select(col("doc_id").as("eval_doc"), col("s"))
     train.join(eval_, "s")
@@ -1384,7 +1468,10 @@ object TextPipeline {
   }
 
   def winnowDedup(s: SparkSession, d: String): DataFrame = {
-    val fps = winnowFingerprints(documents(s, d).select("doc_id", "text"))
+    // cache(): the fingerprint self-join otherwise re-runs the whole
+    // selection stage (scan → 4-gram explode → per-doc window-min)
+    // once per join side.
+    val fps = winnowFingerprints(documents(s, d).select("doc_id", "text")).cache()
     fps.select(col("doc_id").as("doc_a"), col("fp"))
       .join(fps.select(col("doc_id").as("doc_b"), col("fp")), "fp")
       .filter(col("doc_a") < col("doc_b"))
@@ -1470,10 +1557,14 @@ object TextPipeline {
     * to the driver. Cardinality = shared-gram occurrences ×
     * source-pair fanout (sources are few by construction). */
   def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    // cache(): the per-source vocabulary and both self-join sides all
+    // read this distinct gram set — uncached it is scanned, exploded
+    // and re-deduplicated three times.
     val g = withWords(documents(s, d))
       .select(col("source"),
         explode(expr("transform(sequence(1, greatest(size(ws) - 2, 0)), i -> concat_ws(' ', slice(ws, i, 3)))")).as("g"))
       .distinct()
+      .cache()
     val vocab = g.groupBy("source").agg(count(lit(1)).as("n_grams"))
     g.select(col("source").as("src_a"), col("g"))
       .join(g.select(col("source").as("src_b"), col("g")), "g")
@@ -1619,11 +1710,15 @@ object TextPipeline {
       .join(prefixCnt, substring(col("pair"), 1, 1) === col("pfx"))
       .select(col("pair"),
         round(lit(-1000.0) * log(col("cnt").cast("double") / col("ct"))).cast("long").as("mb"))
-    docPairs.join(broadcast(costs), "pair")
+    // Score only the reported docs: doc_id < 300 commutes with the
+    // per-doc aggregate, so filtering BEFORE the scoring join prunes
+    // the probe side to the output set (and reaches the parquet scan
+    // as a pushed doc_id predicate) instead of scoring the whole
+    // corpus and discarding it. The MODEL above still sees every doc.
+    docPairs.filter(col("doc_id") < 300).join(broadcast(costs), "pair")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_pairs"), sum("mb").as("total_mb"))
       .withColumn("avg_mb", round(col("total_mb").cast("double") / col("n_pairs"), 4))
-      .filter(col("doc_id") < 300)
       .select("doc_id", "n_pairs", "total_mb", "avg_mb")
       .orderBy("doc_id")
   }
@@ -1873,28 +1968,48 @@ object TextPipeline {
         org.apache.spark.sql.types.LongType, nullable = true),
       org.apache.spark.sql.types.StructField("h",
         org.apache.spark.sql.types.StringType, nullable = true)))
+    // C77 distribution-mode `none` on the ledger: its inputs are
+    // slices of the already-materialized churn feed, so the default
+    // `range` mode's pre-write sampling pass + shuffle buy nothing for
+    // an unpartitioned, unsorted hash ledger — each commit binds its
+    // file count with a shuffle-free coalesce instead.
     ops.create(ledgerDir, TableMetadata.create(
       ledgerDir.toString, SchemaBridge.fromSpark(ledgerSchema),
-      PartitionSpec(0, Seq.empty), SortOrder(0, Seq.empty), Map.empty))
+      PartitionSpec(0, Seq.empty), SortOrder(0, Seq.empty),
+      Map("graft.write.distribution-mode" -> "none")))
     val seqs = ops.load(corpusDir).get._2.snapshots.map(_.sequenceNumber).sorted
     val out = Seq.newBuilder[(Long, Long, Long, Long, Long)]
-    var prev = 0L
+    // ONE changelog scan covers every window — changes() tags each row
+    // with its `_commit_seq`, and the per-snapshot slices of one
+    // (0, last] call are row-identical to the per-window calls — and
+    // ONE eager materialization serves every downstream consumer. The
+    // r14 walk re-planned the changelog per window: 4 changes() plans
+    // (each a load + manifest resolve + readEntries union) and 4
+    // checkpoint jobs where one of each suffices. At 100 TB this is
+    // the same O(total churn) bytes either way; the win is 3 fewer
+    // full plan+materialize rounds of fixed cost.
+    val feed = ops.changes(s, corpusDir, 0L, seqs.max)
+      .select("doc_id", "h", "_change_type", "_commit_seq")
+      .localCheckpoint(true)
+    // Every window's insert/delete row count AND distinct-insert-hash
+    // count in ONE aggregate job over the cached feed (the r14 walk
+    // spent 2 actions per window on these).
+    val winStats = feed.groupBy("_commit_seq", "_change_type")
+      .agg(count(lit(1)).as("n"), countDistinct(col("h")).as("nh"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // Ledger emptiness is a walk-local fact (we are the only writer);
+    // tracking it avoids a metadata load per window.
+    var ledgerHasRows = false
     seqs.foreach { sq =>
-      // churn-sized: only the window's row-level events, materialized
-      // ONCE (eager localCheckpoint) — the counts, the hash probe, the
-      // eq-delete and the append all derive from these cached rows
-      // instead of re-running the changelog scan per consumer (the r13
-      // walk evaluated the feed 4× per window; the fixed per-job costs
-      // of those re-scans dominated the bench).
-      val feed = ops.changes(s, corpusDir, prev, sq)
-        .select("doc_id", "h", "_change_type").localCheckpoint(true)
-      val ins = feed.filter(col("_change_type") === "insert").select("doc_id", "h")
-      val del = feed.filter(col("_change_type") === "delete").select("doc_id", "h")
-      // both window counts in ONE (cache-local) job
-      val cnts = feed.groupBy("_change_type").count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      val nIns = cnts.getOrElse("insert", 0L)
-      val nDel = cnts.getOrElse("delete", 0L)
+      val ins = feed.filter(col("_commit_seq") === sq &&
+        col("_change_type") === "insert").select("doc_id", "h")
+      val del = feed.filter(col("_commit_seq") === sq &&
+        col("_change_type") === "delete").select("doc_id", "h")
+      val nIns = winStats.get((sq, "insert")).map(_._1).getOrElse(0L)
+      val nDel = winStats.get((sq, "delete")).map(_._1).getOrElse(0L)
+      val distinctInsH = winStats.get((sq, "insert")).map(_._2).getOrElse(0L)
       // the one read-only corpus-proportional step: exact new-hash
       // detection needs membership against the pre-window live set.
       // Join DIRECTION matters at 100 TB: the ledger STREAMS through a
@@ -1902,14 +2017,12 @@ object TextPipeline {
       // scan, no ledger-sized shuffle or broadcast (the naive
       // ins-anti-join-ledger shape would shuffle the corpus per
       // window). n_new = distinct window hashes − already-live ones.
-      val ledgerEmpty = ops.load(ledgerDir)
-        .forall { case (_, m) => m.currentSnapshot.isEmpty }
       val nNew =
         if (nIns == 0) 0L
+        else if (!ledgerHasRows) distinctInsH // first window: all new
         else {
           val insH = ins.select("h").distinct() // cheap over the cached feed
-          if (ledgerEmpty) insH.count() // first window: everything is new
-          else insH.count() - ledgerProbe(s, ops, ledgerDir, insH).count()
+          distinctInsH - ledgerProbe(s, ops, ledgerDir, insH).count()
         }
       // O(churn) ledger commits: eq-delete FIRST (it masks only
       // strictly-older sequence numbers — C30 — so a same-window
@@ -1921,8 +2034,10 @@ object TextPipeline {
       def churnFiles(n: Long): Int = (n / 500000L + 1L).toInt
       if (nDel > 0) ops.mergeOnReadDelete(s, ledgerDir, del.select("doc_id"),
         numFiles = Some(churnFiles(nDel)))
-      if (nIns > 0) ops.write(ledgerDir, ins, "append",
-        numFiles = Some(churnFiles(nIns)))
+      if (nIns > 0) {
+        ops.write(ledgerDir, ins, "append", numFiles = Some(churnFiles(nIns)))
+        ledgerHasRows = true
+      }
       // live count from manifests alone — data rows minus eq-delete
       // key rows (rows stamped on every entry by the write/delete
       // paths); exact under the ledger invariant: doc_id unique among
@@ -1935,7 +2050,6 @@ object TextPipeline {
       val live = metaRows(entries.filter(_.isData)) -
         metaRows(entries.filter(_.isEqDelete))
       out += ((sq, nIns, nDel, nNew, live))
-      prev = sq
     }
     out.result()
   }
@@ -2025,12 +2139,16 @@ object TextPipeline {
     * shorter overlaps are invisible by design). */
   def sharedSpans(s: SparkSession, d: String): DataFrame = {
     val W = 8
+    // cache(): three consumers read this frame (the hot-window count
+    // and BOTH sides of the window-hash self-join) — uncached, the
+    // scan + 8-word-window explode + md5 run three times over.
     val wins = withWords(documents(s, d))
       .filter(size(col("ws")) >= W)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(1, size(ws) - ${W - 1}), " +
           s"i -> substr(md5(concat_ws(' ', slice(ws, i, $W))), 1, 16))")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("idx"), col("col").as("h"))
+      .cache()
     // df ceiling: corpus-hot windows (boilerplate) out of the join
     val hot = wins.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") > GramDfCeiling).select("h")
@@ -2172,12 +2290,11 @@ object TextPipeline {
     * star-path (L47) or propagation (L14) — for the equality audit. */
   private[graft] def splitAssignFrom(
       s: SparkSession, d: String, starPath: Boolean): DataFrame = {
+    val pairs = ngramJaccard(s, d).filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
     val comp =
-      if (starPath) {
-        val pairs = ngramJaccard(s, d).filter(col("jaccard") >= 0.5)
-          .select(col("doc_a"), col("doc_b"))
-        starComponents(pairs)._1
-      } else dedupComponents(s, d)
+      if (starPath) starComponents(pairs)._1
+      else propagationComponents(pairs)
     documents(s, d).select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left")
       .withColumn("cluster", coalesce(col("component"), col("doc_id")))

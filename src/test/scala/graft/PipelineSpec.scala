@@ -292,10 +292,33 @@ class PipelineSpec extends SparkSpec {
         val minMember = (0 until 400).filter(find(_) == root).min.toLong
         n -> minMember
       }.toMap
-    val (labels, rounds) = TextPipeline.starComponents(edges.toDF("src", "dst"))
+    // endgameEdges = 0: exercise the DISTRIBUTED star rounds end to
+    // end (the default would solve a graph this small on the driver)
+    val (labels, rounds) =
+      TextPipeline.starComponents(edges.toDF("src", "dst"), endgameEdges = 0L)
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected, "star components disagree with union-find")
     assert(rounds <= 20, s"rounds $rounds not logarithmic for n=400")
+  }
+
+  test("L47: driver union-find endgame labels equal the distributed star labels") {
+    import spark.implicits._
+    // same pseudo-random graph family as above; the default threshold
+    // takes the endgame immediately, endgameEdges=0 never does — both
+    // must produce the identical (node, component-min) map
+    def h(s: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).take(7).map("%02x".format(_)).mkString, 16)
+    val edges = (0 until 500).map(i => (h(s"x$i") % 600, h(s"y$i") % 600))
+      .filter { case (a, b) => a != b }
+    val (viaEndgame, r1) = TextPipeline.starComponents(edges.toDF("src", "dst"))
+    val (viaStar, _) =
+      TextPipeline.starComponents(edges.toDF("src", "dst"), endgameEdges = 0L)
+    assert(r1 == 0, "a 500-edge graph must take the endgame on round 0")
+    val m1 = viaEndgame.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m2 = viaStar.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m1 == m2, "endgame and distributed star labels diverge")
   }
 
   test("L47: round count stays logarithmic on an adversarial path graph") {
@@ -304,7 +327,10 @@ class PipelineSpec extends SparkSpec {
     // ~511 rounds; the alternating star algorithm must stay O(log² n)
     val n = 512
     val path = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
-    val (labels, rounds) = TextPipeline.starComponents(path.toDF("src", "dst"))
+    // endgameEdges = 0: the adversarial-diameter guarantee is about
+    // the distributed rounds — force them
+    val (labels, rounds) =
+      TextPipeline.starComponents(path.toDF("src", "dst"), endgameEdges = 0L)
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == n && got.values.forall(_ == 0L),
       "path must collapse to one component labelled 0")
