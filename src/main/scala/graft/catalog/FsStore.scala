@@ -21,7 +21,22 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 class FsStore(conf: Configuration) {
 
-  def fs(p: Path): FileSystem = p.getFileSystem(conf)
+  def fs(p: Path): FileSystem = {
+    val f = p.getFileSystem(conf)
+    // Hadoop's LocalFileSystem wraps every write in a ChecksumFS: each
+    // tiny metadata object becomes TWO files (payload + .crc sidecar)
+    // plus a CRC pass, and commit latency on a local warehouse is
+    // FS-op-bound (measured: manifest+publish ≈ 0.3 s per commit on
+    // tmpfs-class disks, mostly op count). Integrity of the store does
+    // not ride on the sidecars — the CAS publish arbitrates versions
+    // and every read re-parses JSON — and non-local stores (HDFS/S3A)
+    // have server-side integrity, so this is scheme-gated to file://.
+    if (Option(f.getUri.getScheme).forall(_ == "file")) {
+      f.setWriteChecksum(false)
+      f.setVerifyChecksum(false)
+    }
+    f
+  }
 
   /** Read a text object; gzip-compressed content (magic 1F 8B) is
     * decompressed transparently — the reference stores VIEW metadata

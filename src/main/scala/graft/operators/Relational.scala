@@ -151,10 +151,16 @@ object Relational {
   def q17SmallQty(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d)
     val pk = broadcast(part(s, d).filter(col("p_brand") === "Brand#11").select("p_partkey"))
-    val avgQty = li.join(pk, col("l_partkey") === col("p_partkey"))
+    // cache() the brand-filtered lineitems: the per-part average and
+    // the final re-join both read them — uncached, the lineitem scan
+    // + broadcast part filter run twice.
+    val branded = li.join(pk, col("l_partkey") === col("p_partkey"))
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .cache()
+    val avgQty = branded
       .groupBy(col("l_partkey").as("a_partkey"))
       .agg(avg(col("l_quantity")).as("avg_qty"))
-    li.join(pk, col("l_partkey") === col("p_partkey"))
+    branded
       .join(avgQty, col("l_partkey") === col("a_partkey"))
       .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
       .agg(dsum(col("l_extendedprice")).as("total_price"), count(lit(1)).as("n_rows"))
@@ -240,9 +246,14 @@ object Relational {
   /** R13 — set operations: UNION / INTERSECT / EXCEPT between
     * rich customers and frequent buyers. */
   def qSetops(s: SparkSession, d: String): DataFrame = {
+    // cache() both cohorts: UNION/INTERSECT/EXCEPT each re-evaluate
+    // their inputs, so uncached the customer scan and the orders
+    // count-aggregate run three times over.
     val a = customer(s, d).filter(col("c_acctbal") > 7000).select(col("c_custkey").as("k"))
+      .cache()
     val b = orders(s, d).groupBy(col("o_custkey").as("k"))
       .agg(count(lit(1)).as("n")).filter(col("n") >= 14).select("k")
+      .cache()
     val u = a.union(b).distinct.agg(count(lit(1)).as("cnt")).withColumn("op", lit("union"))
     val i = a.intersect(b).agg(count(lit(1)).as("cnt")).withColumn("op", lit("intersect"))
     val e = a.except(b).agg(count(lit(1)).as("cnt")).withColumn("op", lit("except"))
@@ -262,8 +273,12 @@ object Relational {
   /** R13b — multiset set operations (ALL variants keep duplicates):
     * order-priority multisets of two customer cohorts. */
   def qSetopsAll(s: SparkSession, d: String): DataFrame = {
+    // cache() both cohorts — same reason as [[qSetops]]: three set
+    // operations each re-scan orders for both sides uncached.
     val a = orders(s, d).filter(col("o_custkey") % 2 === 0).select(col("o_orderpriority").as("p"))
+      .cache()
     val b = orders(s, d).filter(col("o_custkey") % 3 === 0).select(col("o_orderpriority").as("p"))
+      .cache()
     val u = a.unionAll(b).groupBy().count().withColumn("op", lit("union_all"))
     val i = a.intersectAll(b).groupBy().count().withColumn("op", lit("intersect_all"))
     val e = a.exceptAll(b).groupBy().count().withColumn("op", lit("except_all"))
@@ -863,11 +878,15 @@ object Relational {
     * supplier, then keep the max via a broadcast scalar-aggregate
     * join. Revenue equality is safe — decimal-sum both engines. */
   def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    // cache(): the MAX probe and the equality join both read the
+    // per-supplier revenue table — uncached, the lineitem scan +
+    // aggregate run twice.
     val rev = lineitem(s, d)
       .filter(to_date(col("l_shipdate")) >= lit("1996-01-01") &&
               to_date(col("l_shipdate")) < lit("1996-04-01"))
       .groupBy("l_suppkey")
       .agg(expr(prodSum(discPrice("l_extendedprice", "l_discount"))).as("total_rev"))
+      .cache()
     val mx = rev.agg(max(col("total_rev")).as("mx"))
     rev.join(broadcast(mx), col("total_rev") === col("mx"))
       .select(col("l_suppkey").as("s_suppkey"), col("total_rev"))

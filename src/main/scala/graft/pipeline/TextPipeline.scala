@@ -24,7 +24,17 @@ object TextPipeline {
 
   private def withWords(df: DataFrame): DataFrame = df.withColumn("ws", ws)
 
-  /** Word 3-gram shingles, distinct per doc: (doc_id, s). */
+  /** Word 3-gram shingles, distinct per doc: (doc_id, s).
+    * The `.distinct()` looks removable (per-doc dedup is a within-row
+    * property — `array_distinct` before the explode computes the same
+    * rows with zero exchanges), and r15 measured that variant: it was
+    * bench-NEUTRAL to slightly worse. Two reasons the exchange earns
+    * its keep: distinct's partial aggregate already dedups map-side,
+    * so the shuffle moves no duplicate rows; and the exchange is what
+    * gives the downstream caches balanced partitions when the scan
+    * side has few splits (every consumer — df count, anti join, pair
+    * self-join — reads the cached shingles several times, so balance
+    * there dominates one avoided exchange). Kept deliberately. */
   def shingles(docs: DataFrame): DataFrame =
     withWords(docs)
       .select(col("doc_id"),
@@ -737,7 +747,10 @@ object TextPipeline {
     * (the corpus max score; the crossJoin is a 1-row broadcast, not a
     * cartesian) at any corpus size. */
   def sampleQualityWeighted(s: SparkSession, d: String): DataFrame = {
-    val q = textQuality(s, d).select(col("doc_id"), col("quality_score"))
+    // cache(): the max-quality probe and the keep-filter pass both
+    // read the scored table — uncached, the full quality scoring
+    // (scan + stopword-hit expressions) runs twice.
+    val q = textQuality(s, d).select(col("doc_id"), col("quality_score")).cache()
     val mx = q.agg(max(col("quality_score")).as("max_q"))
     q.crossJoin(broadcast(mx))
       .withColumn("p_keep",
@@ -841,11 +854,15 @@ object TextPipeline {
     * suite), so AQE broadcasts it; the corpus side never
     * self-joins. */
   def decontaminate(s: SparkSession, d: String): DataFrame = {
+    // cache(): the eval-split side and the corpus side both derive
+    // from this explode — uncached, documents is scanned and
+    // re-exploded twice.
     val grams = withWords(documents(s, d))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', slice(ws, i + 1, 3)))"))
         .as("gram"))
+      .cache()
     val evalGrams = grams.filter(col("doc_id") % 97 === 0).select("gram").distinct()
     grams.filter(col("doc_id") % 97 =!= 0).distinct()
       .join(evalGrams, "gram")
@@ -1011,7 +1028,9 @@ object TextPipeline {
     * Hash anti join shuffles 16-byte digests, never text; with the
     * corpus hashes in a catalog table this is one MOR-style lookup. */
   def dedupIncremental(s: SparkSession, d: String): DataFrame = {
-    val hashed = documents(s, d).withColumn("h", md5(col("text")))
+    // cache(): corpus side and batch side both read the hashed table
+    // — uncached, the scan + per-doc md5 run twice.
+    val hashed = documents(s, d).withColumn("h", md5(col("text"))).cache()
     val corpus = hashed.filter(col("source") =!= "src0").select("h").distinct()
     val batch = hashed.filter(col("source") === "src0")
     val fresh = batch.join(corpus, Seq("h"), "left_anti")
@@ -1179,8 +1198,12 @@ object TextPipeline {
     * the corpus size; the actual sampling pass would then be L15's
     * deterministic per-stratum hash filter using these rates. */
   def mixSources(s: SparkSession, d: String): DataFrame = {
+    // cache(): the grand-total aggregate and the final join both read
+    // the per-source table — uncached, the corpus scan + token agg
+    // run twice for a handful of source rows.
     val perSrc = withWords(documents(s, d))
       .groupBy("source").agg(sum(size(col("ws")).cast("long")).as("tokens"))
+      .cache()
     val totals = perSrc.agg(sum(col("tokens")).as("total"),
                             count(lit(1)).as("n_sources"))
     perSrc.join(broadcast(totals))
@@ -1316,12 +1339,16 @@ object TextPipeline {
     * doc×doc; the hash-key shuffle is the same cardinality as the
     * corpus token count ÷ 25. */
   def paragraphDedup(s: SparkSession, d: String): DataFrame = {
+    // cache(): three consumers (duplicate-hash agg, the semi-join
+    // probe, the per-doc paragraph counts) all read this explode —
+    // uncached, the scan + window explode + md5 run three times.
     val paras = withWords(documents(s, d))
       .withColumn("k", (size(col("ws")) / 25).cast("int"))
       .filter(col("k") >= 1)
       .select(col("doc_id"),
         posexplode(expr("transform(sequence(0, k - 1), i -> concat_ws(' ', slice(ws, i * 25 + 1, 25)))")))
       .select(col("doc_id"), md5(col("col")).as("ph"))
+      .cache()
     val dupHashes = paras.groupBy("ph")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
@@ -1748,10 +1775,13 @@ object TextPipeline {
     * exact-decimal→double division. Same shapes as L29: per-source
     * agg + a broadcast one-row total. */
   def mixTemperature(s: SparkSession, d: String): DataFrame = {
+    // cache(): same shape as mixSources — the weight total and the
+    // final join both read the per-source table.
     val perSrc = withWords(documents(s, d))
       .groupBy("source").agg(sum(size(col("ws")).cast("long")).as("tokens"))
       .withColumn("w", sqrt(col("tokens").cast("double"))
         .cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+      .cache()
     val tot = perSrc.agg(sum(col("w")).as("tw"), sum(col("tokens")).as("total"))
     perSrc.join(broadcast(tot))
       .withColumn("share", col("w").cast("double") / col("tw").cast("double"))
@@ -2339,9 +2369,13 @@ object TextPipeline {
     * final agg; the top-k is a TakeOrdered. */
   def dsirSelect(s: SparkSession, d: String): DataFrame = {
     val B = 1024
+    // cache(): the bucket model and the pool-scoring side both read
+    // this exploded/bucketed word table — uncached, the scan + explode
+    // + per-word md5 run twice.
     val words = withWords(documents(s, d))
       .select(col("doc_id"), col("lang"), explode(col("ws")).as("w"))
       .withColumn("b", expr(s"CAST(conv(substr(md5(w), 1, 8), 16, 10) AS BIGINT) % $B"))
+      .cache()
     val counts = words.groupBy("b").agg(
       sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_cnt"),
       sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("r_cnt"))

@@ -154,10 +154,17 @@ object Vectors {
     val ranked = e.join(centroids)
       .withColumn("csim", cosine("embedding", "cv"))
       .withColumn("crank", row_number().over(byVec))
-
-    val assign = ranked.filter(col("crank") === 1)
+    // cache() the union of the two surviving rank slices, NARROW (ids
+    // + rank only, no embeddings): assignment and probe rows both
+    // derive from `ranked`, and uncached each consumer re-runs the
+    // full corpus×centroid cosine pass + window.
+    val cells = ranked
+      .filter(col("crank") === 1 || (col("vec_id") < 10 && col("crank") <= nProbe))
+      .select("vec_id", "cent_id", "crank")
+      .cache()
+    val assign = cells.filter(col("crank") === 1)
       .select(col("vec_id").as("neighbor_id"), col("cent_id"))
-    val probes = ranked.filter(col("vec_id") < 10 && col("crank") <= nProbe)
+    val probes = cells.filter(col("vec_id") < 10 && col("crank") <= nProbe)
       .select(col("vec_id").as("query_id"), col("cent_id"))
 
     val cand = probes.join(assign, "cent_id")
@@ -305,12 +312,16 @@ object Vectors {
       .groupBy("cluster0")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cval")))),
         x => x.getField("cval")).as("cv2"))
+    // cache(): both sides of the intra-cluster pair join read the
+    // final assignment — uncached, the re-assignment pass (corpus ×
+    // refined-centroid cosines + window) runs twice.
     val assign2 = e.join(broadcast(centroids.select(col("cluster0").as("cent2"), col("cv2"))))
       .withColumn("csim2", cosMixed("embedding", "cv2"))
       .withColumn("crank2", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("csim2").desc, col("cent2"))))
       .filter(col("crank2") === 1)
       .select(col("vec_id"), col("embedding"), col("cent2").as("cluster"))
+      .cache()
     val a = assign2.select(col("cluster"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
     val b = assign2.select(col("cluster"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
     a.join(b, Seq("cluster")).filter(col("vec_a") < col("vec_b"))
@@ -476,11 +487,17 @@ object Vectors {
         .cast("double") / count(lit(1))).as("c"))
       .groupBy("label")
       .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("centroid"))
+    // cache() the NARROW distance table (ids + dist2, embeddings
+    // dropped): the label moments and the final z-score join both
+    // read it — uncached, the decimal distance fold over every vector
+    // runs twice.
     val dist = e.join(broadcast(cent), "label")
       .withColumn("dist2", expr(
         """CAST(aggregate(zip_with(embedding, centroid,
              (x, c) -> CAST((CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c) AS DECIMAL(28,12))),
            CAST(0 AS DECIMAL(38,12)), (acc, t) -> CAST(acc + t AS DECIMAL(38,12))) AS DOUBLE)"""))
+      .select("vec_id", "label", "dist2")
+      .cache()
     val moments = dist.groupBy(col("label").as("ml"))
       .agg(count(lit(1)).as("n"),
         sum(col("dist2").cast(DecimalType(30, 12))).cast("double").as("s1"),

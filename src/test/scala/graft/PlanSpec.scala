@@ -100,13 +100,25 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(plan.contains("TakeOrderedAndProject"), "top-20 must not full-sort")
   }
 
-  test("q21: the lineitem-orders exchange is reused across semi and anti joins") {
+  test("q21: one fact pass — per-order window counts, no semi/anti self-joins") {
     val plan = planOf(Relational.q21BlameSupplier(spark, sfDir))
-    // the self-joined fact appears three times logically but its
-    // shuffle must be planned once and reused
-    assert(plan.contains("ReusedExchange"),
-      s"expected exchange reuse on the self-join, plan:\n${plan.take(1500)}")
+    // r15 shape: the EXISTS/NOT-EXISTS pair is answered by two
+    // distinct-supplier window counts over the join's own l_orderkey
+    // partitioning — lineitem⋈orders is evaluated ONCE (no semi/anti
+    // probes, no exchange-reuse of a tripled subtree), and the windows
+    // introduce no exchange of their own.
+    assert(plan.contains("Window"), plan.take(1500))
+    assert(!plan.contains("LeftSemi") && !plan.contains("LeftAnti"),
+      s"q21 must not self-join the fact side:\n${plan.take(1500)}")
     assert(!plan.contains("CartesianProduct"))
+    // exactly one l_orderkey exchange feeds join + both windows
+    // (count in the FINAL plan only — AQE's explain echoes the
+    // initial plan after it)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val orderkeyExchanges = "Exchange hashpartitioning\\(l_orderkey".r
+      .findAllIn(finalPlan).size
+    assert(orderkeyExchanges <= 1,
+      s"the windows must reuse the join partitioning, plan:\n${finalPlan.take(1500)}")
   }
 
   test("q11: global-total scalar is broadcast, never a cross join") {
