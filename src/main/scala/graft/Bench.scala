@@ -24,6 +24,22 @@ object Bench {
       .config("spark.ui.retainedJobs", "100")
       .config("spark.ui.retainedStages", "200")
       .config("spark.ui.retainedTasks", "10000")
+      // The whole-stage-codegen class cache holds 100 compiled units
+      // by default — sized for a session that re-runs ONE query's
+      // plans. A 146-query sweep carries several hundred distinct
+      // units, so the default cache thrashes and the second pass
+      // re-compiles (janino, ~10-50 ms/unit) every stage it should be
+      // reusing. Session-shape-dependent, not scale-dependent: any
+      // session running this many distinct queries sizes the cache to
+      // its plan count.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // A/B'd in r15 and left at Spark's default (true): size-based
+      // coalescing (false) won the tiny fixed-cost queries but cost
+      // the compute-heavy gram joins their parallelism — net neutral
+      // total, worse core. Env knob kept so the trade can be re-run
+      // per box without a code change.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup so the first measured query isn't charged
