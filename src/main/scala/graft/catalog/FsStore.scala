@@ -21,21 +21,27 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 class FsStore(conf: Configuration) {
 
-  def fs(p: Path): FileSystem = {
-    val f = p.getFileSystem(conf)
-    // Hadoop's LocalFileSystem wraps every write in a ChecksumFS: each
-    // tiny metadata object becomes TWO files (payload + .crc sidecar)
-    // plus a CRC pass, and commit latency on a local warehouse is
-    // FS-op-bound (measured: manifest+publish ≈ 0.3 s per commit on
-    // tmpfs-class disks, mostly op count). Integrity of the store does
-    // not ride on the sidecars — the CAS publish arbitrates versions
-    // and every read re-parses JSON — and non-local stores (HDFS/S3A)
-    // have server-side integrity, so this is scheme-gated to file://.
-    if (Option(f.getUri.getScheme).forall(_ == "file")) {
-      f.setWriteChecksum(false)
-      f.setVerifyChecksum(false)
-    }
-    f
+  def fs(p: Path): FileSystem = p.getFileSystem(conf)
+
+  /** `file://` fast path: the java.nio path of `p` when it is local,
+    * None otherwise. The store's own I/O goes through java.nio on
+    * local filesystems because Hadoop's RawLocalFileSystem FORKS a
+    * `chmod` per created file when the native lib is absent (measured
+    * ~50-150 ms per metadata object on this image — commit latency was
+    * process-spawn-bound, not disk-bound), and LocalFileSystem
+    * additionally doubles every object with a `.crc` sidecar. java.nio
+    * needs neither; HDFS/S3A keep the Hadoop path untouched. This
+    * replaces r15's JVM-wide `setWriteChecksum(false)` on the SHARED
+    * cached FileSystem (r15 ADVICE: that silently disabled checksum
+    * verification for ALL local I/O in the process, including Spark's
+    * own data files — the shared instance is no longer mutated at
+    * all). */
+  private def localNio(p: Path): Option[java.nio.file.Path] = {
+    val uri = p.toUri
+    val scheme = Option(uri.getScheme)
+    if (scheme.forall(_ == "file") && Option(uri.getAuthority).isEmpty)
+      Some(java.nio.file.Paths.get(uri.getPath))
+    else None
   }
 
   /** Read a text object; gzip-compressed content (magic 1F 8B) is
@@ -45,28 +51,61 @@ class FsStore(conf: Configuration) {
     * gzip.NewReader), so graft must read either encoding anywhere a
     * metadata file can appear. */
   def readString(p: Path): String = {
-    val in = fs(p).open(p)
-    try {
-      val bytes = in.readAllBytes()
-      val data =
-        if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0x1F && (bytes(1) & 0xFF) == 0x8B) {
-          val gz = new java.util.zip.GZIPInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          try gz.readAllBytes() finally gz.close()
-        } else bytes
-      new String(data, StandardCharsets.UTF_8)
-    } finally in.close()
+    val bytes = localNio(p) match {
+      case Some(np) => java.nio.file.Files.readAllBytes(np)
+      case None =>
+        val in = fs(p).open(p)
+        try in.readAllBytes() finally in.close()
+    }
+    val data =
+      if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0x1F && (bytes(1) & 0xFF) == 0x8B) {
+        val gz = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try gz.readAllBytes() finally gz.close()
+      } else bytes
+    new String(data, StandardCharsets.UTF_8)
   }
 
-  def writeString(p: Path, s: String, overwrite: Boolean = true): Unit = {
-    val out = fs(p).create(p, overwrite)
-    try out.write(s.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-  }
+  def writeString(p: Path, s: String, overwrite: Boolean = true): Unit =
+    writeBytes(p, s.getBytes(StandardCharsets.UTF_8), overwrite)
 
-  def exists(p: Path): Boolean = fs(p).exists(p)
-  def delete(p: Path): Boolean = fs(p).delete(p, true)
-  def mkdirs(p: Path): Boolean = fs(p).mkdirs(p)
+  private def writeBytes(p: Path, bytes: Array[Byte], overwrite: Boolean): Unit =
+    localNio(p) match {
+      case Some(np) =>
+        import java.nio.file.{Files, StandardOpenOption => O}
+        Option(np.getParent).foreach(Files.createDirectories(_))
+        if (overwrite)
+          Files.write(np, bytes, O.CREATE, O.TRUNCATE_EXISTING, O.WRITE)
+        else Files.write(np, bytes, O.CREATE_NEW, O.WRITE)
+        ()
+      case None =>
+        val out = fs(p).create(p, overwrite)
+        try out.write(bytes) finally out.close()
+    }
+
+  def exists(p: Path): Boolean = localNio(p) match {
+    case Some(np) => java.nio.file.Files.exists(np)
+    case None => fs(p).exists(p)
+  }
+  def delete(p: Path): Boolean = localNio(p) match {
+    case Some(np) =>
+      import java.nio.file.Files
+      if (!Files.exists(np)) false
+      else {
+        if (Files.isDirectory(np)) {
+          val walk = Files.walk(np)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => { Files.deleteIfExists(f); () })
+          finally walk.close()
+        } else Files.deleteIfExists(np)
+        true
+      }
+    case None => fs(p).delete(p, true)
+  }
+  def mkdirs(p: Path): Boolean = localNio(p) match {
+    case Some(np) => java.nio.file.Files.createDirectories(np); true
+    case None => fs(p).mkdirs(p)
+  }
 
   /** Move a whole subtree (table/view rename). Stores that keep state
     * outside the filesystem override this to move that state too. */
@@ -81,15 +120,34 @@ class FsStore(conf: Configuration) {
 
   def list(p: Path): Seq[Path] =
     if (!exists(p)) Seq.empty
-    else fs(p).listStatus(p).toSeq.map(_.getPath)
+    else localNio(p) match {
+      case Some(np) =>
+        val s = java.nio.file.Files.list(np)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(f => new Path(f.toUri)).toSeq
+        } finally s.close()
+      case None => fs(p).listStatus(p).toSeq.map(_.getPath)
+    }
 
   /** All files under `p`, recursively. */
   def listFilesRec(p: Path): Seq[Path] = {
     if (!exists(p)) return Seq.empty
-    val it = fs(p).listFiles(p, true)
-    val buf = Seq.newBuilder[Path]
-    while (it.hasNext) buf += it.next().getPath
-    buf.result()
+    localNio(p) match {
+      case Some(np) =>
+        val s = java.nio.file.Files.walk(np)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(f => new Path(f.toUri)).toSeq
+        } finally s.close()
+      case None =>
+        val it = fs(p).listFiles(p, true)
+        val buf = Seq.newBuilder[Path]
+        while (it.hasNext) buf += it.next().getPath
+        buf.result()
+    }
   }
 
   private val VersionFile = raw"v(\d+)\.metadata\.json".r
@@ -176,8 +234,7 @@ class FsStore(conf: Configuration) {
         gz.write(content.getBytes(StandardCharsets.UTF_8)); gz.close()
         bos.toByteArray
       } else content.getBytes(StandardCharsets.UTF_8)
-    val out = fs(tmp).create(tmp, true)
-    try out.write(bytes) finally out.close()
+    writeBytes(tmp, bytes, overwrite = true)
     val scheme = Option(fs(dir).getUri.getScheme).getOrElse("file")
     val ok =
       if (scheme == "file") {
@@ -198,8 +255,7 @@ class FsStore(conf: Configuration) {
       if (gzip) scala.util.Try {
         // Layout-parity name (the reference's view encoding); the
         // arbitrating plain file already holds the same gzip bytes.
-        val gzOut = fs(dir).create(gzVersionPath(dir, next), true)
-        try gzOut.write(bytes) finally gzOut.close()
+        writeBytes(gzVersionPath(dir, next), bytes, overwrite = true)
       }
       // Best-effort hint; correctness never depends on it.
       scala.util.Try(writeString(new Path(dir, "version-hint.text"), next.toString))

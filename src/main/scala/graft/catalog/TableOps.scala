@@ -454,8 +454,16 @@ final class TableOps(private[graft] val store: FsStore) {
       operation: String,
       requirements: Seq[Requirement],
       branch: String = "main"): TableMetadata = {
+    val cm = sys.env.get("GRAFT_COMMIT_MARKS").contains("1")
+    var cmT = System.nanoTime()
+    def cmark(p: String): Unit = if (cm) {
+      val t = System.nanoTime()
+      System.err.println(f"[commitOnce] $p%-12s ${(t - cmT) / 1e9}%.3f")
+      cmT = t
+    }
     val (_, meta) = load(tableDir).getOrElse(
       throw new CommitFailedException(s"table does not exist at $tableDir"))
+    cmark("load")
     val parent =
       if (branch == "main") meta.currentSnapshot
       else meta.snapshotByRef(branch).orElse(meta.currentSnapshot)
@@ -463,6 +471,7 @@ final class TableOps(private[graft] val store: FsStore) {
     val (newRel, lineageUpd) = stampRowIds(meta, collectStats(tableDir, newFiles)
       .map(e => e.copy(path = relativize(tableDir, e.path), seq = Some(newSeq)))
       .filterNot(_.rows.contains(0L))) // empty range partitions write 0-row files: pure metadata waste
+    cmark("stats")
     val snapId = newSnapshotId()
     val (manifestName, total) = operation match {
       case "append" =>
@@ -472,6 +481,7 @@ final class TableOps(private[graft] val store: FsStore) {
         writeManifestFor(tableDir, meta, snapId, parent, None, newRel)
       case other => throw new IllegalArgumentException(s"unknown snapshot operation: $other")
     }
+    cmark("manifest")
     val snap = Snapshot(
       snapshotId = snapId,
       parentSnapshotId = parent.map(_.snapshotId),
@@ -494,9 +504,11 @@ final class TableOps(private[graft] val store: FsStore) {
       else // side branch: guard on the branch head only (may be absent)
         Requirement.AssertRefSnapshotId(branch,
           meta.refs.get(branch).map(_.snapshotId))
-    commit(tableDir, requirements :+ parentGuard, Seq(
+    val res = commit(tableDir, requirements :+ parentGuard, Seq(
       MetadataUpdate.AddSnapshot(snap),
       MetadataUpdate.SetSnapshotRef(branch, snapId, "branch")) ++ lineageUpd)
+    cmark("commit")
+    res
   }
 
   /** Manifest cache: a manifest file is named by its snapshot id and
@@ -851,6 +863,147 @@ final class TableOps(private[graft] val store: FsStore) {
     val files = store.listFilesRec(writeDir)
       .filter(f => isDataFile(f.getName)).map(_.toString)
     commitFiles(tableDir, files, operation)
+  }
+
+  // ---------- size-gated driver-side commits (r16, guide §1.2/§6) ----------
+
+  /** Parquet MessageType for the driver-side direct writer. Only the
+    * primitive shapes the small-commit path needs; anything else must
+    * take the distributed [[write]]. */
+  private def localParquetType(schema: StructType): org.apache.parquet.schema.MessageType = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types => PTypes}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.spark.sql.types._
+    val b = PTypes.buildMessage()
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case LongType => b.optional(INT64).named(f.name)
+        case IntegerType => b.optional(INT32).named(f.name)
+        case DoubleType => b.optional(DOUBLE).named(f.name)
+        case FloatType => b.optional(FLOAT).named(f.name)
+        case BooleanType => b.optional(BOOLEAN).named(f.name)
+        case StringType =>
+          b.optional(BINARY).as(LogicalTypeAnnotation.stringType()).named(f.name)
+        case other => throw new IllegalArgumentException(
+          s"local write supports primitive columns only, got ${other.sql} for ${f.name}")
+      }
+    }
+    b.named("spark_schema")
+  }
+
+  /** Write already-collected `rows` as ONE parquet file under a fresh
+    * `w-<uuid>` write dir, straight through parquet-mr on the driver —
+    * no Spark job, no FileFormatWriter commit-protocol round. Footer
+    * carries the same row count + min/max stats the distributed writer
+    * produces, so [[collectStats]]/manifest skipping see an identical
+    * entry. Returns the absolute file path. */
+  private def writeLocalParquetFile(
+      tableDir: Path, schema: StructType,
+      rows: Seq[org.apache.spark.sql.Row]): String = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.hadoop.metadata.CompressionCodecName
+    import org.apache.parquet.hadoop.util.HadoopOutputFile
+    import org.apache.spark.sql.types._
+    val writeDir = new Path(dataDir(tableDir), s"w-${UUID.randomUUID()}")
+    val file = new Path(writeDir, s"part-00000-${UUID.randomUUID()}.parquet")
+    val conf = store.fs(tableDir).getConf
+    val mt = localParquetType(schema)
+    // file:// writes bypass Hadoop's RawLocalFileSystem (it forks a
+    // `chmod` per created file without the native lib — the very fixed
+    // cost this path exists to avoid) via parquet's java.nio OutputFile.
+    val fileUri = file.toUri
+    val outFile =
+      if (Option(fileUri.getScheme).forall(_ == "file") &&
+          Option(fileUri.getAuthority).isEmpty) {
+        val np = java.nio.file.Paths.get(fileUri.getPath)
+        java.nio.file.Files.createDirectories(np.getParent)
+        new org.apache.parquet.io.LocalOutputFile(np)
+      } else HadoopOutputFile.fromPath(file, conf)
+    val writer = ExampleParquetWriter.builder(outFile)
+      .withConf(conf)
+      .withType(mt)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+    val gf = new SimpleGroupFactory(mt)
+    val types = schema.fields.map(_.dataType)
+    try rows.foreach { r =>
+      val g = gf.newGroup()
+      var i = 0
+      while (i < types.length) {
+        if (!r.isNullAt(i)) types(i) match {
+          case LongType => g.add(i, r.getLong(i))
+          case IntegerType => g.add(i, r.getInt(i))
+          case DoubleType => g.add(i, r.getDouble(i))
+          case FloatType => g.add(i, r.getFloat(i))
+          case BooleanType => g.add(i, r.getBoolean(i))
+          case _ => g.add(i, r.getString(i))
+        }
+        i += 1
+      }
+      writer.write(g)
+    } finally writer.close()
+    file.toString
+  }
+
+  /** Size-gated driver-side append (guide §1.2/§6): commit
+    * already-collected, churn-sized `rows` as ONE parquet data file,
+    * bypassing Spark's per-write execution setup (planning +
+    * FileFormatWriter job + commit protocol, ~1 s of fixed cost per
+    * KB-scale commit), through the exact same
+    * [[commitFiles]] manifest/CAS path as [[write]]. The CALLER gates
+    * on a measured row count — an unbounded input must take [[write]]
+    * with full write parallelism. Unpartitioned/unsorted parquet
+    * tables with primitive columns only. */
+  def writeLocalSmall(
+      tableDir: Path, schema: StructType,
+      rows: Seq[org.apache.spark.sql.Row],
+      operation: String): TableMetadata = {
+    val meta = load(tableDir).map(_._2)
+    require(meta.forall(m => dataFormat(m) == "parquet"),
+      "local write path is parquet-only")
+    require(meta.forall(m =>
+      m.specs.find(_.specId == m.defaultSpecId).forall(_.fields.isEmpty) &&
+      m.sortOrders.find(_.orderId == m.defaultSortOrderId).forall(_.fields.isEmpty)),
+      "local write path supports unpartitioned, unsorted tables only")
+    require(rows.nonEmpty, "local write of zero rows is a no-op commit")
+    val marksOn = sys.env.get("GRAFT_COMMIT_MARKS").contains("1")
+    val t0 = System.nanoTime()
+    val f = writeLocalParquetFile(tableDir, schema, rows)
+    val t1 = System.nanoTime()
+    val m = commitFiles(tableDir, Seq(f), operation)
+    if (marksOn) System.err.println(
+      f"[commit] pq=${(t1 - t0) / 1e9}%.3f commit=${(System.nanoTime() - t1) / 1e9}%.3f")
+    m
+  }
+
+  /** Size-gated driver-side equality delete: the local-commit twin of
+    * [[mergeOnReadDelete]] for churn-sized key sets the caller has
+    * already counted. Identical manifest entry (content, equality
+    * columns, footer stats, sequence) — only the file write moves from
+    * a Spark job to the driver. */
+  def mergeOnReadDeleteLocal(
+      tableDir: Path, keySchema: StructType,
+      keys: Seq[org.apache.spark.sql.Row]): TableMetadata = {
+    require(keySchema.fields.nonEmpty, "merge-on-read delete needs key columns")
+    val (_, meta) = load(tableDir).getOrElse(
+      throw new CommitFailedException(s"table does not exist at $tableDir"))
+    val schema = SchemaBridge.toSpark(meta.currentSchema)
+    keySchema.fieldNames.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"key column $c not in table schema"))
+      import org.apache.spark.sql.types._
+      f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | StringType | BooleanType => ()
+        case other => throw new IllegalArgumentException(
+          s"unsupported equality-delete key type ${other.sql} for $c")
+      }
+    }
+    val f = writeLocalParquetFile(tableDir, keySchema, keys.distinct)
+    val statted = collectStats(tableDir, Seq(f))
+    commitDeleteEntries(tableDir, seq => statted.map(e => e.copy(
+      path = relativize(tableDir, e.path), content = "eq-deletes",
+      equalityColumns = keySchema.fieldNames.toSeq, seq = Some(seq))), "eq-delete")
   }
 
   /** Write `df` split into one file set PER PARTITION VALUE of the

@@ -1966,6 +1966,14 @@ object TextPipeline {
   private val cdcWalkCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Seq[(Long, Long, Long, Long, Long)], String)]()
 
+  /** Row-count gate for the CDC walk's driver-side direct commits: a
+    * window at or below this many churn rows (~5 MB of (doc_id, h))
+    * is collected and written as one parquet file by the driver —
+    * Spark's per-write job setup costs more than moving the bytes.
+    * Above it, the distributed write path runs with full parallelism.
+    * Tests can force either path by sizing their windows. */
+  private[graft] val CdcLocalCommitRows = 100000L
+
   /** Drop the memoized walk for `d` so the next [[dedupCdc]] call pays
     * the full cold ledger walk again. Bench uses this before every
     * measured run: the memo is the right PRODUCTION behavior (a ledger
@@ -1993,6 +2001,16 @@ object TextPipeline {
       corpusDir: org.apache.hadoop.fs.Path,
       ledgerDir: org.apache.hadoop.fs.Path): Seq[(Long, Long, Long, Long, Long)] = {
     import graft.catalog._
+    // Dev-only phase marks (GRAFT_CDC_MARKS=1): per-phase wall times on
+    // stderr so the walk's driver-side fixed costs stay attributable
+    // without a profiler. Never set by the driver; zero cost when off.
+    val marksOn = sys.env.get("GRAFT_CDC_MARKS").contains("1")
+    var markT0 = System.nanoTime()
+    def mark(phase: String): Unit = if (marksOn) {
+      val t = System.nanoTime()
+      System.err.println(f"[cdc] $phase%-28s ${(t - markT0) / 1e9}%7.3f s")
+      markT0 = t
+    }
     val ledgerSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
         org.apache.spark.sql.types.LongType, nullable = true),
@@ -2018,9 +2036,11 @@ object TextPipeline {
     // checkpoint jobs where one of each suffices. At 100 TB this is
     // the same O(total churn) bytes either way; the win is 3 fewer
     // full plan+materialize rounds of fixed cost.
+    mark("create+load")
     val feed = ops.changes(s, corpusDir, 0L, seqs.max)
       .select("doc_id", "h", "_change_type", "_commit_seq")
       .localCheckpoint(true)
+    mark("changes+checkpoint")
     // Every window's insert/delete row count AND distinct-insert-hash
     // count in ONE aggregate job over the cached feed (the r14 walk
     // spent 2 actions per window on these).
@@ -2029,6 +2049,7 @@ object TextPipeline {
       .collect()
       .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
       .toMap
+    mark("winStats")
     // Ledger emptiness is a walk-local fact (we are the only writer);
     // tracking it avoids a metadata load per window.
     var ledgerHasRows = false
@@ -2054,6 +2075,7 @@ object TextPipeline {
           val insH = ins.select("h").distinct() // cheap over the cached feed
           distinctInsH - ledgerProbe(s, ops, ledgerDir, insH).count()
         }
+      mark(s"w$sq probe")
       // O(churn) ledger commits: eq-delete FIRST (it masks only
       // strictly-older sequence numbers — C30 — so a same-window
       // delete+reinsert of one key resolves to the new row), append
@@ -2062,12 +2084,35 @@ object TextPipeline {
       // small sync never litters the manifest with per-core shards
       // while a 1B-row day still writes with full parallelism.
       def churnFiles(n: Long): Int = (n / 500000L + 1L).toInt
-      if (nDel > 0) ops.mergeOnReadDelete(s, ledgerDir, del.select("doc_id"),
-        numFiles = Some(churnFiles(nDel)))
+      // Size-gated direct commits (r16, guide §1.2/§6): the window's
+      // row counts are ALREADY measured (winStats), so a churn-sized
+      // commit (≤ CdcLocalCommitRows ≈ a few MB of (doc_id, h) rows)
+      // skips Spark's per-write execution setup — the slice is
+      // collected from the checkpointed feed and written as one
+      // parquet file by the driver, committed through the identical
+      // manifest/CAS path (measured ~1.3 s/commit → ~0.3 s on the
+      // r16 box). A big sync window exceeds the gate and takes the
+      // distributed writer with full parallelism, exactly as before.
+      if (nDel > 0) {
+        if (nDel <= CdcLocalCommitRows)
+          ops.mergeOnReadDeleteLocal(ledgerDir,
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("doc_id",
+                org.apache.spark.sql.types.LongType))),
+            del.select("doc_id").collect().toSeq)
+        else ops.mergeOnReadDelete(s, ledgerDir, del.select("doc_id"),
+          numFiles = Some(churnFiles(nDel)))
+      }
+      mark(s"w$sq delete")
       if (nIns > 0) {
-        ops.write(ledgerDir, ins, "append", numFiles = Some(churnFiles(nIns)))
+        if (nIns <= CdcLocalCommitRows) {
+          val rows = ins.collect().toSeq
+          mark(s"w$sq ins-collect")
+          ops.writeLocalSmall(ledgerDir, ledgerSchema, rows, "append")
+        } else ops.write(ledgerDir, ins, "append", numFiles = Some(churnFiles(nIns)))
         ledgerHasRows = true
       }
+      mark(s"w$sq append")
       // live count from manifests alone — data rows minus eq-delete
       // key rows (rows stamped on every entry by the write/delete
       // paths); exact under the ledger invariant: doc_id unique among
@@ -2079,6 +2124,7 @@ object TextPipeline {
           "ledger entry missing row count — metadata live count needs stats"))).sum
       val live = metaRows(entries.filter(_.isData)) -
         metaRows(entries.filter(_.isEqDelete))
+      mark(s"w$sq liveCount")
       out += ((sq, nIns, nDel, nNew, live))
     }
     out.result()
