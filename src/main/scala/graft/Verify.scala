@@ -29,6 +29,14 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Several pipeline queries cache() intra-query intermediates and
+      // leave them to the session (callers own cleanup — ADVICE r15).
+      // Across a 146-query dump those dead blocks pile storage-pool
+      // pressure onto later queries, so drop them after every query —
+      // same discipline as Bench.dropCachedState.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

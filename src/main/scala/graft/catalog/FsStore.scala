@@ -125,7 +125,9 @@ class FsStore(conf: Configuration) {
         val s = java.nio.file.Files.list(np)
         try {
           import scala.jdk.CollectionConverters._
-          s.iterator().asScala.map(f => new Path(f.toUri)).toSeq
+          // NOT Path(f.toUri): nio directory URIs carry a trailing
+          // slash, which makes Hadoop Path.getName return "".
+          s.iterator().asScala.map(f => new Path("file", null, f.toString)).toSeq
         } finally s.close()
       case None => fs(p).listStatus(p).toSeq.map(_.getPath)
     }
@@ -140,7 +142,7 @@ class FsStore(conf: Configuration) {
           import scala.jdk.CollectionConverters._
           s.iterator().asScala
             .filter(java.nio.file.Files.isRegularFile(_))
-            .map(f => new Path(f.toUri)).toSeq
+            .map(f => new Path("file", null, f.toString)).toSeq
         } finally s.close()
       case None =>
         val it = fs(p).listFiles(p, true)

@@ -386,7 +386,9 @@ object TextPipeline {
         * convergence detection, so the gate costs nothing and is
         * scale-honest: a 100-TB edge set runs distributed star rounds
         * (each shrinking the frontier) until the MEASURED remainder
-        * fits comfortably in driver memory (1M edges ≈ 16 MB of ids),
+        * fits comfortably in driver memory (collected as packed
+        * primitive longs: 1M edges = 16 MB, plus a ≤16 MB sorted node
+        * array and a 4 B/node parent vector — no boxed rows),
         * then finishes in microseconds — the same "local endgame once
         * the frontier collapses" shape distributed CC implementations
         * use, avoiding O(log n) tail rounds of pure fixed cost (each
@@ -422,26 +424,56 @@ object TextPipeline {
         // are kept at the component MINIMUM (merge always hangs the
         // larger root under the smaller), so the labels are exactly
         // the star fixpoint's (node, component-min) pairs.
-        val es = edges.collect()
-        val parent = new java.util.HashMap[Long, Long]()
-        def find(x0: Long): Long = {
-          var r = x0
-          while (parent.getOrDefault(r, r) != r) r = parent.get(r)
-          var c = x0
-          while (parent.getOrDefault(c, c) != r) {
-            val nx = parent.get(c); parent.put(c, r); c = nx
+        // Collected as PACKED primitive longs (one Array[Long] per
+        // partition — 16 B/edge, so the 1M-edge default is ~16 MB on
+        // the driver plus a sorted node array and an Int parent
+        // vector; no boxed Rows/HashMap — r15 advice) and solved over
+        // node INDICES in the sorted-id array, where "hang the larger
+        // root under the smaller" is index order.
+        val packed: Array[Array[Long]] = edges.rdd.mapPartitions { it =>
+          val b = new scala.collection.mutable.ArrayBuilder.ofLong
+          it.foreach { r => b += r.getLong(0); b += r.getLong(1) }
+          Iterator.single(b.result())
+        }.collect()
+        val all = new Array[Long](packed.map(_.length).sum)
+        var off = 0
+        packed.foreach { a => System.arraycopy(a, 0, all, off, a.length); off += a.length }
+        val nodes = all.clone()
+        java.util.Arrays.sort(nodes)
+        var nNodes = 0
+        var i = 0
+        while (i < nodes.length) { // in-place dedup of the sorted ids
+          if (nNodes == 0 || nodes(nNodes - 1) != nodes(i)) {
+            nodes(nNodes) = nodes(i); nNodes += 1
           }
+          i += 1
+        }
+        def idx(x: Long): Int = {
+          var lo = 0; var hi = nNodes - 1
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (nodes(mid) < x) lo = mid + 1 else hi = mid
+          }
+          lo
+        }
+        val parent = Array.tabulate(nNodes)(identity)
+        def find(x0: Int): Int = {
+          var r = x0
+          while (parent(r) != r) r = parent(r)
+          var c = x0
+          while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
           r
         }
-        es.foreach { row =>
-          val (x, y) = (row.getLong(0), row.getLong(1))
-          val (rx, ry) = (find(x), find(y))
-          if (rx != ry) { parent.put(math.max(rx, ry), math.min(rx, ry)); () }
+        i = 0
+        while (i < all.length) {
+          val rx = find(idx(all(i)))
+          val ry = find(idx(all(i + 1)))
+          if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+          i += 2
         }
         val ss = pairs.sparkSession
         import ss.implicits._
-        val out = es.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct.toSeq
-          .map(n => (n, find(n)))
+        val out = (0 until nNodes).map(n => (nodes(n), nodes(find(n))))
         return (out.toDF("doc_id", "component"), rounds)
       }
       // large-star: for each node u (over the SYMMETRIC closure) with
@@ -1198,15 +1230,19 @@ object TextPipeline {
     * the corpus size; the actual sampling pass would then be L15's
     * deterministic per-stratum hash filter using these rates. */
   def mixSources(s: SparkSession, d: String): DataFrame = {
-    // cache(): the grand-total aggregate and the final join both read
-    // the per-source table — uncached, the corpus scan + token agg
-    // run twice for a handful of source rows.
+    // r16: the grand totals are a WINDOW over the per-source aggregate
+    // — one corpus pass, no cache, no self-join (the r15 cache+join
+    // shape cost more than it saved at bench scale, and the r14 shape
+    // re-scanned the corpus for the totals). The empty-partition
+    // window funnels only |sources| aggregated rows through one task —
+    // bounded at any corpus size (sources are few by construction).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
     val perSrc = withWords(documents(s, d))
       .groupBy("source").agg(sum(size(col("ws")).cast("long")).as("tokens"))
-      .cache()
-    val totals = perSrc.agg(sum(col("tokens")).as("total"),
-                            count(lit(1)).as("n_sources"))
-    perSrc.join(broadcast(totals))
+    perSrc
+      .withColumn("total", sum(col("tokens")).over(w))
+      .withColumn("n_sources", count(lit(1)).over(w))
       .withColumn("target_tokens", expr("(total div 2) div n_sources"))
       .withColumn("sample_rate",
         round(least(lit(1.0), col("target_tokens").cast("double") / col("tokens")), 6))
@@ -1584,22 +1620,36 @@ object TextPipeline {
     * to the driver. Cardinality = shared-gram occurrences ×
     * source-pair fanout (sources are few by construction). */
   def sourceOverlap(s: SparkSession, d: String): DataFrame = {
-    // cache(): the per-source vocabulary and both self-join sides all
-    // read this distinct gram set — uncached it is scanned, exploded
-    // and re-deduplicated three times.
-    val g = withWords(documents(s, d))
+    // r16 one-shuffle form (guide §2.4): ONE gram-keyed aggregation
+    // replaces the old distinct + self-join + vocab re-aggregation —
+    // collect_set(source) per gram dedups (source, gram) map-side
+    // inside the same exchange the distinct used to pay, and every
+    // downstream fact (per-source vocab size, per-pair shared count)
+    // is a counter over the per-gram source sets: singleton markers
+    // count each source's vocabulary, a<b pairs count shared grams.
+    // Plan: 3 corpus-wide exchanges + a gram self-join -> 1 exchange;
+    // per-gram fanout is |sources|²/2, the same bound the join had
+    // (sources are few by construction). The final counters frame is
+    // |sources|² rows — cached because vocab and pairs both read it,
+    // and recomputing it means the whole corpus pass.
+    val perGram = withWords(documents(s, d))
       .select(col("source"),
         explode(expr("transform(sequence(1, greatest(size(ws) - 2, 0)), i -> concat_ws(' ', slice(ws, i, 3)))")).as("g"))
-      .distinct()
+      .groupBy("g").agg(array_sort(collect_set(col("source"))).as("srcs"))
+    val counters = perGram
+      .select(explode(concat(
+        expr("transform(srcs, a -> struct(a AS src_a, CAST(NULL AS STRING) AS src_b))"),
+        expr("flatten(transform(srcs, a -> transform(filter(srcs, b -> b > a), b -> struct(a AS src_a, b AS src_b))))")
+      )).as("e"))
+      .groupBy(col("e.src_a").as("src_a"), col("e.src_b").as("src_b"))
+      .agg(count(lit(1)).as("n"))
       .cache()
-    val vocab = g.groupBy("source").agg(count(lit(1)).as("n_grams"))
-    g.select(col("source").as("src_a"), col("g"))
-      .join(g.select(col("source").as("src_b"), col("g")), "g")
-      .filter(col("src_a") < col("src_b"))
-      .groupBy("src_a", "src_b")
-      .agg(count(lit(1)).as("shared_grams"))
-      .join(vocab.select(col("source").as("src_a"), col("n_grams").as("grams_a")), "src_a")
-      .join(vocab.select(col("source").as("src_b"), col("n_grams").as("grams_b")), "src_b")
+    val vocab = counters.filter(col("src_b").isNull)
+      .select(col("src_a").as("source"), col("n").as("n_grams"))
+    counters.filter(col("src_b").isNotNull)
+      .select(col("src_a"), col("src_b"), col("n").as("shared_grams"))
+      .join(broadcast(vocab.select(col("source").as("src_a"), col("n_grams").as("grams_a"))), "src_a")
+      .join(broadcast(vocab.select(col("source").as("src_b"), col("n_grams").as("grams_b"))), "src_b")
       .select(col("src_a"), col("src_b"), col("shared_grams"), col("grams_a"), col("grams_b"),
         round(col("shared_grams") / least(col("grams_a"), col("grams_b")), 4).as("containment"))
       .orderBy(col("shared_grams").desc, col("src_a"), col("src_b"))
@@ -1775,15 +1825,17 @@ object TextPipeline {
     * exact-decimal→double division. Same shapes as L29: per-source
     * agg + a broadcast one-row total. */
   def mixTemperature(s: SparkSession, d: String): DataFrame = {
-    // cache(): same shape as mixSources — the weight total and the
-    // final join both read the per-source table.
+    // r16: same one-pass window-totals shape as mixSources (no cache,
+    // no self-join; the window sees only |sources| aggregated rows).
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
     val perSrc = withWords(documents(s, d))
       .groupBy("source").agg(sum(size(col("ws")).cast("long")).as("tokens"))
       .withColumn("w", sqrt(col("tokens").cast("double"))
         .cast(org.apache.spark.sql.types.DecimalType(28, 10)))
-      .cache()
-    val tot = perSrc.agg(sum(col("w")).as("tw"), sum(col("tokens")).as("total"))
-    perSrc.join(broadcast(tot))
+    perSrc
+      .withColumn("tw", sum(col("w")).over(win))
+      .withColumn("total", sum(col("tokens")).over(win))
       .withColumn("share", col("w").cast("double") / col("tw").cast("double"))
       .withColumn("target_tokens",
         floor(expr("(total div 2)").cast("double") * col("share")).cast("long"))
